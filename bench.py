@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect cost). A warmup action amortizes JVM/codegen startup
+out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+from nyc_government_hiring_audit_data_platform_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "scan_project",
+    "equi_join_agg",
+    "groupby_max",
+    "outer_join_agg",
+    "topn_per_group",
+    "window_running_sum",
+    "cube_agg",
+    "similarity_join_blocked",
+    "similarity_topn_per_key",
+    "events_hourly",
+    "sessionize",
+    "normalize_text",
+    "date_impute_duration",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    # Warmup: trigger JVM classloading + parquet footer reads once.
+    DQ.table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = DQ.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

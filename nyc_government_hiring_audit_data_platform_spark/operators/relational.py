@@ -1,0 +1,151 @@
+"""Relational operator library - thin, typed wrappers over DataFrame ops
+for every relational operator in SURVEY.md §2.2/2.4-2.7.
+
+Each wrapper is declarative (builds a lazy plan for Catalyst); nothing
+here collects, loops rows, or touches the driver. The wrappers exist so
+the domain pipelines and the driver-facing ``queries()`` share one
+implementation per operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# -- projections / filters (P1-P10) -----------------------------------------
+
+
+def project(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """Column projection - Catalyst pushes it into the parquet scan (P1/P2,
+    reference: src/fuzzy_match_salary.py:40-55)."""
+    return df.select(*cols)
+
+
+def rename_project(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """``SELECT old AS new, ...`` (P8, reference: sql/cleaned.sql:3-13)."""
+    return df.select(*[F.col(old).alias(new) for old, new in mapping.items()])
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
+    """P3 - e.g. fiscal_year string -> int (reference:
+    src/fuzzy_match_salary.py:68-70)."""
+    out = df
+    for name, dtype in casts.items():
+        out = out.withColumn(name, F.col(name).cast(dtype))
+    return out
+
+
+def filter_between(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Range predicate (P4, reference: src/fuzzy_match_salary.py:71)."""
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def filter_not_null(df: DataFrame, col: str) -> DataFrame:
+    """P5 - drop rows whose parse failed (reference:
+    src/fuzzy_match_salary.py:78)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+def band_filter(df: DataFrame, value: str, lo: str, hi: str) -> DataFrame:
+    """Salary-band / interval-containment predicate (P7/J3, reference:
+    src/fuzzy_match_salary.py:144-154). Spark's 3-valued logic drops
+    null-valued rows exactly like the reference's explicit null checks."""
+    return df.filter((F.col(value) >= F.col(lo)) & (F.col(value) <= F.col(hi)))
+
+
+def paginate(df: DataFrame, order_by: list[Column | str], offset: int, limit: int) -> DataFrame:
+    """OFFSET/LIMIT pagination (P10/O5, reference: api/fetch_data.py:57-63).
+
+    Always paired with an explicit sort - unordered OFFSET/LIMIT is
+    nondeterministic in any engine (SURVEY.md §7.3)."""
+    return df.orderBy(*order_by).offset(offset).limit(limit)
+
+
+# -- aggregations (A1-A6) ----------------------------------------------------
+
+
+def group_by_max(df: DataFrame, keys: list[str], max_cols: Mapping[str, str]) -> DataFrame:
+    """Hash group-by with MAX per non-key column - the reference's
+    "one row per posted title" dedup (A1, reference: sql/cleaned.sql:28-42).
+    MAX over strings is lexicographic in both Spark and DuckDB."""
+    aggs = [F.max(src).alias(alias) for src, alias in max_cols.items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def distinct_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Multi-column DISTINCT (A2, reference: sql/cleaned.sql:44-51)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def summary_stats(df: DataFrame, col: str) -> DataFrame:
+    """avg/min/max/count summary (A3-A5, reference: streamlit/app.py:55-91)."""
+    return df.agg(
+        F.round(F.avg(col), 2).alias("avg_" + col),
+        F.min(col).alias("min_" + col),
+        F.max(col).alias("max_" + col),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# -- windows (W1-W2) ---------------------------------------------------------
+
+
+def with_record_id(df: DataFrame, order_by: list[Column | str] | None = None) -> DataFrame:
+    """Synthetic 1-based ``_record_id`` (W1, reference: src/utils.py:183).
+
+    The reference's ``ROW_NUMBER() OVER ()`` is arbitrary-order; for
+    deterministic tests pass an explicit ordering. A single unpartitioned
+    window serializes - fine for per-file BRONZE stamping (bounded files),
+    replaced by ``monotonically_increasing_id`` for bulk data.
+    """
+    if order_by is None:
+        return df.withColumn("_record_id", F.monotonically_increasing_id() + 1)
+    w = Window.orderBy(*order_by)
+    return df.withColumn("_record_id", F.row_number().over(w).cast("long"))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    n: int,
+    rank_col: str = "_rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-group top-N (W2, reference: src/utils.py:141-157).
+
+    ``order_by`` must include a deterministic tiebreaker - Python's
+    ``sorted`` is stable on input order, Spark is not (SURVEY.md §7.3).
+    Spark rewrites this rank<=k pattern into WindowGroupLimit (partial
+    per-partition top-k before the shuffle), so it scales.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+    return out if keep_rank else out.drop(rank_col)
+
+
+# -- set ops (U1) ------------------------------------------------------------
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """Same-schema vertical concat (U1, reference: src/utils.py:73)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+# -- lineage stamping (S9) ---------------------------------------------------
+
+
+def with_lineage(df: DataFrame, source_file: str) -> DataFrame:
+    """BRONZE lineage columns (S9, reference: src/utils.py:177-185):
+    ``_source_file`` literal, ``_ingestion_timestamp``, ``_record_id``."""
+    return (
+        df.withColumn("_source_file", F.lit(source_file))
+        .withColumn("_ingestion_timestamp", F.current_timestamp())
+        .transform(with_record_id)
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Single place where execution knobs live so every entry point (driver
+harness, pytest, bench.py, pipelines) gets the same tuned session:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) -
+  at 100 TB this is what keeps post-filter stages from running 200k
+  tiny tasks or one 500 GB skewed one.
+- Arrow on - every Pandas UDF / mapInPandas boundary is Arrow-batched.
+- UTC session timezone - parity with the DuckDB oracle (naive UTC).
+- shuffle.partitions sized to cores for local runs; on a real cluster
+  AQE coalesces from a deliberately-high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "nyc_hiring_audit_spark",
+    cpus: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned local SparkSession.
+
+    ``cpus`` controls both master threads and shuffle parallelism; on a
+    real cluster you would drop ``master`` and let the resource manager
+    decide, keeping the rest of the conf unchanged.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        # Keep parquet scans splittable and pruned.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # ANSI off: reference semantics are lenient (parse failure -> null).
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
