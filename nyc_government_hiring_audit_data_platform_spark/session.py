@@ -20,6 +20,17 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Local-mode JIT mitigation (measured on this VM, see bench history):
+# whole-stage-codegen emits large generated classes whose C2 JIT
+# compilation backs up the compiler queue in a single-JVM local run;
+# Janino + the generated loops then execute interpreted, turning
+# sub-second stages into minutes (observed 0.7s -> 170s on a 64-row
+# broadcast stage; full bench 320s -> 14s with the mitigation).
+# On a multi-executor cluster each executor JVM compiles a handful of
+# classes and whole-stage codegen is a clear win - so this is keyed on
+# local mode only and can be overridden with SPARK_GRAFT_CODEGEN=1.
+LOCAL_CODEGEN = os.environ.get("SPARK_GRAFT_CODEGEN", "0") == "1"
+
 
 def get_spark(
     app_name: str = "nyc_hiring_audit_spark",
@@ -52,6 +63,10 @@ def get_spark(
         # ANSI off: reference semantics are lenient (parse failure -> null).
         .config("spark.sql.ansi.enabled", "false")
     )
+    if not LOCAL_CODEGEN:
+        builder = builder.config(
+            "spark.sql.codegen.wholeStage", "false"
+        ).config("spark.driver.extraJavaOptions", "-XX:TieredStopAtLevel=1")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
