@@ -35,6 +35,15 @@ BENCH_QUERIES = [
     "sessionize",
     "normalize_text",
     "date_impute_duration",
+    # training-data-pipeline suite
+    "exact_dedup",
+    "minhash_lsh_neardup",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "token_counts",
+    "quality_scores",
+    "corpus_quality_by_source",
 ]
 
 

@@ -876,3 +876,13 @@ def q_events_hourly(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline suite (dedup / similarity search / text analysis)
+# registers additional queries into the same QUERIES/ORACLE registry
+# ---------------------------------------------------------------------------
+
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_datapipe as _datapipe,
+)

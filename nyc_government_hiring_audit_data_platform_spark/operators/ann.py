@@ -1,0 +1,268 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; random-hyperplane LSH
+bucketing is the scale path (candidates only within a bucket). Both are
+pure DataFrame plans - the dot product is a JVM-side ``zip_with`` +
+``aggregate`` fold, no UDF - with DuckDB-SQL twins for the oracle.
+
+Scale notes:
+- brute-force: queries (small) are broadcast; the corpus never moves.
+  Per-query top-k is a windowed rank - Spark turns rank<=k into
+  WindowGroupLimit (partial top-k map-side before the shuffle).
+- LSH: bucket signature is computed map-side from HYPERPLANES
+  (deterministic literals, shared with the oracle); the join is an
+  equi-join on the bucket id, so the shuffle is uniform unless the
+  embedding distribution collapses into few buckets - at which point
+  more planes (finer buckets) is the knob.
+
+Float parity note: embeddings are float32; both engines cast to double
+before multiplying. float32*float32 in double is EXACT (24-bit mantissas
+fit in 53), so only the summation order could differ - both sides use a
+sequential left fold, and outputs are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.functions.similarity import (
+    cosine_similarity,
+)
+
+# Deterministic random hyperplanes (seed fixed, shared with the oracle
+# SQL as literals). 8 planes -> 256 buckets over 64-dim embeddings.
+EMBED_DIM = 64
+NUM_PLANES = 8
+_rng = random.Random(42)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(EMBED_DIM)]
+    for _ in range(NUM_PLANES)
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    """Dot product of an array column with a literal plane (left fold)."""
+    p = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def lsh_bucket(col: Column | str) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^NUM_PLANES-1): bit i is the
+    sign of the dot product with plane i."""
+    v = _c(col).cast("array<double>")
+    out = F.lit(0)
+    for i, plane in enumerate(HYPERPLANES):
+        out = out + F.when(_dot_lit(v, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{x}::DOUBLE" for x in plane) + "]"
+
+
+def _dot_sql(vec_expr: str, plane_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({vec_expr}, {plane_expr}), x -> x[1] * x[2])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket_sql(vec_expr: str) -> str:
+    v = f"({vec_expr}::DOUBLE[])"
+    terms = [
+        f"CASE WHEN {_dot_sql(v, _plane_sql(p))} >= 0 THEN {2**i} ELSE 0 END"
+        for i, p in enumerate(HYPERPLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def cosine_sql(a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of functions.similarity.cosine_similarity (sequential
+    left-fold sums, double math)."""
+    a = f"({a_expr}::DOUBLE[])"
+    b = f"({b_expr}::DOUBLE[])"
+    dot = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, v) -> acc + v)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({a}, x -> x * x)), (acc, v) -> acc + v))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({b}, x -> x * x)), (acc, v) -> acc + v))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
+# --------------------------------------------------------------------------
+# top-k search
+# --------------------------------------------------------------------------
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the corpus, score every pair, keep the k best per query with
+    a deterministic tiebreaker."""
+    q = queries.select(
+        _c(query_id).alias("query_id"), _c(query_vec).alias("qv")
+    )
+    c = corpus.select(_c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def cosine_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int,
+) -> str:
+    """Oracle: same brute-force top-k where the query set is
+    ``SELECT .. FROM table WHERE query_pred``."""
+    sim = cosine_sql("q.qv", "c.cv")
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table} WHERE {query_pred}),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv FROM {table}),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {sim} AS sim
+      FROM q JOIN c ON q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket (equi-join on bucket id), then rank within the candidates.
+    Recall < 1 by design; the bucket join replaces the full scan."""
+    q = queries.select(
+        _c(query_id).alias("query_id"),
+        _c(query_vec).alias("qv"),
+        lsh_bucket(query_vec).alias("bucket"),
+    )
+    c = corpus.select(
+        _c(corpus_id).alias("neighbor_id"),
+        _c(corpus_vec).alias("cv"),
+        lsh_bucket(corpus_vec).alias("bucket"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (q["bucket"] == c["bucket"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def lsh_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int
+) -> str:
+    sim = cosine_sql("q.qv", "c.cv")
+    bucket = lsh_bucket_sql(vec_col)
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv, {bucket} AS bucket
+               FROM {table} WHERE {query_pred}),
+    c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv, {bucket} AS bucket
+          FROM {table}),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {sim} AS sim
+      FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket-blocked
+    self-join (only same-bucket pairs are scored), cosine >= threshold.
+    Near-identical vectors land in the same bucket with high
+    probability; at 100 TB this is the only shape that avoids N^2."""
+    base = df.select(
+        _c(id_col).alias("id"),
+        _c(vec_col).alias("v"),
+        lsh_bucket(vec_col).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str, id_col: str, vec_col: str, threshold: float
+) -> str:
+    bucket = lsh_bucket_sql(vec_col)
+    sim = cosine_sql("a.v", "b.v")
+    return f"""
+    WITH base AS (SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table})
+    SELECT a.id AS id_a, b.id AS id_b, ROUND({sim}, 6) AS cos_sim
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE ROUND({sim}, 6) >= {threshold}
+    """

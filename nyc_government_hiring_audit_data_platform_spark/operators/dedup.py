@@ -1,0 +1,381 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, n-gram Jaccard, and SimHash - all as
+declarative DataFrame plans (no UDFs), each with a DuckDB-SQL twin so
+the driver's oracle hash-check runs the identical algorithm.
+
+Scale notes (the 100 TB design):
+- exact dedup = hash-groupBy: one shuffle on a 16-byte key, combiner
+  does the map-side heavy lifting; no row ever leaves its partition
+  except one per (hash) group.
+- MinHash+LSH: per-doc signature is a map-side array fold (no shuffle);
+  candidate pairs come from an equi-join on (band_id, band_hash) -
+  shuffle keys are uniform md5 prefixes, so no skew; the quadratic
+  verify runs only inside buckets.
+- SimHash: map-side signature, then self-join on signature for exact
+  16-bit collisions (tight hamming ball could be added by joining on
+  signature-with-one-bit-flipped expansions).
+
+Portability trick used throughout: md5 hex strings are fixed-width, so
+lexicographic MIN equals numeric MIN - both engines agree without any
+hex->int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.functions.textstats import (
+    SHINGLE_N,
+    char_shingles,
+    char_shingles_sql,
+)
+
+# MinHash parameters: NUM_HASHES independent permutations approximated
+# by universal hashing (a_k*h + b_k) mod P over ONE md5-derived base
+# hash per shingle - hashing once and permuting arithmetically is 12x
+# cheaper than 12 seeded md5 passes. BANDS x ROWS_PER_BAND = NUM_HASHES.
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+import random as _random
+
+_mh_rng = _random.Random(20240817)
+MH_P = 4294967311  # prime > 2^32
+MH_M = 2147483647  # base-hash modulus (2^31-1): keeps a*h in 62 bits
+MH_COEF = [
+    (_mh_rng.randrange(1, MH_M), _mh_rng.randrange(0, MH_M))
+    for _ in range(NUM_HASHES)
+]
+
+SIMHASH_BITS = 16  # first 4 md5 hex nibbles, LSB-first bit order
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text hash with the
+    representative (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(_c(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_groups_sql(table: str, text_col: str, id_col: str) -> str:
+    return (
+        f"SELECT md5({text_col}) AS text_hash, MIN({id_col}) AS rep_id, "
+        f"COUNT(*) AS n_copies FROM {table} GROUP BY 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# --------------------------------------------------------------------------
+
+
+def base_hash(s: Column) -> Column:
+    """One md5-derived 31-bit base hash per shingle (conv of the first
+    15 hex chars, mod 2^31-1). The single expensive hash; the NUM_HASHES
+    permutations are linear arithmetic over it."""
+    return (
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % MH_M
+    )
+
+
+def base_hash_sql(s_expr: str) -> str:
+    return f"((('0x' || substr(md5({s_expr}), 1, 15))::BIGINT) % {MH_M})"
+
+
+def minhash_signature(col: Column | str, n: int = SHINGLE_N) -> Column:
+    """array<bigint> of NUM_HASHES minhashes: min over shingles of
+    (a_k * base_hash + b_k) mod P. Pure array fold, map-side."""
+    return minhash_signature_from_shingles(char_shingles(col, n))
+
+
+def minhash_signature_sql(expr: str, n: int = SHINGLE_N) -> str:
+    return minhash_signature_from_shingles_sql(char_shingles_sql(expr, n))
+
+
+def minhash_signature_from_shingles_sql(sh_expr: str) -> str:
+    # hs is bound once via an immediately-applied list lambda; each
+    # list_min pass is then pure integer arithmetic over stored hashes.
+    # coalesce to P on empty shingle sets (matches the Spark fold start).
+    hs = f"list_transform({sh_expr}, s -> {base_hash_sql('s')})"
+    parts = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P})), {MH_P})"
+        for a, b in MH_COEF
+    )
+    return f"list_transform([{hs}], hs -> [{parts}])[1]"
+
+
+def band_hash(sig: Column, band: int) -> Column:
+    """Hash of one LSH band (rows ROWS_PER_BAND*band .. +ROWS_PER_BAND)."""
+    rows = [sig.getItem(band * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws("|", *rows).cast("binary"))
+
+
+def band_hash_sql(sig_expr: str, band: int) -> str:
+    rows = " || '|' || ".join(
+        f"{sig_expr}[{band * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({rows})"
+
+
+def minhash_signature_from_shingles(sh: Column) -> Column:
+    """Signature from a shingle array column, hashing each shingle ONCE.
+
+    Two-level structure keeps the interpreted path cheap: transform the
+    shingles into base hashes (md5 runs once per shingle, its value
+    bound to the fold's lambda variable), then one fold with an array
+    accumulator applies NUM_HASHES integer permutations per hash. Start
+    value is P (greater than any (a*h+b) mod P). NOTE: one-arg inner
+    lambdas only - a two-arg lambda makes PySpark bind the second
+    parameter to the element index.
+    """
+    hs = F.transform(sh, base_hash)
+    start = F.array_repeat(F.lit(MH_P).cast("long"), NUM_HASHES)
+
+    def merge(acc, h):
+        perms = F.array(*[(F.lit(a) * h + F.lit(b)) % MH_P for a, b in MH_COEF])
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    return F.aggregate(hs, start, merge)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding, verified with the
+    exact shingle-set Jaccard.
+
+    Plan shape: shingles + signature are computed ONCE per doc
+    (map-side) -> explode BANDS rows per doc -> shuffle on
+    (band, band_hash) -> within-bucket self-join -> distinct id pairs ->
+    join the per-doc shingle sets back in -> exact verify. The only
+    quadratic work happens inside LSH buckets; everything else is
+    linear and uniformly partitioned (band hashes are md5 prefixes).
+    """
+    docs = df.select(
+        _c(id_col).alias("id"), char_shingles(_c(text_col), n).alias("sh")
+    )
+    sigs = docs.select("id", "sh", minhash_signature_from_shingles(F.col("sh")).alias("sig"))
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(BANDS)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = cand.join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return (
+        paired.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    n: int = SHINGLE_N,
+) -> str:
+    sig = minhash_signature_from_shingles_sql("sh")
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, {band_hash_sql('sig', b)} AS bh FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH docs AS MATERIALIZED (
+      SELECT {id_col} AS id, {char_shingles_sql(text_col, n)} AS sh FROM {table}
+    ),
+    sigs AS MATERIALIZED (
+      SELECT id, {sig} AS sig FROM docs
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    ),
+    paired AS (
+      SELECT id_a, id_b,
+             len(list_intersect(da.sh, db.sh)) AS inter,
+             len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS un
+      FROM cand
+      JOIN docs da ON cand.id_a = da.id
+      JOIN docs db ON cand.id_b = db.id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN un = 0 THEN 1.0
+                ELSE ROUND(CAST(inter AS DOUBLE) / un, 6) END AS jaccard
+    FROM paired
+    WHERE (CASE WHEN un = 0 THEN 1.0
+                ELSE ROUND(CAST(inter AS DOUBLE) / un, 6) END) >= {jaccard_threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (shingle-blocked, exact)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join, blocked on shared shingles:
+    a pair is only scored if it shares >= 1 shingle (necessary condition
+    for jaccard > 0), so candidate generation is an equi-join on the
+    shingle - never a dense cross product."""
+    docs = df.select(_c(id_col).alias("id"), char_shingles(_c(text_col), n).alias("sh"))
+    ex = docs.select("id", F.explode(F.col("sh")).alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = cand.join(da, "id_a").join(db, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return (
+        paired.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, text_col: str, id_col: str, threshold: float, n: int = SHINGLE_N
+) -> str:
+    return f"""
+    WITH docs AS MATERIALIZED (
+      SELECT {id_col} AS id, {char_shingles_sql(text_col, n)} AS sh FROM {table}
+    ),
+    ex AS (
+      SELECT id, unnest(sh) AS s FROM docs
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+    ),
+    paired AS (
+      SELECT id_a, id_b,
+             len(list_intersect(da.sh, db.sh)) AS inter,
+             len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS un
+      FROM cand
+      JOIN docs da ON cand.id_a = da.id
+      JOIN docs db ON cand.id_b = db.id
+    )
+    SELECT id_a, id_b,
+           CASE WHEN un = 0 THEN 1.0
+                ELSE ROUND(CAST(inter AS DOUBLE) / un, 6) END AS jaccard
+    FROM paired
+    WHERE (CASE WHEN un = 0 THEN 1.0
+                ELSE ROUND(CAST(inter AS DOUBLE) / un, 6) END) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(col: Column | str) -> Column:
+    """SIMHASH_BITS-bit SimHash over normalized whitespace tokens.
+
+    Bit i of md5(token) votes +1/-1; the signature bit is 1 iff the
+    vote sum is >= 0. Computed as ONE fold with a 16-slot vote-sum
+    accumulator over the per-token md5s: each token is hashed exactly
+    once (the md5 binds to the fold's lambda variable), and the token
+    expression is referenced exactly once - both matter because the
+    interpreted path has no subexpression elimination.
+    """
+    from nyc_government_hiring_audit_data_platform_spark.functions.text import tokens
+
+    # one md5 + one hex->int conversion per token; bits extracted
+    # arithmetically (LSB-first) from the 16-bit value
+    hv = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10).cast("int"),
+    )
+    start = F.array_repeat(F.lit(0), SIMHASH_BITS)
+
+    def votes(v):
+        out = []
+        for bit in range(SIMHASH_BITS):
+            bitval = F.floor(v / (2 ** bit)).cast("int") % 2
+            out.append(F.when(bitval == 1, F.lit(1)).otherwise(F.lit(-1)))
+        return F.array(*out)
+
+    sums = F.aggregate(hv, start, lambda acc, v: F.zip_with(acc, votes(v), lambda a, b: a + b))
+    powers = F.array(*[F.lit(2**bit).cast("long") for bit in range(SIMHASH_BITS)])
+    # single reference to `sums`: without codegen CSE, referencing it per
+    # bit would re-run the whole fold 16 times
+    bits = F.zip_with(sums, powers, lambda s, p: F.when(s >= 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
+
+
+def simhash_sql(expr: str) -> str:
+    """DuckDB twin. Same structure: one md5 + hex->int per token into
+    ``hv`` (bound once via an immediately-applied list lambda), then 16
+    arithmetic vote-sum folds over the stored values."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.textstats import _tokens_sql
+
+    hv = (
+        f"list_transform({_tokens_sql(expr)}, "
+        f"t -> (('0x' || substr(md5(t), 1, 4))::INT))"
+    )
+    terms = []
+    for bit in range(SIMHASH_BITS):
+        bitval = f"((v // {2 ** bit}) % 2)"
+        vote = f"CASE WHEN {bitval} = 1 THEN 1 ELSE -1 END"
+        s = f"list_sum(list_transform(hv, v -> {vote}))"
+        terms.append(f"CASE WHEN coalesce({s}, 0) >= 0 THEN {2**bit} ELSE 0 END")
+    body = " + ".join(terms)
+    return f"list_transform([{hv}], hv -> CAST({body} AS BIGINT))[1]"
