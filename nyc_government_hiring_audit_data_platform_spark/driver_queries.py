@@ -886,3 +886,6 @@ def q_events_hourly(spark, sf_dir):
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_datapipe as _datapipe,
 )
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_domain as _domain,
+)

@@ -1,0 +1,369 @@
+"""End-to-end domain pipeline with the reference's semantics.
+
+EP1 ingestion shape -> BRONZE lineage stamping -> EP2 two fuzzy-match
+flows -> EP3 four GOLD tables (reference: src/data_ingestion.py,
+src/fuzzy_match_salary.py, src/fuzzy_match_jobs_durations.py,
+sql/cleaned.sql). Everything is one lazy DataFrame plan per output; the
+reference's chunking/batching/spill machinery disappears into Spark's
+partitioning (SURVEY.md §4).
+
+The deterministic fixtures below mirror FIXTURES.md (schemas + edge
+cases); they stand in for the Socrata API / XLSX inputs which are not
+reachable in this environment.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
+    format_posting_ts,
+    impute_post_until,
+    parse_posting_ts,
+    posting_duration_days,
+)
+from nyc_government_hiring_audit_data_platform_spark.operators import relational as R
+from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import fuzzy_join
+
+# ---------------------------------------------------------------------------
+# fixtures (FIXTURES.md §1-3)
+# ---------------------------------------------------------------------------
+
+_TITLE_STEMS = [
+    "accountant", "administrative assistant", "agency attorney", "analyst",
+    "assistant commissioner", "asst deputy acco", "budget analyst",
+    "city planner", "civil engineer", "community coordinator",
+    "computer specialist software", "correction officer", "deputy director",
+    "director of operations", "electrical engineer", "emergency medical specialist",
+    "environmental scientist", "executive agency counsel", "firefighter",
+    "health inspector", "hr specialist", "investigator", "legal coordinator",
+    "maintenance worker", "mechanical engineer", "nurse practitioner",
+    "paralegal aide", "police officer", "project manager construction",
+    "public health adviser", "registered nurse", "sanitation worker",
+    "senior data scientist", "social worker", "software engineer",
+    "staff analyst", "systems administrator", "tax auditor",
+    "urban designer", "youth counselor",
+]
+
+
+def _variants(stem: str, rng: random.Random) -> list[str]:
+    """Case/punctuation/word-order variants (FIXTURES.md §1 edge cases)."""
+    words = stem.split()
+    out = [stem, stem.upper(), stem.title(), f"{stem}."]
+    if len(words) > 1:
+        out.append(" ".join(reversed(words)))          # token reorder
+        out.append(f"{words[0]},  {' '.join(words[1:])}")  # punctuation + spaces
+    out.append(f"senior {stem}" if rng.random() < 0.5 else f"{stem} ii")
+    return out
+
+
+def make_payroll_fixture(spark: SparkSession, n_rows: int = 2000) -> DataFrame:
+    """``nyc_payroll_data`` fixture (FIXTURES.md §1): string fiscal_year,
+    title variants, nullable salaries, in/out-of-band values."""
+    rng = random.Random(1001)
+    rows = []
+    for i in range(n_rows):
+        stem = _TITLE_STEMS[i % len(_TITLE_STEMS)]
+        title = rng.choice(_variants(stem, rng))
+        if i % 97 == 0:
+            title = ""          # empty-string title (normalize -> "")
+        if i % 131 == 0:
+            title = None        # null title (non-str -> "")
+        base = round(rng.uniform(30_000, 180_000), 2)
+        rows.append(
+            (
+                str(rng.choice([2022, 2023, 2024, 2024, 2025, 2025, 2026])),
+                title,
+                None if i % 53 == 0 else base,
+                rng.choice(["per Annum", "per Hour", "per Day"]),
+                None if i % 71 == 0 else round(rng.uniform(-5_000, 150_000), 2),
+                round(rng.uniform(0, 30_000), 2) if i % 3 else 0.0,
+                round(rng.uniform(-2_000, 20_000), 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "fiscal_year string, title_description string, base_salary double, "
+        "pay_basis string, regular_gross_paid double, total_ot_paid double, "
+        "total_other_pay double",
+    )
+
+
+def make_postings_fixture(spark: SparkSession, n_rows: int = 200) -> DataFrame:
+    """``nyc_job_postings_data`` fixture (FIXTURES.md §2): fuzzy-
+    overlapping titles, date strings with unparseable/null edge cases."""
+    rng = random.Random(2002)
+    rows = []
+    for i in range(n_rows):
+        stem = _TITLE_STEMS[i % len(_TITLE_STEMS)]
+        roll = rng.random()
+        if roll < 0.4:
+            title = stem.title()                      # exact-ish match
+        elif roll < 0.6:
+            title = " ".join(reversed(stem.split())).title()  # reorder
+        elif roll < 0.8:
+            title = f"{stem} ({rng.choice(['levels i-ii', 'provisional'])})"
+        else:
+            title = f"{stem.split()[0]} trainee distinct role"  # partial ~70-84
+        lo = round(rng.uniform(35_000, 120_000), 2)
+        hi = round(lo * rng.uniform(1.0, 1.8), 2)
+        if i % 41 == 0:
+            lo, hi = hi, lo                           # inverted range
+        if i % 37 == 0:
+            lo = None                                 # null bound
+        day = rng.randrange(1, 28)
+        month = rng.randrange(1, 13)
+        posting_date = f"2024-{month:02d}-{day:02d}T00:00:00.000"
+        if i % 29 == 0:
+            posting_date = "not-a-date"               # unparseable -> dropped
+        if i % 23 == 0:
+            post_until = None                         # -> +30d imputation
+        else:
+            month2 = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+                      "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"][month - 1]
+            post_until = f"{day:02d}-{month2}-{2024 + (i % 2)}"
+        rows.append((title, lo, hi, posting_date, post_until))
+    return spark.createDataFrame(
+        rows,
+        "business_title string, salary_range_from double, salary_range_to double, "
+        "posting_date string, post_until string",
+    )
+
+
+def make_lightcast_fixture(spark: SparkSession, n_rows: int = 50) -> DataFrame:
+    """``lightcast_top_posted_occupations_SOC`` fixture (FIXTURES.md §3),
+    exotic column names kept verbatim (quoting test)."""
+    rng = random.Random(3003)
+    rows = []
+    for i in range(n_rows):
+        stem = _TITLE_STEMS[i % len(_TITLE_STEMS)]
+        occ = stem.title() + ("s" if not stem.endswith("s") else "")
+        rows.append(
+            (
+                occ,
+                rng.randrange(1_000, 90_000),
+                None if i % 17 == 0 else round(rng.uniform(10, 60), 1),
+            )
+        )
+    df = spark.createDataFrame(rows, ["occ", "postings", "duration"])
+    return df.select(
+        F.col("occ").alias("Occupation (SOC)"),
+        F.col("postings").cast("long").alias("Total Postings (Jan 2024 - Jun 2025)"),
+        F.col("duration").alias("Median Posting Duration"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BRONZE registration (S9)
+# ---------------------------------------------------------------------------
+
+
+def register_bronze(df: DataFrame, source_file: str) -> DataFrame:
+    """Stamp the reference's lineage columns (reference: src/utils.py:
+    177-185): ``_source_file`` literal, ``_ingestion_timestamp``,
+    ``_record_id`` (arbitrary-order row number)."""
+    return R.with_lineage(df, source_file)
+
+
+# ---------------------------------------------------------------------------
+# EP2a: payroll <-> postings fuzzy match (src/fuzzy_match_salary.py)
+# ---------------------------------------------------------------------------
+
+MATCH_COLUMNS = [
+    "business_title", "salary_range_from", "salary_range_to", "posting_date",
+    "post_until", "title_description", "base_salary", "pay_basis",
+    "regular_gross_paid", "total_ot_paid", "total_other_pay", "score",
+]
+
+
+def fuzzy_match_salary(
+    payroll: DataFrame,
+    postings: DataFrame,
+    year_start: int = 2024,
+    year_end: int = 2025,
+    prefilter_cutoff: int = 85,
+    score_cutoff: int = 85,
+    limit: int | None = None,
+) -> DataFrame:
+    """The reference's first fuzzy flow as ONE lazy plan.
+
+    Prep (reference: src/fuzzy_match_salary.py:67-91): cast fiscal_year,
+    BETWEEN filter, lenient timestamp parse + not-null + reformat,
+    post_until +30d imputation. Match: two-stage fuzzy join 85/85.
+    Post: salary-band filter; with ``limit``, per-job top-N by score THEN
+    band filter (reference applies the band check after the top-N slice
+    in the limit path - src/utils.py:141-157 - and before it otherwise).
+    Output: the declared 12-column schema (:94-107).
+    """
+    pay = (
+        payroll.withColumn("fiscal_year", F.col("fiscal_year").cast("int"))
+        .filter(F.col("fiscal_year").between(year_start, year_end))
+        .drop("fiscal_year")
+    )
+    post = (
+        postings.withColumn("_ts", parse_posting_ts("posting_date"))
+        .filter(F.col("_ts").isNotNull())
+        .withColumn("posting_date", format_posting_ts("_ts"))
+        .drop("_ts")
+        .withColumn("post_until", impute_post_until("post_until", "posting_date"))
+    )
+    joined = fuzzy_join(
+        post, pay, "business_title", "title_description",
+        prefilter_cutoff, score_cutoff,
+    )
+    in_band = (
+        (F.col("base_salary") >= F.col("salary_range_from"))
+        & (F.col("base_salary") <= F.col("salary_range_to"))
+    )
+    if limit is None:
+        out = joined.filter(in_band)
+    else:
+        w = Window.partitionBy("business_title").orderBy(
+            F.desc("score"), F.asc("title_description"), F.asc("base_salary")
+        )
+        out = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit)
+            .drop("_rn")
+            .filter(in_band)
+        )
+    return out.select(*MATCH_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# EP2b: matches <-> Lightcast fuzzy match (src/fuzzy_match_jobs_durations.py)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_match_durations(
+    matches: DataFrame,
+    lightcast: DataFrame,
+    prefilter_cutoff: int = 75,
+    score_cutoff: int = 75,
+) -> DataFrame:
+    """Second fuzzy flow: distinct match titles vs Lightcast occupation
+    strings, thresholds 75/75 (reference: src/fuzzy_match_jobs_durations
+    .py:58-99, cutoffs :128-129). Emits the stage-1 title, the matched
+    occupation + score, and every Lightcast column verbatim."""
+    titles = matches.select("business_title").distinct()
+    joined = fuzzy_join(
+        titles, lightcast, "business_title", "Occupation (SOC)",
+        prefilter_cutoff, score_cutoff,
+    )
+    return joined.select(
+        "business_title",
+        F.col("Occupation (SOC)").alias("lightcast_matched_occupation"),
+        F.col("score").alias("lightcast_match_score"),
+        "Total Postings (Jan 2024 - Jun 2025)",
+        "Median Posting Duration",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP3: GOLD layer (sql/cleaned.sql)
+# ---------------------------------------------------------------------------
+
+
+def gold_salary_matches(matches: DataFrame) -> DataFrame:
+    """GOLD.nyc_salary_matches (reference: sql/cleaned.sql:2-15): rename
+    projection + posting_duration_days + ORDER BY match_score DESC."""
+    return (
+        matches.select(
+            F.col("business_title").alias("posted_job_title"),
+            F.col("salary_range_from").alias("posted_salary_range_from"),
+            F.col("salary_range_to").alias("posted_salary_range_to"),
+            F.col("posting_date"),
+            F.col("post_until"),
+            posting_duration_days("post_until", "posting_date").alias(
+                "posting_duration_days"
+            ),
+            F.col("title_description").alias("payroll_job_title"),
+            F.col("base_salary"),
+            F.col("pay_basis"),
+            F.col("regular_gross_paid"),
+            F.col("total_ot_paid"),
+            F.col("total_other_pay"),
+            F.col("score").alias("match_score"),
+        )
+        .orderBy(F.desc("match_score"))
+    )
+
+
+def gold_durations(durations: DataFrame) -> DataFrame:
+    """GOLD.nyc_matched_job_posting_duration_SOC (sql/cleaned.sql:17-24)."""
+    return (
+        durations.select(
+            F.col("business_title").alias("title"),
+            F.col("lightcast_matched_occupation"),
+            F.col("Total Postings (Jan 2024 - Jun 2025)").alias("total_postings"),
+            F.col("Median Posting Duration").alias("median_posting_duration"),
+        )
+        .orderBy(F.desc("median_posting_duration"))
+    )
+
+
+def gold_salary_matches_unique(matches: DataFrame) -> DataFrame:
+    """GOLD.nyc_salary_matches_unique_job_posting_title (sql/cleaned.sql:
+    28-42): one row per business_title via MAX over every other column
+    (MAX over strings = lexicographic, same in Spark and DuckDB)."""
+    dur = posting_duration_days("post_until", "posting_date")
+    return (
+        matches.groupBy(F.col("business_title").alias("posted_job_title"))
+        .agg(
+            F.max("title_description").alias("payroll_job_title"),
+            F.max("score").alias("match_score"),
+            F.max("salary_range_from").alias("posted_salary_range_from"),
+            F.max("salary_range_to").alias("posted_salary_range_to"),
+            F.max("base_salary").alias("base_salary"),
+            F.max(dur).alias("posting_duration_days"),
+            F.max("regular_gross_paid").alias("regular_gross_paid"),
+            F.max("total_ot_paid").alias("total_ot_paid"),
+            F.max("total_other_pay").alias("total_other_pay"),
+        )
+        .orderBy(F.desc("match_score"))
+    )
+
+
+def gold_durations_unique(durations: DataFrame) -> DataFrame:
+    """GOLD.nyc_matched_job_posting_duration_SOC_unique_title
+    (sql/cleaned.sql:44-51): DISTINCT 4-column projection + sort."""
+    return (
+        durations.select(
+            F.col("business_title").alias("title"),
+            F.col("lightcast_matched_occupation"),
+            F.col("Total Postings (Jan 2024 - Jun 2025)").alias("total_postings"),
+            F.col("Median Posting Duration").alias("median_posting_duration"),
+        )
+        .distinct()
+        .orderBy(F.desc("median_posting_duration"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(spark: SparkSession, limit: int | None = None) -> dict[str, DataFrame]:
+    """Fixtures -> BRONZE -> fuzzy flows -> GOLD; returns every table."""
+    payroll = make_payroll_fixture(spark)
+    postings = make_postings_fixture(spark)
+    lightcast = make_lightcast_fixture(spark)
+    matches = fuzzy_match_salary(payroll, postings, limit=limit)
+    durations = fuzzy_match_durations(matches, lightcast)
+    return {
+        "bronze_payroll": register_bronze(payroll, "nyc_payroll_data.parquet"),
+        "bronze_postings": register_bronze(postings, "nyc_job_postings_data.parquet"),
+        "bronze_lightcast": register_bronze(
+            lightcast, "lightcast_top_posted_occupations_SOC.parquet"
+        ),
+        "payroll_to_jobs_title_fuzzy_matches": matches,
+        "jobs_to_lightcast_title_fuzzy_matches": durations,
+        "gold_salary_matches": gold_salary_matches(matches),
+        "gold_durations": gold_durations(durations),
+        "gold_salary_matches_unique": gold_salary_matches_unique(matches),
+        "gold_durations_unique": gold_durations_unique(durations),
+    }

@@ -1,0 +1,171 @@
+"""Fuzzy-join operator and domain-pipeline tests.
+
+The reference has no test suite (SURVEY.md §5), so correctness here is
+defined by (a) pinned scorer values from the published fuzzywuzzy
+algorithm, (b) blocked-join completeness vs a brute-force all-pairs
+reference, and (c) pipeline invariants from the reference's semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+    fuzzy_title_pairs,
+    partial_ratio,
+    simple_ratio,
+    token_set_ratio,
+    wratio,
+)
+from nyc_government_hiring_audit_data_platform_spark.pipelines import hiring_audit as HA
+
+
+# -- scorers (pinned values) -------------------------------------------------
+
+
+def test_simple_ratio_pinned():
+    assert simple_ratio("", "") == 100.0
+    assert simple_ratio("abc", "") == 0.0
+    assert simple_ratio("analyst", "analyst") == 100.0
+    # lcs('analyst','anlayst') = 6 ('anayst'/'anlyst') -> 200*6/14
+    assert simple_ratio("analyst", "anlayst") == pytest.approx(85.714285, abs=1e-4)
+    assert simple_ratio("abcd", "efgh") == 0.0
+
+
+def test_partial_ratio_window():
+    assert partial_ratio("engineer", "civil engineer") == 100.0
+    assert partial_ratio("", "") == 100.0
+    assert partial_ratio("abc", "xbcdef") == pytest.approx(200.0 * 2 / 6, abs=1e-9)
+
+
+def test_token_set_ratio_reorder_and_subset():
+    assert token_set_ratio("budget analyst", "analyst budget") == 100.0
+    # subset: intersection vs intersection+diff -> 100 on the first term
+    assert token_set_ratio("analyst", "senior analyst") == 100.0
+    # disjoint tokens fall back to char ratio (NOT zero) - this is why
+    # blocking needs the 4-gram union
+    assert token_set_ratio("analyst", "analysts") > 90.0
+
+
+def test_wratio_bounds_and_symmetry():
+    for a, b in [
+        ("civil engineer", "civil engineer"),
+        ("analyst", "budget analyst"),
+        ("police officer", "police oficer"),
+        ("registered nurse", "nurse practitioner"),
+    ]:
+        s = wratio(a, b)
+        assert 0.0 <= s <= 100.0
+        assert s == pytest.approx(wratio(b, a), abs=1e-9)
+    assert wratio("civil engineer", "civil engineer") == 100.0
+
+
+# -- blocked join completeness ----------------------------------------------
+
+
+def test_blocked_join_matches_bruteforce(spark):
+    """The token+4gram blocked fuzzy join must find exactly the pairs a
+    brute-force all-pairs scorer finds (prefilter 85, cutoff 85)."""
+    left = HA.make_postings_fixture(spark, 120).select("business_title")
+    right = HA.make_payroll_fixture(spark, 400).select("title_description")
+
+    got = {
+        (r["left_title"], r["right_title"], r["score"])
+        for r in fuzzy_title_pairs(
+            left, right, "business_title", "title_description", 85, 85
+        ).collect()
+    }
+
+    from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+        normalize_text,
+    )
+
+    lts = [
+        (r[0], r[1])
+        for r in left.where(F.col("business_title").isNotNull())
+        .distinct()
+        .withColumn("n", normalize_text(F.col("business_title")))
+        .collect()
+    ]
+    rts = [
+        (r[0], r[1])
+        for r in right.where(F.col("title_description").isNotNull())
+        .distinct()
+        .withColumn("n", normalize_text(F.col("title_description")))
+        .collect()
+    ]
+    want = set()
+    for lt, ln in lts:
+        for rt, rn in rts:
+            if int(round(token_set_ratio(ln, rn))) >= 85:
+                s = int(round(wratio(ln, rn)))
+                if s >= 85:
+                    want.add((lt, rt, s))
+    assert got == want
+
+
+# -- pipeline invariants -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipeline_tables(spark):
+    tables = HA.run_pipeline(spark)
+    # materialize the expensive shared stage once
+    tables["payroll_to_jobs_title_fuzzy_matches"] = tables[
+        "payroll_to_jobs_title_fuzzy_matches"
+    ].cache()
+    return tables
+
+
+def test_match_schema_and_band(pipeline_tables):
+    m = pipeline_tables["payroll_to_jobs_title_fuzzy_matches"]
+    assert m.columns == HA.MATCH_COLUMNS
+    rows = m.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # salary-band invariant (reference: src/fuzzy_match_salary.py:144-154)
+        assert r["salary_range_from"] <= r["base_salary"] <= r["salary_range_to"]
+        assert r["score"] >= 85
+        # imputation guarantees post_until is never null after prep
+        assert r["post_until"] is not None
+        # reformatted posting_date has no fractional seconds
+        assert "." not in r["posting_date"]
+
+
+def test_gold_unique_is_unique(pipeline_tables):
+    g = pipeline_tables["gold_salary_matches_unique"]
+    n = g.count()
+    assert n == g.select("posted_job_title").distinct().count()
+
+
+def test_gold_salary_matches_duration(pipeline_tables):
+    g = pipeline_tables["gold_salary_matches"]
+    rows = g.select("posting_date", "post_until", "posting_duration_days").collect()
+    assert any(r["posting_duration_days"] == 30 for r in rows)  # imputed rows
+    for r in rows:
+        assert r["posting_duration_days"] is not None
+
+
+def test_durations_thresholds(pipeline_tables):
+    d = pipeline_tables["jobs_to_lightcast_title_fuzzy_matches"]
+    for r in d.select("lightcast_match_score").collect():
+        assert r["lightcast_match_score"] >= 75
+
+
+def test_bronze_lineage(pipeline_tables):
+    b = pipeline_tables["bronze_postings"]
+    rows = b.select("_source_file", "_record_id").collect()
+    assert all(r["_source_file"] == "nyc_job_postings_data.parquet" for r in rows)
+    ids = sorted(r["_record_id"] for r in rows)
+    assert ids == list(range(1, len(rows) + 1)) or len(set(ids)) == len(ids)
+
+
+def test_limit_path(spark):
+    """Top-N limit path: at most N rows per business_title BEFORE the
+    band filter, so counts never exceed limit per title."""
+    payroll = HA.make_payroll_fixture(spark, 400)
+    postings = HA.make_postings_fixture(spark, 80)
+    m = HA.fuzzy_match_salary(payroll, postings, limit=2)
+    per_title = m.groupBy("business_title").count().collect()
+    assert all(r["count"] <= 2 for r in per_title)
