@@ -1,0 +1,219 @@
+"""Structured Streaming jobs.
+
+The reference is weekly cron batch with no streaming operators
+(SURVEY.md §2.9); its incremental path maps to ``readStream`` +
+``Trigger.AvailableNow`` with checkpointing - same cadence, exactly-once
+instead of the reference's CREATE-TABLE-IF-NOT-EXISTS idempotence
+(reference: src/data_ingestion.py:99-106, src/utils.py:178).
+
+This module supplies that incremental path plus the streaming operators
+a 100 TB training-data pipeline needs: watermarked tumbling/sliding
+windows, session windows, streaming dedup, and an
+``applyInPandasWithState`` custom stateful operator. Each stream's
+transformation is the SAME DataFrame expression the batch queries use -
+one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Raw schema as stored: the testdata writes ts as parquet
+# TIMESTAMP(NANOS), which Spark reads only as INT64 nanos (legacy conf);
+# ``_with_event_ts`` converts to a proper microsecond timestamp.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [f if f.name != "ts" else StructField("ts", TimestampType()) for f in EVENTS_RAW_SCHEMA]
+)
+
+
+def with_event_ts(df: DataFrame) -> DataFrame:
+    """nanos-int64 ``ts`` -> timestamp (integer floor division to micros,
+    deterministic; same conversion as the batch ``table()`` loader)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_events_batch(spark: SparkSession, source_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return with_event_ts(spark.read.schema(EVENTS_RAW_SCHEMA).parquet(source_dir))
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory. New files are
+    discovered per micro-batch; schema is pinned (streams cannot infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("path", source_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return with_event_ts(reader.load())
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation - the streaming twin of the
+    batch ``events_hourly`` query. Late rows beyond the watermark are
+    dropped; state for closed windows is evicted (bounded state at any
+    scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_rates(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window (1h window, 15m slide) mean value per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session-window aggregation keyed by user: a session closes
+    after ``gap`` of inactivity (the streaming twin of the batch
+    ``sessionize`` query)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (state is evicted past it - the streaming form of
+    exact dedup that stays bounded on an infinite stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_totals_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-user running totals across micro-batches: custom stateful logic
+    the built-in aggregations cannot express (emit-per-batch cumulative
+    output). State is a (count, sum) pair per user."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful streaming op: cumulative per-user event count
+    and value, emitted every micro-batch (applyInPandasWithState with
+    processing-time timeout disabled; state lives for the stream)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sinks / drivers
+# ---------------------------------------------------------------------------
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, output_dir: str | None = None
+) -> None:
+    """Process everything currently available, then stop (the incremental
+    batch cadence of the reference's weekly cron, with exactly-once
+    checkpointing instead of IF-NOT-EXISTS idempotence)."""
+    writer = stream_df.writeStream.option("checkpointLocation", checkpoint_dir).trigger(
+        availableNow=True
+    )
+    if output_dir is None:
+        query = writer.format("noop").start()
+    else:
+        query = writer.format("parquet").option("path", output_dir).start()
+    query.awaitTermination()
+
+
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "update"
+) -> None:
+    """Drain an availableNow stream into an in-memory table (tests and
+    interactive inspection)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

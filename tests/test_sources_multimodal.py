@@ -1,0 +1,129 @@
+"""Sources (paginated API DataSource, file helpers) and multimodal
+plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.operators import multimodal as MM
+from nyc_government_hiring_audit_data_platform_spark.sources import files as FS
+from nyc_government_hiring_audit_data_platform_spark.sources import paginated_api as PA
+
+API_SCHEMA = "fiscal_year string, title_description string, base_salary string"
+TRANSPORT = (
+    "nyc_government_hiring_audit_data_platform_spark.sources.paginated_api"
+    ":fake_socrata_transport"
+)
+
+
+def test_fetch_paginated_driver_loop(spark):
+    df = PA.fetch_paginated(
+        spark, "fake://payroll", API_SCHEMA, PA.fake_socrata_transport, page_size=1000
+    )
+    assert df.count() == 2345
+    assert df.columns == ["fiscal_year", "title_description", "base_salary"]
+
+
+def test_paginated_datasource_executor_parallel(spark):
+    df = PA.read_paginated_api(
+        spark, "fake://payroll", API_SCHEMA, TRANSPORT,
+        page_size=500, total_rows=2345,
+    )
+    assert df.rdd.getNumPartitions() == 5  # one per page
+    assert df.count() == 2345
+    # identical content to the driver-side loop
+    a = {tuple(r) for r in df.collect()}
+    b = {
+        tuple(r)
+        for r in PA.fetch_paginated(
+            spark, "fake://payroll", API_SCHEMA, PA.fake_socrata_transport, 1000
+        ).collect()
+    }
+    assert a == b
+
+
+def test_paginated_datasource_requires_schema(spark):
+    PA.register(spark)
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("paginated_api").option("url", "x").load().count()
+
+
+def test_most_recent_file(tmp_path):
+    (tmp_path / "a.parquet").write_bytes(b"1")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.parquet").write_bytes(b"2")
+    got = FS.most_recent_file(str(tmp_path), "parquet")
+    assert got is not None and got.endswith(".parquet")
+    assert FS.most_recent_file(str(tmp_path), "csv") is None
+
+
+def test_list_store_files(spark, tmp_path):
+    df = spark.range(10)
+    FS.write_object_store(df, str(tmp_path / "d1"))
+    files = FS.list_store_files(spark, f"file://{tmp_path}/d1/*.parquet")
+    assert len(files) >= 1
+
+
+def test_table_name_munging():
+    assert FS.table_name_for_file("NYC Payroll-Data 2024.parquet") == (
+        "nyc_payroll_data_2024"
+    )
+
+
+def test_xlsx_gated():
+    import importlib.util
+
+    if importlib.util.find_spec("openpyxl") is None:
+        with pytest.raises((NotImplementedError, Exception)):
+            FS.read_xlsx(None, "/nonexistent.xlsx")
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_media_features(spark):
+    media = MM.make_media_fixture(spark, 48)
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert len(r["sha256"]) == 64
+        assert 0.0 <= r["mean_byte"] <= 255.0
+
+
+def test_frame_sampling_one_to_many(spark):
+    media = MM.make_media_fixture(spark, 48)
+    frames = MM.sample_frames(media, every_nth=5)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    got = frames.collect()
+    assert len(got) >= n_videos  # at least one frame per video
+    assert {len(r["frame"]) for r in got} == {16}
+    assert frames.columns == ["media_id", "frame_idx", "frame"]
+
+
+def test_resize_images_passthrough(spark):
+    media = MM.make_media_fixture(spark, 30)
+    resized = MM.resize_images(media, max_side=64)
+    out = {r["media_id"]: r for r in resized.collect()}
+    for r in media.collect():
+        o = out[r["media_id"]]
+        if r["kind"] == "image":
+            assert o["width"] <= 64 and o["height"] <= 64
+        else:
+            assert o["width"] == r["width"]
+            assert bytes(o["payload"]) == bytes(r["payload"])
+
+
+def test_repartition_by_bytes(spark):
+    media = MM.make_media_fixture(spark, 64)
+    out = MM.repartition_by_bytes(media, target_partition_bytes=4096)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == 64
+
+
+def test_real_decoder_raises(spark):
+    media = MM.make_media_fixture(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        MM.extract_features(media, decoder="real").collect()
