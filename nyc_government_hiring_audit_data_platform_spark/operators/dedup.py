@@ -99,6 +99,21 @@ def base_hash_sql(s_expr: str) -> str:
     return f"((('0x' || substr(md5({s_expr}), 1, 15))::BIGINT) % {MH_M})"
 
 
+def hashed_shingles(col: Column | str, n: int = SHINGLE_N) -> Column:
+    """Distinct 31-bit base hashes of the document's character shingles -
+    the working representation for minhash AND jaccard verification
+    (8-byte ints shuffle and intersect far cheaper than shingle strings;
+    md5 runs exactly once per shingle)."""
+    return F.array_distinct(F.transform(char_shingles(col, n), base_hash))
+
+
+def hashed_shingles_sql(expr: str, n: int = SHINGLE_N) -> str:
+    return (
+        f"list_distinct(list_transform({char_shingles_sql(expr, n)}, "
+        f"s -> {base_hash_sql('s')}))"
+    )
+
+
 def minhash_signature(col: Column | str, n: int = SHINGLE_N) -> Column:
     """array<bigint> of NUM_HASHES minhashes: min over shingles of
     (a_k * base_hash + b_k) mod P. Pure array fold, map-side."""
@@ -135,17 +150,18 @@ def band_hash_sql(sig_expr: str, band: int) -> str:
 
 
 def minhash_signature_from_shingles(sh: Column) -> Column:
-    """Signature from a shingle array column, hashing each shingle ONCE.
+    """Signature from a shingle array column (hashes each shingle once)."""
+    return minhash_signature_from_hashes(F.transform(sh, base_hash))
 
-    Two-level structure keeps the interpreted path cheap: transform the
-    shingles into base hashes (md5 runs once per shingle, its value
-    bound to the fold's lambda variable), then one fold with an array
-    accumulator applies NUM_HASHES integer permutations per hash. Start
-    value is P (greater than any (a*h+b) mod P). NOTE: one-arg inner
-    lambdas only - a two-arg lambda makes PySpark bind the second
-    parameter to the element index.
+
+def minhash_signature_from_hashes(hs: Column) -> Column:
+    """Signature from a base-hash array column: one fold with an array
+    accumulator applies NUM_HASHES integer permutations per hash (the
+    hash value binds to the fold's lambda variable, so upstream
+    expressions evaluate once). Start value is P (greater than any
+    (a*h+b) mod P). NOTE: one-arg inner lambdas only - a two-arg lambda
+    makes PySpark bind the second parameter to the element index.
     """
-    hs = F.transform(sh, base_hash)
     start = F.array_repeat(F.lit(MH_P).cast("long"), NUM_HASHES)
 
     def merge(acc, h):
@@ -153,6 +169,14 @@ def minhash_signature_from_shingles(sh: Column) -> Column:
         return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
     return F.aggregate(hs, start, merge)
+
+
+def minhash_signature_from_hashes_sql(hs_expr: str) -> str:
+    parts = ", ".join(
+        f"coalesce(list_min(list_transform({hs_expr}, h -> ({a} * h + {b}) % {MH_P})), {MH_P})"
+        for a, b in MH_COEF
+    )
+    return f"[{parts}]"
 
 
 def minhash_lsh_pairs(
@@ -172,10 +196,18 @@ def minhash_lsh_pairs(
     quadratic work happens inside LSH buckets; everything else is
     linear and uniformly partitioned (band hashes are md5 prefixes).
     """
-    docs = df.select(
-        _c(id_col).alias("id"), char_shingles(_c(text_col), n).alias("sh")
+    # Repartition BEFORE the expensive per-doc hashing: a single-file
+    # source otherwise computes every shingle hash in one task (and the
+    # broadcast subqueries each re-run it single-threaded). The exchange
+    # is narrow (id + text) and ReuseExchange shares it across the three
+    # consumers of `docs` below.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
+        .repartition(par)
+        .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
     )
-    sigs = docs.select("id", "sh", minhash_signature_from_shingles(F.col("sh")).alias("sig"))
+    sigs = docs.select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
     bands = sigs.select(
         "id",
         F.explode(
@@ -196,11 +228,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    da = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(da, "id_a").join(db, "id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
     return (
         paired.withColumn("jaccard", F.round(jac, 6))
@@ -216,14 +248,14 @@ def minhash_lsh_pairs_sql(
     jaccard_threshold: float = 0.5,
     n: int = SHINGLE_N,
 ) -> str:
-    sig = minhash_signature_from_shingles_sql("sh")
+    sig = minhash_signature_from_hashes_sql("hs")
     band_selects = " UNION ALL ".join(
         f"SELECT id, {b} AS band, {band_hash_sql('sig', b)} AS bh FROM sigs"
         for b in range(BANDS)
     )
     return f"""
     WITH docs AS MATERIALIZED (
-      SELECT {id_col} AS id, {char_shingles_sql(text_col, n)} AS sh FROM {table}
+      SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS hs FROM {table}
     ),
     sigs AS MATERIALIZED (
       SELECT id, {sig} AS sig FROM docs
@@ -238,8 +270,8 @@ def minhash_lsh_pairs_sql(
     ),
     paired AS (
       SELECT id_a, id_b,
-             len(list_intersect(da.sh, db.sh)) AS inter,
-             len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS un
+             len(list_intersect(da.hs, db.hs)) AS inter,
+             len(da.hs) + len(db.hs) - len(list_intersect(da.hs, db.hs)) AS un
       FROM cand
       JOIN docs da ON cand.id_a = da.id
       JOIN docs db ON cand.id_b = db.id
@@ -269,19 +301,24 @@ def ngram_jaccard_pairs(
     a pair is only scored if it shares >= 1 shingle (necessary condition
     for jaccard > 0), so candidate generation is an equi-join on the
     shingle - never a dense cross product."""
-    docs = df.select(_c(id_col).alias("id"), char_shingles(_c(text_col), n).alias("sh"))
-    ex = docs.select("id", F.explode(F.col("sh")).alias("s"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
+        .repartition(par)
+        .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
+    )
+    ex = docs.select("id", F.explode(F.col("hs")).alias("h"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    da = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(da, "id_a").join(db, "id_b")
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
     return (
         paired.withColumn("jaccard", F.round(jac, 6))
@@ -295,19 +332,19 @@ def ngram_jaccard_pairs_sql(
 ) -> str:
     return f"""
     WITH docs AS MATERIALIZED (
-      SELECT {id_col} AS id, {char_shingles_sql(text_col, n)} AS sh FROM {table}
+      SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS hs FROM {table}
     ),
     ex AS (
-      SELECT id, unnest(sh) AS s FROM docs
+      SELECT id, unnest(hs) AS h FROM docs
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+      FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
     ),
     paired AS (
       SELECT id_a, id_b,
-             len(list_intersect(da.sh, db.sh)) AS inter,
-             len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS un
+             len(list_intersect(da.hs, db.hs)) AS inter,
+             len(da.hs) + len(db.hs) - len(list_intersect(da.hs, db.hs)) AS un
       FROM cand
       JOIN docs da ON cand.id_a = da.id
       JOIN docs db ON cand.id_b = db.id

@@ -45,7 +45,7 @@ def get_spark(
     decide, keeping the rest of the conf unchanged.
     """
     cpus = cpus or DEFAULT_CPUS
-    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -64,9 +64,18 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
     )
     if not LOCAL_CODEGEN:
+        # ParallelGC + a modest heap kill the episodic GC storms a 24g
+        # G1 heap shows here, and the enlarged code cache (+flushing)
+        # stops the JIT from going full -> methods stuck interpreted
+        # (thread dumps during multi-second stalls showed hot
+        # Expression.eval frames running at tier 0).
         builder = builder.config(
             "spark.sql.codegen.wholeStage", "false"
-        ).config("spark.driver.extraJavaOptions", "-XX:TieredStopAtLevel=1")
+        ).config(
+            "spark.driver.extraJavaOptions",
+            "-XX:TieredStopAtLevel=1 -XX:+UseParallelGC "
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

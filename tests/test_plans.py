@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the 100 TB properties as assertions.
+
+A regression that stops a filter reaching parquet or turns a broadcast
+into a shuffle is a silent 100x at scale - these tests make it loud.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+QUERIES = entrymod.queries()
+
+
+def test_scan_projection_pruned(spark, sf_dir):
+    df = QUERIES["scan_project"](spark, sf_dir)
+    PI.assert_column_pruning(df, 4)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey")
+    PI.assert_filter_pushdown(df, "o_totalprice")
+    PI.assert_column_pruning(df, 2)
+
+
+def test_equi_join_broadcasts_small_side(spark, sf_dir):
+    df = QUERIES["equi_join_agg"](spark, sf_dir)
+    assert PI.uses_broadcast_join(df), "customer side should broadcast"
+
+
+def test_topn_uses_window_group_limit(spark, sf_dir):
+    df = QUERIES["topn_per_group"](spark, sf_dir)
+    assert PI.uses_window_group_limit(df), (
+        "rank<=k should compile to WindowGroupLimit (partial top-K)"
+    )
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = QUERIES["global_sort_topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in PI.physical_plan(df), (
+        "ORDER BY + LIMIT should be TakeOrderedAndProject, not a full sort"
+    )
+
+
+def test_groupby_single_shuffle(spark, sf_dir):
+    df = QUERIES["groupby_max"](spark, sf_dir)
+    assert PI.shuffle_count(df) <= 1, "group-by-max should shuffle exactly once"
+
+
+def test_similarity_blocked_join_no_cartesian(spark, sf_dir):
+    df = QUERIES["similarity_join_blocked"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan, "blocking must avoid a cross join"
+
+
+def test_fuzzy_pipeline_no_cartesian(spark):
+    from nyc_government_hiring_audit_data_platform_spark.pipelines import (
+        hiring_audit as HA,
+    )
+
+    m = HA.fuzzy_match_salary(
+        HA.make_payroll_fixture(spark, 200), HA.make_postings_fixture(spark, 40)
+    )
+    plan = PI.physical_plan(m)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    from nyc_government_hiring_audit_data_platform_spark.pipelines import catalog as C
+
+    C.ensure_namespaces(spark)
+    df = spark.range(7).withColumnRenamed("id", "v")
+    C.save_table(df, C.GOLD, "t_roundtrip", mode="overwrite")
+    assert C.read_table(spark, C.GOLD, "t_roundtrip").count() == 7
+    # 'ignore' reproduces IF-NOT-EXISTS: second write is a no-op
+    C.save_table(spark.range(99).withColumnRenamed("id", "v"), C.GOLD, "t_roundtrip", mode="ignore")
+    assert C.read_table(spark, C.GOLD, "t_roundtrip").count() == 7
+    spark.sql(f"DROP TABLE {C.GOLD}.t_roundtrip")
