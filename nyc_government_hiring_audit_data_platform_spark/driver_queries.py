@@ -889,3 +889,6 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_domain as _domain,
 )
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_extended as _extended,
+)

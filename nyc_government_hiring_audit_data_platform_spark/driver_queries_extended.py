@@ -1,0 +1,646 @@
+"""Extended relational coverage: multi-way joins, grouping sets,
+filtered/conditional aggregation, percentiles, string/array/map function
+suites, skew-salted joins, approximate aggregates.
+
+These go beyond the reference's own operator set (SURVEY.md §2 notes)
+to the surface a 100 TB engine is expected to have; all but the
+approximate aggregates are exact-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multiway_join_regional",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_sales
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_multiway_join(spark, sf_dir):
+    """4-way star join (TPC-H Q5 shape): tiny dims broadcast, the fact
+    side shuffles once for the aggregation."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_sales"),
+        )
+    )
+
+
+@query(
+    "salted_skew_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_skew_join(spark, sf_dir):
+    """Salting pattern for skewed join keys: the big side adds a random
+    salt in [0,8), the small side explodes across all salts, the join key
+    becomes (key, salt) - hot keys spread over 8 reducers. Results are
+    identical to the plain join (the oracle is the unsalted join); AQE
+    skew-join does this adaptively, salting is the explicit form."""
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", (F.rand(seed=7) * n_salt).cast("int")
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filtered_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2)
+             AS taxed_price,
+           ROUND(AVG(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2)
+             AS avg_bulk_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_filtered_agg(spark, sf_dir):
+    """FILTER / conditional aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("taxed_price"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        ).alias("avg_bulk_price"),
+    )
+
+
+@query(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id (bit patterns match
+    DuckDB's GROUPING())."""
+    li = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        li=li,
+    )
+
+
+@query(
+    "percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles: Spark ``percentile`` interpolates like DuckDB
+    quantile_cont; percentile_disc matches quantile_disc."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).alias(
+            "p50_disc"
+        ),
+    )
+
+
+@query("approx_distinct")
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++). Rows-only check: the estimate is
+    engine-specific (DuckDB's approx_count_distinct uses a different
+    sketch), so there is no cross-engine exact oracle; the exact
+    ``count_distinct`` query covers correctness of the quantity."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+@query(
+    "collect_sorted_list",
+    """
+    SELECT n_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q_collect_sorted_list(spark, sf_dir):
+    """collect_set -> sorted array (deterministic list aggregation)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function suites
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 5)) AS head5,
+           translate(p_name, 'aeiou', '-----') AS devoweled,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_id,
+           reverse(p_name) AS reversed,
+           length(p_name) - length(replace(p_name, ' ', '')) + 1 AS n_words,
+           concat_ws('|', p_type, p_brand) AS type_brand,
+           CAST(instr(p_name, 'ring') AS INT) AS ring_pos
+    FROM part
+    """,
+)
+def q_string_functions(spark, sf_dir):
+    """String scalar suite: substring/translate/lpad/reverse/replace/
+    concat_ws/instr - all JVM built-ins, byte-identical to DuckDB."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("head5"),
+        F.translate("p_name", "aeiou", "-----").alias("devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("p_name").alias("reversed"),
+        (
+            F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1
+        ).alias("n_words"),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+        F.instr("p_name", "ring").cast("int").alias("ring_pos"),
+    )
+
+
+@query(
+    "array_functions",
+    """
+    SELECT p_partkey,
+           string_split(p_name, ' ') AS toks,
+           len(string_split(p_name, ' ')) AS n_toks,
+           list_sort(string_split(p_name, ' ')) AS sorted_toks,
+           array_contains(string_split(p_name, ' '), 'ring') AS has_ring,
+           list_transform(string_split(p_name, ' '), t -> length(t)) AS tok_lens,
+           list_sum(list_transform(string_split(p_name, ' '), t -> length(t))) AS total_len
+    FROM part
+    """,
+)
+def q_array_functions(spark, sf_dir):
+    """Array function suite: split/size/sort/contains/transform/
+    aggregate (the primitives the dedup/ANN operators compose)."""
+    p = table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        toks.alias("toks"),
+        F.size(toks).alias("n_toks"),
+        F.array_sort(toks).alias("sorted_toks"),
+        F.array_contains(toks, "ring").alias("has_ring"),
+        F.transform(toks, lambda t: F.length(t)).alias("tok_lens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+        ).alias("total_len"),
+    )
+
+
+@query(
+    "explode_posexplode",
+    """
+    SELECT p_partkey, t.tok, CAST(t.pos AS INT) AS pos
+    FROM part, LATERAL (
+      SELECT unnest(string_split(p_name, ' ')) AS tok,
+             generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos
+    ) t
+    """,
+)
+def q_explode_posexplode(spark, sf_dir):
+    """posexplode (ordinal-preserving array explode)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "tok")
+    ).select("p_partkey", "tok", F.col("pos").cast("int").alias("pos"))
+
+
+@query(
+    "map_functions",
+    """
+    SELECT o_orderkey,
+           list_sort(map_keys(m)) AS ks,
+           (m['priority'])[1] AS priority,
+           CAST(cardinality(m) AS INT) AS n_entries
+    FROM (
+      SELECT o_orderkey,
+             MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS m
+      FROM orders
+    )
+    """,
+)
+def q_map_functions(spark, sf_dir):
+    """Map construction + keys/lookup/cardinality."""
+    o = table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.element_at(m, "priority").alias("priority"),
+        F.size(m).cast("int").alias("n_entries"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rank_dense_ntile",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_rank_dense_ntile(spark, sf_dir):
+    """Ranking window family: rank/dense_rank/ntile/percent_rank."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "first_last_nth_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER w, 2) AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_nth(spark, sf_dir):
+    """first_value/last_value/nth_value over an explicit full frame (the
+    default frame for last_value stops at CURRENT ROW in both engines -
+    pinned explicitly so the semantics are unambiguous)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@query(
+    "range_frame_window",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS DOUBLE)
+             AS local_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+             AS local_n
+    FROM orders
+    """,
+)
+def q_range_frame_window(spark, sf_dir):
+    """RANGE frame (value-based window). The windowed aggregate runs in
+    DECIMAL - exact and order-independent in both engines (double AVG
+    inside sliding frames drifts in the last ulp between engines)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double")
+        .alias("local_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("local_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins & windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join",
+    """
+    WITH c AS (
+      SELECT user_id, date_trunc('second', ts) AS sts,
+             MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS sts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.sts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value,
+           ROUND(c.click_value, 2) AS click_value
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.sts >= c.sts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (each purchase joined to the latest click at-or-before
+    it, per user) - the canonical time-series point-in-time join, which
+    Spark lacks natively. Implemented as the union-merge pattern: tag
+    both sides, sort by (ts, side) within user, carry the last non-null
+    right-side value forward with ``last(ignorenulls)`` over an
+    unbounded-preceding row frame, keep left rows. One shuffle on
+    user_id; no range explosion - scales linearly, unlike a naive
+    theta-join (ts <= ts) which is quadratic per user. Timestamps are
+    second-truncated on both engines (sub-second parity between Spark's
+    micros and the oracle's nanos is not defined); the right side is
+    pre-aggregated to one row per (user, second) so ties are
+    deterministic. Ref: reference has no temporal joins; engine
+    extension per SURVEY.md §2.3 note."""
+    ev = table(spark, sf_dir, "events")
+    sts = F.date_trunc("second", F.col("ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", sts.alias("sts"))
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "sts", F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("value"), "click_value",
+                F.lit(0).alias("side"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", sts.alias("sts"), "event_id", "value",
+        F.lit(None).cast("double").alias("click_value"), F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click_value", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("side") == 1) & F.col("last_click").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("sts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+            F.round("last_click", 2).alias("click_value"),
+        )
+    )
+
+
+@query(
+    "banded_range_join",
+    """
+    SELECT CAST(50 * i AS INT) AS lo, CAST(50 * (i + 1) AS INT) AS hi,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM generate_series(0, 9) t(i)
+    JOIN events e ON e.value >= 50 * i AND e.value < 50 * (i + 1)
+    GROUP BY 1, 2
+    """,
+)
+def q_banded_range_join(spark, sf_dir):
+    """Range (interval-containment) join: events against a 10-band value
+    table on lo <= value < hi. Planned as BroadcastNestedLoopJoin - the
+    band side is tiny, so each event row tests 10 intervals with no
+    shuffle of the big side. At 100 TB with a large interval table the
+    rewrite is band = floor(value/width) equi-join (O(1) per row); the
+    theta form is kept here because it is the general operator
+    (arbitrary, non-uniform intervals)."""
+    ev = table(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        (F.col("id") * 50).cast("int").alias("lo"),
+        ((F.col("id") + 1) * 50).cast("int").alias("hi"),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query(
+    "tumbling_window_15min",
+    """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_15min(spark, sf_dir):
+    """15-minute tumbling window via ``F.window`` - the same operator the
+    streaming jobs use (epoch-aligned, so the batch result is bit-equal
+    to the watermarked streaming aggregation replayed over the table)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# reshaping & scalar suites
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber,
+                      l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """unpivot/melt: wide numeric columns -> long (metric, value) rows -
+    narrow-to-long is a scan-local operation (no shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "regexp_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_matches(p_name, 'r.ng') AS has_ring_like,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_words,
+           split_part(p_type, ' ', 2) AS type_mid
+    FROM part
+    """,
+)
+def q_regexp_functions(spark, sf_dir):
+    """Regex scalar suite: extract/like/replace-all/extract-all-count/
+    split_part (JVM codegen'd, no UDFs)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.col("p_name").rlike("r.ng").alias("has_ring_like"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0))
+        .cast("int")
+        .alias("n_words"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+    )
+
+
+@query(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregate suite: stddev/variance/correlation/
+    covariance (single-pass partial-aggregation forms; Spark computes
+    these with map-side partials, one shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "conditional_expressions",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           ROUND(GREATEST(c_acctbal, 0.0), 2) AS bal_floor,
+           ROUND(LEAST(c_acctbal, 1000.0), 2) AS bal_cap,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked
+    FROM customer
+    """,
+)
+def q_conditional_expressions(spark, sf_dir):
+    """CASE/GREATEST/LEAST/NULLIF/COALESCE conditional-expression suite."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("bal_floor"),
+        F.round(F.least("c_acctbal", F.lit(1000.0)), 2).alias("bal_cap"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+    )

@@ -74,5 +74,11 @@ def uses_window_group_limit(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators (shuffles) in the physical plan."""
-    return physical_plan(df).count("Exchange ")
+    """Number of shuffle Exchange operators in the physical plan
+    (BroadcastExchange is data movement but not a shuffle)."""
+    import re
+
+    plan = physical_plan(df)
+    # each operator appears once in the tree and once in the detail
+    # section; count tree entries only ("(n) Exchange")
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))

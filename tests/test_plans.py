@@ -82,3 +82,37 @@ def test_catalog_roundtrip(spark, tmp_path):
     C.save_table(spark.range(99).withColumnRenamed("id", "v"), C.GOLD, "t_roundtrip", mode="ignore")
     assert C.read_table(spark, C.GOLD, "t_roundtrip").count() == 7
     spark.sql(f"DROP TABLE {C.GOLD}.t_roundtrip")
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucketed-by-join-key tables join without any Exchange."""
+    from pyspark.sql import functions as F
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        bucketing as B,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    B.write_bucketed(o, "b_orders", ["o_orderkey"], 8)
+    B.write_bucketed(li, "b_lineitem", ["o_orderkey"], 8)
+    # force the sort-merge path: a broadcast join would hide whether
+    # bucketing removed the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined = B.bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+    agg = joined.groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
+    try:
+        assert PI.shuffle_count(joined) == 0, "bucketed join must not shuffle"
+        # group-by on the bucket key also reuses the disk partitioning
+        assert PI.shuffle_count(agg) == 0, "bucketed group-by must not shuffle"
+        n = joined.count()
+        plain = o.join(li, "o_orderkey").count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
