@@ -43,12 +43,14 @@ BENCH_QUERIES = [
     "multiway_join_regional",
     "salted_skew_join",
     "rank_dense_ntile",
+    "asof_join",
     # training-data-pipeline suite
     "exact_dedup",
     "minhash_lsh_neardup",
     "simhash_signatures",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_counts",
     "quality_scores",
     "corpus_quality_by_source",

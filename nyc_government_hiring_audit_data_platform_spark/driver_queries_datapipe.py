@@ -137,6 +137,22 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_topk",
+    ANN.ivf_topk_sql("embeddings", "vec_id", "embedding", "vec_id < 20", 5, nprobe=4),
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-5 via an IVF coarse quantizer: corpus assigned to
+    its nearest of 16 centroids map-side, each query probes its 4
+    nearest clusters (equi-join on cluster id). The second scale path
+    besides LSH - candidate volume ~nprobe/16 of the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, nprobe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -231,6 +231,136 @@ def lsh_topk_sql(
     """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index: coarse quantizer + probed cluster search
+# --------------------------------------------------------------------------
+
+# Deterministic random centroids (seed 43, shared with the oracle as
+# literals). Real IVF learns centroids with sampled k-means (MLlib
+# KMeans at scale); fixed random centroids keep the coarse-quantizer
+# STRUCTURE identical while making the oracle exactly reproducible.
+NUM_CENTROIDS = 16
+_crng = random.Random(43)
+CENTROIDS: list[list[float]] = [
+    [round(_crng.gauss(0.0, 1.0), 6) for _ in range(EMBED_DIM)]
+    for _ in range(NUM_CENTROIDS)
+]
+
+
+def _centroid_dots(vec: Column) -> Column:
+    """Array of dot products with every centroid (each element is one
+    sequential fold - evaluated once; no repeated sub-expressions, which
+    matters in interpreted mode where Spark does no CSE)."""
+    return F.array(*[_dot_lit(vec, c) for c in CENTROIDS])
+
+
+def _probe_list(dots: Column, nprobe: int) -> Column:
+    """Ids of the ``nprobe`` nearest centroids, nearest first. Natural
+    ascending struct sort on (-dot, id) - identical lexicographic struct
+    ordering in Spark and DuckDB, no comparator lambda needed. The
+    ``dots`` column is referenced exactly once."""
+    idx = F.sequence(F.lit(0), F.lit(NUM_CENTROIDS - 1))
+    pairs = F.zip_with(
+        dots, idx, lambda d, i: F.struct((-d).alias("negd"), i.alias("i"))
+    )
+    return F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda x: x["i"])
+
+
+def _centroid_dots_sql(vec_expr: str) -> str:
+    v = f"({vec_expr}::DOUBLE[])"
+    return (
+        "list_value(" + ", ".join(_dot_sql(v, _plane_sql(c)) for c in CENTROIDS) + ")"
+    )
+
+
+def _probe_list_sql(dots_expr: str, nprobe: int) -> str:
+    """DuckDB twin of _probe_list (1-based list indexing; struct sort is
+    field-order lexicographic, same as Spark)."""
+    return (
+        f"list_transform(list_sort(list_transform(range(1, {NUM_CENTROIDS + 1}), "
+        f"i -> {{'negd': -({dots_expr})[i], 'i': i - 1}})), x -> x.i)[1:{nprobe}]"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: every corpus vector is
+    assigned to its nearest centroid (cluster id computed map-side, one
+    pass, no shuffle); each query probes its ``nprobe`` nearest clusters
+    and scores only vectors inside them. The probe is an equi-join on
+    cluster id, so at 100 TB the corpus never moves - only the
+    (queries x nprobe) probe rows broadcast - and candidate volume is
+    ~nprobe/NUM_CENTROIDS of the corpus. Recall < 1 by design; raise
+    nprobe toward NUM_CENTROIDS to trade speed for recall (nprobe =
+    NUM_CENTROIDS is exact brute force)."""
+    c = corpus.select(
+        _c(corpus_id).alias("neighbor_id"),
+        _c(corpus_vec).alias("cv"),
+        _centroid_dots(_c(corpus_vec).cast("array<double>")).alias("dots"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        _probe_list(F.col("dots"), 1)[0].alias("cluster"),
+    )
+    q = queries.select(
+        _c(query_id).alias("query_id"),
+        _c(query_vec).alias("qv"),
+        _centroid_dots(_c(query_vec).cast("array<double>")).alias("dots"),
+    ).select(
+        "query_id",
+        "qv",
+        F.explode(_probe_list(F.col("dots"), nprobe)).alias("cluster"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (q["cluster"] == c["cluster"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int, nprobe: int = 4
+) -> str:
+    sim = cosine_sql("q.qv", "c.cv")
+    dots = _centroid_dots_sql(vec_col)
+    return f"""
+    WITH cb AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv, {dots} AS ds FROM {table}),
+    c AS (SELECT neighbor_id, cv, {_probe_list_sql('ds', 1)}[1] AS cluster FROM cb),
+    qb AS (SELECT {id_col} AS query_id, {vec_col} AS qv, {dots} AS ds
+           FROM {table} WHERE {query_pred}),
+    q AS (SELECT query_id, qv, unnest({_probe_list_sql('ds', nprobe)}) AS cluster FROM qb),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {sim} AS sim
+      FROM q JOIN c ON q.cluster = c.cluster AND q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

@@ -116,3 +116,41 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["multiway_join_regional"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "nation+region must broadcast"
+
+
+def test_banded_range_join_broadcasts_bands(spark, sf_dir):
+    df = QUERIES["banded_range_join"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "interval table must broadcast (the big side never shuffles for the join)"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_no_shuffle(spark, sf_dir):
+    df = QUERIES["unpivot_metrics"](spark, sf_dir)
+    assert PI.shuffle_count(df) == 0, "wide->long is scan-local"
+
+
+def test_asof_join_linear_plan(spark, sf_dir):
+    """The union-merge as-of join is linear: one shuffle to dedup the
+    right side per (user, second), one to merge-sort the union per user.
+    A naive theta-join formulation (l.ts >= r.ts) would be a nested-loop
+    join - quadratic per user and the thing this test forbids."""
+    df = QUERIES["asof_join"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert PI.shuffle_count(df) <= 2
+
+
+def test_ann_ivf_probe_is_equi_join(spark, sf_dir):
+    df = QUERIES["ann_ivf_topk"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, "probe join must be a broadcast equi-join"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
