@@ -644,3 +644,100 @@ def q_conditional_expressions(spark, sf_dir):
             "seg_masked"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL subquery surface (Catalyst subquery planning: HAVING, scalar,
+# correlated, IN/EXISTS - all rewritten to joins by the optimizer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "having_filter",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_having_filter(spark, sf_dir):
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery (global-average threshold). Catalyst
+    plans the 1-row aggregate as a broadcast subquery, so the outer scan
+    streams once; the 1.5x factor keeps the float comparison away from
+    any exact-boundary value."""
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM {o} WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM {o})
+        """,
+        o=o,
+    )
+
+
+@query(
+    "correlated_scalar_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
+    """,
+)
+def q_correlated_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (per-customer order count) - Catalyst
+    de-correlates it into an aggregate + join; the integer comparison
+    has no cross-engine float risk."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM {c} c
+        WHERE (SELECT COUNT(*) FROM {o} o WHERE o.o_custkey = c.c_custkey) >= 15
+        """,
+        c=c,
+        o=o,
+    )
+
+
+@query(
+    "exists_in_subquery",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.09)
+    """,
+)
+def q_exists_in_subquery(spark, sf_dir):
+    """IN + correlated EXISTS subqueries (both become left-semi joins)."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM {p} p
+        WHERE p_partkey IN (SELECT l_partkey FROM {li} WHERE l_quantity >= 49)
+          AND EXISTS (SELECT 1 FROM {li} l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.09)
+        """,
+        p=p,
+        li=li,
+    )

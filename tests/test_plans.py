@@ -154,3 +154,25 @@ def test_ann_ivf_probe_is_equi_join(spark, sf_dir):
     plan = PI.physical_plan(df)
     assert "BroadcastHashJoin" in plan, "probe join must be a broadcast equi-join"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy on write -> equality filter on the
+    partition column prunes directories at planning time (the 100 TB
+    pattern: partition by coarse key, filter never touches other
+    partitions' files)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_by_priority")
+    src.write.partitionBy("o_orderpriority").parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plan = PI.physical_plan(df)
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "o_orderpriority" in pf[1].split("]")[0], (
+        "partition filter must be applied at the scan, not post-scan"
+    )
+    expected = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert df.count() == expected
