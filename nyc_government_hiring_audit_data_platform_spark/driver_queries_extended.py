@@ -741,3 +741,82 @@ def q_exists_in_subquery(spark, sf_dir):
         p=p,
         li=li,
     )
+
+
+# ---------------------------------------------------------------------------
+# merge / iterative operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price FROM orders
+    ), u AS (
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice + 1000.0, 2) AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, ROUND(o_totalprice, 2)
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT * FROM u
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """SCD-1 merge: 1-in-7 orders get a price update (+1000.0: an
+    exactly-representable bump keeps ROUND away from cross-engine
+    half-way boundaries, unlike a multiplicative update), 1-in-97 become new
+    keys (inserts); unmatched base rows pass through. One anti-join +
+    union - the batch MERGE INTO shape."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import relational as R
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", F.round(F.col("o_totalprice") + 1000.0, 2).alias("price")
+    )
+    ins = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return R.merge_upsert(base, upd.unionByName(ins), ["o_orderkey"])
+
+
+@query(
+    "neardup_components",
+    None,  # oracle attached below (needs the ANN edge SQL)
+)
+def q_neardup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: embedding near-dup PAIRS -> duplicate
+    CLUSTERS via iterative min-label connected components (each round is
+    a distributed join+agg; converges in <= diameter rounds). The oracle
+    is a DuckDB recursive CTE over the identical edge set - an
+    algorithm-independent definition of the same result."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.operators import graph as G
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = ANN.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.3)
+    return G.connected_components(edges, "id_a", "id_b")
+
+
+def _attach_neardup_components_oracle():
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import ORACLE
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.operators import graph as G
+
+    ORACLE["neardup_components"] = G.connected_components_sql(
+        ANN.embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding", 0.3),
+        "id_a",
+        "id_b",
+    )
+
+
+_attach_neardup_components_oracle()

@@ -149,3 +149,18 @@ def with_lineage(df: DataFrame, source_file: str) -> DataFrame:
         .withColumn("_ingestion_timestamp", F.current_timestamp())
         .transform(with_record_id)
     )
+
+
+# -- merge / upsert ----------------------------------------------------------
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD-Type-1 merge: rows from ``updates`` replace same-key rows in
+    ``base``; unmatched base rows pass through; unmatched update rows
+    insert. Spark's batch analogue of MERGE INTO (which needs a
+    transactional table format - Delta/Iceberg - for in-place commit;
+    this produces the merged dataset for an overwrite/CTAS). The
+    anti-join and union shuffle once on the key; with both sides
+    bucketed by the key (operators.bucketing) it is shuffle-free."""
+    survivors = base.join(updates.select(*keys), keys, "left_anti")
+    return survivors.unionByName(updates)
