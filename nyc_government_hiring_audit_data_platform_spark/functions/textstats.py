@@ -182,9 +182,15 @@ def quality_score(col: Column | str) -> Column:
     filters (e.g. C4-style heuristics)."""
     c = F.coalesce(_c(col).cast("string"), F.lit(""))
     len_score = F.least(F.length(c).cast("double") / 200.0, F.lit(1.0))
-    word_score = F.when(
-        (mean_token_len(col) >= 3.0) & (mean_token_len(col) <= 10.0), 1.0
-    ).otherwise(0.5)
+    # bind mean_token_len to a lambda variable so the tokenize+mean runs
+    # once per row, not once per comparison (no CSE in interpreted mode)
+    word_score = F.element_at(
+        F.transform(
+            F.array(mean_token_len(col)),
+            lambda m: F.when((m >= 3.0) & (m <= 10.0), 1.0).otherwise(0.5),
+        ),
+        1,
+    )
     punct_pen = F.least(punct_ratio(col) * 5.0, F.lit(1.0))
     stop_score = F.least(stopword_ratio(col, "en") * 4.0, F.lit(1.0))
     return F.round(

@@ -386,7 +386,10 @@ def simhash(col: Column | str) -> Column:
     def votes(v):
         out = []
         for bit in range(SIMHASH_BITS):
-            bitval = F.floor(v / (2 ** bit)).cast("int") % 2
+            # shiftright+and, not floor(v/2^bit)%2: ~2x faster in the
+            # interpreted path (integer ops vs double division), same
+            # values for the non-negative 16-bit hash
+            bitval = F.shiftright(v, bit).bitwiseAND(F.lit(1))
             out.append(F.when(bitval == 1, F.lit(1)).otherwise(F.lit(-1)))
         return F.array(*out)
 
