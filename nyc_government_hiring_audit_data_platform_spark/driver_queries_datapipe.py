@@ -62,9 +62,9 @@ def q_ngram_jaccard(spark, sf_dir):
     f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents",
 )
 def q_simhash(spark, sf_dir):
-    """Per-document 16-bit SimHash signature (array fold, map-side)."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", DD.simhash("text").alias("simhash"))
+    """Per-document 16-bit SimHash signature (array fold, map-side,
+    pre-repartitioned so the fold parallelizes off a single file)."""
+    return DD.simhash_signatures_df(table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @query(
@@ -77,17 +77,10 @@ def q_simhash(spark, sf_dir):
 )
 def q_simhash_collisions(spark, sf_dir):
     """SimHash near-dup candidates: pairs with identical signatures
-    (self equi-join on the 16-bit signature)."""
-    sigs = table(spark, sf_dir, "documents").select(
-        "doc_id", DD.simhash("text").alias("simhash")
-    )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return a.join(
-        b, (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.col("a.simhash").alias("simhash"),
+    (self equi-join on the persisted signature projection - the naive
+    plan evaluates the signature fold once per join side)."""
+    return DD.simhash_collision_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
     )
 
 

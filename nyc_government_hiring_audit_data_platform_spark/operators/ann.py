@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -126,7 +127,10 @@ def cosine_topk(
     q = queries.select(
         _c(query_id).alias("query_id"), _c(query_vec).alias("qv")
     )
-    c = corpus.select(_c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.select(
+        _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv")
+    ).repartition(par)  # spread the per-pair cosine folds across cores
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -185,10 +189,11 @@ def lsh_topk(
         _c(query_vec).alias("qv"),
         lsh_bucket(query_vec).alias("bucket"),
     )
-    c = corpus.select(
-        _c(corpus_id).alias("neighbor_id"),
-        _c(corpus_vec).alias("cv"),
-        lsh_bucket(corpus_vec).alias("bucket"),
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.select(_c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv"))
+        .repartition(par)  # parallelize the bucket fold off a 1-file source
+        .select("neighbor_id", "cv", lsh_bucket(F.col("cv")).alias("bucket"))
     )
     scored = c.join(
         F.broadcast(q),
@@ -301,10 +306,13 @@ def ivf_topk(
     ~nprobe/NUM_CENTROIDS of the corpus. Recall < 1 by design; raise
     nprobe toward NUM_CENTROIDS to trade speed for recall (nprobe =
     NUM_CENTROIDS is exact brute force)."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
-        _c(corpus_id).alias("neighbor_id"),
-        _c(corpus_vec).alias("cv"),
-        _centroid_dots(_c(corpus_vec).cast("array<double>")).alias("dots"),
+        _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv")
+    ).repartition(par).select(  # parallelize the 16-centroid fold
+        "neighbor_id",
+        "cv",
+        _centroid_dots(F.col("cv").cast("array<double>")).alias("dots"),
     ).select(
         "neighbor_id",
         "cv",
@@ -368,10 +376,14 @@ def embedding_neardup_pairs(
     self-join (only same-bucket pairs are scored), cosine >= threshold.
     Near-identical vectors land in the same bucket with high
     probability; at 100 TB this is the only shape that avoids N^2."""
-    base = df.select(
-        _c(id_col).alias("id"),
-        _c(vec_col).alias("v"),
-        lsh_bucket(vec_col).alias("bucket"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(_c(id_col).alias("id"), _c(vec_col).alias("v"))
+        .repartition(par)
+        .select("id", "v", lsh_bucket(F.col("v")).alias("bucket"))
+        # the self-join otherwise evaluates the 8-plane bucket fold once
+        # per side, single-threaded off a one-file source (measured 5x)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = base.alias("a"), base.alias("b")
     return (
