@@ -151,6 +151,13 @@ def q_ann_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _docs_par(spark, sf_dir, *cols):
+    """documents slice, repartitioned so per-row expression work spreads
+    across cores instead of running in the single-file scan's one task."""
+    par = spark.sparkContext.defaultParallelism
+    return table(spark, sf_dir, "documents").select(*cols).repartition(par)
+
+
 @query(
     "token_counts",
     f"""
@@ -162,7 +169,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 )
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish token counting (expression-only)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
     return docs.select(
         "doc_id",
         TS.whitespace_token_count("text").alias("ws_tokens"),
@@ -180,7 +187,7 @@ def q_token_counts(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     """Stopword-heuristic language ID, aggregated to predicted-language
     counts."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir, "text")
     return (
         docs.select(TS.lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -201,7 +208,7 @@ def q_lang_id(spark, sf_dir):
 def q_quality_scores(spark, sf_dir):
     """Per-document quality features + composite score (C4-style
     length/punct/stopword heuristics)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
     return docs.select(
         "doc_id",
         TS.quality_score("text").alias("quality"),
@@ -219,7 +226,7 @@ def q_quality_scores(spark, sf_dir):
 )
 def q_doc_fingerprints(spark, sf_dir):
     """Shingle-min-hash document fingerprint (append-robust identity)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
     return docs.select("doc_id", TS.doc_fingerprint("text").alias("fingerprint"))
 
 
@@ -236,7 +243,7 @@ def q_doc_fingerprints(spark, sf_dir):
 def q_corpus_quality_by_source(spark, sf_dir):
     """Corpus curation rollup: per-source document counts, mean quality,
     token budget - the summary a training-data pipeline reports."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir, "source", "text")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(TS.quality_score("text")), 4).alias("avg_quality"),

@@ -64,10 +64,10 @@ def q_multiway_join(spark, sf_dir):
 def q_salted_skew_join(spark, sf_dir):
     """Salting pattern for skewed join keys: the big side adds a random
     salt in [0,8), the small side explodes across all salts, the join key
-    becomes (key, salt) - hot keys spread over 8 reducers. Results are
+    becomes (key, salt) - hot keys spread over n_salt reducers. Results are
     identical to the plain join (the oracle is the unsalted join); AQE
     skew-join does this adaptively, salting is the explicit form."""
-    n_salt = 8
+    n_salt = 4
     li = table(spark, sf_dir, "lineitem").withColumn(
         "_salt", (F.rand(seed=7) * n_salt).cast("int")
     )
