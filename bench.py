@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "token_counts",
     "quality_scores",
     "corpus_quality_by_source",
+    "tfidf_top_terms",
 ]
 
 

@@ -10,9 +10,11 @@ double math, ROUND) so the driver's value-hash check stays strong.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.functions.text import tokens
 from nyc_government_hiring_audit_data_platform_spark.functions import textstats as TS
 from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
 from nyc_government_hiring_audit_data_platform_spark.operators import dedup as DD
@@ -248,4 +250,181 @@ def q_corpus_quality_by_source(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(TS.quality_score("text")), 4).alias("avg_quality"),
         F.sum(TS.bpe_ish_token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TS._tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * ln(n.n_docs / dfc.df), 6) AS tfidf
+      FROM tf JOIN dfc USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: explode tokens -> per-(doc,term) counts (one shuffle with
+    map-side combine - the classic word-count shape), document
+    frequencies off the tf relation (vocabulary-sized, so AQE broadcasts
+    the join back), corpus size as a 1-row broadcast cross join, top-3
+    terms per doc via WindowGroupLimit. At 100 TB every stage stays
+    shuffle-on-term/doc with partial aggregation; nothing is quadratic."""
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling / splitting / sharding (corpus curation)
+# ---------------------------------------------------------------------------
+#
+# All sampling here is HASH-based (first hex digits of md5(doc_id)), not
+# rand(): deterministic across engines (exact DuckDB oracle), stable
+# across reruns/retries (a re-executed task samples identically -
+# rand() breaks exactly-once semantics under task retry), and
+# cluster-order-independent. This is how production corpus pipelines
+# take reproducible subsamples and train/val/test splits.
+
+_HEX = "0123456789abcdef"
+
+
+def _hex1(col):
+    """1-based position (1..16) of the first hex digit of md5(col)."""
+    return F.instr(F.lit(_HEX), F.substring(F.md5(col.cast("string")), 1, 1))
+
+
+def _hex1_sql(expr: str) -> str:
+    return f"instr('{_HEX}', substr(md5(CAST({expr} AS VARCHAR)), 1, 1))"
+
+
+@query(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_hex1_sql('doc_id')} <= 4
+    """,
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible 1/4 corpus sample: keep rows whose md5(doc_id) first
+    hex digit falls in the lowest 4 of 16 values. Pure map-side filter -
+    no shuffle, no state; at 100 TB it composes with scan pruning."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(_hex1(F.col("doc_id")) <= 4).select("doc_id", "source")
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_hex1_sql('doc_id')} <=
+          CASE WHEN CAST(replace(source, 'src', '') AS INTEGER) % 2 = 0
+               THEN 8 ELSE 4 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum sampling fractions (sampleBy analogue, but
+    deterministic): even-numbered sources keep 1/2, odd keep 1/4.
+    Still a stateless map-side filter - the fraction lookup is an
+    expression on the stratum key, so skewed strata cost nothing."""
+    docs = table(spark, sf_dir, "documents")
+    frac = F.when(
+        F.regexp_replace("source", "src", "").cast("int") % 2 == 0, F.lit(8)
+    ).otherwise(F.lit(4))
+    return docs.filter(_hex1(F.col("doc_id")) <= frac).select("doc_id", "source")
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN {_hex1_sql('doc_id')} <= 12 THEN 'train'
+                  WHEN {_hex1_sql('doc_id')} <= 14 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 75/12.5/12.5 train/val/test assignment from the
+    doc-id hash; per-(source, split) counts verify both the assignment
+    and that strata are split independently. Membership never changes as
+    the corpus grows (hash-based, not row-number-based)."""
+    docs = table(spark, sf_dir, "documents")
+    h = _hex1(F.col("doc_id"))
+    split = (
+        F.when(h <= 12, F.lit("train")).when(h <= 14, F.lit("val")).otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "shard_assignment",
+    f"""
+    WITH sharded AS (
+      SELECT {_hex1_sql('doc_id')} - 1 AS shard,
+             {TS.bpe_ish_token_count_sql('text')} AS n_tok
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM sharded GROUP BY shard
+    """,
+)
+def q_shard_assignment(spark, sf_dir):
+    """Hash-sharding for output files: each document lands in one of 16
+    shards by doc-id hash; the rollup shows shards balanced in both doc
+    count and token budget. At scale this is the repartition(shard) that
+    precedes the final write - hash sharding balances without a global
+    sort, and co-locates nothing (no skew by construction)."""
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
+    return (
+        docs.select(
+            (_hex1(F.col("doc_id")) - 1).alias("shard"),
+            TS.bpe_ish_token_count("text").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
     )
