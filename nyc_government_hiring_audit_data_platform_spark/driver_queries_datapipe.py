@@ -148,6 +148,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "kmeans_iteration",
+    ANN.kmeans_update_sql("embeddings", "vec_id", "embedding"),
+)
+def q_kmeans_iteration(spark, sf_dir):
+    """One distributed k-means (Lloyd) update: nearest-centroid
+    assignment map-side, centroid means via a partial-aggregated
+    groupBy(cluster, dim) - the iterative-algorithm building block for
+    learning the IVF coarse quantizer at scale."""
+    return ANN.kmeans_update(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -369,6 +369,55 @@ def ivf_topk_sql(
     """
 
 
+def kmeans_update(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """One Lloyd's k-means update over the CENTROIDS quantizer: assign
+    every vector to its nearest centroid (map-side fold, no shuffle),
+    then recompute each centroid as the element-wise mean of its members
+    - emitted as (cluster, dim, n_members, value) rows via posexplode so
+    the output is flat scalars.
+
+    This is the distributed k-means shape (what MLlib's KMeans does per
+    iteration): the only shuffle is the partial-aggregated
+    groupBy(cluster, dim), so 100 TB of vectors reduce to
+    NUM_CENTROIDS x EMBED_DIM rows per pass. Float parity note: the
+    components are float32 widened to double, and doubles with 24-bit
+    mantissas in [-2^8, 2^8] sum EXACTLY in double for any realistic
+    group size, so the mean is order-independent and oracle-exact."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned = (
+        corpus.select(_c(vec_col).cast("array<double>").alias("cv"))
+        .repartition(par)  # parallelize the 16-centroid fold
+        .select("cv", _centroid_dots(F.col("cv")).alias("dots"))
+        .select("cv", _probe_list(F.col("dots"), 1)[0].alias("cluster"))
+    )
+    return (
+        assigned.select("cluster", F.posexplode("cv").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("val"), 6).alias("value"),
+        )
+    )
+
+
+def kmeans_update_sql(table: str, id_col: str, vec_col: str) -> str:
+    dots = _centroid_dots_sql(vec_col)
+    return f"""
+    WITH base AS (
+      SELECT ({vec_col}::DOUBLE[]) AS cv, {dots} AS ds FROM {table}
+    ),
+    assigned AS (
+      SELECT cv, {_probe_list_sql('ds', 1)}[1] AS cluster FROM base
+    )
+    SELECT cluster, i - 1 AS dim, COUNT(*) AS n_members,
+           ROUND(AVG(cv[i]), 6) AS value
+    FROM assigned CROSS JOIN range(1, {EMBED_DIM + 1}) t(i)
+    GROUP BY cluster, i - 1
+    """
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
