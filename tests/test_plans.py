@@ -176,3 +176,28 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     )
     expected = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert df.count() == expected
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    df = QUERIES["tfidf_top_terms"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert PI.uses_window_group_limit(df), (
+        "top-3 terms per doc should compile to WindowGroupLimit"
+    )
+    assert "CartesianProduct" not in plan  # the 1-row corpus-size join is BNLJ/broadcast
+
+
+def test_sampling_is_pushdown_free_map_filter(spark, sf_dir):
+    # hash-sample must stay a stateless filter: no shuffle at all
+    df = QUERIES["deterministic_sample"](spark, sf_dir)
+    assert PI.shuffle_count(df) == 0, "hash sampling must not shuffle"
+    df2 = QUERIES["stratified_sample"](spark, sf_dir)
+    assert PI.shuffle_count(df2) == 0, "stratified hash sampling must not shuffle"
+
+
+def test_kmeans_update_single_shuffle(spark, sf_dir):
+    # one repartition (local single-file parallelism) + one partial-agg
+    # exchange for the groupBy - no joins, no extra exchanges
+    df = QUERIES["kmeans_iteration"](spark, sf_dir)
+    assert PI.shuffle_count(df) <= 2
+    assert "CartesianProduct" not in PI.physical_plan(df)
