@@ -48,22 +48,37 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _dot_lit(vec: Column, plane: list[float]) -> Column:
-    """Dot product of an array column with a literal plane (left fold)."""
-    p = F.array(*[F.lit(x) for x in plane])
-    return F.aggregate(
-        F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+def _dot_spark_sql(vec_expr: str, plane: list[float]) -> str:
+    """Spark-SQL dot product of an array expression with a literal plane
+    (sequential left fold — the exact op order of the DuckDB oracle).
+
+    Rendered as ONE SQL string instead of per-literal Column calls: a
+    64-float plane built via ``F.lit``/``zip_with`` lambdas costs ~130
+    Py4J round-trips PER PLANE on the driver (measured ~1.8s of pure
+    Python DataFrame-construction time for the 16-centroid IVF query);
+    the string parses JVM-side in microseconds and yields the identical
+    expression tree."""
+    lits = ", ".join(f"{x!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_expr}, array({lits}), (a, b) -> a * b), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
 
 
-def lsh_bucket(col: Column | str) -> Column:
+def _vec_sql(name: str) -> str:
+    return f"CAST(`{name}` AS ARRAY<DOUBLE>)"
+
+
+def lsh_bucket(col_name: str) -> Column:
     """Random-hyperplane LSH bucket id (0..2^NUM_PLANES-1): bit i is the
-    sign of the dot product with plane i."""
-    v = _c(col).cast("array<double>")
-    out = F.lit(0)
-    for i, plane in enumerate(HYPERPLANES):
-        out = out + F.when(_dot_lit(v, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-    return out
+    sign of the dot product with plane i. Takes a column NAME (the
+    planes inline into one Spark-SQL expression, see _dot_spark_sql)."""
+    v = _vec_sql(col_name)
+    terms = " + ".join(
+        f"IF({_dot_spark_sql(v, plane)} >= 0, {2**i}, 0)"
+        for i, plane in enumerate(HYPERPLANES)
+    )
+    return F.expr(f"({terms})")
 
 
 def _plane_sql(plane: list[float]) -> str:
@@ -185,15 +200,13 @@ def lsh_topk(
     bucket (equi-join on bucket id), then rank within the candidates.
     Recall < 1 by design; the bucket join replaces the full scan."""
     q = queries.select(
-        _c(query_id).alias("query_id"),
-        _c(query_vec).alias("qv"),
-        lsh_bucket(query_vec).alias("bucket"),
-    )
+        _c(query_id).alias("query_id"), _c(query_vec).alias("qv")
+    ).select("query_id", "qv", lsh_bucket("qv").alias("bucket"))
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
         corpus.select(_c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv"))
         .repartition(par)  # parallelize the bucket fold off a 1-file source
-        .select("neighbor_id", "cv", lsh_bucket(F.col("cv")).alias("bucket"))
+        .select("neighbor_id", "cv", lsh_bucket("cv").alias("bucket"))
     )
     scored = c.join(
         F.broadcast(q),
@@ -252,11 +265,16 @@ CENTROIDS: list[list[float]] = [
 ]
 
 
-def _centroid_dots(vec: Column) -> Column:
+def _centroid_dots(col_name: str) -> Column:
     """Array of dot products with every centroid (each element is one
     sequential fold - evaluated once; no repeated sub-expressions, which
-    matters in interpreted mode where Spark does no CSE)."""
-    return F.array(*[_dot_lit(vec, c) for c in CENTROIDS])
+    matters in interpreted mode where Spark does no CSE). Takes a column
+    NAME — the 16x64 centroid literals inline into one Spark-SQL string
+    (see _dot_spark_sql for why)."""
+    v = _vec_sql(col_name)
+    return F.expr(
+        "array(" + ", ".join(_dot_spark_sql(v, c) for c in CENTROIDS) + ")"
+    )
 
 
 def _probe_list(dots: Column, nprobe: int) -> Column:
@@ -312,16 +330,18 @@ def ivf_topk(
     ).repartition(par).select(  # parallelize the 16-centroid fold
         "neighbor_id",
         "cv",
-        _centroid_dots(F.col("cv").cast("array<double>")).alias("dots"),
+        _centroid_dots("cv").alias("dots"),
     ).select(
         "neighbor_id",
         "cv",
         _probe_list(F.col("dots"), 1)[0].alias("cluster"),
     )
     q = queries.select(
-        _c(query_id).alias("query_id"),
-        _c(query_vec).alias("qv"),
-        _centroid_dots(_c(query_vec).cast("array<double>")).alias("dots"),
+        _c(query_id).alias("query_id"), _c(query_vec).alias("qv")
+    ).select(
+        "query_id",
+        "qv",
+        _centroid_dots("qv").alias("dots"),
     ).select(
         "query_id",
         "qv",
@@ -389,7 +409,7 @@ def kmeans_update(
     assigned = (
         corpus.select(_c(vec_col).cast("array<double>").alias("cv"))
         .repartition(par)  # parallelize the 16-centroid fold
-        .select("cv", _centroid_dots(F.col("cv")).alias("dots"))
+        .select("cv", _centroid_dots("cv").alias("dots"))
         .select("cv", _probe_list(F.col("dots"), 1)[0].alias("cluster"))
     )
     return (
@@ -429,7 +449,7 @@ def embedding_neardup_pairs(
     base = (
         df.select(_c(id_col).alias("id"), _c(vec_col).alias("v"))
         .repartition(par)
-        .select("id", "v", lsh_bucket(F.col("v")).alias("bucket"))
+        .select("id", "v", lsh_bucket("v").alias("bucket"))
         # the self-join otherwise evaluates the 8-plane bucket fold once
         # per side, single-threaded off a one-file source (measured 5x)
         .persist(StorageLevel.MEMORY_AND_DISK)
