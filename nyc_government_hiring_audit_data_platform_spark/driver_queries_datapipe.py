@@ -295,10 +295,22 @@ def q_tfidf_top_terms(spark, sf_dir):
     the join back), corpus size as a 1-row broadcast cross join, top-3
     terms per doc via WindowGroupLimit. At 100 TB every stage stays
     shuffle-on-term/doc with partial aggregation; nothing is quadratic."""
+    from pyspark import StorageLevel
+
     docs = _docs_par(spark, sf_dir, "doc_id", "text")
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf has two consumers (join left side, df counts) - without a
+    # persist the tokenize+explode+count subtree executes once per
+    # consumer (AQE never unifies the exchanges; see minhash/simhash
+    # precedent in operators/dedup.py)
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size counts ALL documents (a zero-token doc is absent from
+    # tf but still in the corpus) - cheap scan, no tokenization
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(dfc, "term")
