@@ -193,9 +193,16 @@ def fuzzy_title_pairs(
     Token blocking alone is NOT complete for token_set_ratio: on
     disjoint token sets the published algorithm falls back to a
     char-level ratio, so e.g. 'analyst'/'analysts' scores 93 with zero
-    shared tokens. Any such high-scoring pair shares long character
-    runs, which the 4-gram block catches. (At extreme scale swap the
-    4-gram block for MinHash-LSH over title shingles -
+    shared tokens; the 4-gram block catches those.
+
+    Completeness bound (tests/test_fuzzy_properties.py): a pair sharing
+    NO blocking key has all aligned runs <= 3 chars, which caps
+    token_set_ratio at 92.3 - so blocking is provably lossless for
+    cutoffs >= 93 and approximate below, where a miss requires
+    adversarial short single-token strings ('abcd'/'abxcd' = 88.9), not
+    realistic titles (brute-force equality on the domain fixtures is
+    asserted at the reference's 85/75 cutoffs). (At extreme scale swap
+    the 4-gram block for MinHash-LSH over title shingles -
     operators.dedup.minhash_lsh_pairs - to bound candidates.)
     """
     lt = (
