@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "kmeans_iteration",
     "token_counts",
     "quality_scores",
     "corpus_quality_by_source",
