@@ -790,6 +790,66 @@ def q_merge_upsert(spark, sf_dir):
 
 
 @query(
+    "scd2_intervals",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM orders WHERE o_custkey % 100 = 0
+    ),
+    chg AS (
+      SELECT *, LAG(o_orderpriority) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM o
+    ),
+    starts AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from, o_orderkey
+      FROM chg WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to,
+           CASE WHEN LEAD(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) IS NULL
+             THEN 1 ELSE 0 END AS is_current
+    FROM starts
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-2 dimension history: collapse each customer's order-priority
+    timeline into validity intervals - a change-start row opens a
+    version (lag detects the change), lead closes it, the open interval
+    is current. Both windows partition on the same key so ONE shuffle
+    services the whole query; this is the streaming-free way to build
+    slowly-changing dimensions from an event log at any scale."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    starts = (
+        o.withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return starts.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
+@query(
     "neardup_components",
     None,  # oracle attached below (needs the ANN edge SQL)
 )
