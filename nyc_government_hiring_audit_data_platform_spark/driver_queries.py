@@ -701,7 +701,12 @@ def q_date_impute_duration(spark, sf_dir):
     impute +30 days (reference: src/utils.py:118-138), parse the
     uppercased %d-%b-%Y form back, and compute posting_duration_days
     (reference: sql/cleaned.sql:10)."""
-    ev = table(spark, sf_dir, "events")
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .repartition(par)  # date parse/format chains off a 1-file scan
+    )
     src = ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("posting_date"),
