@@ -160,6 +160,113 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+@query(
+    "argmax_agg",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey) AS richest_customer,
+           ROUND(MAX(c_acctbal), 2) AS max_acctbal,
+           arg_min(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000
+                           + c_custkey) AS poorest_customer
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_argmax_agg(spark, sf_dir):
+    """Arg-max/arg-min aggregation (the row attribute AT the extreme,
+    not the extreme itself) - single-pass, partial-aggregatable, unlike
+    the self-join people write instead. The ordering key packs
+    (acctbal, custkey) into one BIGINT (acctbal has exactly 2 decimals,
+    so *100 is integral; custkey < 10^7 fills the low digits) - ties
+    break deterministically and identically in both engines without
+    struct-typed arg_max, which DuckDB lacks."""
+    c = table(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+    )
+
+
+@query(
+    "histogram_bins",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_bins(spark, sf_dir):
+    """Fixed-width histogram (data-profiling primitive): bin id is pure
+    arithmetic (floor of an IEEE division - bit-identical across
+    engines), top bin clamps the tail. One partial-agg shuffle; the
+    profile of 100 TB is 10 rows."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+@query(
+    "profile_columns",
+    """
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    """,
+)
+def q_profile_columns(spark, sf_dir):
+    """Table profiling (ANALYZE-style): per-column row/null/distinct
+    counts and min/max, stringified into one uniform relation. Spark
+    computes the multi-distinct aggregate via Expand in a single pass
+    over the scan; at 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct per column."""
+    o = table(spark, sf_dir, "orders")
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+
+    out = prof("o_custkey")
+    for c in ("o_orderpriority", "o_orderstatus"):
+        out = out.unionByName(prof(c))
+    return out
+
+
 @query("approx_distinct")
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HLL++). Rows-only check: the estimate is
