@@ -201,3 +201,39 @@ def test_kmeans_update_single_shuffle(spark, sf_dir):
     df = QUERIES["kmeans_iteration"](spark, sf_dir)
     assert PI.shuffle_count(df) <= 2
     assert "CartesianProduct" not in PI.physical_plan(df)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A filtered dim joined on the fact's partition column must inject
+    a dynamicpruning subquery into the scan's PartitionFilters - at
+    scale this skips whole partitions at runtime. The two conf
+    overrides only compensate for the tiny local fact table (the
+    default size heuristics would deem pruning not worth it here)."""
+    d = str(tmp_path / "orders_part")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(d)
+    old_stats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    old_ratio = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+    )
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100.0"
+        )
+        fact = spark.read.parquet(d)
+        dim = spark.createDataFrame(
+            [("1-URGENT", 10), ("2-HIGH", 20), ("3-MEDIUM", 1)], ["prio", "w"]
+        ).filter(F.col("w") > 5)
+        j = fact.join(dim, fact.o_orderpriority == dim.prio).agg(
+            F.sum(F.col("o_totalprice") * F.col("w")).alias("s")
+        )
+        assert "dynamicpruningexpression" in PI.physical_plan(j).lower(), (
+            "partition-column join with filtered dim should inject DPP"
+        )
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", old_stats)
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", old_ratio
+        )
