@@ -217,3 +217,36 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``horizon`` AFTER a
+    click by the same user. Both sides carry watermarks and the join
+    range-bounds the event times, so state for either side is dropped
+    once the watermark passes click_ts + horizon - bounded state at any
+    scale. On batch DataFrames the same expression is a plain
+    range-condition equi-join (watermarks are no-ops), which is what the
+    equality test compares against."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")

@@ -95,3 +95,25 @@ def test_available_now_checkpoint_idempotent(spark, events_dir, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 > 0
     assert n2 == n1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, batch_events):
+    from nyc_government_hiring_audit_data_platform_spark.streaming import jobs as J
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    sc, sp = split(J.read_events_stream(spark, events_dir))
+    joined = J.click_purchase_interval_join(sc, sp)
+    J.run_to_memory(joined, "ss_join", output_mode="append")
+    stream_rows = sorted(map(tuple, spark.table("ss_join").collect()))
+
+    bc, bp = split(batch_events)
+    batch_rows = sorted(
+        map(tuple, J.click_purchase_interval_join(bc, bp).collect())
+    )
+    assert len(stream_rows) > 0
+    assert stream_rows == batch_rows
