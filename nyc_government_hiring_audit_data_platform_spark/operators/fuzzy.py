@@ -21,6 +21,10 @@ At 100 TB: distinct-title dedup runs first (a few-hundred-thousand
 distinct titles at most, vs billions of rows), the blocked join shuffles
 on tokens (AQE splits skewed tokens like "analyst"), scoring touches only
 candidates, and results join back to full rows by the normalized title.
+On a cluster with rapidfuzz installed, swap the list comprehensions in
+token_set_ratio_udf / wratio_udf for ``rapidfuzz.process.cpdist`` over
+the same candidate pairs (identical published algorithm, C++ kernel,
+~100x per-pair) - the plan shape and everything upstream is unchanged.
 """
 
 from __future__ import annotations
