@@ -16,6 +16,7 @@ Each callable takes (spark, sf_dir) and returns a lazy DataFrame.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -50,6 +51,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Local-VM protection, applied here because the driver harness runs
+    # these queries in its OWN SparkSession (session.get_spark's JVM
+    # flags can't reach it): this VM's C2 JIT chokes compiling Spark's
+    # generated classes (a 64-row broadcast stage once burned 42s of
+    # compile CPU - independent of data size), so run interpreted
+    # expression eval unless explicitly overridden. Runtime-settable,
+    # harmless on real clusters where the override restores the default.
+    if os.environ.get("SPARK_GRAFT_CODEGEN") != "1":
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
