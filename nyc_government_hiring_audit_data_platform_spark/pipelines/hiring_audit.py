@@ -367,3 +367,82 @@ def run_pipeline(spark: SparkSession, limit: int | None = None) -> dict[str, Dat
         "gold_salary_matches_unique": gold_salary_matches_unique(matches),
         "gold_durations_unique": gold_durations_unique(durations),
     }
+
+
+# ---------------------------------------------------------------------------
+# EP3 SQL path: sql/cleaned.sql ported to Spark SQL (SURVEY §7.1.6 asks
+# for BOTH forms so they can cross-check each other; the DataFrame
+# builders above are the primary path)
+# ---------------------------------------------------------------------------
+
+# post_until is '17-SEP-2025'; Java's MMM parse needs title case (same
+# fix as functions.dates.parse_post_until, inlined as SQL)
+_POST_UNTIL_DATE_SQL = (
+    "to_date(concat_ws('-', split(post_until, '-')[0], "
+    "concat(upper(substring(split(post_until, '-')[1], 1, 1)), "
+    "lower(substring(split(post_until, '-')[1], 2, 2))), "
+    "split(post_until, '-')[2]), 'dd-MMM-yyyy')"
+)
+_DURATION_SQL = (
+    f"CAST(datediff({_POST_UNTIL_DATE_SQL}, "
+    "to_date(to_timestamp(posting_date, \"yyyy-MM-dd'T'HH:mm:ss[.SSS]\"))) AS INT)"
+)
+
+GOLD_SQL: dict[str, str] = {
+    "nyc_salary_matches": f"""
+        SELECT business_title AS posted_job_title,
+               salary_range_from AS posted_salary_range_from,
+               salary_range_to AS posted_salary_range_to,
+               posting_date, post_until,
+               {_DURATION_SQL} AS posting_duration_days,
+               title_description AS payroll_job_title,
+               base_salary, pay_basis, regular_gross_paid,
+               total_ot_paid, total_other_pay,
+               score AS match_score
+        FROM bronze_salary_matches
+        ORDER BY match_score DESC
+    """,
+    "nyc_matched_job_posting_duration_SOC": """
+        SELECT business_title AS title,
+               lightcast_matched_occupation,
+               `Total Postings (Jan 2024 - Jun 2025)` AS total_postings,
+               `Median Posting Duration` AS median_posting_duration
+        FROM bronze_lightcast_durations
+        ORDER BY median_posting_duration DESC
+    """,
+    "nyc_salary_matches_unique_job_posting_title": f"""
+        SELECT business_title AS posted_job_title,
+               MAX(title_description) AS payroll_job_title,
+               MAX(score) AS match_score,
+               MAX(salary_range_from) AS posted_salary_range_from,
+               MAX(salary_range_to) AS posted_salary_range_to,
+               MAX(base_salary) AS base_salary,
+               MAX({_DURATION_SQL}) AS posting_duration_days,
+               MAX(regular_gross_paid) AS regular_gross_paid,
+               MAX(total_ot_paid) AS total_ot_paid,
+               MAX(total_other_pay) AS total_other_pay
+        FROM bronze_salary_matches
+        GROUP BY business_title
+        ORDER BY match_score DESC
+    """,
+    "nyc_matched_job_posting_duration_SOC_unique_title": """
+        SELECT DISTINCT business_title AS title,
+               lightcast_matched_occupation,
+               `Total Postings (Jan 2024 - Jun 2025)` AS total_postings,
+               `Median Posting Duration` AS median_posting_duration
+        FROM bronze_lightcast_durations
+        ORDER BY median_posting_duration DESC
+    """,
+}
+
+
+def gold_tables_sql(
+    spark: SparkSession, matches: DataFrame, durations: DataFrame
+) -> dict[str, DataFrame]:
+    """The four GOLD tables via ``spark.sql`` over temp views (reference:
+    sql/cleaned.sql:2-51, column aliases matching the DataFrame builders
+    so the two paths cross-check; Catalyst compiles both to the same
+    logical plans)."""
+    matches.createOrReplaceTempView("bronze_salary_matches")
+    durations.createOrReplaceTempView("bronze_lightcast_durations")
+    return {name: spark.sql(q) for name, q in GOLD_SQL.items()}

@@ -169,3 +169,28 @@ def test_limit_path(spark):
     m = HA.fuzzy_match_salary(payroll, postings, limit=2)
     per_title = m.groupBy("business_title").count().collect()
     assert all(r["count"] <= 2 for r in per_title)
+
+
+def test_gold_sql_path_matches_dataframe_path(pipeline_tables):
+    """sql/cleaned.sql ported to spark.sql must agree with the DataFrame
+    GOLD builders row-for-row (SURVEY §7.1.6 cross-check)."""
+    matches = pipeline_tables["payroll_to_jobs_title_fuzzy_matches"]
+    durations = pipeline_tables["jobs_to_lightcast_title_fuzzy_matches"]
+    spark = matches.sparkSession
+    sql_tables = HA.gold_tables_sql(spark, matches, durations)
+    df_tables = {
+        "nyc_salary_matches": HA.gold_salary_matches(matches),
+        "nyc_matched_job_posting_duration_SOC": HA.gold_durations(durations),
+        "nyc_salary_matches_unique_job_posting_title": HA.gold_salary_matches_unique(
+            matches
+        ),
+        "nyc_matched_job_posting_duration_SOC_unique_title": HA.gold_durations_unique(
+            durations
+        ),
+    }
+    for name, sdf in sql_tables.items():
+        ddf = df_tables[name]
+        assert sorted(sdf.columns) == sorted(ddf.columns), name
+        s = sorted(map(tuple, sdf.select(*sorted(sdf.columns)).collect()))
+        d = sorted(map(tuple, ddf.select(*sorted(ddf.columns)).collect()))
+        assert s == d, f"{name}: SQL path != DataFrame path"
