@@ -149,6 +149,40 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "zscore_normalize",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu,
+             sqrt(AVG(value * value) - AVG(value) * AVG(value)) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 3) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    """,
+)
+def q_zscore_normalize(spark, sf_dir):
+    """Feature standardization (z-score per event_type): one partial-agg
+    shuffle computes the per-group moments, the tiny stats relation
+    broadcasts back onto the fact rows - the canonical normalize-before-
+    training shape; the fact side never shuffles. Sigma uses the same
+    explicit E[x^2]-E[x]^2 formula on both engines (stddev_pop
+    implementations differ algorithmically across engines; this doesn't)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")).alias(
+            "sigma"
+        ),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias("zscore"),
+    )
+
+
+@query(
     "kmeans_iteration",
     ANN.kmeans_update_sql("embeddings", "vec_id", "embedding"),
 )
