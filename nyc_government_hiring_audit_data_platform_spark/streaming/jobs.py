@@ -250,3 +250,15 @@ def click_purchase_interval_join(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
         "inner",
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against a static (batch) dimension - no watermark or state
+    needed because the static side is fully available every batch; Spark
+    broadcasts it per micro-batch when small. The standard shape for
+    stamping reference data (rates, configs, user attributes) onto an
+    event stream."""
+    return events.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "user_id", "event_type", "ts", "value", "weight"
+    )

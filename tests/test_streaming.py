@@ -117,3 +117,17 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, batch_even
     )
     assert len(stream_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, batch_events):
+    from nyc_government_hiring_audit_data_platform_spark.streaming import jobs as J
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5), ("signup", 3.0)],
+        ["event_type", "weight"],
+    )
+    stream = J.enrich_with_static_dim(J.read_events_stream(spark, events_dir), dim)
+    J.run_to_memory(stream, "enriched", output_mode="append")
+    s = sorted(map(tuple, spark.table("enriched").collect()))
+    b = sorted(map(tuple, J.enrich_with_static_dim(batch_events, dim).collect()))
+    assert len(s) > 0 and s == b
