@@ -893,6 +893,78 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+@query(
+    "hourly_spine_zerofill",
+    """
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS h FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+    counts AS (SELECT h, COUNT(*) AS n FROM ev GROUP BY h)
+    SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(c.n, 0) AS n_purchases
+    FROM spine s LEFT JOIN counts c USING (h)
+    """,
+)
+def q_hourly_spine_zerofill(spark, sf_dir):
+    """Time-series resample with zero-fill: a groupBy window agg only
+    emits NON-EMPTY buckets, so gap-free series need a generated hour
+    spine (sequence off the 1-row min/max agg, exploded) left-joined to
+    the counts. The spine is O(hours) regardless of data size - it
+    broadcasts; the event side aggregates with one partial-agg shuffle."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(F.date_trunc("hour", "ts").alias("h"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    counts = ev.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return F.broadcast(spine).join(counts, "h", "left").select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+    )
+
+
+@query(
+    "impute_group_mean",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    stats AS (SELECT event_type, AVG(v) AS mu FROM base GROUP BY event_type)
+    SELECT b.event_id, b.event_type,
+           ROUND(COALESCE(b.v, s.mu), 3) AS v_imputed,
+           CASE WHEN b.v IS NULL THEN 1 ELSE 0 END AS was_imputed
+    FROM base b JOIN stats s USING (event_type)
+    """,
+)
+def q_impute_group_mean(spark, sf_dir):
+    """Null repair by group mean (fillna-by-group): per-group means from
+    the non-null rows (AVG skips nulls in both engines), broadcast back
+    onto the facts, coalesce fills the holes. 1-in-13 values are nulled
+    deterministically since the synthetic events have no natural nulls.
+    Same broadcast join-back shape as zscore_normalize - the fact side
+    never shuffles."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    stats = ev.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce("v", "mu"), 3).alias("v_imputed"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_imputed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline suite (dedup / similarity search / text analysis)
 # registers additional queries into the same QUERIES/ORACLE registry
