@@ -152,8 +152,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     "zscore_normalize",
     """
     WITH stats AS (
-      SELECT event_type, AVG(value) AS mu,
-             sqrt(AVG(value * value) - AVG(value) * AVG(value)) AS sigma
+      SELECT event_type,
+             ROUND(AVG(value), 6) AS mu,
+             ROUND(sqrt(AVG(value * value) - AVG(value) * AVG(value)), 6) AS sigma
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -167,13 +168,19 @@ def q_zscore_normalize(spark, sf_dir):
     broadcasts back onto the fact rows - the canonical normalize-before-
     training shape; the fact side never shuffles. Sigma uses the same
     explicit E[x^2]-E[x]^2 formula on both engines (stddev_pop
-    implementations differ algorithmically across engines; this doesn't)."""
+    implementations differ algorithmically across engines; this doesn't),
+    and mu/sigma are quantized to 6 decimals on BOTH engines before the
+    division: Spark's partial-agg summation order differs from DuckDB's
+    sequential AVG by ~1 ulp, which is enough to flip the 3-decimal
+    output rounding on boundary values (round-1 driver hash mismatch);
+    after quantization the per-row math runs on bit-identical doubles."""
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.sqrt(F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")).alias(
-            "sigma"
-        ),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(
+            F.sqrt(F.avg(F.col("value") * F.col("value")) - F.avg("value") * F.avg("value")),
+            6,
+        ).alias("sigma"),
     )
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",

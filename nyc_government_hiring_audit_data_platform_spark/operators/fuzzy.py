@@ -33,7 +33,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import DoubleType, IntegerType
 
 from nyc_government_hiring_audit_data_platform_spark.functions.text import (
     normalize_text,
@@ -164,10 +164,14 @@ def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
-@F.pandas_udf(IntegerType())
+@F.pandas_udf(DoubleType())
 def wratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Unrounded WRatio: the reference compares rapidfuzz's float WRatio
+    against the cutoff BEFORE any integer cast (src/fuzzy_match_salary.py
+    :136-140), so rounding here would admit boundary scores in
+    [cutoff-0.5, cutoff) that the reference rejects. Round at output."""
     return pd.Series(
-        [int(round(wratio(x or "", y or ""))) for x, y in zip(a, b)], dtype="int32"
+        [wratio(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
     )
 
 
@@ -241,10 +245,19 @@ def fuzzy_title_pairs(
     stage1 = cand.withColumn(
         "ts_ratio", token_set_ratio_udf(F.col("left_norm"), F.col("right_norm"))
     ).filter(F.col("ts_ratio") >= prefilter_cutoff)
+    # stage-1 int rounding above matches the reference's uint8 cdist;
+    # stage 2 compares the UNROUNDED float WRatio (reference :136-140)
+    # and rounds only the emitted score (stored as uint8 there).
     stage2 = stage1.withColumn(
-        "score", wratio_udf(F.col("left_norm"), F.col("right_norm"))
-    ).filter(F.col("score") >= score_cutoff)
-    return stage2.select("left_title", "right_title", "left_norm", "right_norm", "score")
+        "score_f", wratio_udf(F.col("left_norm"), F.col("right_norm"))
+    ).filter(F.col("score_f") >= score_cutoff)
+    return stage2.select(
+        "left_title",
+        "right_title",
+        "left_norm",
+        "right_norm",
+        F.round("score_f").cast("int").alias("score"),
+    )
 
 
 def fuzzy_join(
@@ -260,11 +273,16 @@ def fuzzy_join(
     int (reference J4 row-merge, src/fuzzy_match_salary.py:156).
 
     The expensive scoring runs once per distinct title pair; full rows
-    re-attach via two equi-joins on the title."""
+    re-attach via two equi-joins on the title. The pair table carries NO
+    broadcast hint: its size is data-dependent (the reference's v2.0 run
+    produced 8.7M match pairs - BASELINE.md - which at 100x would OOM a
+    forced broadcast), so AQE picks the strategy from the observed
+    runtime size - broadcast when the pairs are small (the common case:
+    distinct titles x cutoff), shuffled hash/sort-merge when not."""
     pairs = fuzzy_title_pairs(
         left, right, left_col, right_col, prefilter_cutoff, score_cutoff
     )
-    pairs_small = F.broadcast(pairs.select("left_title", "right_title", "score"))
+    pairs_small = pairs.select("left_title", "right_title", "score")
     out = (
         left.join(pairs_small, left[left_col] == pairs_small["left_title"])
         .join(right, pairs_small["right_title"] == right[right_col])

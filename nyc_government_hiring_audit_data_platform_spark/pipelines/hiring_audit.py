@@ -193,9 +193,19 @@ def fuzzy_match_salary(
     Prep (reference: src/fuzzy_match_salary.py:67-91): cast fiscal_year,
     BETWEEN filter, lenient timestamp parse + not-null + reformat,
     post_until +30d imputation. Match: two-stage fuzzy join 85/85.
-    Post: salary-band filter; with ``limit``, per-job top-N by score THEN
-    band filter (reference applies the band check after the top-N slice
-    in the limit path - src/utils.py:141-157 - and before it otherwise).
+    Post: salary-band filter; with ``limit``, the band filter runs FIRST
+    and the top-N slice is keyed per posting ROW - the reference admits
+    only in-band candidates into matches_by_job (src/fuzzy_match_salary
+    .py:144-158, keyed by job_index) and slices top-``limit`` by score
+    inside apply_limit_to_matches (src/utils.py:141-157, which re-checks
+    the band redundantly). Deliberate deviations, both documented:
+    (a) the reference's limit is per (posting row, payroll CHUNK) -
+    matches_by_job resets every payroll_chunk_size slice, so a posting
+    can emit up to limit x n_chunks rows; here the limit is global per
+    posting row (the semantics the parameter name promises);
+    (b) the reference breaks score ties by payroll insertion order
+    (stable sort); here ties break deterministically by
+    (title_description, base_salary).
     Output: the declared 12-column schema (:94-107).
     """
     pay = (
@@ -210,6 +220,12 @@ def fuzzy_match_salary(
         .drop("_ts")
         .withColumn("post_until", impute_post_until("post_until", "posting_date"))
     )
+    if limit is not None:
+        # per-posting-ROW key for the top-N window (reference keys
+        # matches_by_job by job_index, not by title - duplicate titles
+        # are limited independently). monotonically_increasing_id is
+        # partition-local arithmetic: no shuffle, scale-safe.
+        post = post.withColumn("_post_row", F.monotonically_increasing_id())
     joined = fuzzy_join(
         post, pay, "business_title", "title_description",
         prefilter_cutoff, score_cutoff,
@@ -221,14 +237,17 @@ def fuzzy_match_salary(
     if limit is None:
         out = joined.filter(in_band)
     else:
-        w = Window.partitionBy("business_title").orderBy(
+        # band filter BEFORE the window: out-of-band higher scorers must
+        # not push in-band matches out of the top-N (reference admits
+        # only in-band candidates into the slice).
+        w = Window.partitionBy("_post_row").orderBy(
             F.desc("score"), F.asc("title_description"), F.asc("base_salary")
         )
         out = (
-            joined.withColumn("_rn", F.row_number().over(w))
+            joined.filter(in_band)
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= limit)
-            .drop("_rn")
-            .filter(in_band)
+            .drop("_rn", "_post_row")
         )
     return out.select(*MATCH_COLUMNS)
 

@@ -162,13 +162,49 @@ def test_bronze_lineage(pipeline_tables):
 
 
 def test_limit_path(spark):
-    """Top-N limit path: at most N rows per business_title BEFORE the
-    band filter, so counts never exceed limit per title."""
+    """Top-N limit path is keyed per posting ROW (reference keys
+    matches_by_job by job_index): a title appearing on k posting rows may
+    emit up to k*limit matches, never more."""
     payroll = HA.make_payroll_fixture(spark, 400)
     postings = HA.make_postings_fixture(spark, 80)
     m = HA.fuzzy_match_salary(payroll, postings, limit=2)
+    rows_per_title = {
+        r["business_title"]: r["count"]
+        for r in postings.groupBy("business_title").count().collect()
+    }
     per_title = m.groupBy("business_title").count().collect()
-    assert all(r["count"] <= 2 for r in per_title)
+    for r in per_title:
+        assert r["count"] <= 2 * rows_per_title[r["business_title"]], r
+    # and the limit path only ever emits in-band rows
+    for r in m.collect():
+        assert r["salary_range_from"] <= r["base_salary"] <= r["salary_range_to"]
+
+
+def test_limit_band_filter_precedes_topn(spark):
+    """Reference ordering regression (src/fuzzy_match_salary.py:144-158):
+    only IN-BAND candidates enter the per-posting top-N, so an
+    out-of-band perfect scorer must not evict an in-band match."""
+    postings = spark.createDataFrame(
+        [("data analyst", 50000.0, 60000.0, "2024-03-01T00:00:00.000", "01-JUN-2024")],
+        "business_title string, salary_range_from double, salary_range_to double, "
+        "posting_date string, post_until string",
+    )
+    payroll = spark.createDataFrame(
+        [
+            # exact title match (score 100) but salary OUT of band
+            ("2024", "data analyst", 100000.0, "per Annum", 1.0, 0.0, 0.0),
+            # weaker (but >=85) match, salary IN band
+            ("2024", "data analyst junior", 55000.0, "per Annum", 1.0, 0.0, 0.0),
+        ],
+        "fiscal_year string, title_description string, base_salary double, "
+        "pay_basis string, regular_gross_paid double, total_ot_paid double, "
+        "total_other_pay double",
+    )
+    m = HA.fuzzy_match_salary(payroll, postings, limit=1).collect()
+    assert len(m) == 1
+    assert m[0]["title_description"] == "data analyst junior"
+    # the old filter-after-topn ordering would have sliced to the
+    # out-of-band 100-scorer and emitted nothing
 
 
 def test_gold_sql_path_matches_dataframe_path(pipeline_tables):

@@ -71,6 +71,32 @@ def test_fuzzy_pipeline_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_join_pairs_broadcast_is_aqe_decided(spark):
+    """The fuzzy pair table must carry NO static broadcast hint (it can
+    reach millions of pairs - BASELINE.md v2.0's 8.7M - where a forced
+    broadcast OOMs the driver at scale): the logical plan has no hint,
+    and AQE converts the title re-attach joins to broadcast AT RUNTIME
+    when the observed pair table is small."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame(
+        [("data analyst",), ("data analysts",)], "t_left string"
+    )
+    right = spark.createDataFrame(
+        [("data analyst",), ("project manager",)], "t_right string"
+    )
+    out = fuzzy_join(left, right, "t_left", "t_right", 85, 85)
+    assert "UnresolvedHint" not in str(out._jdf.queryExecution().logical())
+    assert "ResolvedHint" not in str(out._jdf.queryExecution().analyzed())
+    out.collect()  # materialize so AQE finalizes the physical plan
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, (
+        "AQE should broadcast the (tiny) runtime pair table:\n" + final
+    )
+
+
 def test_catalog_roundtrip(spark, tmp_path):
     from nyc_government_hiring_audit_data_platform_spark.pipelines import catalog as C
 
