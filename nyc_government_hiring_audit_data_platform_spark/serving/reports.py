@@ -20,17 +20,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # id -> (name, dataframe-producer) registry; mirrors DATASET_CONFIG
-# (reference: api/fetch_data.py:13-26).
+# (reference: api/fetch_data.py:13-26). Names keep the reference's
+# "GOLD." prefix; listings strip it (api/fetch_data.py:86-94).
 _REGISTRY: dict[int, tuple[str, Any]] = {}
+
+# the reference's four GOLD datasets in DATASET_CONFIG order
+GOLD_DATASET_NAMES = (
+    "GOLD.nyc_salary_matches",
+    "GOLD.nyc_matched_job_posting_duration_SOC",
+    "GOLD.nyc_salary_matches_unique_job_posting_title",
+    "GOLD.nyc_matched_job_posting_duration_SOC_unique_title",
+)
 
 
 def register_dataset(dataset_id: int, name: str, df_factory) -> None:
     _REGISTRY[dataset_id] = (name, df_factory)
 
 
+def register_gold_tables(tables: dict[str, Any]) -> None:
+    """Bind the pipeline's GOLD tables to the reference's dataset ids
+    0-3 (reference: api/fetch_data.py:13-26). ``tables`` maps the
+    unprefixed table name -> DataFrame (the shape
+    pipelines.hiring_audit.run_pipeline emits)."""
+    for i, full_name in enumerate(GOLD_DATASET_NAMES):
+        short = full_name.split("GOLD.")[-1]
+        if short in tables:
+            df = tables[short]
+            register_dataset(i, full_name, lambda df=df: df)
+
+
 def list_datasets() -> list[dict]:
-    """GET /reports (reference: api/main.py:84-94)."""
-    return [{"id": i, "name": name} for i, (name, _) in sorted(_REGISTRY.items())]
+    """GET /reports (reference: api/main.py:33-39 ->
+    fetch_data.get_reports_list:86-96): id + table name with the
+    'GOLD.' prefix stripped, under the reference's ``report`` key."""
+    return [
+        {"id": i, "report": name.split("GOLD.")[-1]}
+        for i, (name, _) in sorted(_REGISTRY.items())
+    ]
 
 
 def fetch_report(
@@ -50,6 +76,17 @@ def fetch_report(
     order = order_by if order_by is not None else [F.asc(c) for c in df.columns]
     page = df.orderBy(*order).offset(offset).limit(limit)
     return [r.asDict(recursive=True) for r in page.collect()]
+
+
+def fetch_single_dataset(dataset_id, offset, limit) -> list[dict]:
+    """Reference-shaped fetch (api/fetch_data.py:28-43): all three params
+    arrive untyped from the route and are int-cast first (a non-numeric
+    value raises ValueError -> HTTP 400), an unknown id raises ValueError
+    ('Invalid dataset_id' -> 400, reference :36-37)."""
+    dataset_id, offset, limit = int(dataset_id), int(offset), int(limit)
+    if dataset_id not in _REGISTRY:
+        raise ValueError(f"Invalid dataset_id: {dataset_id}")
+    return fetch_report(dataset_id, offset, limit)
 
 
 # -- dashboard aggregations (streamlit/app.py) -------------------------------
@@ -76,28 +113,80 @@ def summary_metrics(df: DataFrame, col: str = "match_score") -> dict:
     return {"rows": row["n"], "mean_score": row["mean"]}
 
 
+def dashboard_view(
+    df: DataFrame,
+    lo: float | None = None,
+    hi: float | None = None,
+    col: str = "match_score",
+) -> dict:
+    """The Streamlit page's data contract in one call (reference:
+    streamlit/app.py:42-91): slider bounds from the full dataset,
+    range-filtered row count vs total, and the filtered mean formatted
+    to 1 decimal like the st.metric (:89). ``lo``/``hi`` default to the
+    bounds (the slider's initial value, :63)."""
+    b_lo, b_hi = score_bounds(df, col)
+    lo = b_lo if lo is None else lo
+    hi = b_hi if hi is None else hi
+    filtered = filter_score_range(df, lo, hi, col)
+    row = filtered.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col(col).cast("double")).alias("mean")
+    ).collect()[0]
+    return {
+        "bounds": (b_lo, b_hi),
+        "selected": (lo, hi),
+        "rows_shown": row["n"],
+        "rows_total": df.count(),
+        "avg_score": None if row["mean"] is None else round(float(row["mean"]), 1),
+    }
+
+
 def build_app():  # pragma: no cover - fastapi not installed here
-    """FastAPI shim over the functions above (reference: api/main.py).
+    """FastAPI shim over the functions above, route-for-route with the
+    reference (api/main.py:14-51): '/', '/health', '/reports',
+    '/reports/{report_id}' (string path param int-cast inside the fetch;
+    ValueError -> 400, empty result -> 404 'Report not found').
     Gated: raises with guidance when fastapi is unavailable."""
     try:
         from fastapi import FastAPI, HTTPException
     except ImportError as exc:
         raise NotImplementedError(
             "fastapi is not installed in this container; serve the plain "
-            "functions (list_datasets/fetch_report) behind any HTTP layer"
+            "functions (list_datasets/fetch_single_dataset) behind any "
+            "HTTP layer"
         ) from exc
+
+    import datetime
 
     app = FastAPI(title="nyc-hiring-audit-spark")
 
-    @app.get("/reports")
+    @app.get("/", tags=["Root"])
+    def read_root():
+        return {
+            "message": "Welcome to the NYC Jobs Audit API. Please visit "
+            "'/docs' for documentation on how to use this API."
+        }
+
+    @app.get("/health", tags=["Health"])
+    def read_health():
+        return {
+            "status": "healthy",
+            "timestamp": datetime.datetime.now().isoformat(),
+        }
+
+    @app.get("/reports", tags=["Reports"])
     def reports():
         return list_datasets()
 
-    @app.get("/reports/{dataset_id}")
-    def report(dataset_id: int, offset: int = 0, limit: int = 750_000):
+    @app.get("/reports/{report_id}", tags=["Reports"])
+    def report(report_id, offset: int = 0, limit: int = 750_000):
         try:
-            return fetch_report(dataset_id, offset, limit)
-        except KeyError as e:
-            raise HTTPException(status_code=404, detail=str(e))
+            rows = fetch_single_dataset(report_id, offset, limit)
+        except ValueError as e:
+            raise HTTPException(status_code=400, detail=str(e))
+        except KeyError:
+            raise HTTPException(status_code=404, detail="Dataset not found")
+        if not rows:
+            raise HTTPException(status_code=404, detail="Report not found")
+        return rows
 
     return app

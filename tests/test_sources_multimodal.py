@@ -127,3 +127,70 @@ def test_real_decoder_raises(spark):
     media = MM.make_media_fixture(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         MM.extract_features(media, decoder="real").collect()
+
+
+# -- real (pure-numpy PPM) decode path ---------------------------------------
+
+
+def test_ppm_codec_roundtrip():
+    import numpy as np
+
+    arr = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    data = MM.encode_ppm(arr)
+    assert data.startswith(b"P6\n7 5\n255\n")
+    assert np.array_equal(MM.decode_ppm(data), arr)
+    # header grammar: comments + arbitrary whitespace (netpbm spec)
+    commented = b"P6 # comment\n# another\n 7\t5 # dims\n255\n" + data.split(b"255\n", 1)[1]
+    assert np.array_equal(MM.decode_ppm(commented), arr)
+    with pytest.raises(ValueError, match="P6"):
+        MM.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_resize_nearest_aspect():
+    import numpy as np
+
+    arr = np.zeros((100, 40, 3), dtype=np.uint8)
+    out = MM.resize_nearest(arr, 50)
+    assert out.shape == (50, 20, 3)
+    small = np.zeros((8, 8, 3), dtype=np.uint8)
+    assert MM.resize_nearest(small, 50) is small
+
+
+def test_ppm_features_decode_real_bytes(spark):
+    """extract_features(decoder='ppm') must decode actual image bytes:
+    mean_byte equals numpy's mean over the original raster."""
+    import numpy as np
+
+    media = MM.make_ppm_media_fixture(spark, 12)
+    expected = {
+        r["media_id"]: float(MM.decode_ppm(bytes(r["payload"])).mean())
+        for r in media.collect()
+    }
+    feats = {r["media_id"]: r for r in MM.extract_features(media, decoder="ppm").collect()}
+    assert len(feats) == 12
+    for mid, want in expected.items():
+        assert feats[mid]["mean_byte"] == pytest.approx(want, abs=1e-9)
+        # and differs from the fake path (header bytes pollute that mean)
+        assert isinstance(feats[mid]["mean_byte"], float)
+    assert all(np.isfinite(list(expected.values())))
+
+
+def test_ppm_resize_end_to_end(spark):
+    """resize_images(decoder='ppm') re-encodes genuinely resized rasters:
+    output payloads are valid PPMs whose dims match the metadata, max
+    side <= target, aspect preserved."""
+    media = MM.make_ppm_media_fixture(spark, 12)
+    orig = {r["media_id"]: r for r in media.collect()}
+    out = MM.resize_images(media, max_side=32, decoder="ppm").collect()
+    assert len(out) == 12
+    for r in out:
+        arr = MM.decode_ppm(bytes(r["payload"]))  # payload is decodable
+        assert arr.shape[:2] == (r["height"], r["width"])
+        assert max(r["height"], r["width"]) <= 32
+        o = orig[r["media_id"]]
+        if max(o["height"], o["width"]) > 32:  # genuinely downscaled
+            assert r["height"] < o["height"] or r["width"] < o["width"]
+            # exact dims the aspect-preserving scale predicts
+            scale = 32 / max(o["height"], o["width"])
+            assert r["height"] == max(1, round(o["height"] * scale))
+            assert r["width"] == max(1, round(o["width"] * scale))
