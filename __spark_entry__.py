@@ -78,12 +78,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hist = _driver_history()
 
     def prio(name: str) -> tuple[int, int]:
+        if name in hist and not hist[name][0]:
+            return (0, hist[name][1])  # failed last check: re-verify first
         if name not in hist:
-            return (0, 0)  # never driver-checked: first
-        green, rnd = hist[name]
-        if not green:
-            return (1, rnd)  # failed last check: re-verify next
-        return (2, rnd)  # green: least-recently-checked first
+            return (1, 0)  # never driver-checked
+        return (2, hist[name][1])  # green: least-recently-checked first
 
     ordered = sorted(DQ.QUERIES, key=prio)  # stable: keeps declaration order within tiers
     return {name: DQ.QUERIES[name] for name in ordered}

@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "quality_scores",
     "corpus_quality_by_source",
     "tfidf_top_terms",
+    "pii_redaction",
+    "repetition_ratio",
+    "pack_sequences",
+    "benchmark_contamination",
+    "embedding_l2_normalize",
 ]
 
 

@@ -974,6 +974,9 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_datapipe as _datapipe,
 )
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_datapipe2 as _datapipe2,
+)
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_domain as _domain,
 )
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401

@@ -263,3 +263,23 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", old_ratio
         )
+
+
+def test_contamination_broadcasts_bench_grams(spark, sf_dir):
+    """benchmark_contamination: the held-out gram set must broadcast
+    (it is bounded by the benchmark size, not the corpus) and the
+    corpus side must stay a linear explode + equi-join."""
+    df = QUERIES["benchmark_contamination"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, "bench gram set should broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle_window(spark, sf_dir):
+    """pack_sequences: exactly one hash exchange (on source) feeds the
+    running-sum window - no global single-partition window, no extra
+    shuffles."""
+    df = QUERIES["pack_sequences"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert PI.shuffle_count(df) == 1, "one hash exchange on source only"
+    assert "SinglePartition" not in plan, "window must not collapse to one partition"
