@@ -41,6 +41,17 @@ from nyc_government_hiring_audit_data_platform_spark.operators import relational
 # ---------------------------------------------------------------------------
 
 
+def set_conf_if_differs(spark: SparkSession, key: str, value: str) -> None:
+    """Set a runtime conf only when it actually differs - avoids both
+    redundant Py4J round-trips and needless session churn."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table; pin UTC for oracle parity.
 
@@ -48,18 +59,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read it as long nanos (legacy conf) and convert to a
     proper timestamp at microsecond precision (integer floor division -
     deterministic, matches the oracle's millisecond truncation).
+
+    NOTE: this helper MUTATES the caller's session conf (timezone,
+    nanosAsLong, and - local-mode only - whole-stage codegen): the
+    driver harness runs queries in its own SparkSession, so these have
+    to be runtime confs, not builder confs. The mutation persists for
+    the session; confs are only written when they differ, and cluster
+    callers (non-local master) never get the codegen override.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Local-VM protection, applied here because the driver harness runs
-    # these queries in its OWN SparkSession (session.get_spark's JVM
-    # flags can't reach it): this VM's C2 JIT chokes compiling Spark's
-    # generated classes (a 64-row broadcast stage once burned 42s of
-    # compile CPU - independent of data size), so run interpreted
-    # expression eval unless explicitly overridden. Runtime-settable,
-    # harmless on real clusters where the override restores the default.
-    if os.environ.get("SPARK_GRAFT_CODEGEN") != "1":
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    set_conf_if_differs(spark, "spark.sql.session.timeZone", "UTC")
+    set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Local-VM protection (local-mode masters only): this VM's C2 JIT
+    # chokes compiling Spark's generated classes (a 64-row broadcast
+    # stage once burned 42s of compile CPU - independent of data size),
+    # so run interpreted expression eval unless explicitly overridden
+    # via SPARK_GRAFT_CODEGEN=1. A cluster session (yarn/k8s/standalone
+    # master) keeps codegen on.
+    if (
+        os.environ.get("SPARK_GRAFT_CODEGEN") != "1"
+        and spark.conf.get("spark.master", "local").startswith("local")
+    ):
+        set_conf_if_differs(spark, "spark.sql.codegen.wholeStage", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -58,7 +58,13 @@ def with_event_ts(df: DataFrame) -> DataFrame:
 
 
 def read_events_batch(spark: SparkSession, source_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """NOTE: persists the nanosAsLong conf on the caller's session (set
+    only when it differs) - required to read TIMESTAMP(NANOS) parquet."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        set_conf_if_differs,
+    )
+
+    set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     return with_event_ts(spark.read.schema(EVENTS_RAW_SCHEMA).parquet(source_dir))
 
 
@@ -66,8 +72,14 @@ def read_events_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over an events parquet directory. New files are
-    discovered per micro-batch; schema is pinned (streams cannot infer)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    discovered per micro-batch; schema is pinned (streams cannot infer).
+    Persists the nanosAsLong conf on the caller's session (set only when
+    it differs)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        set_conf_if_differs,
+    )
+
+    set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
