@@ -530,13 +530,17 @@ def q_sessionize(spark, sf_dir):
 )
 def q_equi_join_agg(spark, sf_dir):
     """Flagship: 3-way equi-join + agg + top-K (TPC-H Q3 shape).
-    customer side is broadcast; lineitem-orders is the shuffle join."""
+    The filtered customer side carries NO static broadcast hint: it
+    scales with the data (1/5 of customers), so AQE picks broadcast
+    from the observed runtime size - broadcast at bench scale, shuffle
+    join when customers outgrow the threshold. lineitem-orders is the
+    shuffle join either way."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),

@@ -40,13 +40,29 @@ def register_dataset(dataset_id: int, name: str, df_factory) -> None:
 def register_gold_tables(tables: dict[str, Any]) -> None:
     """Bind the pipeline's GOLD tables to the reference's dataset ids
     0-3 (reference: api/fetch_data.py:13-26). ``tables`` maps the
-    unprefixed table name -> DataFrame (the shape
-    pipelines.hiring_audit.run_pipeline emits)."""
+    unprefixed reference table name -> DataFrame."""
     for i, full_name in enumerate(GOLD_DATASET_NAMES):
         short = full_name.split("GOLD.")[-1]
         if short in tables:
             df = tables[short]
             register_dataset(i, full_name, lambda df=df: df)
+
+
+# pipelines.hiring_audit.run_pipeline key -> reference GOLD table name
+PIPELINE_TO_GOLD = {
+    "gold_salary_matches": "nyc_salary_matches",
+    "gold_durations": "nyc_matched_job_posting_duration_SOC",
+    "gold_salary_matches_unique": "nyc_salary_matches_unique_job_posting_title",
+    "gold_durations_unique": "nyc_matched_job_posting_duration_SOC_unique_title",
+}
+
+
+def register_pipeline(tables: dict[str, Any]) -> None:
+    """Bind run_pipeline's output dict straight onto the reference's
+    dataset ids (the end-to-end EP3 -> EP4 hookup)."""
+    register_gold_tables(
+        {PIPELINE_TO_GOLD[k]: v for k, v in tables.items() if k in PIPELINE_TO_GOLD}
+    )
 
 
 def list_datasets() -> list[dict]:

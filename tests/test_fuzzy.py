@@ -261,6 +261,31 @@ def test_limit_band_filter_precedes_topn(spark):
     # out-of-band 100-scorer and emitted nothing
 
 
+def test_pipeline_gold_serves_through_registry(pipeline_tables):
+    """EP3 -> EP4 end-to-end: the pipeline's GOLD tables registered on
+    the reference's dataset ids, listed and fetched through the serving
+    functions (dashboard view included)."""
+    from nyc_government_hiring_audit_data_platform_spark.serving import reports as SRV
+
+    saved = dict(SRV._REGISTRY)
+    SRV._REGISTRY.clear()
+    try:
+        SRV.register_pipeline(pipeline_tables)
+        listing = SRV.list_datasets()
+        assert [d["id"] for d in listing] == [0, 1, 2, 3]
+        assert listing[2]["report"] == "nyc_salary_matches_unique_job_posting_title"
+        rows = SRV.fetch_single_dataset("2", 0, 750_000)  # streamlit's dataset 2
+        assert len(rows) == pipeline_tables["gold_salary_matches_unique"].count()
+        view = SRV.dashboard_view(
+            pipeline_tables["gold_salary_matches_unique"], col="match_score"
+        )
+        assert view["rows_total"] == len(rows)
+        assert view["bounds"][0] >= 85  # pipeline cutoff floor
+    finally:
+        SRV._REGISTRY.clear()
+        SRV._REGISTRY.update(saved)
+
+
 def test_gold_sql_path_matches_dataframe_path(pipeline_tables):
     """sql/cleaned.sql ported to spark.sql must agree with the DataFrame
     GOLD builders row-for-row (SURVEY §7.1.6 cross-check)."""
