@@ -7,8 +7,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Socrata posting_date format, e.g. 2024-06-03T00:00:00.000
-# (reference: src/fuzzy_match_salary.py:76). Spark returns null on parse
-# failure when ANSI is off - same as the reference's strict=False.
+# (reference: src/fuzzy_match_salary.py:76). Parsing uses the try_
+# variants so the null-on-failure contract (the reference's
+# strict=False) holds in ANY session - Spark 4 defaults ANSI ON, where
+# plain to_timestamp/to_date THROW on unparseable input.
 POSTING_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSS]"
 POSTING_TS_OUT_FMT = "yyyy-MM-dd'T'HH:mm:ss"
 
@@ -18,8 +20,9 @@ def _c(col: Column | str) -> Column:
 
 
 def parse_posting_ts(col: Column | str) -> Column:
-    """Lenient ISO timestamp parse; null on failure (F2)."""
-    return F.to_timestamp(_c(col), POSTING_TS_FMT)
+    """Lenient ISO timestamp parse; null on failure (F2), even under
+    ANSI mode."""
+    return F.try_to_timestamp(_c(col), F.lit(POSTING_TS_FMT))
 
 
 def format_posting_ts(col: Column | str) -> Column:
@@ -35,12 +38,14 @@ def parse_post_until(col: Column | str) -> Column:
     """
     c = _c(col)
     parts = F.split(c, "-")
-    month = parts.getItem(1)
+    # F.get (not getItem): null-tolerant on short arrays - ANSI mode
+    # throws INVALID_ARRAY_INDEX for getItem on e.g. a 2-part string
+    month = F.get(parts, 1)
     month_tc = F.concat(
         F.upper(F.substring(month, 1, 1)), F.lower(F.substring(month, 2, 2))
     )
-    fixed = F.concat_ws("-", parts.getItem(0), month_tc, parts.getItem(2))
-    return F.to_date(fixed, "dd-MMM-yyyy")
+    fixed = F.concat_ws("-", F.get(parts, 0), month_tc, F.get(parts, 2))
+    return F.try_to_date(fixed, "dd-MMM-yyyy")
 
 
 def format_post_until(col: Column | str) -> Column:

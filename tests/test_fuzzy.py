@@ -309,3 +309,28 @@ def test_gold_sql_path_matches_dataframe_path(pipeline_tables):
         s = sorted(map(tuple, sdf.select(*sorted(sdf.columns)).collect()))
         d = sorted(map(tuple, ddf.select(*sorted(ddf.columns)).collect()))
         assert s == d, f"{name}: SQL path != DataFrame path"
+
+
+def test_date_parse_null_on_failure_under_ansi(spark):
+    """The driver runs a plain Spark 4 session where ANSI is ON and
+    to_timestamp/to_date THROW on unparseable input; the engine's parse
+    helpers must keep the reference's null-on-failure contract there
+    (round-2 regression: gold_salary_matches_unique crashed on the
+    'not-a-date' fixture rows in an ANSI session)."""
+    from nyc_government_hiring_audit_data_platform_spark.functions import dates as D
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("not-a-date", "also-bad"), ("2024-06-03T00:00:00.000", "17-SEP-2025")],
+            "posting_date string, post_until string",
+        )
+        rows = df.select(
+            D.parse_posting_ts("posting_date").alias("ts"),
+            D.parse_post_until("post_until").alias("d"),
+        ).collect()
+        assert rows[0]["ts"] is None and rows[0]["d"] is None
+        assert rows[1]["ts"] is not None and str(rows[1]["d"]) == "2025-09-17"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
