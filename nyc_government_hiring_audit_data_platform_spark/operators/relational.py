@@ -164,3 +164,25 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFr
     bucketed by the key (operators.bucketing) it is shuffle-free."""
     survivors = base.join(updates.select(*keys), keys, "left_anti")
     return survivors.unionByName(updates)
+
+
+# -- pipeline observability (A6) ---------------------------------------------
+
+
+def with_observed_metrics(df: DataFrame, name: str, count_col: Column | str | None = None):
+    """A6 (reference: src/data_ingestion.py:31 accumulates
+    ``total_records`` driver-side during ingestion): the Spark-idiomatic
+    form is ``df.observe`` - named metrics computed DURING the action
+    that materializes the plan, no second pass, no driver loop. Read
+    them back via ``Observation`` (batch) or the streaming progress
+    events; works identically on a cluster because the metrics
+    aggregate on the executors."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if count_col is not None:
+        c = F.col(count_col) if isinstance(count_col, str) else count_col
+        metrics.append(F.count(c).alias("n_nonnull"))
+        metrics.append(F.round(F.sum(c), 2).alias("total"))
+    return df.observe(obs, *metrics), obs

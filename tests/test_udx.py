@@ -78,3 +78,18 @@ def test_ngram_udtf_lateral_sql(spark, sf_dir):
         .collect()
     }
     assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_observed_ingestion_metrics(spark, sf_dir):
+    """A6 analogue: observe() yields the ingestion counters from the
+    SAME action that writes/collects - no second count() pass."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import relational as R
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df, obs = R.with_observed_metrics(src, "bronze_ingest", "o_totalprice")
+    n = df.count()  # the one materializing action
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_nonnull"] == n  # o_totalprice has no nulls
+    expected_total = src.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert got["total"] == expected_total
