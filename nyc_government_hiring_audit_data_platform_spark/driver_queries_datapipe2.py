@@ -330,6 +330,93 @@ def q_benchmark_contamination(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# feature engineering: outlier clipping + class balancing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winsorize_clip",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END, 3) AS v_clipped,
+           CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+             AS was_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def q_winsorize_clip(spark, sf_dir):
+    """Winsorization (outlier clipping to the per-group 5th/95th
+    percentile) - the robust-scaling prep step before standardization.
+    Same broadcast stats join-back shape as zscore/impute: one
+    partial-agg shuffle for the tiny bounds relation, the fact side
+    never shuffles. Spark's exact ``percentile`` interpolates like
+    DuckDB's quantile_cont on the identical sorted doubles, so the
+    bounds - and the clipped values, which COPY input values or bounds
+    rather than deriving new floats - hash exact."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    out = ev.join(F.broadcast(bounds), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(clipped, 3).alias("v_clipped"),
+        F.when(
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("was_clipped"),
+    )
+
+
+@query(
+    "class_weights",
+    """
+    WITH counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    )
+    SELECT label, n,
+           ROUND(CAST((SELECT SUM(n) FROM counts) AS DOUBLE)
+                 / ((SELECT COUNT(*) FROM counts) * n), 4) AS class_weight
+    FROM counts
+    """,
+)
+def q_class_weights(spark, sf_dir):
+    """Inverse-frequency class weights (sklearn's 'balanced' formula:
+    total / (n_classes * count_c)) over the embedding labels - the
+    class-balancing step for a labeled training set. One partial-agg
+    shuffle to the per-class counts; the totals come from a broadcast
+    1-row aggregate of that tiny relation, never a second corpus pass."""
+    emb = table(spark, sf_dir, "embeddings").select("label")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "label",
+        "n",
+        F.round(
+            F.col("total").cast("double") / (F.col("n_classes") * F.col("n")), 4
+        ).alias("class_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # relational gap-fills
 # ---------------------------------------------------------------------------
 
