@@ -194,3 +194,51 @@ def test_ppm_resize_end_to_end(spark):
             scale = 32 / max(o["height"], o["width"])
             assert r["height"] == max(1, round(o["height"] * scale))
             assert r["width"] == max(1, round(o["width"] * scale))
+
+
+# -- PPM codec properties (hypothesis) ---------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_roundtrip_property(h, w, seed):
+    """encode->decode is the identity for any (h, w, 3) uint8 raster."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_ppm(MM.encode_ppm(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=200),
+    w=st.integers(min_value=1, max_value=200),
+    max_side=st.integers(min_value=1, max_value=64),
+)
+def test_resize_nearest_properties(h, w, max_side):
+    """Resize never upscales, always lands within max_side, keeps every
+    output pixel an exact input pixel (nearest-neighbor), and is the
+    identity when already small enough."""
+    import numpy as np
+
+    arr = (np.arange(h * w * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(h, w, 3)
+    out = MM.resize_nearest(arr, max_side)
+    oh, ow = out.shape[:2]
+    assert max(oh, ow) <= max(max_side, 1)
+    assert oh <= h and ow <= w
+    if max(h, w) <= max_side:
+        assert out is arr
+    else:
+        scale = max_side / max(h, w)
+        assert oh == max(1, round(h * scale)) and ow == max(1, round(w * scale))
+        # spot-check: corner pixels come from the source raster
+        assert out[0, 0].tolist() == arr[0, 0].tolist()
