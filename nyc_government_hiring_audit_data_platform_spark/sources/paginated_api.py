@@ -26,7 +26,12 @@ import importlib
 from collections.abc import Callable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 # transport signature: (base_url: str, offset: int, limit: int) -> list[dict]
@@ -95,9 +100,57 @@ class _PaginatedApiReader(DataSourceReader):
             yield tuple(r.get(n) for n in names)
 
 
+class _PaginatedApiStreamReader(SimpleDataSourceStreamReader):
+    """Incremental (streaming) form of the paginated scan: the offset
+    into the feed IS the stream offset, so each micro-batch ingests the
+    pages that appeared since the last one and checkpoint recovery
+    replays an exact offset range (``readBetweenOffsets``) - the
+    streaming upgrade of the reference's re-run-the-whole-loop ingest
+    (src/data_ingestion.py:15-36). The simple reader fetches on the
+    driver per micro-batch; bounded by pages_per_batch. Bulk backfills
+    belong to the batch reader (executor-parallel); this path tails the
+    feed's growing edge, where per-batch volume is small by nature."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.base_url = options.get("url", "")
+        self.page_size = int(options.get("page_size", 50_000))
+        self.pages_per_batch = int(options.get("pages_per_batch", 100))
+        self.transport_name = options.get("transport", "")
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows_between(self, start: int, end: int | None) -> tuple[list[tuple], int]:
+        transport = resolve_transport(self.transport_name)
+        names = [f.name for f in self.schema_.fields]
+        out: list[tuple] = []
+        offset, pages = start, 0
+        while pages < self.pages_per_batch and (end is None or offset < end):
+            limit = self.page_size if end is None else min(self.page_size, end - offset)
+            rows = transport(self.base_url, offset, limit)
+            out.extend(tuple(r.get(n) for n in names) for r in rows)
+            offset += len(rows)
+            pages += 1
+            if len(rows) < limit:  # short page: caught up with the feed
+                break
+        return out, offset
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows, new_offset = self._rows_between(int(start["offset"]), None)
+        return iter(rows), {"offset": new_offset}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay for recovery: exactly [start, end)
+        rows, _ = self._rows_between(int(start["offset"]), int(end["offset"]))
+        return iter(rows)
+
+
 class PaginatedApiDataSource(DataSource):
-    """``spark.read.format("paginated_api")`` - executor-parallel REST
-    pagination. Options: url, page_size, total_rows, transport
+    """``spark.read.format("paginated_api")`` (batch: executor-parallel
+    offset partitions) and ``spark.readStream.format("paginated_api")``
+    (incremental tail with replayable offsets). Options: url, page_size,
+    total_rows (batch), pages_per_batch (stream), transport
     ('module:function')."""
 
     @classmethod
@@ -113,6 +166,9 @@ class PaginatedApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _PaginatedApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _PaginatedApiStreamReader(schema, self.options)
 
 
 def register(spark: SparkSession) -> None:

@@ -242,3 +242,35 @@ def test_resize_nearest_properties(h, w, max_side):
         assert oh == max(1, round(h * scale)) and ow == max(1, round(w * scale))
         # spot-check: corner pixels come from the source raster
         assert out[0, 0].tolist() == arr[0, 0].tolist()
+
+
+# -- streaming REST source ----------------------------------------------------
+
+
+def test_paginated_stream_ingests_full_feed(spark, tmp_path):
+    """readStream over the paginated API: one availableNow pass drains
+    the feed through the offset-tracked stream reader, matching the
+    batch reader's content exactly."""
+    PA.register(spark)
+    q = (
+        spark.readStream.format("paginated_api")
+        .schema(API_SCHEMA)
+        .option("url", "fake://payroll")
+        .option("page_size", "500")
+        .option("transport", TRANSPORT)
+        .load()
+        .writeStream.format("memory")
+        .queryName("api_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM api_stream").collect()}
+    want = {
+        tuple(r)
+        for r in PA.fetch_paginated(
+            spark, "fake://payroll", API_SCHEMA, PA.fake_socrata_transport, 1000
+        ).collect()
+    }
+    assert got == want and len(got) == 2345
