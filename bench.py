@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "benchmark_contamination",
     "embedding_l2_normalize",
+    "winsorize_clip",
 ]
 
 
