@@ -76,12 +76,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the driver's per-round verification budget lands on queries with the
     weakest prior signal (see _driver_history)."""
     hist = _driver_history()
+    # Named in VERDICT r1's done-criteria; there are more never-checked
+    # queries than budget slots, so pin these at the head of their tier.
+    must_check = {"neardup_components"}
 
     def prio(name: str) -> tuple[int, int]:
         if name in hist and not hist[name][0]:
             return (0, hist[name][1])  # failed last check: re-verify first
         if name not in hist:
-            return (1, 0)  # never driver-checked
+            return (1, 0 if name in must_check else 1)  # never driver-checked
         return (2, hist[name][1])  # green: least-recently-checked first
 
     ordered = sorted(DQ.QUERIES, key=prio)  # stable: keeps declaration order within tiers
