@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
     impute_post_until,
@@ -52,13 +53,33 @@ def set_conf_if_differs(spark: SparkSession, key: str, value: str) -> None:
         spark.conf.set(key, value)
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType, dispatching on the dtype
+    Spark actually read - never assume the testdata's physical type:
+
+    - LongType: legacy TIMESTAMP(NANOS) read under ``nanosAsLong`` ->
+      integer floor division to micros (deterministic truncation);
+    - TimestampNTZType: TIMESTAMP(MICROS, isAdjustedToUTC=false) read
+      natively -> cast to TimestampType (wall-clock-preserving under the
+      UTC session timezone pinned by ``table()``);
+    - TimestampType: already what we want.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table; pin UTC for oracle parity.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long nanos (legacy conf) and convert to a
-    proper timestamp at microsecond precision (integer floor division -
-    deterministic, matches the oracle's millisecond truncation).
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) (readable
+    only as long nanos via the legacy conf) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read natively as TIMESTAMP_NTZ);
+    ``normalize_event_ts`` dispatches on the observed dtype so either
+    vintage of testdata works.
 
     NOTE: this helper MUTATES the caller's session conf (timezone,
     nanosAsLong, and - local-mode only - whole-stage codegen): the
@@ -82,7 +103,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         set_conf_if_differs(spark, "spark.sql.codegen.wholeStage", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -1,57 +1,332 @@
-"""Domain-pipeline driver queries (rows-only checks).
+"""Domain-pipeline driver queries - HASH-VERIFIED against DuckDB.
 
-The fuzzy scorers (token_set_ratio / WRatio) are not SQL-expressible in
-DuckDB, so these queries intentionally have NO oracle entry - the driver
-records the weaker rows-only check (per the driver contract). Their
-oracle-checkable analogues are the levenshtein-based similarity_join*
-queries in ``driver_queries``. Unit + invariant coverage lives in
-``tests/test_fuzzy.py`` (pinned scorer values, blocked-join-vs-bruteforce
-equality, pipeline invariants).
+The reference's flagship capability is the two fuzzy-match flows
+(src/fuzzy_match_salary.py:27-189, src/fuzzy_match_jobs_durations.py:
+58-99) plus the GOLD dedup tables (sql/cleaned.sql:28-42). Round 2
+proved the driver has no rows-only mode - queries without oracles are
+permanently red - so these queries run the REAL pipeline code
+(pipelines.hiring_audit: prep -> two-stage fuzzy join -> band filter ->
+per-posting top-N -> GOLD group-by-MAX) with the ORACLE-EXPRESSIBLE
+scorer ``fuzzy_join_tokensort`` (token-count prefilter + token-sort
+levenshtein ratio, engine built-ins only), and every stage is replicated
+in DuckDB SQL below. The published-WRatio scorer path (``fuzzy_join``)
+keeps its pinned rapidfuzz-parity unit tests in tests/test_fuzzy.py and
+tests/test_pipeline.py - same plan shape, different per-pair kernel.
 
-The pipeline runs on the deterministic FIXTURES.md tables (the Socrata /
-XLSX inputs are not reachable here), so ``sf_dir`` is ignored.
+Inputs derive deterministically from the driver's ``part`` table (both
+engines compute the same derivation), replacing the Socrata / XLSX
+sources that are unreachable here:
+
+- payroll   := every part row (title = p_name, salaries from
+               p_retailprice, fiscal_year cycles 2022-2026);
+- postings  := every 4th part, title perturbed per p_partkey % 3
+               (token reorder / 1-char truncation / unrelated-suffix),
+               with the reference's dirty-date edge cases (unparseable
+               posting_date every 29th, null post_until every 23rd);
+- lightcast := every 6th part, occupation = p_name || 's' with the
+               reference's verbatim exotic column names.
 """
 
 from __future__ import annotations
 
-from nyc_government_hiring_audit_data_platform_spark.driver_queries import query
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+    normalize_text_sql,
+)
+from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+    fuzzy_join_tokensort,
+)
 from nyc_government_hiring_audit_data_platform_spark.pipelines import hiring_audit as HA
 
+# ---------------------------------------------------------------------------
+# Spark-side derivations (each expression has an exact DuckDB twin below)
+# ---------------------------------------------------------------------------
 
-@query("fuzzy_salary_matches")
+
+def payroll_from_part(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        (F.lit(2022) + F.col("p_partkey") % 5).cast("string").alias("fiscal_year"),
+        F.col("p_name").alias("title_description"),
+        F.round(F.col("p_retailprice") * 75, 2).alias("base_salary"),
+        F.col("p_brand").alias("pay_basis"),
+        F.round(F.col("p_retailprice") * 80, 2).alias("regular_gross_paid"),
+        F.round(F.col("p_retailprice") * 5, 2).alias("total_ot_paid"),
+        F.round(F.col("p_retailprice") * 2, 2).alias("total_other_pay"),
+    )
+
+
+def postings_from_part(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    toks = F.split("p_name", " ")
+    title = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat_ws(" ", F.reverse(toks)))
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.concat(F.element_at(toks, 1), F.lit(" trainee distinct role")))
+    )
+    base_date = F.to_date(F.lit("2024-01-01"))
+    day_off = (F.col("p_partkey") % 300).cast("int")
+    posting_date = F.when(
+        F.col("p_partkey") % 29 == 0, F.lit("not-a-date")
+    ).otherwise(
+        F.concat(
+            F.date_format(F.date_add(base_date, day_off), "yyyy-MM-dd"),
+            F.lit("T00:00:00.000"),
+        )
+    )
+    post_until = F.when(
+        F.col("p_partkey") % 23 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.upper(F.date_format(F.date_add(base_date, day_off + F.lit(45)), "dd-MMM-yyyy"))
+    )
+    return p.select(
+        F.col("p_partkey").alias("post_id"),
+        title.alias("business_title"),
+        F.round(F.col("p_retailprice") * 50, 2).alias("salary_range_from"),
+        F.round(F.col("p_retailprice") * 100, 2).alias("salary_range_to"),
+        posting_date.alias("posting_date"),
+        post_until.alias("post_until"),
+    )
+
+
+def lightcast_from_part(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 6 == 0)
+    return p.select(
+        F.concat(F.col("p_name"), F.lit("s")).alias("Occupation (SOC)"),
+        F.col("p_partkey").alias("Total Postings (Jan 2024 - Jun 2025)"),
+        F.when(F.col("p_partkey") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("p_retailprice") / 40, 1))
+        .alias("Median Posting Duration"),
+    )
+
+
+def _matches(spark, sf_dir, limit=None):
+    """The full EP2a chain over the part-derived inputs, scored with the
+    oracle-expressible token-sort levenshtein join (min 1 shared token,
+    cutoff 85 - the reference's 85/85 shape, src/fuzzy_match_salary.py
+    :128-129)."""
+    return HA.fuzzy_match_salary(
+        payroll_from_part(spark, sf_dir),
+        postings_from_part(spark, sf_dir),
+        prefilter_cutoff=1,
+        score_cutoff=85,
+        limit=limit,
+        join_fn=fuzzy_join_tokensort,
+        row_key="post_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the identical chain as SQL CTEs
+# ---------------------------------------------------------------------------
+
+_LEV_SIM = (
+    "CASE WHEN greatest(length({a}), length({b})) = 0 THEN 100.0 "
+    "ELSE 100.0 * (1.0 - levenshtein({a}, {b}) / greatest(length({a}), length({b}))) END"
+)
+
+
+def _key_sql(expr: str) -> str:
+    """Normalized token-sort key (twin of operators.fuzzy.token_sort_key)."""
+    norm = normalize_text_sql(expr)
+    return (
+        "array_to_string(list_sort(list_filter(string_split("
+        + norm
+        + ", ' '), t -> t <> '')), ' ')"
+    )
+
+
+_BASE_CTES = f"""
+payroll AS (
+  SELECT p_name AS title_description,
+         ROUND(p_retailprice * 75, 2) AS base_salary,
+         p_brand AS pay_basis,
+         ROUND(p_retailprice * 80, 2) AS regular_gross_paid,
+         ROUND(p_retailprice * 5, 2) AS total_ot_paid,
+         ROUND(p_retailprice * 2, 2) AS total_other_pay
+  FROM part
+  WHERE 2022 + p_partkey % 5 BETWEEN 2024 AND 2025
+),
+postings_raw AS (
+  SELECT p_partkey AS post_id,
+         CASE CAST(p_partkey % 3 AS INT)
+           WHEN 0 THEN array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+           WHEN 1 THEN substring(p_name, 1, CAST(length(p_name) AS INT) - 1)
+           ELSE concat(string_split(p_name, ' ')[1], ' trainee distinct role')
+         END AS business_title,
+         ROUND(p_retailprice * 50, 2) AS salary_range_from,
+         ROUND(p_retailprice * 100, 2) AS salary_range_to,
+         CASE WHEN p_partkey % 29 = 0 THEN 'not-a-date'
+              ELSE strftime(DATE '2024-01-01' + CAST(p_partkey % 300 AS INT), '%Y-%m-%d')
+                   || 'T00:00:00.000' END AS posting_date,
+         CASE WHEN p_partkey % 23 = 0 THEN NULL
+              ELSE upper(strftime(DATE '2024-01-01' + CAST(p_partkey % 300 AS INT) + 45,
+                                  '%d-%b-%Y')) END AS post_until
+  FROM part WHERE p_partkey % 4 = 0
+),
+postings AS (
+  SELECT post_id, business_title, salary_range_from, salary_range_to,
+         strftime(strptime(posting_date, '%Y-%m-%dT%H:%M:%S.%g'),
+                  '%Y-%m-%dT%H:%M:%S') AS posting_date,
+         coalesce(post_until,
+                  upper(strftime(CAST(strptime(posting_date, '%Y-%m-%dT%H:%M:%S.%g')
+                                      AS DATE) + 30, '%d-%b-%Y'))) AS post_until
+  FROM postings_raw
+  WHERE posting_date <> 'not-a-date'
+),
+lk AS (
+  SELECT business_title, {_key_sql('business_title')} AS lkey
+  FROM (SELECT DISTINCT business_title FROM postings WHERE business_title IS NOT NULL)
+),
+rk AS (
+  SELECT title_description, {_key_sql('title_description')} AS rkey
+  FROM (SELECT DISTINCT title_description FROM payroll WHERE title_description IS NOT NULL)
+),
+ltok AS (SELECT business_title, lkey,
+                unnest(list_distinct(string_split(lkey, ' '))) AS tok FROM lk),
+rtok AS (SELECT title_description, rkey,
+                unnest(list_distinct(string_split(rkey, ' '))) AS tok FROM rk),
+cand AS (
+  SELECT business_title, lkey, title_description, rkey
+  FROM ltok JOIN rtok USING (tok)
+  GROUP BY business_title, lkey, title_description, rkey
+  HAVING COUNT(*) >= 1
+),
+pairs AS (
+  SELECT business_title, title_description,
+         CAST(ROUND({_LEV_SIM.format(a='lkey', b='rkey')}) AS INT) AS score
+  FROM cand
+  WHERE {_LEV_SIM.format(a='lkey', b='rkey')} >= 85
+),
+matches AS (
+  SELECT po.post_id, po.business_title, po.salary_range_from, po.salary_range_to,
+         po.posting_date, po.post_until,
+         pa.title_description, pa.base_salary, pa.pay_basis,
+         pa.regular_gross_paid, pa.total_ot_paid, pa.total_other_pay, pr.score
+  FROM postings po
+  JOIN pairs pr USING (business_title)
+  JOIN payroll pa USING (title_description)
+  WHERE pa.base_salary >= po.salary_range_from
+    AND pa.base_salary <= po.salary_range_to
+)
+"""
+
+_MATCH_COLS = (
+    "business_title, salary_range_from, salary_range_to, posting_date, "
+    "post_until, title_description, base_salary, pay_basis, "
+    "regular_gross_paid, total_ot_paid, total_other_pay, score, post_id"
+)
+
+
+@query("fuzzy_salary_matches", f"WITH {_BASE_CTES} SELECT {_MATCH_COLS} FROM matches")
 def q_fuzzy_salary_matches(spark, sf_dir):
-    """EP2a: payroll<->postings two-stage fuzzy join (85/85) + band
-    filter, 12-column schema (reference: src/fuzzy_match_salary.py)."""
-    payroll = HA.make_payroll_fixture(spark)
-    postings = HA.make_postings_fixture(spark)
-    return HA.fuzzy_match_salary(payroll, postings)
+    """EP2a: prep (cast+BETWEEN, lenient parse, drop, reformat, +30d
+    impute) -> two-stage fuzzy join -> band filter, 12-column schema +
+    post_id (reference: src/fuzzy_match_salary.py:27-189)."""
+    return _matches(spark, sf_dir)
 
 
-@query("fuzzy_salary_matches_topn")
+@query(
+    "fuzzy_salary_matches_topn",
+    f"""
+    WITH {_BASE_CTES}
+    SELECT {_MATCH_COLS} FROM (
+      SELECT m.*, ROW_NUMBER() OVER (
+        PARTITION BY post_id
+        ORDER BY score DESC, title_description, base_salary,
+                 pay_basis, regular_gross_paid, total_ot_paid, total_other_pay) AS rn
+      FROM matches m
+    ) WHERE rn <= 3
+    """,
+)
 def q_fuzzy_salary_matches_topn(spark, sf_dir):
-    """EP2a limit path: per-job top-3 by score, then band filter
-    (reference: src/utils.py:141-157)."""
-    payroll = HA.make_payroll_fixture(spark)
-    postings = HA.make_postings_fixture(spark)
-    return HA.fuzzy_match_salary(payroll, postings, limit=3)
+    """EP2a limit path: per-posting-row top-3 by score after the band
+    filter (reference: src/utils.py:141-157)."""
+    return _matches(spark, sf_dir, limit=3)
 
 
-@query("fuzzy_lightcast_durations")
+@query(
+    "fuzzy_lightcast_durations",
+    f"""
+    WITH {_BASE_CTES},
+    lightcast AS (
+      SELECT p_name || 's' AS occ,
+             p_partkey AS total_postings,
+             CASE WHEN p_partkey % 17 = 0 THEN NULL
+                  ELSE ROUND(p_retailprice / 40, 1) END AS median_duration
+      FROM part WHERE p_partkey % 6 = 0
+    ),
+    mt AS (
+      SELECT business_title, {_key_sql('business_title')} AS lkey2
+      FROM (SELECT DISTINCT business_title FROM matches)
+    ),
+    oc AS (
+      SELECT occ, {_key_sql('occ')} AS rkey2
+      FROM (SELECT DISTINCT occ FROM lightcast WHERE occ IS NOT NULL)
+    ),
+    mtok AS (SELECT business_title, lkey2,
+                    unnest(list_distinct(string_split(lkey2, ' '))) AS tok FROM mt),
+    otok AS (SELECT occ, rkey2,
+                    unnest(list_distinct(string_split(rkey2, ' '))) AS tok FROM oc),
+    cand2 AS (
+      SELECT business_title, lkey2, occ, rkey2
+      FROM mtok JOIN otok USING (tok)
+      GROUP BY business_title, lkey2, occ, rkey2
+      HAVING COUNT(*) >= 1
+    ),
+    pairs2 AS (
+      SELECT business_title, occ,
+             CAST(ROUND({_LEV_SIM.format(a='lkey2', b='rkey2')}) AS INT) AS score2
+      FROM cand2
+      WHERE {_LEV_SIM.format(a='lkey2', b='rkey2')} >= 75
+    )
+    SELECT p.business_title,
+           l.occ AS "lightcast_matched_occupation",
+           p.score2 AS "lightcast_match_score",
+           l.total_postings AS "Total Postings (Jan 2024 - Jun 2025)",
+           l.median_duration AS "Median Posting Duration"
+    FROM pairs2 p JOIN lightcast l ON p.occ = l.occ
+    """,
+)
 def q_fuzzy_lightcast_durations(spark, sf_dir):
-    """EP2b: matches<->Lightcast fuzzy join (75/75) with verbatim exotic
-    column names (reference: src/fuzzy_match_jobs_durations.py)."""
-    payroll = HA.make_payroll_fixture(spark)
-    postings = HA.make_postings_fixture(spark)
-    lightcast = HA.make_lightcast_fixture(spark)
-    matches = HA.fuzzy_match_salary(payroll, postings)
-    return HA.fuzzy_match_durations(matches, lightcast)
+    """EP2b: distinct match titles vs Lightcast occupations, 75/75 shape,
+    verbatim exotic column names (reference:
+    src/fuzzy_match_jobs_durations.py:58-99)."""
+    matches = _matches(spark, sf_dir)
+    lightcast = lightcast_from_part(spark, sf_dir)
+    return HA.fuzzy_match_durations(
+        matches, lightcast, prefilter_cutoff=1, score_cutoff=75,
+        join_fn=fuzzy_join_tokensort,
+    )
 
 
-@query("gold_salary_matches_unique")
+@query(
+    "gold_salary_matches_unique",
+    f"""
+    WITH {_BASE_CTES}
+    SELECT business_title AS posted_job_title,
+           MAX(title_description) AS payroll_job_title,
+           MAX(score) AS match_score,
+           MAX(salary_range_from) AS posted_salary_range_from,
+           MAX(salary_range_to) AS posted_salary_range_to,
+           MAX(base_salary) AS base_salary,
+           MAX(CAST(date_diff('day',
+                 CAST(strptime(posting_date, '%Y-%m-%dT%H:%M:%S') AS DATE),
+                 CAST(strptime(post_until, '%d-%b-%Y') AS DATE)) AS INT))
+             AS posting_duration_days,
+           MAX(regular_gross_paid) AS regular_gross_paid,
+           MAX(total_ot_paid) AS total_ot_paid,
+           MAX(total_other_pay) AS total_other_pay
+    FROM matches
+    GROUP BY business_title
+    """,
+)
 def q_gold_salary_matches_unique(spark, sf_dir):
     """EP3: GOLD group-by-MAX dedup table (reference: sql/cleaned.sql:
     28-42) on the real fuzzy-match output."""
-    payroll = HA.make_payroll_fixture(spark)
-    postings = HA.make_postings_fixture(spark)
-    matches = HA.fuzzy_match_salary(payroll, postings)
-    return HA.gold_salary_matches_unique(matches)
+    return HA.gold_salary_matches_unique(_matches(spark, sf_dir))

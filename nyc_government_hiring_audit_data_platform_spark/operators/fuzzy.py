@@ -260,6 +260,105 @@ def fuzzy_title_pairs(
     )
 
 
+def token_sort_key(col: Column | str) -> Column:
+    """Normalized, token-sorted form of a title: the string both sides of
+    the token-sort scorer compare (fuzzywuzzy token_sort_ratio's
+    "sorted join"). DuckDB twin: array_to_string(list_sort(list_filter(
+    string_split(norm, ' '), t -> t <> '')), ' ')."""
+    return F.concat_ws(" ", F.array_sort(tokens(col)))
+
+
+def fuzzy_title_pairs_tokensort(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_shared_tokens: int = 2,
+    score_cutoff: int = 85,
+) -> DataFrame:
+    """Oracle-expressible two-stage fuzzy match: token-count prefilter +
+    token-sort levenshtein ratio. Same two-stage plan shape as
+    ``fuzzy_title_pairs`` (the reference's token_set_ratio-gated WRatio,
+    src/fuzzy_match_salary.py:119-140) but built ENTIRELY from engine
+    built-ins, so the identical computation runs in DuckDB SQL - this is
+    the scorer the driver hash-verifies; rapidfuzz-parity for the
+    published WRatio algorithm stays pinned in tests/test_fuzzy.py.
+
+    Stage 1 (prefilter): candidate pairs must share >= min_shared_tokens
+    distinct normalized tokens - an explode + equi-join + count, i.e. a
+    uniform shuffle on tokens, never a dense N x M matrix. Stage 2
+    (refine): levenshtein similarity over the token-SORTED normalized
+    titles (word-order-insensitive, like the reference's token scorers)
+    must reach score_cutoff. JVM levenshtein + whole-stage codegen: no
+    Python in the plan at all, ~10x the pandas-UDF path per pair.
+
+    Returns (left_title, right_title, score int).
+    """
+    lt = (
+        left.select(F.col(left_col).alias("left_title"))
+        .where(F.col(left_col).isNotNull())
+        .distinct()
+        .withColumn("left_key", token_sort_key(F.col("left_title")))
+    )
+    rt = (
+        right.select(F.col(right_col).alias("right_title"))
+        .where(F.col(right_col).isNotNull())
+        .distinct()
+        .withColumn("right_key", token_sort_key(F.col("right_title")))
+    )
+    le = lt.select(
+        "left_title",
+        "left_key",
+        F.explode(F.array_distinct(F.split("left_key", " "))).alias("tok"),
+    )
+    re_ = rt.select(
+        "right_title",
+        "right_key",
+        F.explode(F.array_distinct(F.split("right_key", " "))).alias("tok"),
+    )
+    cand = (
+        le.join(re_, "tok")
+        .groupBy("left_title", "left_key", "right_title", "right_key")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_tokens)
+    )
+    from nyc_government_hiring_audit_data_platform_spark.functions.similarity import (
+        levenshtein_similarity,
+    )
+
+    sim = levenshtein_similarity(F.col("left_key"), F.col("right_key"))
+    return (
+        cand.filter(sim >= score_cutoff)
+        .select(
+            "left_title",
+            "right_title",
+            F.round(sim).cast("int").alias("score"),
+        )
+    )
+
+
+def fuzzy_join_tokensort(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_shared_tokens: int = 2,
+    score_cutoff: int = 85,
+) -> DataFrame:
+    """Row-level fuzzy join over the oracle-expressible token-sort
+    levenshtein scorer (same re-attach shape as ``fuzzy_join``: score
+    once per distinct title pair, join full rows back by title; AQE
+    picks broadcast vs shuffle for the data-dependent pair table)."""
+    pairs = fuzzy_title_pairs_tokensort(
+        left, right, left_col, right_col, min_shared_tokens, score_cutoff
+    )
+    out = (
+        left.join(pairs, left[left_col] == pairs["left_title"])
+        .join(right, pairs["right_title"] == right[right_col])
+    )
+    return out.drop("left_title", "right_title")
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

@@ -187,6 +187,8 @@ def fuzzy_match_salary(
     prefilter_cutoff: int = 85,
     score_cutoff: int = 85,
     limit: int | None = None,
+    join_fn=fuzzy_join,
+    row_key: str | None = None,
 ) -> DataFrame:
     """The reference's first fuzzy flow as ONE lazy plan.
 
@@ -207,6 +209,13 @@ def fuzzy_match_salary(
     (stable sort); here ties break deterministically by
     (title_description, base_salary).
     Output: the declared 12-column schema (:94-107).
+
+    ``join_fn`` swaps the scorer (default: the reference's WRatio
+    pipeline via ``fuzzy_join``; the driver-verified domain queries pass
+    ``fuzzy_join_tokensort``, the oracle-expressible scorer - same
+    two-stage plan shape). ``row_key`` names an existing unique posting
+    column to key the top-N window by (and carry into the output);
+    without it a partition-local monotonically_increasing_id is used.
     """
     pay = (
         payroll.withColumn("fiscal_year", F.col("fiscal_year").cast("int"))
@@ -220,13 +229,14 @@ def fuzzy_match_salary(
         .drop("_ts")
         .withColumn("post_until", impute_post_until("post_until", "posting_date"))
     )
-    if limit is not None:
+    post_row = row_key or "_post_row"
+    if limit is not None and row_key is None:
         # per-posting-ROW key for the top-N window (reference keys
         # matches_by_job by job_index, not by title - duplicate titles
         # are limited independently). monotonically_increasing_id is
         # partition-local arithmetic: no shuffle, scale-safe.
         post = post.withColumn("_post_row", F.monotonically_increasing_id())
-    joined = fuzzy_join(
+    joined = join_fn(
         post, pay, "business_title", "title_description",
         prefilter_cutoff, score_cutoff,
     )
@@ -234,14 +244,24 @@ def fuzzy_match_salary(
         (F.col("base_salary") >= F.col("salary_range_from"))
         & (F.col("base_salary") <= F.col("salary_range_to"))
     )
+    out_cols = MATCH_COLUMNS + ([row_key] if row_key else [])
     if limit is None:
         out = joined.filter(in_band)
     else:
         # band filter BEFORE the window: out-of-band higher scorers must
         # not push in-band matches out of the top-N (reference admits
         # only in-band candidates into the slice).
-        w = Window.partitionBy("_post_row").orderBy(
-            F.desc("score"), F.asc("title_description"), F.asc("base_salary")
+        # fully deterministic tiebreak: payroll rows can collide on
+        # (title, base_salary) yet differ in pay columns - order by every
+        # payroll column so Spark and the oracle slice identically
+        w = Window.partitionBy(post_row).orderBy(
+            F.desc("score"),
+            F.asc("title_description"),
+            F.asc("base_salary"),
+            F.asc("pay_basis"),
+            F.asc("regular_gross_paid"),
+            F.asc("total_ot_paid"),
+            F.asc("total_other_pay"),
         )
         out = (
             joined.filter(in_band)
@@ -249,7 +269,7 @@ def fuzzy_match_salary(
             .filter(F.col("_rn") <= limit)
             .drop("_rn", "_post_row")
         )
-    return out.select(*MATCH_COLUMNS)
+    return out.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -262,13 +282,14 @@ def fuzzy_match_durations(
     lightcast: DataFrame,
     prefilter_cutoff: int = 75,
     score_cutoff: int = 75,
+    join_fn=fuzzy_join,
 ) -> DataFrame:
     """Second fuzzy flow: distinct match titles vs Lightcast occupation
     strings, thresholds 75/75 (reference: src/fuzzy_match_jobs_durations
     .py:58-99, cutoffs :128-129). Emits the stage-1 title, the matched
     occupation + score, and every Lightcast column verbatim."""
     titles = matches.select("business_title").distinct()
-    joined = fuzzy_join(
+    joined = join_fn(
         titles, lightcast, "business_title", "Occupation (SOC)",
         prefilter_cutoff, score_cutoff,
     )

@@ -32,56 +32,64 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Raw schema as stored: the testdata writes ts as parquet
-# TIMESTAMP(NANOS), which Spark reads only as INT64 nanos (legacy conf);
-# ``_with_event_ts`` converts to a proper microsecond timestamp.
-EVENTS_RAW_SCHEMA = StructType(
+# Normalized events schema (what every downstream job sees). The stored
+# ``ts`` physical type has varied across testdata vintages - TIMESTAMP
+# (NANOS) readable only as INT64 nanos via the legacy conf, and
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) read natively as
+# TIMESTAMP_NTZ - so the readers probe the actual parquet footer schema
+# instead of pinning a physical ``ts`` type, and ``with_event_ts``
+# dispatches on the observed dtype.
+EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ]
 )
 
-EVENTS_SCHEMA = StructType(
-    [f if f.name != "ts" else StructField("ts", TimestampType()) for f in EVENTS_RAW_SCHEMA]
-)
-
 
 def with_event_ts(df: DataFrame) -> DataFrame:
-    """nanos-int64 ``ts`` -> timestamp (integer floor division to micros,
-    deterministic; same conversion as the batch ``table()`` loader)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ``ts`` to TimestampType whatever the reader produced
+    (same dtype dispatch as the batch ``table()`` loader)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        normalize_event_ts,
+    )
+
+    return normalize_event_ts(df)
 
 
 def read_events_batch(spark: SparkSession, source_dir: str) -> DataFrame:
     """NOTE: persists the nanosAsLong conf on the caller's session (set
-    only when it differs) - required to read TIMESTAMP(NANOS) parquet."""
+    only when it differs) - needed only for TIMESTAMP(NANOS) vintages of
+    the testdata; harmless otherwise."""
     from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
         set_conf_if_differs,
     )
 
     set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    return with_event_ts(spark.read.schema(EVENTS_RAW_SCHEMA).parquet(source_dir))
+    return with_event_ts(spark.read.parquet(source_dir))
 
 
 def read_events_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over an events parquet directory. New files are
-    discovered per micro-batch; schema is pinned (streams cannot infer).
-    Persists the nanosAsLong conf on the caller's session (set only when
-    it differs)."""
+    discovered per micro-batch; schema is pinned (streams cannot infer) -
+    but pinned to the PROBED batch-read schema of the existing files, not
+    a hard-coded physical type, so either ``ts`` vintage works. Persists
+    the nanosAsLong conf on the caller's session (set only when it
+    differs)."""
     from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
         set_conf_if_differs,
     )
 
     set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(source_dir).schema
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("path", source_dir)
     )

@@ -24,7 +24,17 @@ ORACLE = entrymod.oracle_sql()
 
 
 def _canon(v):
-    """Canonicalize a value for cross-engine comparison."""
+    """Canonicalize a value for cross-engine comparison.
+
+    Raw list/dict cells are REJECTED outright: the driver's value-hasher
+    cannot hash them (round-2 regression class) - queries must serialize
+    array/map outputs to strings (array_join / to_json) on both engines.
+    """
+    if isinstance(v, (list, dict, set)):
+        raise TypeError(
+            f"unserialized collection cell {v!r}: emit array_join/to_json "
+            "strings on both engines (driver hasher can't hash arrays)"
+        )
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
