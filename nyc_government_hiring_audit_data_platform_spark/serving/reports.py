@@ -139,19 +139,30 @@ def dashboard_view(
     streamlit/app.py:42-91): slider bounds from the full dataset,
     range-filtered row count vs total, and the filtered mean formatted
     to 1 decimal like the st.metric (:89). ``lo``/``hi`` default to the
-    bounds (the slider's initial value, :63)."""
-    b_lo, b_hi = score_bounds(df, col)
-    lo = b_lo if lo is None else lo
-    hi = b_hi if hi is None else hi
-    filtered = filter_score_range(df, lo, hi, col)
-    row = filtered.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.col(col).cast("double")).alias("mean")
+    bounds (the slider's initial value, :63).
+
+    ONE Spark job: bounds, total, and the filtered count/mean fold into
+    a single aggregate (conditional aggregation replaces the separate
+    filtered pass, and an unset bound means "every non-null score" -
+    exactly what filtering by the observed min/max admits)."""
+    c = F.col(col).cast("double")
+    cond = c.isNotNull()
+    if lo is not None:
+        cond = cond & (c >= lo)
+    if hi is not None:
+        cond = cond & (c <= hi)
+    row = df.agg(
+        F.min(c).alias("lo"),
+        F.max(c).alias("hi"),
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(cond, 1)).alias("shown"),
+        F.avg(F.when(cond, c)).alias("mean"),
     ).collect()[0]
     return {
-        "bounds": (b_lo, b_hi),
-        "selected": (lo, hi),
-        "rows_shown": row["n"],
-        "rows_total": df.count(),
+        "bounds": (row["lo"], row["hi"]),
+        "selected": (row["lo"] if lo is None else lo, row["hi"] if hi is None else hi),
+        "rows_shown": row["shown"],
+        "rows_total": row["total"],
         "avg_score": None if row["mean"] is None else round(float(row["mean"]), 1),
     }
 
