@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "salted_skew_join",
     "rank_dense_ntile",
     "asof_join",
+    # flagship domain chain (reference fuzzy flow: 12m47s single-node,
+    # BASELINE.md; here the full prep+match+band+gold chain)
+    "fuzzy_salary_matches",
+    "fuzzy_lightcast_durations",
+    "gold_salary_matches_unique",
     # training-data-pipeline suite
     "exact_dedup",
     "minhash_lsh_neardup",

@@ -90,14 +90,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     set_conf_if_differs(spark, "spark.sql.session.timeZone", "UTC")
     set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Local-VM protection (local-mode masters only): this VM's C2 JIT
-    # chokes compiling Spark's generated classes (a 64-row broadcast
-    # stage once burned 42s of compile CPU - independent of data size),
-    # so run interpreted expression eval unless explicitly overridden
-    # via SPARK_GRAFT_CODEGEN=1. A cluster session (yarn/k8s/standalone
-    # master) keeps codegen on.
+    # Codegen default flipped in round 3 (2x faster, stable here);
+    # SPARK_GRAFT_CODEGEN=0 restores the interpreted-eval mitigation
+    # for local-mode hosts whose C2 JIT chokes on generated classes
+    # (round-1/2 pathology; see session.py).
     if (
-        os.environ.get("SPARK_GRAFT_CODEGEN") != "1"
+        os.environ.get("SPARK_GRAFT_CODEGEN", "1") == "0"
         and spark.conf.get("spark.master", "local").startswith("local")
     ):
         set_conf_if_differs(spark, "spark.sql.codegen.wholeStage", "false")

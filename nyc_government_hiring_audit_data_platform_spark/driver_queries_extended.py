@@ -1019,3 +1019,69 @@ def _attach_neardup_components_oracle():
 
 
 _attach_neardup_components_oracle()
+
+
+# ---------------------------------------------------------------------------
+# UDAF / UDTF surface (driver-verified; SURVEY.md §2.10 engine extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udaf_weighted_mean",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) * 1.0
+                 / SUM(CAST(l_quantity AS BIGINT)) / 100, 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted_mean(spark, sf_dir):
+    """Arrow grouped-agg pandas UDAF (functions.udx.weighted_mean):
+    quantity-weighted mean price per returnflag. Inputs are integerized
+    (cents, whole quantities) BEFORE the UDAF so the in-group pandas sum
+    is exact int64 arithmetic - order-independent, hence hash-stable
+    against the oracle regardless of shuffle row order."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.udx import (
+        weighted_mean,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    agg = weighted_mean(li, ["l_returnflag"], "price_c", "qty")
+    return agg.select(
+        "l_returnflag", F.round(F.col("weighted_mean") / 100, 4).alias("wavg_price")
+    )
+
+
+@query(
+    "udtf_ngram_explode",
+    """
+    WITH src AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+    ex AS (SELECT p_partkey,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> struct_pack(pos := i - 1,
+                                          ng := toks[i] || ' ' || toks[i+1]))) AS u
+           FROM src)
+    SELECT p_partkey, CAST(u.pos AS INT) AS pos, u.ng AS ngram FROM ex
+    """,
+)
+def q_udtf_ngram_explode(spark, sf_dir):
+    """Spark 4 Python UDTF (functions.udx.ngram_explode) in SQL LATERAL
+    position: one title row -> N word-bigram rows with ordinals. The
+    oracle is a correlated unnest over the same bigram construction."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.udx import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "part").select("p_partkey", "p_name").createOrReplaceTempView(
+        "udtf_part_src"
+    )
+    return spark.sql(
+        "SELECT p_partkey, pos, ngram "
+        "FROM udtf_part_src, LATERAL ngrams(p_name, 2)"
+    )

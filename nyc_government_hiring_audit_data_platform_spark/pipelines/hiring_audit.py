@@ -348,17 +348,42 @@ def gold_durations(durations: DataFrame) -> DataFrame:
 def gold_salary_matches_unique(matches: DataFrame) -> DataFrame:
     """GOLD.nyc_salary_matches_unique_job_posting_title (sql/cleaned.sql:
     28-42): one row per business_title via MAX over every other column
-    (MAX over strings = lexicographic, same in Spark and DuckDB)."""
-    dur = posting_duration_days("post_until", "posting_date")
+    (MAX over strings = lexicographic, same in Spark and DuckDB).
+
+    posting_duration_days is a heavy parse chain (two date parses, a
+    month-case fixup) but depends only on the low-cardinality
+    (posting_date, post_until) pair. Because every aggregate here is
+    MAX (decomposable), aggregate in two levels: partial MAX keyed by
+    (title, posting_date, post_until), evaluate the parse chain on that
+    small intermediate (one eval per distinct key instead of per match
+    row), then final MAX by title. One pass over the match rows, ~10^3
+    parse evaluations instead of ~10^5+ at any scale (measured 3x on
+    the whole gold query at sf0.1)."""
+    cols = {
+        "payroll_job_title": "title_description",
+        "match_score": "score",
+        "posted_salary_range_from": "salary_range_from",
+        "posted_salary_range_to": "salary_range_to",
+        "base_salary": "base_salary",
+        "regular_gross_paid": "regular_gross_paid",
+        "total_ot_paid": "total_ot_paid",
+        "total_other_pay": "total_other_pay",
+    }
+    partial = matches.groupBy(
+        "business_title", "posting_date", "post_until"
+    ).agg(*[F.max(src).alias(out) for out, src in cols.items()])
+    partial = partial.withColumn(
+        "_dur", posting_duration_days("post_until", "posting_date")
+    )
     return (
-        matches.groupBy(F.col("business_title").alias("posted_job_title"))
+        partial.groupBy(F.col("business_title").alias("posted_job_title"))
         .agg(
-            F.max("title_description").alias("payroll_job_title"),
-            F.max("score").alias("match_score"),
-            F.max("salary_range_from").alias("posted_salary_range_from"),
-            F.max("salary_range_to").alias("posted_salary_range_to"),
+            F.max("payroll_job_title").alias("payroll_job_title"),
+            F.max("match_score").alias("match_score"),
+            F.max("posted_salary_range_from").alias("posted_salary_range_from"),
+            F.max("posted_salary_range_to").alias("posted_salary_range_to"),
             F.max("base_salary").alias("base_salary"),
-            F.max(dur).alias("posting_duration_days"),
+            F.max("_dur").alias("posting_duration_days"),
             F.max("regular_gross_paid").alias("regular_gross_paid"),
             F.max("total_ot_paid").alias("total_ot_paid"),
             F.max("total_other_pay").alias("total_other_pay"),

@@ -20,16 +20,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Local-mode JIT mitigation (measured on this VM, see bench history):
-# whole-stage-codegen emits large generated classes whose C2 JIT
-# compilation backs up the compiler queue in a single-JVM local run;
-# Janino + the generated loops then execute interpreted, turning
-# sub-second stages into minutes (observed 0.7s -> 170s on a 64-row
-# broadcast stage; full bench 320s -> 14s with the mitigation).
-# On a multi-executor cluster each executor JVM compiles a handful of
-# classes and whole-stage codegen is a clear win - so this is keyed on
-# local mode only and can be overridden with SPARK_GRAFT_CODEGEN=1.
-LOCAL_CODEGEN = os.environ.get("SPARK_GRAFT_CODEGEN", "0") == "1"
+# Whole-stage codegen is ON by default (measured round 3: full bench
+# 44s interpreted -> 22.5s with codegen at sf0.1, stable across runs).
+# SPARK_GRAFT_CODEGEN=0 restores the round-1/2 interpreted-eval
+# mitigation for hosts where the C2 JIT compile queue pathologically
+# backs up on Spark's generated classes (observed there: 0.7s -> 170s
+# on a 64-row broadcast stage); re-measure per round - the pathology is
+# host-dependent and did not reproduce in round 3.
+LOCAL_CODEGEN = os.environ.get("SPARK_GRAFT_CODEGEN", "1") == "1"
 
 
 def get_spark(
