@@ -29,9 +29,12 @@ from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: 3-way equi-join +
-    revenue aggregation + top-K (TPC-H Q3 shape)."""
-    return DQ.QUERIES["equi_join_agg"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the reference's
+    signature capability end-to-end - prep (cast/BETWEEN/lenient dates/
+    imputation) -> two-stage fuzzy title join -> salary-band filter
+    (reference: src/fuzzy_match_salary.py:27-189), hash-verified against
+    the DuckDB oracle."""
+    return DQ.QUERIES["fuzzy_salary_matches"](spark, "/root/testdata/sf0.001")
 
 
 def _driver_history() -> dict[str, tuple[bool, int]]:

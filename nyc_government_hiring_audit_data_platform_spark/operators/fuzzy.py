@@ -286,11 +286,16 @@ def fuzzy_title_pairs_tokensort(
 
     Stage 1 (prefilter): candidate pairs must share >= min_shared_tokens
     distinct normalized tokens - an explode + equi-join + count, i.e. a
-    uniform shuffle on tokens, never a dense N x M matrix. Stage 2
-    (refine): levenshtein similarity over the token-SORTED normalized
-    titles (word-order-insensitive, like the reference's token scorers)
-    must reach score_cutoff. JVM levenshtein + whole-stage codegen: no
-    Python in the plan at all, ~10x the pandas-UDF path per pair.
+    uniform shuffle on tokens, never a dense N x M matrix. The shared-
+    token requirement is part of this operator's CONTRACT (pairs with
+    zero shared tokens are non-candidates even if their char-level edit
+    distance is small, e.g. 'analyst'/'analysts'); the WRatio path's
+    token ∪ char-4-gram blocking in ``fuzzy_title_pairs`` covers that
+    class when needed. Stage 2 (refine): levenshtein similarity over the
+    token-SORTED normalized titles (word-order-insensitive, like the
+    reference's token scorers) must reach score_cutoff. JVM levenshtein
+    + whole-stage codegen: no Python in the plan at all, ~10x the
+    pandas-UDF path per pair.
 
     Returns (left_title, right_title, score int).
     """

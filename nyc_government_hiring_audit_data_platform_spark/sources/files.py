@@ -58,23 +58,152 @@ def list_store_files(spark: SparkSession, pattern: str) -> list[str]:
     return [s.getPath().toString() for s in statuses]
 
 
+def _xml_local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xlsx_shared_strings(zf) -> list[str]:
+    import xml.etree.ElementTree as ET
+
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    out: list[str] = []
+    for si in ET.fromstring(data):
+        if _xml_local(si.tag) != "si":
+            continue
+        # plain <t> or rich-text runs <r><t>; concatenate all t nodes
+        out.append("".join(t.text or "" for t in si.iter() if _xml_local(t.tag) == "t"))
+    return out
+
+
+def _xlsx_sheet_path(zf, sheet_name: str | int) -> str:
+    """Resolve a sheet (by workbook order index or by name) to its zip
+    member via workbook.xml + its relationships part."""
+    import xml.etree.ElementTree as ET
+
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        rel.get("Id"): rel.get("Target") for rel in rels if rel.get("Id")
+    }
+    sheets = []
+    for el in wb.iter():
+        if _xml_local(el.tag) == "sheet":
+            rid = next(
+                (v for k, v in el.attrib.items() if _xml_local(k) == "id"), None
+            )
+            sheets.append((el.get("name"), rid_to_target.get(rid)))
+    if isinstance(sheet_name, int):
+        name, target = sheets[sheet_name]
+    else:
+        matches = [s for s in sheets if s[0] == sheet_name]
+        if not matches:
+            raise KeyError(f"no sheet named {sheet_name!r}; have {[s[0] for s in sheets]}")
+        name, target = matches[0]
+    if target is None:
+        raise ValueError(f"sheet {name!r} has no relationship target")
+    return target if target.startswith("xl/") else f"xl/{target}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'C7' -> 2 (0-based column)."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return idx - 1
+
+
 def read_xlsx(
     spark: SparkSession, path: str, sheet_name: str | int = 0
 ) -> DataFrame:
-    """S10: XLSX source (the reference's Lightcast sheet lands as a
-    pre-built table; README.md:36). pandas.read_excel needs openpyxl,
-    which is not in this container - the import is gated and the parquet
-    drop-in (a directory with the same columns) is the tested path."""
-    try:
-        import pandas as pd
+    """S10: XLSX source (the reference's Lightcast sheet; exotic column
+    names like "Occupation (SOC)" survive verbatim - README.md:36,
+    src/fuzzy_match_jobs_durations.py:44). Pure-stdlib reader (zipfile +
+    ElementTree over SpreadsheetML): shared/inline strings, numeric and
+    boolean cells, first row as header, sheet selection by index or
+    name - no openpyxl/pandas dependency. Column typing: DOUBLE when
+    every non-null cell is numeric, else STRING."""
+    import zipfile
 
-        pdf = pd.read_excel(path, sheet_name=sheet_name)  # needs openpyxl
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "XLSX ingestion requires openpyxl (not installed here); land the "
-            "sheet as parquet with identical columns instead"
-        ) from exc
-    return spark.createDataFrame(pdf)
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as zf:
+        strings = _xlsx_shared_strings(zf)
+        sheet = ET.fromstring(zf.read(_xlsx_sheet_path(zf, sheet_name)))
+        raw_rows: list[dict[int, object]] = []
+        for row in sheet.iter():
+            if _xml_local(row.tag) != "row":
+                continue
+            vals: dict[int, object] = {}
+            for c in row:
+                if _xml_local(c.tag) != "c":
+                    continue
+                ref = c.get("r") or ""
+                ctype = c.get("t") or "n"
+                text = None
+                for child in c:
+                    loc = _xml_local(child.tag)
+                    if loc == "v":
+                        text = child.text
+                    elif loc == "is":
+                        text = "".join(
+                            t.text or ""
+                            for t in child.iter()
+                            if _xml_local(t.tag) == "t"
+                        )
+                if text is None:
+                    continue
+                if ctype == "s":
+                    val: object = strings[int(text)]
+                elif ctype == "b":
+                    val = text == "1"
+                elif ctype in ("str", "inlineStr"):
+                    val = text
+                else:
+                    val = float(text)
+                vals[_col_index(ref)] = val
+            if vals:
+                raw_rows.append(vals)
+    if not raw_rows:
+        raise ValueError(f"{path}: sheet has no rows")
+    header_cells, data = raw_rows[0], raw_rows[1:]
+    n_cols = max(header_cells) + 1
+    names = [str(header_cells.get(i, f"_c{i}")) for i in range(n_cols)]
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def col_type(i):
+        seen = [r[i] for r in data if r.get(i) is not None]
+        if seen and all(isinstance(v, float) for v in seen):
+            return DoubleType()
+        if seen and all(isinstance(v, bool) for v in seen):
+            return BooleanType()
+        return StringType()
+
+    types = [col_type(i) for i in range(n_cols)]
+    rows = [
+        tuple(
+            (
+                r.get(i)
+                if isinstance(t, (DoubleType, BooleanType)) or r.get(i) is None
+                else str(r.get(i))
+            )
+            for i, t in enumerate(types)
+        )
+        for r in data
+    ]
+    schema = StructType([StructField(n, t) for n, t in zip(names, types)])
+    return spark.createDataFrame(rows, schema)
 
 
 def table_name_for_file(file_name: str) -> str:

@@ -71,12 +71,89 @@ def test_table_name_munging():
     )
 
 
-def test_xlsx_gated():
-    import importlib.util
+def _write_minimal_xlsx(path):
+    """Hand-rolled SpreadsheetML zip: shared strings, inline string,
+    numeric + empty cells, exotic header names, two sheets."""
+    import zipfile
 
-    if importlib.util.find_spec("openpyxl") is None:
-        with pytest.raises((NotImplementedError, Exception)):
-            FS.read_xlsx(None, "/nonexistent.xlsx")
+    ct = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+    root_rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+    workbook = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="Ignore Me" sheetId="1" r:id="rId2"/>
+  <sheet name="Occupations" sheetId="2" r:id="rId3"/>
+ </sheets>
+</workbook>"""
+    wb_rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+    shared = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+ <si><t>Occupation (SOC)</t></si>
+ <si><t>Total Postings (Jan 2024 - Jun 2025)</t></si>
+ <si><t>Median Posting Duration</t></si>
+ <si><t>Registered Nurses</t></si>
+</sst>"""
+    sheet1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData><row r="1"><c r="A1" t="s"><v>3</v></c></row></sheetData>
+</worksheet>"""
+    sheet2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c>
+  </row>
+  <row r="2">
+   <c r="A2" t="s"><v>3</v></c><c r="B2"><v>41972</v></c><c r="C2"><v>35.5</v></c>
+  </row>
+  <row r="3">
+   <c r="A3" t="inlineStr"><is><t>Software Developers</t></is></c><c r="B3"><v>30000</v></c>
+  </row>
+ </sheetData>
+</worksheet>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_xlsx_stdlib_reader(spark, tmp_path):
+    """S10: pure-stdlib XLSX ingestion - exotic reference column names
+    verbatim, shared + inline strings, numeric typing, missing cells as
+    nulls, sheet selection by name and by index."""
+    path = str(tmp_path / "lightcast.xlsx")
+    _write_minimal_xlsx(path)
+    df = FS.read_xlsx(spark, path, sheet_name="Occupations")
+    assert df.columns == [
+        "Occupation (SOC)",
+        "Total Postings (Jan 2024 - Jun 2025)",
+        "Median Posting Duration",
+    ]
+    rows = {r[0]: (r[1], r[2]) for r in df.collect()}
+    assert rows["Registered Nurses"] == (41972.0, 35.5)
+    assert rows["Software Developers"] == (30000.0, None)
+    # by index: sheet 0 is the decoy
+    d0 = FS.read_xlsx(spark, path, sheet_name=0)
+    assert d0.columns == ["Registered Nurses"]
+    with pytest.raises(KeyError):
+        FS.read_xlsx(spark, path, sheet_name="Nope")
 
 
 # -- multimodal --------------------------------------------------------------
