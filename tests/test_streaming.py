@@ -83,6 +83,45 @@ def test_running_user_totals_stateful(spark, events_dir, batch_events):
     assert latest == want
 
 
+def test_transform_with_state_matches_batch(spark, events_dir, batch_events):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB state
+    store) produces the same final cumulative totals as the batch agg
+    and as the applyInPandasWithState twin. Skips (with the operator's
+    own guidance) where protobuf is unavailable - the gated path is
+    asserted instead."""
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            SJ.running_user_totals_tws(SJ.read_events_stream(spark, events_dir))
+        pytest.skip("protobuf not installed; transformWithState gated")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    SJ.configure_rocksdb_state_store(spark)
+    try:
+        stream = SJ.running_user_totals_tws(SJ.read_events_stream(spark, events_dir))
+        got = _drain(spark, stream, "t_totals_tws", mode="update")
+        want = {
+            (r["user_id"], r["n"], r["tv"])
+            for r in batch_events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("tv"),
+            )
+            .collect()
+        }
+        latest = {
+            (r["user_id"], r["n_events"], r["total_value"]) for r in got.collect()
+        }
+        assert latest == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
 def test_available_now_checkpoint_idempotent(spark, events_dir, tmp_path):
     """Re-running with the same checkpoint processes nothing new - the
     exactly-once replacement for IF-NOT-EXISTS idempotence."""
