@@ -1085,3 +1085,73 @@ def q_udtf_ngram_explode(spark, sf_dir):
         "SELECT p_partkey, pos, ngram "
         "FROM udtf_part_src, LATERAL ngrams(p_name, 2)"
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches (DataSketches HLL / KLL) - the 100 TB shape for
+# distinct counts and quantiles: per-partition sketches, tiny merge,
+# no exact-distinct shuffle. Oracle contract is the ERROR BOUND (like
+# approx_distinct): estimates are sketch-impl-specific, the bound is not.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_union_bound",
+    """
+    SELECT c_mktsegment, TRUE AS within_5pct
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_hll_union_bound(spark, sf_dir):
+    """HLL sketch build + UNION (hll_sketch_agg per (segment, nation),
+    hll_union_agg across nations): the distributed-distinct pattern
+    where only fixed-size sketches move. Emits a per-segment flag that
+    the merged estimate lands within 5% of the exact distinct count."""
+    c = table(spark, sf_dir, "customer")
+    per = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    est = per.groupBy("c_mktsegment").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = c.groupBy("c_mktsegment").agg(F.countDistinct("c_custkey").alias("ex"))
+    return est.join(exact, "c_mktsegment").select(
+        "c_mktsegment",
+        (F.abs(F.col("est") - F.col("ex")) / F.col("ex") <= 0.05).alias("within_5pct"),
+    )
+
+
+@query(
+    "kll_quantile_bound",
+    """
+    SELECT o_orderpriority, TRUE AS median_rank_in_40_60
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_kll_quantile_bound(spark, sf_dir):
+    """KLL quantile sketch (kll_sketch_agg_double + get_quantile 0.5):
+    mergeable streaming quantiles. The sketch value is impl/merge-order
+    specific, so the oracle-checkable contract is the RANK bound: the
+    fraction of rows <= the sketch median must sit in [0.40, 0.60]
+    (default k=200 has ~1.3% rank error - orders of magnitude inside
+    the bound)."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("o_totalprice"), F.lit(0.5)
+        ).alias("m")
+    )
+    ranked = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.count(F.when(F.col("o_totalprice") <= F.col("m"), 1))
+                / F.count(F.lit(1))
+            ).alias("frac_le")
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        F.col("frac_le").between(0.40, 0.60).alias("median_rank_in_40_60"),
+    )
