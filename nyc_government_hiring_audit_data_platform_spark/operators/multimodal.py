@@ -4,15 +4,16 @@ Media travel as opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Three decoder modes:
 
-- ``decoder="ppm"``: a REAL decode path - a pure-numpy PPM (P6) codec
-  (header parse incl. comments, raw 8-bit RGB payload, nearest-neighbor
-  resampling). Actual image bytes are decoded, transformed and
-  re-encoded end-to-end with no external library.
+- ``decoder="codec"`` (alias ``"ppm"``): REAL decode paths with no
+  external library - a pure-numpy PPM (P6) codec AND a pure-stdlib PNG
+  codec (zlib inflate, all five scanline filters unfiltered, 8-bit
+  gray/RGB/RGBA). Actual image bytes are decoded, transformed and
+  re-encoded end-to-end; dispatch is by mime type.
 - ``decoder="fake"`` (default): deterministic pseudo-frames from the
   raw bytes, for mixed-media plumbing runs (schema, batching,
   partitioning, UDF signatures are identical to the real path).
 - ``decoder="real"``: the Pillow/torchaudio/ffmpeg plug-point for
-  compressed formats (PNG/JPEG/WAV/MP4); raises NotImplementedError
+  JPEG/WAV/MP4 and bulk compressed data; raises NotImplementedError
   because those libraries are unavailable in this container.
 
 Scale notes: media rows are wide (MBs per row), so the operators
@@ -117,6 +118,166 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# pure-stdlib+numpy PNG codec - real compressed-image decode path
+# (PNG spec: 8-byte signature, chunked IHDR/IDAT/IEND, zlib-compressed
+# scanlines each prefixed by a filter byte; no external library)
+# ---------------------------------------------------------------------------
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (h, w), (h, w, 3) or (h, w, 4) uint8 array as PNG.
+
+    ``filter_type`` applies that PNG scanline filter to every row
+    (0=None is the fast path; 1-4 exist so the decoder's unfilter logic
+    is testable against spec-filtered data)."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros((w, c), dtype=np.int32)
+    for y in range(h):
+        line = arr[y].astype(np.int32)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, c), np.int32), line[:-1]])
+            filt = (line - left) % 256
+        elif filter_type == 2:  # Up
+            filt = (line - prev) % 256
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, c), np.int32), line[:-1]])
+            filt = (line - (left + prev) // 2) % 256
+        elif filter_type == 4:  # Paeth
+            left = np.vstack([np.zeros((1, c), np.int32), line[:-1]])
+            ul = np.vstack([np.zeros((1, c), np.int32), prev[:-1]])
+            filt = (line - _paeth(left, prev, ul)) % 256
+        else:
+            raise ValueError(f"unsupported filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG to a (h, w[, c])
+    uint8 array. All five scanline filters are reversed; filter-0 rows
+    take the vectorized path, filters with a left-dependency (Sub/Avg/
+    Paeth) run per-pixel within the row (fine for the fixture sizes;
+    swap in a native codec via decoder='real' for bulk compressed data).
+    """
+    import struct
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = depth = color_type = interlace = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color_type} "
+            f"interlace={interlace}); supported: 8-bit gray/RGB/RGBA, "
+            "non-interlaced"
+        )
+    c = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        ft = int(raw[p])
+        line = raw[p + 1 : p + 1 + stride].astype(np.int32)
+        p += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        else:
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = prev[x]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:
+                    cc = prev[x - c] if x >= c else 0
+                    pred = int(_paeth(np.array(a), np.array(b), np.array(cc)))
+                else:
+                    raise ValueError(f"bad filter byte {ft}")
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur.astype(np.uint8)
+    img = out.reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img
+
+
+def decode_image(payload: bytes, mime: str) -> np.ndarray:
+    """Dispatch to the pure-python codec for the payload's mime type."""
+    if mime == PPM_MIME:
+        return decode_ppm(payload)
+    if mime == PNG_MIME:
+        return decode_png(payload)
+    raise ValueError(f"no built-in codec for {mime}")
+
+
+def encode_image(arr: np.ndarray, mime: str) -> bytes:
+    if mime == PPM_MIME:
+        return encode_ppm(arr)
+    if mime == PNG_MIME:
+        return encode_png(arr)
+    raise ValueError(f"no built-in codec for {mime}")
+
+
 def resize_nearest(arr: np.ndarray, max_side: int) -> np.ndarray:
     """Nearest-neighbor downscale so max(h, w) <= max_side, aspect
     preserved; arrays already small enough pass through unchanged."""
@@ -150,6 +311,26 @@ def make_ppm_media_fixture(spark, n_rows: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_png_media_fixture(spark, n_rows: int = 24) -> DataFrame:
+    """MEDIA_SCHEMA rows whose payloads are REAL zlib-compressed PNG
+    images (deterministic gradients; every scanline filter exercised
+    round-trip in tests)."""
+    rows = []
+    for i in range(n_rows):
+        h, w = 12 + (i % 5) * 20, 12 + (i * 7 % 9) * 12
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [
+                (xx * 255 // max(1, w - 1)).astype(np.uint8),
+                (yy * 255 // max(1, h - 1)).astype(np.uint8),
+                np.full((h, w), i * 13 % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        rows.append((i, "image", PNG_MIME, bytearray(encode_png(arr)), w, h, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def repartition_by_bytes(
     df: DataFrame, payload_col: str = "payload", target_partition_bytes: int = 128 << 20
 ) -> DataFrame:
@@ -178,16 +359,17 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     emit (id, kind, size, content hash, mean pixel/byte value, frame
     count).
 
-    ``decoder="ppm"`` DECODES the payload (pure-numpy P6 parser) and
-    computes mean_byte over the raster pixels - a real end-to-end decode.
+    ``decoder="codec"`` (alias "ppm") DECODES the payload (pure-python
+    PPM/PNG codecs, by mime) and computes mean_byte over the raster
+    pixels - a real end-to-end decode.
     ``decoder="real"`` is the plug-point for Pillow / torchaudio /
     ffmpeg; it raises here because those libraries are unavailable."""
 
     def _mean(payload: bytes, mime: str) -> float:
         if not len(payload):
             return 0.0
-        if decoder == "ppm" and mime == PPM_MIME:
-            return float(decode_ppm(bytes(payload)).mean())
+        if decoder in ("ppm", "codec") and mime in (PPM_MIME, PNG_MIME):
+            return float(decode_image(bytes(payload), mime).mean())
         return float(_decode_fake(bytes(payload)).mean())
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,8 +377,8 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             if decoder == "real":  # pragma: no cover - env-dependent
                 raise NotImplementedError(
                     "real decoders (Pillow/ffmpeg) are not available in this "
-                    "container; use decoder='ppm' (pure-numpy, uncompressed "
-                    "images) or decoder='fake' for plumbing runs"
+                    "container; use decoder='codec' (pure-python PPM + PNG "
+                    "codecs) or decoder='fake' for plumbing runs"
                 )
             out = {
                 "media_id": pdf["media_id"],
@@ -251,11 +433,12 @@ def sample_frames(df: DataFrame, every_nth: int = 25, decoder: str = "fake") -> 
 
 def resize_images(df: DataFrame, max_side: int = 256, decoder: str = "fake") -> DataFrame:
     """Resize: passes non-images through untouched; for images,
-    ``decoder="ppm"`` runs the REAL path - decode P6 payload,
-    nearest-neighbor resample to max_side (aspect preserved), re-encode,
-    and update width/height to the actual new raster dims. ``"fake"``
-    only rewrites metadata/truncates bytes (plumbing runs); ``"real"``
-    is the Pillow plug-point for compressed formats."""
+    ``decoder="codec"`` (alias "ppm") runs the REAL path - decode the
+    PPM or PNG payload (by mime), nearest-neighbor resample to max_side
+    (aspect preserved), re-encode in the SAME format, and update
+    width/height to the actual new raster dims. ``"fake"`` only
+    rewrites metadata/truncates bytes (plumbing runs); ``"real"`` is
+    the Pillow plug-point for JPEG etc."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,14 +449,15 @@ def resize_images(df: DataFrame, max_side: int = 256, decoder: str = "fake") -> 
                 )
             out = pdf.copy()
             is_img = out["kind"] == "image"
-            if decoder == "ppm":
+            if decoder in ("ppm", "codec"):
                 for idx in out.index[is_img]:
-                    if out.at[idx, "mime"] != PPM_MIME:
+                    mime = out.at[idx, "mime"]
+                    if mime not in (PPM_MIME, PNG_MIME):
                         continue
                     arr = resize_nearest(
-                        decode_ppm(bytes(out.at[idx, "payload"])), max_side
+                        decode_image(bytes(out.at[idx, "payload"]), mime), max_side
                     )
-                    out.at[idx, "payload"] = bytearray(encode_ppm(arr))
+                    out.at[idx, "payload"] = bytearray(encode_image(arr, mime))
                     out.at[idx, "height"], out.at[idx, "width"] = arr.shape[:2]
             else:
                 def clamp(v):
