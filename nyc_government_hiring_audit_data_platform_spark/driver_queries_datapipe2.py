@@ -481,3 +481,51 @@ def q_full_outer_coalesce(spark, sf_dir):
         F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH sc AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(s, 6) AS scale,
+           CASE WHEN s = 0 THEN ''
+                ELSE array_to_string(
+                  list_transform(embedding,
+                    x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / s * 127) AS INT) AS VARCHAR)),
+                  ',') END AS q8
+    FROM sc
+    """,
+)
+def q_embedding_int8_quantize(spark, sf_dir):
+    """Int8 embedding quantization (symmetric max-abs scaling): the
+    storage/serving compression step of a training-data pipeline - 4x
+    smaller vectors for the ANN index. Map-side only, no shuffle; the
+    quantized codes are exact integers so the output hashes identically
+    across engines (codes emitted as a ','-joined string - driver
+    hasher can't take raw arrays)."""
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sc = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("s"),
+    )
+    q8 = F.when(F.col("s") == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") / F.col("s") * 127)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    return sc.select("vec_id", F.round("s", 6).alias("scale"), q8.alias("q8"))

@@ -471,3 +471,107 @@ def resize_images(df: DataFrame, max_side: int = 256, decoder: str = "fake") -> 
             yield out
 
     return df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib WAV (PCM) codec - real audio decode path
+# ---------------------------------------------------------------------------
+
+WAV_MIME = "audio/wav"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a WAV file
+    using only the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM WAV bytes -> ((n, ch) int16 array, sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM supported, got {w.getsampwidth() * 8}-bit"
+            )
+        ch = w.getnchannels()
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    arr = np.frombuffer(frames, dtype="<i2").reshape(-1, ch)
+    return arr, rate
+
+
+def make_wav_media_fixture(spark, n_rows: int = 16) -> DataFrame:
+    """MEDIA_SCHEMA rows whose payloads are REAL 16-bit PCM WAV clips
+    (deterministic sine mixtures of varying length/rate/channels)."""
+    rows = []
+    for i in range(n_rows):
+        rate = [8000, 16000, 22050][i % 3]
+        dur_ms = 80 + (i % 5) * 60
+        n = rate * dur_ms // 1000
+        t = np.arange(n) / rate
+        freq = 110.0 * (1 + i % 7)
+        mono = (10000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+        samples = mono if i % 2 == 0 else np.stack([mono, (mono // 2)], axis=1)
+        rows.append(
+            (i, "audio", WAV_MIME, bytearray(encode_wav(samples, rate)), -1, -1, dur_ms)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_samples long, n_channels int, sample_rate int, "
+    "duration_ms int, rms double, zero_crossings long"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Real audio feature extraction over WAV payloads (mapInPandas):
+    sample counts, actual duration from the header, RMS amplitude, and
+    zero-crossing count of the first channel - the audio analogue of the
+    image decode path, still zero external dependencies."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                if row["mime"] != WAV_MIME:
+                    continue
+                arr, rate = decode_wav(bytes(row["payload"]))
+                first = arr[:, 0].astype(np.float64)
+                recs.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_samples": arr.shape[0],
+                        "n_channels": arr.shape[1],
+                        "sample_rate": rate,
+                        "duration_ms": int(arr.shape[0] * 1000 / rate),
+                        "rms": float(np.sqrt(np.mean(first**2))),
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(first)))
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_samples", "n_channels", "sample_rate",
+                    "duration_ms", "rms", "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(gen, schema=_AUDIO_FEATURE_SCHEMA)

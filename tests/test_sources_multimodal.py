@@ -404,3 +404,40 @@ def test_png_features_and_resize_end_to_end(spark):
         arr = MM.decode_png(bytes(r["payload"]))
         assert max(arr.shape[:2]) <= 24
         assert (r["height"], r["width"]) == arr.shape[:2]
+
+
+# -- pure-stdlib WAV codec ---------------------------------------------------
+
+
+def test_wav_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-30000, 30000, size=400, dtype=np.int16)
+    data = MM.encode_wav(mono, 8000)
+    arr, rate = MM.decode_wav(data)
+    assert rate == 8000 and np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-30000, 30000, size=(300, 2), dtype=np.int16)
+    arr2, rate2 = MM.decode_wav(MM.encode_wav(stereo, 22050))
+    assert rate2 == 22050 and np.array_equal(arr2, stereo)
+
+
+def test_wav_features_real_decode(spark):
+    """extract_audio_features decodes actual PCM: per-row RMS and
+    duration match a local decode of the same payload."""
+    media = MM.make_wav_media_fixture(spark, 8)
+    local = {}
+    for r in media.collect():
+        arr, rate = MM.decode_wav(bytes(r["payload"]))
+        first = arr[:, 0].astype(np.float64)
+        local[r["media_id"]] = (
+            arr.shape[0],
+            arr.shape[1],
+            rate,
+            float(np.sqrt(np.mean(first**2))),
+        )
+    got = {r["media_id"]: r for r in MM.extract_audio_features(media).collect()}
+    assert set(got) == set(local)
+    for mid, (n, ch, rate, rms) in local.items():
+        r = got[mid]
+        assert (r["n_samples"], r["n_channels"], r["sample_rate"]) == (n, ch, rate)
+        assert abs(r["rms"] - rms) < 1e-9
+        assert r["duration_ms"] == int(n * 1000 / rate)
