@@ -1155,3 +1155,115 @@ def q_kll_quantile_bound(spark, sf_dir):
         "o_orderpriority",
         F.col("frac_le").between(0.40, 0.60).alias("median_rank_in_40_60"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics: ordered funnels and cohort retention - standard
+# large-scale event-log operators the reference's events table invites
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): a user advances a
+    stage only with a LATER event of the next type - the strictly-
+    ordered semantics marketing funnels mean, not mere type presence.
+    Each stage is a groupBy-min plus an equi-join time filter - three
+    narrow per-user aggregates, no window over the whole log. No
+    broadcast hint: the per-user stage tables scale with the user
+    dimension, so AQE picks broadcast only when they are actually
+    small."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(n, name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("event"), "n_users"
+        )
+
+    return stage(1, "view", v).unionByName(stage(2, "click", c)).unionByName(
+        stage(3, "purchase", p)
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted in each later active week. Week offsets are computed from
+    week-TRUNCATED dates (day-diff / 7 is exact - no engine-specific
+    'week difference' semantics); the active set dedups (user, week)
+    first so each user counts once per week."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("wk"), F.to_date("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
