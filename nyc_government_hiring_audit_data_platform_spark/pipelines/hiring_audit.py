@@ -189,6 +189,7 @@ def fuzzy_match_salary(
     limit: int | None = None,
     join_fn=fuzzy_join,
     row_key: str | None = None,
+    observation=None,
 ) -> DataFrame:
     """The reference's first fuzzy flow as ONE lazy plan.
 
@@ -216,6 +217,10 @@ def fuzzy_match_salary(
     two-stage plan shape). ``row_key`` names an existing unique posting
     column to key the top-N window by (and carry into the output);
     without it a partition-local monotonically_increasing_id is used.
+    ``observation`` (a ``pyspark.sql.Observation``) attaches free
+    run metrics - match count and mean score - collected as the plan
+    executes (the reference logs these counters from a separate pass,
+    src/fuzzy_match_salary.py:178-189; observe() costs no extra job).
     """
     pay = (
         payroll.withColumn("fiscal_year", F.col("fiscal_year").cast("int"))
@@ -269,7 +274,14 @@ def fuzzy_match_salary(
             .filter(F.col("_rn") <= limit)
             .drop("_rn", "_post_row")
         )
-    return out.select(*out_cols)
+    out = out.select(*out_cols)
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.avg("score"), 2).alias("avg_score"),
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -334,3 +334,24 @@ def test_date_parse_null_on_failure_under_ansi(spark):
         assert rows[1]["ts"] is not None and str(rows[1]["d"]) == "2025-09-17"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_fuzzy_match_observation_metrics(spark):
+    """observe() metrics ride the existing job: n_matches equals the
+    actual row count and avg_score the actual mean, with no second
+    pass over the pipeline."""
+    from pyspark.sql import Observation
+
+    from nyc_government_hiring_audit_data_platform_spark.pipelines import (
+        hiring_audit as HA,
+    )
+
+    obs = Observation("fuzzy_metrics")
+    payroll = HA.make_payroll_fixture(spark, 400)
+    postings = HA.make_postings_fixture(spark, 60)
+    out = HA.fuzzy_match_salary(payroll, postings, observation=obs)
+    rows = out.collect()
+    got = obs.get
+    assert got["n_matches"] == len(rows)
+    want_avg = round(sum(r["score"] for r in rows) / len(rows), 2)
+    assert abs(got["avg_score"] - want_avg) < 1e-9

@@ -287,3 +287,49 @@ def test_pack_sequences_single_shuffle_window(spark, sf_dir):
     plan = PI.physical_plan(df)
     assert PI.shuffle_count(df) == 1, "one hash exchange on source only"
     assert "SinglePartition" not in plan, "window must not collapse to one partition"
+
+
+def test_tokensort_fuzzy_chain_no_cartesian(spark, sf_dir):
+    """The driver-verified fuzzy chain must never materialize a dense
+    NxM comparison: no CartesianProduct and no BroadcastNestedLoopJoin
+    anywhere in the plan (candidates come from the token equi-join)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import QUERIES
+
+    plan = PI.physical_plan(QUERIES["fuzzy_salary_matches"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gold_unique_two_level_max_agg(spark, sf_dir):
+    """gold_salary_matches_unique aggregates in two MAX levels so the
+    posting-duration parse chain runs on the small intermediate: the
+    plan must contain the partial/final pairs of BOTH groupings (>= 4
+    HashAggregates) and no nested-loop join."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import QUERIES
+
+    plan = PI.physical_plan(QUERIES["gold_salary_matches_unique"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_int8_quantize_is_map_only(spark, sf_dir):
+    """Embedding quantization is a stateless per-row transform: besides
+    the explicit round-robin repartition of the single-file scan, the
+    plan has no shuffle (no aggregation, no join)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import QUERIES
+
+    df = QUERIES["embedding_int8_quantize"](spark, sf_dir)
+    assert PI.shuffle_count(df) <= 1  # only the explicit repartition
+    plan = PI.physical_plan(df)
+    assert "Join" not in plan
+
+
+def test_funnel_no_full_log_window(spark, sf_dir):
+    """The funnel is three per-user aggregates + equi-joins - no Window
+    operator over the whole event log and no nested-loop join."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import QUERIES
+
+    plan = PI.physical_plan(QUERIES["funnel_conversion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
