@@ -212,3 +212,36 @@ def table_name_for_file(file_name: str) -> str:
     base = os.path.basename(file_name)
     stem = base.rsplit(".", 1)[0]
     return stem.lower().replace("-", "_").replace(" ", "_")
+
+
+def read_csv_lenient(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    header: bool = True,
+):
+    """CSV scan with the reference's lenient ingestion posture (its
+    Socrata payloads are all-string and dirty; parse failure must not
+    kill the batch - src/fuzzy_match_salary.py uses strict=False
+    parsing throughout):
+
+    - ``PERMISSIVE`` (default): malformed rows null-fill their typed
+      columns and keep the raw line in ``corrupt_col`` for quarantine;
+    - ``DROPMALFORMED``: malformed rows are dropped at the scan;
+    - ``FAILFAST``: strict - first malformed row raises.
+
+    ``schema`` is the DDL of the DATA columns; the corrupt-record
+    column is appended automatically in PERMISSIVE mode. Spark caveat
+    encoded here: referencing ONLY the corrupt column is disallowed on
+    a raw CSV relation, so quarantine splits should select data
+    columns alongside it (as the test does)."""
+    from pyspark.sql.types import StringType, StructType
+
+    struct = StructType.fromDDL(schema)
+    opts = {"header": str(header).lower(), "mode": mode}
+    if mode.upper() == "PERMISSIVE":
+        struct = struct.add(corrupt_col, StringType())
+        opts["columnNameOfCorruptRecord"] = corrupt_col
+    return spark.read.options(**opts).schema(struct).csv(path)

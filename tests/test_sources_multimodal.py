@@ -441,3 +441,34 @@ def test_wav_features_real_decode(spark):
         assert (r["n_samples"], r["n_channels"], r["sample_rate"]) == (n, ch, rate)
         assert abs(r["rms"] - rms) < 1e-9
         assert r["duration_ms"] == int(n * 1000 / rate)
+
+
+# -- lenient CSV source ------------------------------------------------------
+
+
+def test_csv_lenient_permissive_and_drop(spark, tmp_path):
+    """S2-adjacent: dirty-CSV ingestion. PERMISSIVE keeps every row and
+    quarantines raw malformed lines; DROPMALFORMED keeps only clean
+    rows; FAILFAST raises."""
+    p = tmp_path / "payroll.csv"
+    p.write_text(
+        "fiscal_year,title_description,base_salary\n"
+        "2024,analyst,50000.5\n"
+        "2025,engineer,not-a-number\n"
+        "2026,director,90000.25\n"
+    )
+    schema = "fiscal_year INT, title_description STRING, base_salary DOUBLE"
+    df = FS.read_csv_lenient(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not-a-number" in bad[0]["_corrupt_record"]
+    assert bad[0]["base_salary"] is None  # typed cols null-fill
+    good = {r["title_description"]: r["base_salary"] for r in rows if r["_corrupt_record"] is None}
+    assert good == {"analyst": 50000.5, "director": 90000.25}
+
+    dropped = FS.read_csv_lenient(spark, str(p), schema, mode="DROPMALFORMED")
+    assert {r["title_description"] for r in dropped.collect()} == {"analyst", "director"}
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        FS.read_csv_lenient(spark, str(p), schema, mode="FAILFAST").collect()
