@@ -472,3 +472,36 @@ def test_csv_lenient_permissive_and_drop(spark, tmp_path):
 
     with pytest.raises(Exception, match="Malformed|FAILFAST"):
         FS.read_csv_lenient(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.sampled_from([1, 3, 4]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, filter_type, seed):
+    """PNG encode->decode is the identity for any raster shape, channel
+    layout, and scanline filter - including 1-pixel edges where the
+    left/up predecessors are all zero."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, c) if c > 1 else (h, w)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(MM.decode_png(MM.encode_png(arr, filter_type=filter_type)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.sampled_from([1, 2]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """WAV encode->decode is the identity for any PCM16 clip shape."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    got, got_rate = MM.decode_wav(MM.encode_wav(arr, rate))
+    assert got_rate == rate and np.array_equal(got, arr)
