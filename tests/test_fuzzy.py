@@ -355,3 +355,57 @@ def test_fuzzy_match_observation_metrics(spark):
     assert got["n_matches"] == len(rows)
     want_avg = round(sum(r["score"] for r in rows) / len(rows), 2)
     assert abs(got["avg_score"] - want_avg) < 1e-9
+
+
+def test_tokensort_join_matches_bruteforce(spark):
+    """The oracle-expressible tokensort fuzzy join (driver-verified
+    scorer) must find exactly the pairs a brute-force all-pairs
+    implementation of its contract finds: >= min shared distinct
+    normalized tokens AND token-sort levenshtein ratio >= cutoff."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_title_pairs_tokensort,
+    )
+
+    left = HA.make_postings_fixture(spark, 120).select("business_title")
+    right = HA.make_payroll_fixture(spark, 400).select("title_description")
+    got = {
+        (r["left_title"], r["right_title"], r["score"])
+        for r in fuzzy_title_pairs_tokensort(
+            left, right, "business_title", "title_description",
+            min_shared_tokens=1, score_cutoff=70,
+        ).collect()
+    }
+
+    import re
+
+    def norm(s):
+        s = (s or "").lower()
+        s = re.sub(r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "", s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    def key(s):
+        return " ".join(sorted(t for t in norm(s).split(" ") if t))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def sim(a, b):
+        m = max(len(a), len(b))
+        return 100.0 if m == 0 else 100.0 * (1.0 - lev(a, b) / m)
+
+    lts = {r[0] for r in left.collect() if r[0] is not None}
+    rts = {r[0] for r in right.collect() if r[0] is not None}
+    want = set()
+    for lt in lts:
+        for rt in rts:
+            lk, rk = key(lt), key(rt)
+            shared = set(lk.split(" ")) & set(rk.split(" ")) - {""}
+            if len(shared) >= 1 and sim(lk, rk) >= 70:
+                want.add((lt, rt, int(round(sim(lk, rk)))))
+    assert got == want
