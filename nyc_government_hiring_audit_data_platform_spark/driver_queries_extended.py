@@ -1267,3 +1267,95 @@ def q_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-transition matrix (path analysis): LEAD over the
+    user's time-ordered stream, then a count per (from, to) pair.
+    (ts, event_id) ordering makes ties deterministic in both engines;
+    one shuffle for the window (keyed by user - parallel at any scale,
+    never a global sort) and a partial-aggregated count."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "dq_expectations",
+    """
+    SELECT 'o_totalprice_nonneg' AS rule,
+           COUNT(*) FILTER (WHERE o_totalprice < 0) AS n_violations,
+           COUNT(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_domain',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_range',
+           COUNT(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '1998-12-31'),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_notnull',
+           COUNT(*) FILTER (WHERE o_custkey IS NULL),
+           COUNT(*)
+    FROM orders
+    """,
+)
+def q_dq_expectations(spark, sf_dir):
+    """Data-quality expectations report: each rule is a conditional
+    aggregate over ONE scan pass per rule-set (violations + totals),
+    the table-stakes validation layer of an ingestion pipeline. All
+    rules are single-pass conditional counts - no per-rule jobs."""
+    o = table(spark, sf_dir, "orders")
+
+    def rule(name, cond):
+        return o.agg(
+            F.count(F.when(cond, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(name).alias("rule"), "n_violations", "n_rows")
+
+    return (
+        rule("o_totalprice_nonneg", F.col("o_totalprice") < 0)
+        .unionByName(
+            rule(
+                "o_orderstatus_domain",
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            )
+        )
+        .unionByName(
+            rule(
+                "o_orderdate_range",
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+            )
+        )
+        .unionByName(rule("o_custkey_notnull", F.col("o_custkey").isNull()))
+    )
