@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.operators import relational as R
 
 # ---------------------------------------------------------------------------
 # joins
@@ -1358,4 +1359,53 @@ def q_dq_expectations(spark, sf_dir):
             )
         )
         .unionByName(rule("o_custkey_notnull", F.col("o_custkey").isNull()))
+    )
+
+
+@query(
+    "interval_overlap_join",
+    """
+    WITH l AS (
+      SELECT user_id, MIN(ts) AS l_start,
+             MIN(ts) + INTERVAL 2 HOUR AS l_end
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT event_type, MIN(ts) + INTERVAL 30 MINUTE AS r_start,
+             MIN(ts) + INTERVAL 3 HOUR AS r_end
+      FROM events GROUP BY event_type
+    )
+    SELECT user_id, event_type,
+           strftime(l_start, '%Y-%m-%d %H:%M:%S') AS l_start,
+           strftime(r_start, '%Y-%m-%d %H:%M:%S') AS r_start
+    FROM l JOIN r ON l.l_start < r.r_end AND r.r_start < l.l_end
+    """,
+)
+def q_interval_overlap_join(spark, sf_dir):
+    """Temporal interval-overlap join (half-open [start,end)): user
+    activity windows x event-type windows. The operator explodes each
+    interval into hour-grid cells and equi-joins on cell before the
+    exact overlap verify (operators.relational.interval_overlap_join) -
+    block-then-verify instead of the oracle's quadratic theta join."""
+    ev = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp
+
+    left = ev.groupBy("user_id").agg(F.min("ts").alias("_m")).select(
+        "user_id",
+        F.col("_m").alias("l_start"),
+        F.timestamp_seconds(sec("_m") + 7200).alias("l_end"),
+    )
+    right = ev.groupBy("event_type").agg(F.min("ts").alias("_m")).select(
+        "event_type",
+        F.timestamp_seconds(sec("_m") + 1800).alias("r_start"),
+        F.timestamp_seconds(sec("_m") + 10800).alias("r_end"),
+    )
+    joined = R.interval_overlap_join(
+        left, right, ["user_id"], ["event_type"], bucket_seconds=3600
+    )
+    return joined.select(
+        "user_id",
+        "event_type",
+        F.date_format("l_start", "yyyy-MM-dd HH:mm:ss").alias("l_start"),
+        F.date_format("r_start", "yyyy-MM-dd HH:mm:ss").alias("r_start"),
     )

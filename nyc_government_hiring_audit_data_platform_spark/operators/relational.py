@@ -186,3 +186,49 @@ def with_observed_metrics(df: DataFrame, name: str, count_col: Column | str | No
         metrics.append(F.count(c).alias("n_nonnull"))
         metrics.append(F.round(F.sum(c), 2).alias("total"))
     return df.observe(obs, *metrics), obs
+
+
+# -- interval overlap join ---------------------------------------------------
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    bucket_seconds: int = 3600,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+) -> DataFrame:
+    """Temporal interval-overlap join: every (left, right) pair whose
+    [start, end) intervals intersect (half-open: touching endpoints do
+    NOT overlap).
+
+    Scale path: each interval explodes into the ``bucket_seconds`` grid
+    cells it covers, candidates come from an EQUI-join on cell, pairs
+    dedup, and the exact overlap predicate verifies - the same
+    block-then-verify shape as the fuzzy/LSH joins, turning the naive
+    quadratic theta join into a shuffle keyed by time cell (cells per
+    interval = duration / bucket; pick the bucket near the typical
+    interval length). AQE splits hot cells.
+    """
+    def cells(start_col: str, end_col: str):
+        lo = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
+        # half-open: an interval ending exactly on a cell boundary does
+        # not cover that cell
+        hi = (
+            (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
+        ).cast("long")
+        return F.sequence(lo, F.greatest(lo, hi))
+
+    le = left.select(
+        *left_keys, l_start, l_end, F.explode(cells(l_start, l_end)).alias("_cell")
+    )
+    re_ = right.select(
+        *right_keys, r_start, r_end, F.explode(cells(r_start, r_end)).alias("_cell")
+    )
+    cand = le.join(re_, "_cell").drop("_cell").distinct()
+    overlap = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    return cand.filter(overlap)
