@@ -1409,3 +1409,41 @@ def q_interval_overlap_join(spark, sf_dir):
         F.date_format("l_start", "yyyy-MM-dd HH:mm:ss").alias("l_start"),
         F.date_format("r_start", "yyyy-MM-dd HH:mm:ss").alias("r_start"),
     )
+
+
+@query(
+    "sliding_window_1h_15m",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - j.j) * 900)
+               AS win_start
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS j) j
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_1h_15m(spark, sf_dir):
+    """Batch sliding-window aggregation (1h window, 15m slide): each
+    event lands in exactly 4 epoch-aligned windows. Spark's window()
+    generator explodes map-side then partial-aggregates; the oracle
+    derives the same 4 window starts arithmetically (floor(ts/slide) -
+    j). Twin of streaming.jobs.sliding_value_rates."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
