@@ -1447,3 +1447,52 @@ def q_sliding_window_1h_15m(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH ops AS (
+      SELECT o_custkey AS key,
+             CASE CAST(o_orderkey % 11 AS INT) WHEN 0 THEN 'D'
+                  WHEN 1 THEN 'I' ELSE 'U' END AS op,
+             ROUND(o_totalprice + CAST(o_orderkey % 7 AS INT) * 1000, 2) AS payload,
+             o_orderkey AS seq
+      FROM orders
+    ),
+    latest AS (
+      SELECT key, op, payload,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM ops
+    )
+    SELECT key, op AS last_op, payload
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC log application: an insert/update/delete ops log collapses to
+    final table state - the highest-seq op per key wins (seq is unique,
+    so the ordering is total), keys whose last op is a delete drop out.
+    Keys collide (customers have many orders), so the per-key window
+    genuinely collapses multi-op histories. One window
+    shuffle keyed by the CDC key; the merge side of a streaming CDC
+    sink, batch-verified. Ops log derived deterministically from
+    orders."""
+    o = table(spark, sf_dir, "orders")
+    ops = o.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D")
+        .when(F.col("o_orderkey") % 11 == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(
+            F.col("o_totalprice") + (F.col("o_orderkey") % 7).cast("int") * 1000, 2
+        ).alias("payload"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", F.col("op").alias("last_op"), "payload")
+    )
