@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return DQ.QUERIES["fuzzy_salary_matches"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_history() -> dict[str, tuple[bool, int]]:
+def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
     """name -> (latest green?, latest round checked) from CORRECTNESS_r*.json.
 
     The driver verifies only the FIRST ~50 declared queries per round
@@ -49,7 +49,7 @@ def _driver_history() -> dict[str, tuple[bool, int]]:
     rounds instead of the same proven core re-verifying forever.
     """
     hist: dict[str, tuple[bool, int]] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:

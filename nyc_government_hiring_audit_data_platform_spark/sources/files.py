@@ -245,3 +245,26 @@ def read_csv_lenient(
         struct = struct.add(corrupt_col, StringType())
         opts["columnNameOfCorruptRecord"] = corrupt_col
     return spark.read.options(**opts).schema(struct).csv(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized parquet sink: global range partitioning on
+    ``sort_cols`` + in-partition sort before writing. Every file (and
+    row group) then covers a narrow, near-disjoint slice of the sort
+    key, so parquet min/max stats let later scans with sort-key
+    predicates skip most of the data - the write-side half of predicate
+    pushdown, and the single highest-leverage layout choice for a
+    100 TB time-partitioned table."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

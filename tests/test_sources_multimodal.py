@@ -505,3 +505,37 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     arr = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
     got, got_rate = MM.decode_wav(MM.encode_wav(arr, rate))
     assert got_rate == rate and np.array_equal(got, arr)
+
+
+def test_write_sorted_produces_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_sorted must produce files whose parquet min/max stats
+    cover near-disjoint sort-key slices (the property scan skipping
+    depends on) - verified from the actual footers via pyarrow."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "sorted")
+    FS.write_sorted(o, out, ["o_totalprice"], n_files=8)
+
+    spans = []
+    for f in globmod.glob(out + "/*.parquet"):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("o_totalprice")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 8
+    spans.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b
+    )
+    # range partitioning -> at most boundary-value overlaps
+    assert overlaps == 0, f"overlapping row-group ranges: {overlaps}"
+    # and the whole keyspace is covered in narrow slices
+    total = max(b for _, b in spans) - min(a for a, _ in spans)
+    widest = max(b - a for a, b in spans)
+    assert widest < total / 2
