@@ -268,3 +268,69 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _interleave_bits16(a, b):
+    """Bit-interleave two 16-bit bucket ids into one 32-bit Morton (Z)
+    code, as a pure Column expression (JVM-side, codegen-friendly)."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(0).cast("long")
+    for i in range(16):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet sink over TWO numeric
+    columns: each column min-max scales to a 16-bit bucket id, the ids
+    bit-interleave into a Z code, and the write range-partitions +
+    sorts by that code. Every file then covers a compact rectangle in
+    (col_a, col_b) space, so min/max stats prune scans filtered on
+    EITHER column - the multi-dimensional generalization of
+    ``write_sorted`` (single-column sort gives perfect skipping on one
+    key and none on the other; Z-order splits the benefit).
+
+    One extra aggregate computes the per-column bounds (a 1-row
+    broadcast); everything else is map-side expression work.
+    """
+    from pyspark.sql import functions as F
+
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    bounds = df.agg(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    ).collect()[0]
+
+    def bucket(col, lo, hi):
+        span = (hi - lo) or 1
+        return F.least(
+            F.lit(65535),
+            ((F.col(col) - F.lit(lo)) / F.lit(span) * 65535).cast("long"),
+        )
+
+    z = _interleave_bits16(
+        bucket(col_a, bounds["a_lo"], bounds["a_hi"]),
+        bucket(col_b, bounds["b_lo"], bounds["b_hi"]),
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -539,3 +539,42 @@ def test_write_sorted_produces_disjoint_ranges(spark, sf_dir, tmp_path):
     total = max(b for _, b in spans) - min(a for a, _ in spans)
     widest = max(b - a for a, b in spans)
     assert widest < total / 2
+
+
+def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must cover compact regions of BOTH cluster
+    columns (single-column sorting would leave the second column's
+    per-file span at ~100% of the global range)."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "zorder")
+    FS.write_zordered(li, out, "l_orderkey", "l_partkey", n_files=16)
+
+    def spans(col):
+        widths, los, his = [], [], []
+        for f in globmod.glob(out + "/*.parquet"):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            st = pf.metadata.row_group(0).column(idx).statistics
+            lo, hi = st.min, st.max
+            for rg in range(1, pf.metadata.num_row_groups):
+                s = pf.metadata.row_group(rg).column(idx).statistics
+                lo, hi = min(lo, s.min), max(hi, s.max)
+            widths.append(hi - lo)
+            los.append(lo)
+            his.append(hi)
+        return widths, max(his) - min(los)
+
+    for col in ("l_orderkey", "l_partkey"):
+        widths, total = spans(col)
+        assert len(widths) >= 8
+        avg = sum(widths) / len(widths)
+        # each file covers a compact slice of this dimension too
+        assert avg < 0.6 * total, f"{col}: avg file span {avg} vs total {total}"
