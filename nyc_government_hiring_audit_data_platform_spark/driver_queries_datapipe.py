@@ -493,3 +493,31 @@ def q_shard_assignment(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, source FROM w
+    WHERE u < least(1.0, n_chars / 800.0)
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling: keep each doc with probability
+    proportional to its length (min(1, n_chars/800)) - the
+    'sample long documents more' knob of a data-mix pipeline - using
+    the first 8 md5 hex digits as a reproducible uniform in [0,1).
+    Stateless map filter: no shuffle, retry-stable, no rand()."""
+    docs = table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    return docs.filter(
+        u < F.least(F.lit(1.0), F.col("n_chars") / F.lit(800.0))
+    ).select("doc_id", "source")
