@@ -170,3 +170,56 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir, batch_events)
     s = sorted(map(tuple, spark.table("enriched").collect()))
     b = sorted(map(tuple, J.enrich_with_static_dim(batch_events, dim).collect()))
     assert len(s) > 0 and s == b
+
+
+def test_streaming_upsert_sink_incremental(spark, tmp_path):
+    """foreachBatch upsert sink: first run lands the initial snapshot;
+    a second run over NEW files (same checkpoint) merges only the new
+    batch - updated keys replaced, new keys inserted, untouched keys
+    carried - and the _current pointer always names a complete
+    snapshot."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value", "ts"
+        )
+
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], ckpt, order_col="ts")
+    t1 = SJ.read_upsert_table(spark, str(table_dir))
+    base_rows = {r["event_id"]: r for r in t1.collect()}
+    n1 = len(base_rows)
+    assert n1 > 0
+
+    # second source file: updates for half the keys (bumped value) plus
+    # brand-new keys beyond the old id range
+    ev = SJ.read_events_batch(spark, str(src))
+    updates = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    inserts = ev.limit(5).withColumn("event_id", F.col("event_id") + 10_000_000)
+    updates.unionByName(inserts).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "delta")
+    )
+    for i, f in enumerate((tmp_path / "delta").glob("*.parquet")):
+        shutil.copy(f, src / f"b{i}.parquet")
+
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], ckpt, order_col="ts")
+    t2 = {r["event_id"]: r for r in SJ.read_upsert_table(spark, str(table_dir)).collect()}
+    assert len(t2) == n1 + 5
+    for eid, row in t2.items():
+        if eid >= 10_000_000:
+            continue  # insert
+        if eid % 2 == 0:
+            assert row["value"] == base_rows[eid]["value"] + 1000.0
+        else:
+            assert row["value"] == base_rows[eid]["value"]
