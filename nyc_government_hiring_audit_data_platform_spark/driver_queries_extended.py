@@ -1496,3 +1496,49 @@ def q_cdc_apply(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("key", F.col("op").alias("last_op"), "payload")
     )
+
+
+@query(
+    "robust_stats_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(MAX(m), 2) AS median_price,
+           ROUND(quantile_disc(abs(l_extendedprice - m), 0.5), 2) AS mad_price
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_robust_stats_mad(spark, sf_dir):
+    """Robust dispersion (median absolute deviation): per-group median,
+    broadcast back, median of absolute deviations - the outlier-immune
+    alternative to stddev for data-quality monitoring. Two aggregate
+    passes, the group-median table broadcast (group cardinality, not
+    data cardinality). DISCRETE medians (percentile_disc /
+    quantile_disc) on both sides: interpolated medians agree only to
+    the last ulp across engines, which can straddle a rounding
+    boundary; the discrete variant returns an actual data value,
+    bit-identical by construction."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("m"), 2).alias("median_price"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP "
+                    "(ORDER BY abs(l_extendedprice - m))"
+                ),
+                2,
+            ).alias("mad_price"),
+        )
+    )
