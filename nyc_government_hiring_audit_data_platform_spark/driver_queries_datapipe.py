@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
-from nyc_government_hiring_audit_data_platform_spark.functions.text import tokens
+from nyc_government_hiring_audit_data_platform_spark.functions.text import normalize_text_sql, tokens
 from nyc_government_hiring_audit_data_platform_spark.functions import textstats as TS
 from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
 from nyc_government_hiring_audit_data_platform_spark.operators import dedup as DD
@@ -557,4 +557,41 @@ def q_ann_ivf_recall_bound(spark, sf_dir):
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         (F.avg("recall") >= 0.25).alias("mean_recall_ok"),
+    )
+
+
+@query(
+    "normalized_exact_dedup",
+    f"""
+    WITH k AS (
+      SELECT doc_id, md5({normalize_text_sql('text')}) AS nk
+      FROM documents
+    ),
+    clusters AS (
+      SELECT nk, COUNT(*) AS n_docs FROM k GROUP BY nk
+    )
+    SELECT n_docs AS cluster_size, COUNT(*) AS n_clusters
+    FROM clusters GROUP BY n_docs
+    """,
+)
+def q_normalized_exact_dedup(spark, sf_dir):
+    """Exact dedup AFTER text normalization (lowercase, punctuation
+    strip, whitespace collapse): catches the trivial-variant duplicates
+    raw-byte dedup misses (casing/spacing reposts) while staying one
+    hash-groupBy shuffle on a 16-byte key. Emits the cluster-size
+    DISTRIBUTION (size -> cluster count: non-vacuous at every scale
+    factor; size > 1 rows are the normalized duplicates) - the
+    reference normalize_title semantics applied to corpus dedup."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = (
+        docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("nk"))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return clusters.groupBy(F.col("n_docs").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
     )
