@@ -578,3 +578,17 @@ def test_write_zordered_clusters_both_dimensions(spark, sf_dir, tmp_path):
         avg = sum(widths) / len(widths)
         # each file covers a compact slice of this dimension too
         assert avg < 0.6 * total, f"{col}: avg file span {avg} vs total {total}"
+
+
+def test_xlsx_col_index_round_trip():
+    """A..Z, AA..ZZ column letters map to the right 0-based indices."""
+    def letters(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    for i in [0, 1, 25, 26, 27, 51, 52, 701, 702]:
+        assert FS._col_index(letters(i) + "7") == i, (i, letters(i))
