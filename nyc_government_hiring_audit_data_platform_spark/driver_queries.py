@@ -7,9 +7,26 @@ driver's order-insensitive value-hash comparison exact:
 - every computed/aggregate column is aliased identically on both sides;
 - derived doubles are rounded to 2 decimals on both sides (sum-order
   drift insurance);
+- rounded float outputs that can be negative get ``+ 0`` appended on
+  BOTH engines: DuckDB's ROUND keeps ``-0.0`` while Spark's (BigDecimal
+  HALF_UP) normalizes it, and the driver hash distinguishes the sign of
+  zero (round-3 red ``zscore_normalize``); IEEE ``-0.0 + 0.0 = +0.0``
+  makes the representation canonical;
+- DuckDB list/length aggregates (``list_sum``, ``len``,
+  ``list_aggregate``) get an explicit CAST to the Spark-side type: the
+  driver hash distinguishes int ``9`` from double ``9.0`` (round-3 red
+  ``array_functions``, DuckDB ``list_sum`` returning DOUBLE vs Spark
+  ``F.aggregate``'s INT);
+- percentiles/medians use the discrete element (``percentile_disc`` /
+  DuckDB ``quantile_disc``), never interpolation — interpolated values
+  drift in the last ulp across engines;
 - date/timestamp outputs are emitted as strings via an explicit format;
 - the Spark callable pins the session timezone to UTC (the oracle's
   timestamps are naive-UTC).
+
+``tests/test_oracle_parity.py`` enforces all of the above empirically:
+its ``_canon`` preserves float identity (``repr``, so ``9.0 != 9``) and
+the sign of zero, matching the driver hasher's strictness.
 
 Each callable takes (spark, sf_dir) and returns a lazy DataFrame.
 """

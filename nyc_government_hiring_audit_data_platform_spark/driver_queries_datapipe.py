@@ -158,7 +158,7 @@ def q_ann_ivf_topk(spark, sf_dir):
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
-           ROUND((e.value - s.mu) / s.sigma, 3) AS zscore
+           ROUND((e.value - s.mu) / s.sigma, 3) + 0 AS zscore
     FROM events e JOIN stats s USING (event_type)
     """,
 )
@@ -185,7 +185,7 @@ def q_zscore_normalize(spark, sf_dir):
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias("zscore"),
+        (F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3) + F.lit(0.0)).alias("zscore"),
     )
 
 

@@ -366,13 +366,13 @@ def q_string_functions(spark, sf_dir):
     """
     SELECT p_partkey,
            array_to_string(string_split(p_name, ' '), '|') AS toks,
-           len(string_split(p_name, ' ')) AS n_toks,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks,
            array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_toks,
            array_contains(string_split(p_name, ' '), 'ring') AS has_ring,
            array_to_string(
              list_transform(string_split(p_name, ' '), t -> CAST(length(t) AS VARCHAR)),
              '|') AS tok_lens,
-           list_sum(list_transform(string_split(p_name, ' '), t -> length(t))) AS total_len
+           CAST(list_sum(list_transform(string_split(p_name, ' '), t -> length(t))) AS INT) AS total_len
     FROM part
     """,
 )

@@ -40,9 +40,15 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style: exact repr after our explicit in-query rounding
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Round-3 lesson: the driver's hasher distinguishes int 9 from
+        # double 9.0 AND -0.0 from 0.0 (the two red classes of r3 were
+        # exactly these). The old _canon collapsed integral floats to
+        # int strings and lost the zero sign, so both classes passed
+        # locally and failed on the driver. Preserve full float identity:
+        # repr() keeps the type ("9.0" != "9") and we surface the sign
+        # of zero explicitly.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
