@@ -11,7 +11,12 @@ scorer ``fuzzy_join_tokensort`` (token-count prefilter + token-sort
 levenshtein ratio, engine built-ins only), and every stage is replicated
 in DuckDB SQL below. The published-WRatio scorer path (``fuzzy_join``)
 keeps its pinned rapidfuzz-parity unit tests in tests/test_fuzzy.py and
-tests/test_pipeline.py - same plan shape, different per-pair kernel.
+tests/test_fuzzy_properties.py - same plan shape, different per-pair
+kernel - and since round 4 the kernels ALSO earn direct hash rows:
+``token_set_kernel`` / ``wratio_kernel`` below score a deterministic
+pair set with the real pandas-UDF scorers against a DuckDB oracle that
+re-derives the published algorithm in pure list SQL (LCS via a
+recursive-CTE DP).
 
 Inputs derive deterministically from the driver's ``part`` table (both
 engines compute the same derivation), replacing the Socrata / XLSX
@@ -33,6 +38,7 @@ from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
 from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+    normalize_text,
     normalize_text_sql,
 )
 from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
@@ -330,3 +336,236 @@ def q_gold_salary_matches_unique(spark, sf_dir):
     """EP3: GOLD group-by-MAX dedup table (reference: sql/cleaned.sql:
     28-42) on the real fuzzy-match output."""
     return HA.gold_salary_matches_unique(_matches(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# direct driver rows for the published scorer kernels (U1/U2 in SURVEY.md
+# §2.10; reference kernel: src/fuzzy_match_salary.py:119-140)
+#
+# The hash-green fuzzy chain above runs the oracle-expressible token-sort
+# levenshtein twin; these two queries verify the REAL pandas-UDF kernels
+# (operators.fuzzy.token_set_ratio_udf / wratio_udf) against a DuckDB
+# oracle that re-derives the published algorithm in pure list SQL:
+# simple_ratio = 200*LCS/(|a|+|b|) with the LCS computed by a
+# recursive-CTE row-DP (cur[j] = max(prev[j], max over matching k<=j of
+# prev[k-1]+1); valid because DP rows of LCS are nondecreasing, so the
+# prefix-max collapses to prev[j]). The pair set derives
+# deterministically from `part` on both engines: every 50th part paired
+# with (a) its postings-style perturbed title and (b) the part 101 keys
+# later - reorder / truncation / suffix / unrelated pairs cover the
+# inter=''/inter<>'' branches and the full score range.
+# ---------------------------------------------------------------------------
+
+_PERTURB_SQL = """CASE CAST(p_partkey % 3 AS INT)
+           WHEN 0 THEN array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+           WHEN 1 THEN substring(p_name, 1, CAST(length(p_name) AS INT) - 1)
+           ELSE concat(string_split(p_name, ' ')[1], ' trainee distinct role')
+         END"""
+
+_KERNEL_PAIRS_SQL = f"""
+base AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 50 = 0),
+kpairs AS (
+  SELECT p_partkey * 2 AS pair_id,
+         {normalize_text_sql('p_name')} AS a,
+         {normalize_text_sql(_PERTURB_SQL)} AS b
+  FROM base
+  UNION ALL
+  SELECT b1.p_partkey * 2 + 1,
+         {normalize_text_sql('b1.p_name')},
+         {normalize_text_sql('p2.p_name')}
+  FROM base b1 JOIN part p2 ON p2.p_partkey = b1.p_partkey + 101
+)"""
+
+# Sorted-token derivations (DuckDB). array_to_string of an EMPTY list is
+# NULL in DuckDB, hence the coalesce on every join-back.
+_TS = "coalesce(array_to_string(list_sort({x}), ' '), '')"
+_TOKSETS_SQL = f"""
+tok AS (
+  SELECT pair_id, a, b,
+         list_distinct(list_filter(string_split(a, ' '), t -> t <> '')) AS ta,
+         list_distinct(list_filter(string_split(b, ' '), t -> t <> '')) AS tb
+  FROM kpairs
+),
+parts3 AS (
+  SELECT pair_id, a, b,
+         {_TS.format(x='list_intersect(ta, tb)')} AS inter,
+         trim({_TS.format(x='list_intersect(ta, tb)')} || ' ' ||
+              {_TS.format(x='list_filter(ta, t -> NOT list_contains(tb, t))')}) AS ca,
+         trim({_TS.format(x='list_intersect(ta, tb)')} || ' ' ||
+              {_TS.format(x='list_filter(tb, t -> NOT list_contains(ta, t))')}) AS cb,
+         (len(ta) = 0 AND len(tb) = 0) AS both_empty
+  FROM tok
+)"""
+
+# LCS DP over (pair_id, s1, s2, scale) variant rows -> per-pair max of
+# scale * simple_ratio(s1, s2).
+_LCS_SCORE_SQL = """
+dp AS (
+  SELECT pair_id, s1, s2, scale, 0 AS i,
+         list_transform(range(0, length(s2) + 2), x -> 0) AS prev
+  FROM variants
+  UNION ALL
+  SELECT pair_id, s1, s2, scale, i + 1,
+         list_prepend(0, [ greatest(prev[j+1], coalesce(list_max(
+             [prev[k] + 1 FOR k IN range(1, j + 1) IF s2[k] = s1[i + 1]]), 0))
+           FOR j IN range(1, length(s2) + 1) ])
+  FROM dp WHERE i < length(s1)
+),
+ratios AS (
+  SELECT pair_id,
+         scale * CASE WHEN length(s1) + length(s2) = 0 THEN 100.0
+                 ELSE 200.0 * prev[length(s2) + 1] / (length(s1) + length(s2)) END AS r
+  FROM dp WHERE i = length(s1)
+),
+scores AS (SELECT pair_id, max(r) AS score FROM ratios GROUP BY pair_id)"""
+
+# Python's round() is banker's (half-to-even); DuckDB's is half-away.
+# Scores are exact doubles on both engines, so the tie branch is exact.
+_BANKERS_INT = (
+    "CAST(CASE WHEN {x} - floor({x}) = 0.5 "
+    "THEN floor({x}) + CAST(CAST(floor({x}) AS BIGINT) % 2 AS DOUBLE) "
+    "ELSE round({x}) END AS INT)"
+)
+
+
+def _kernel_pairs(spark, sf_dir):
+    """Spark twin of _KERNEL_PAIRS_SQL (same derivation, same ids)."""
+    p = table(spark, sf_dir, "part")
+    base = p.filter(F.col("p_partkey") % 50 == 0)
+    toks = F.split("p_name", " ")
+    perturbed_title = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat_ws(" ", F.reverse(toks)))
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.expr("substring(p_name, 1, length(p_name) - 1)"),
+        )
+        .otherwise(F.concat(F.element_at(toks, 1), F.lit(" trainee distinct role")))
+    )
+    pert = base.select(
+        (F.col("p_partkey") * 2).alias("pair_id"),
+        normalize_text("p_name").alias("a"),
+        normalize_text(perturbed_title).alias("b"),
+    )
+    p2 = p.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("n2"))
+    neigh = base.join(p2, F.col("k2") == F.col("p_partkey") + 101).select(
+        (F.col("p_partkey") * 2 + 1).alias("pair_id"),
+        normalize_text("p_name").alias("a"),
+        normalize_text("n2").alias("b"),
+    )
+    return pert.unionByName(neigh)
+
+
+@query(
+    "token_set_kernel",
+    f"""
+    WITH RECURSIVE
+    {_KERNEL_PAIRS_SQL},
+    {_TOKSETS_SQL},
+    variants AS (
+      SELECT pair_id, s1, s2, 1.0 AS scale FROM (
+        SELECT pair_id, ca AS s1, cb AS s2 FROM parts3
+        WHERE inter = '' AND NOT both_empty
+        UNION ALL SELECT pair_id, inter, ca FROM parts3 WHERE inter <> ''
+        UNION ALL SELECT pair_id, inter, cb FROM parts3 WHERE inter <> ''
+        UNION ALL SELECT pair_id, ca, cb FROM parts3 WHERE inter <> ''
+      )
+    ),
+    {_LCS_SCORE_SQL}
+    SELECT p.pair_id, p.a, p.b,
+           CASE WHEN p.both_empty THEN 100
+                ELSE {_BANKERS_INT.format(x='s.score')} END AS tset
+    FROM parts3 p LEFT JOIN scores s USING (pair_id)
+    """,
+)
+def q_token_set_kernel(spark, sf_dir):
+    """U1 kernel, hash-verified directly: the real Arrow pandas-UDF
+    token_set_ratio (published fuzzywuzzy algorithm, operators/fuzzy.py)
+    scored over a deterministic part-derived pair set; the oracle
+    recomputes the identical algorithm in DuckDB list SQL with the LCS
+    as a recursive-CTE DP (reference kernel:
+    src/fuzzy_match_salary.py:119-126)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        token_set_ratio_udf,
+    )
+
+    return _kernel_pairs(spark, sf_dir).select(
+        "pair_id", "a", "b",
+        token_set_ratio_udf(F.col("a"), F.col("b")).alias("tset"),
+    )
+
+
+# WRatio's short-length branch (len_ratio < 1.5): max(base ratio,
+# 0.95*token_sort, 0.95*token_set). The pair filter below keeps exactly
+# the rows that take this branch, COMPUTED IDENTICALLY on both engines
+# (double division then <, never a multiplied rearrangement).
+_WRATIO_FILTER = (
+    "length({a}) > 0 AND length({b}) > 0 AND "
+    "CAST(greatest(length({a}), length({b})) AS DOUBLE) / "
+    "least(length({a}), length({b})) < 1.5"
+)
+
+
+@query(
+    "wratio_kernel",
+    f"""
+    WITH RECURSIVE
+    {_KERNEL_PAIRS_SQL},
+    kpairs_f AS (
+      SELECT * FROM kpairs WHERE {_WRATIO_FILTER.format(a='a', b='b')}
+    ),
+    tok AS (
+      SELECT pair_id, a, b,
+             list_distinct(list_filter(string_split(a, ' '), t -> t <> '')) AS ta,
+             list_distinct(list_filter(string_split(b, ' '), t -> t <> '')) AS tb
+      FROM kpairs_f
+    ),
+    parts3 AS (
+      SELECT pair_id, a, b,
+             {_TS.format(x='list_intersect(ta, tb)')} AS inter,
+             trim({_TS.format(x='list_intersect(ta, tb)')} || ' ' ||
+                  {_TS.format(x='list_filter(ta, t -> NOT list_contains(tb, t))')}) AS ca,
+             trim({_TS.format(x='list_intersect(ta, tb)')} || ' ' ||
+                  {_TS.format(x='list_filter(tb, t -> NOT list_contains(ta, t))')}) AS cb,
+             (len(ta) = 0 AND len(tb) = 0) AS both_empty
+      FROM tok
+    ),
+    variants AS (
+      SELECT pair_id, a AS s1, b AS s2, 1.0 AS scale FROM parts3
+      UNION ALL
+      SELECT pair_id,
+             {_TS.format(x="list_filter(string_split(a, ' '), t -> t <> '')")},
+             {_TS.format(x="list_filter(string_split(b, ' '), t -> t <> '')")},
+             0.95
+      FROM parts3
+      UNION ALL
+      SELECT pair_id, s1, s2, 0.95 FROM (
+        SELECT pair_id, ca AS s1, cb AS s2 FROM parts3
+        WHERE inter = '' AND NOT both_empty
+        UNION ALL SELECT pair_id, inter, ca FROM parts3 WHERE inter <> ''
+        UNION ALL SELECT pair_id, inter, cb FROM parts3 WHERE inter <> ''
+        UNION ALL SELECT pair_id, ca, cb FROM parts3 WHERE inter <> ''
+      )
+    ),
+    {_LCS_SCORE_SQL}
+    SELECT p.pair_id, p.a, p.b, s.score AS wr
+    FROM parts3 p JOIN scores s USING (pair_id)
+    """,
+)
+def q_wratio_kernel(spark, sf_dir):
+    """U2 kernel, hash-verified directly: the real Arrow pandas-UDF
+    WRatio (published fuzzywuzzy blend, operators/fuzzy.py) on the pairs
+    taking its len_ratio<1.5 branch; the oracle rebuilds
+    max(ratio, 0.95*token_sort, 0.95*token_set) from the same LCS DP.
+    Unrounded doubles: both engines run the identical IEEE operation
+    sequence, so the bits match (reference kernel:
+    src/fuzzy_match_salary.py:132-140)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        wratio_udf,
+    )
+
+    pr = _kernel_pairs(spark, sf_dir).filter(
+        F.expr(_WRATIO_FILTER.format(a="a", b="b"))
+    )
+    return pr.select(
+        "pair_id", "a", "b", wratio_udf(F.col("a"), F.col("b")).alias("wr")
+    )

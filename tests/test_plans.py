@@ -333,3 +333,13 @@ def test_funnel_no_full_log_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_kernel_queries_run_real_pandas_udf(spark, sf_dir):
+    """The U1/U2 driver rows must exercise the REAL Arrow pandas-UDF
+    scorer kernels (operators.fuzzy.token_set_ratio_udf / wratio_udf),
+    not an expression twin - that is the whole point of the rows."""
+    for name in ("token_set_kernel", "wratio_kernel"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan, f"{name} lost its pandas-UDF kernel"
