@@ -53,9 +53,14 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_lsh_neardup",
     "simhash_signatures",
-    "ann_cosine_topk",
+    # ANN: only the scale-safe paths are headline. ann_cosine_topk (the
+    # exact brute-force baseline, operators/ann.py) is deliberately
+    # quadratic and stays OUT of this suite; its correctness claim is
+    # carried by ann_ivf_recall_bound (IVF recall@10 vs the exact
+    # result, bounded in-query) with a bucketed/probed plan.
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_recall_bound",
     "kmeans_iteration",
     "token_counts",
     "quality_scores",
