@@ -250,7 +250,7 @@ def q_domain_mix_plan(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id, ROUND(nrm, 4) AS l2_norm,
-           ROUND(e1 / nrm, 4) AS u1, ROUND(e2 / nrm, 4) AS u2
+           ROUND(e1 / nrm, 4) + 0 AS u1, ROUND(e2 / nrm, 4) + 0 AS u2
     FROM sq
     """,
 )
@@ -274,8 +274,8 @@ def q_embedding_l2_normalize(spark, sf_dir):
     return sq.select(
         "vec_id",
         F.round("nrm", 4).alias("l2_norm"),
-        F.round(F.col("e1") / F.col("nrm"), 4).alias("u1"),
-        F.round(F.col("e2") / F.col("nrm"), 4).alias("u2"),
+        (F.round(F.col("e1") / F.col("nrm"), 4) + F.lit(0.0)).alias("u1"),
+        (F.round(F.col("e2") / F.col("nrm"), 4) + F.lit(0.0)).alias("u2"),
     )
 
 

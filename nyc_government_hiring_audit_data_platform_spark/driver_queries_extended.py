@@ -738,8 +738,8 @@ def q_regexp_functions(spark, sf_dir):
     SELECT l_returnflag,
            ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
            ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -751,8 +751,8 @@ def q_stats_agg(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias("covar_qty_price"),
     )
 
 
@@ -1061,7 +1061,9 @@ def q_udaf_weighted_mean(spark, sf_dir):
 @query(
     "udtf_ngram_explode",
     """
-    WITH src AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+    WITH src AS (SELECT p_partkey,
+                        list_filter(string_split(p_name, ' '), t -> t <> '') AS toks
+                 FROM part),
     ex AS (SELECT p_partkey,
                   unnest(list_transform(range(1, len(toks)),
                          i -> struct_pack(pos := i - 1,

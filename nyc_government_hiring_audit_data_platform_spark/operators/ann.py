@@ -155,7 +155,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"), "rank")
     )
 
 
@@ -182,7 +182,7 @@ def cosine_topk_sql(
                                 ORDER BY sim DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+    SELECT query_id, neighbor_id, ROUND(sim, 6) + 0 AS sim, rank
     FROM ranked WHERE rank <= {k}
     """
 
@@ -220,7 +220,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"), "rank")
     )
 
 
@@ -244,7 +244,7 @@ def lsh_topk_sql(
                                 ORDER BY sim DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+    SELECT query_id, neighbor_id, ROUND(sim, 6) + 0 AS sim, rank
     FROM ranked WHERE rank <= {k}
     """
 
@@ -359,7 +359,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"), "rank")
     )
 
 
@@ -384,7 +384,7 @@ def ivf_topk_sql(
                                 ORDER BY sim DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim, rank
+    SELECT query_id, neighbor_id, ROUND(sim, 6) + 0 AS sim, rank
     FROM ranked WHERE rank <= {k}
     """
 
@@ -417,7 +417,7 @@ def kmeans_update(
         .groupBy("cluster", "dim")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("val"), 6).alias("value"),
+            (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("value"),
         )
     )
 
@@ -432,7 +432,7 @@ def kmeans_update_sql(table: str, id_col: str, vec_col: str) -> str:
       SELECT cv, {_probe_list_sql('ds', 1)}[1] AS cluster FROM base
     )
     SELECT cluster, i - 1 AS dim, COUNT(*) AS n_members,
-           ROUND(AVG(cv[i]), 6) AS value
+           ROUND(AVG(cv[i]), 6) + 0 AS value
     FROM assigned CROSS JOIN range(1, {EMBED_DIM + 1}) t(i)
     GROUP BY cluster, i - 1
     """
@@ -460,7 +460,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            (F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6) + F.lit(0.0)).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -473,7 +473,7 @@ def embedding_neardup_pairs_sql(
     sim = cosine_sql("a.v", "b.v")
     return f"""
     WITH base AS (SELECT {id_col} AS id, {vec_col} AS v, {bucket} AS bucket FROM {table})
-    SELECT a.id AS id_a, b.id AS id_b, ROUND({sim}, 6) AS cos_sim
+    SELECT a.id AS id_a, b.id AS id_b, ROUND({sim}, 6) + 0 AS cos_sim
     FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
     WHERE ROUND({sim}, 6) >= {threshold}
     """

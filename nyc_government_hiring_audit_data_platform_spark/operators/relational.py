@@ -213,20 +213,28 @@ def interval_overlap_join(
     quadratic theta join into a shuffle keyed by time cell (cells per
     interval = duration / bucket; pick the bucket near the typical
     interval length). AQE splits hot cells.
-    """
-    def cells(start_col: str, end_col: str):
-        lo = (F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast("long")
-        # half-open: an interval ending exactly on a cell boundary does
-        # not cover that cell
-        hi = (
-            (F.unix_timestamp(F.col(end_col)) - F.lit(1)) / bucket_seconds
-        ).cast("long")
-        return F.sequence(lo, F.greatest(lo, hi))
 
-    le = left.select(
+    Cells are computed from raw MICROSECONDS (integer ``div``, never a
+    truncating second cast), so sub-second intervals that straddle a
+    bucket boundary still land in every cell they touch. Degenerate
+    empty intervals (start >= end) are dropped up front: an empty
+    interval contains no instant, so it overlaps nothing - without the
+    guard the verify predicate would admit them against any interval
+    that strictly contains the degenerate point.
+    """
+    bucket_micros = int(bucket_seconds) * 1_000_000
+
+    def cells(start_col: str, end_col: str):
+        lo = F.expr(f"unix_micros({start_col}) div {bucket_micros}")
+        # half-open: an interval ending exactly on a cell boundary does
+        # not cover that cell, hence end-1 microsecond
+        hi = F.expr(f"(unix_micros({end_col}) - 1) div {bucket_micros}")
+        return F.sequence(lo, hi)
+
+    le = left.filter(F.col(l_start) < F.col(l_end)).select(
         *left_keys, l_start, l_end, F.explode(cells(l_start, l_end)).alias("_cell")
     )
-    re_ = right.select(
+    re_ = right.filter(F.col(r_start) < F.col(r_end)).select(
         *right_keys, r_start, r_end, F.explode(cells(r_start, r_end)).alias("_cell")
     )
     cand = le.join(re_, "_cell").drop("_cell").distinct()

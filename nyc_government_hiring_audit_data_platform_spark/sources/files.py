@@ -140,10 +140,17 @@ def read_xlsx(
             if _xml_local(row.tag) != "row":
                 continue
             vals: dict[int, object] = {}
+            # SpreadsheetML allows cells without an 'r' attribute (the
+            # column is implied by position), so keep a running cursor
+            # instead of feeding '' to _col_index (which returns -1 and
+            # silently corrupts the column map).
+            cursor = 0
             for c in row:
                 if _xml_local(c.tag) != "c":
                     continue
-                ref = c.get("r") or ""
+                ref = c.get("r")
+                ci = _col_index(ref) if ref else cursor
+                cursor = ci + 1
                 ctype = c.get("t") or "n"
                 text = None
                 for child in c:
@@ -164,9 +171,13 @@ def read_xlsx(
                     val = text == "1"
                 elif ctype in ("str", "inlineStr"):
                     val = text
+                elif ctype == "e":
+                    # formula-error cell ('#DIV/0!', '#N/A', ...): null,
+                    # never the numeric branch (float('#DIV/0!') crashes)
+                    val = None
                 else:
                     val = float(text)
-                vals[_col_index(ref)] = val
+                vals[ci] = val
             if vals:
                 raw_rows.append(vals)
     if not raw_rows:

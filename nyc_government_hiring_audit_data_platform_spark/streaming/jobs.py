@@ -79,15 +79,24 @@ def read_events_stream(
     """File-source stream over an events parquet directory. New files are
     discovered per micro-batch; schema is pinned (streams cannot infer) -
     but pinned to the PROBED batch-read schema of the existing files, not
-    a hard-coded physical type, so either ``ts`` vintage works. Persists
-    the nanosAsLong conf on the caller's session (set only when it
-    differs)."""
+    a hard-coded physical type, so either ``ts`` vintage works. When the
+    source directory is empty at stream start (the normal state for a
+    stream that launches before the first file lands), the probe cannot
+    infer and we fall back to the pinned EVENTS_SCHEMA - with_event_ts
+    dispatches on whatever dtype actually arrives, so a later vintage
+    mismatch still resolves. Persists the nanosAsLong conf on the
+    caller's session (set only when it differs)."""
+    from pyspark.errors import AnalysisException
+
     from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
         set_conf_if_differs,
     )
 
     set_conf_if_differs(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(source_dir).schema
+    try:
+        raw_schema = spark.read.parquet(source_dir).schema
+    except AnalysisException:
+        raw_schema = EVENTS_SCHEMA
     reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
@@ -392,7 +401,10 @@ def run_upsert_sink(
     ``order_col`` wins when given, else an arbitrary-but-single row) -
     merge semantics require unique update keys. Combined with the
     checkpoint, restarts re-apply only unprocessed batches
-    (exactly-once table state).
+    (exactly-once table state). A crash between the pointer swap and
+    the checkpoint commit re-delivers the batch_id; the re-delivery is
+    detected (pointer already names ``v{batch_id}``) and skipped, so
+    the sink never reads a snapshot it is about to overwrite.
 
     This pointer-file commit is a LOCAL-filesystem protocol; on object
     stores this role is exactly what transactional table formats
@@ -418,14 +430,22 @@ def run_upsert_sink(
             )
         else:
             batch = batch_df.dropDuplicates(keys)
+        snap = f"v{batch_id}"
         if os.path.exists(ptr):
             with open(ptr) as f:
                 cur = f.read().strip()
+            if cur == snap:
+                # Crash-restart re-delivery: the pointer already names
+                # this batch's snapshot, so the batch was fully applied
+                # AND published before the streaming checkpoint could
+                # commit. Re-merging would read v{batch_id} while
+                # overwriting the same directory (error or data loss);
+                # the correct exactly-once move is a no-op.
+                return
             base = spark.read.parquet(os.path.join(table_dir, cur))
             merged = merge_upsert(base, batch, keys)
         else:
             merged = batch
-        snap = f"v{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(table_dir, snap))
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:

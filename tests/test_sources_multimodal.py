@@ -72,9 +72,10 @@ def test_table_name_munging():
     )
 
 
-def _write_minimal_xlsx(path):
+def _write_minimal_xlsx(path, sheet2_xml=None):
     """Hand-rolled SpreadsheetML zip: shared strings, inline string,
-    numeric + empty cells, exotic header names, two sheets."""
+    numeric + empty cells, exotic header names, two sheets. Pass
+    ``sheet2_xml`` to substitute the data sheet's XML."""
     import zipfile
 
     ct = """<?xml version="1.0"?>
@@ -132,7 +133,11 @@ def _write_minimal_xlsx(path):
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         zf.writestr("xl/sharedStrings.xml", shared)
         zf.writestr("xl/worksheets/sheet1.xml", sheet1)
-        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2_xml or sheet2)
+
+
+def _write_minimal_xlsx_custom(path, sheet2_xml):
+    _write_minimal_xlsx(path, sheet2_xml=sheet2_xml)
 
 
 def test_xlsx_stdlib_reader(spark, tmp_path):
@@ -155,6 +160,41 @@ def test_xlsx_stdlib_reader(spark, tmp_path):
     assert d0.columns == ["Registered Nurses"]
     with pytest.raises(KeyError):
         FS.read_xlsx(spark, path, sheet_name="Nope")
+
+
+def test_xlsx_refless_and_error_cells(spark, tmp_path):
+    """Legal SpreadsheetML the simple path misses (ADVICE r3): cells
+    without an 'r' attribute (column implied by position - a running
+    cursor, not _col_index('')), and formula-error cells (t="e",
+    '#DIV/0!') which must surface as nulls, never hit float()."""
+    sheet2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c t="s"><v>0</v></c><c t="s"><v>1</v></c><c t="s"><v>2</v></c>
+  </row>
+  <row r="2">
+   <c t="s"><v>3</v></c><c><v>41972</v></c><c t="e"><v>#DIV/0!</v></c>
+  </row>
+  <row r="3">
+   <c r="A3" t="inlineStr"><is><t>Software Developers</t></is></c>
+   <c><v>30000</v></c><c><v>12.5</v></c>
+  </row>
+ </sheetData>
+</worksheet>"""
+    path = str(tmp_path / "refless.xlsx")
+    _write_minimal_xlsx_custom(path, sheet2)
+    df = FS.read_xlsx(spark, path, sheet_name="Occupations")
+    assert df.columns == [
+        "Occupation (SOC)",
+        "Total Postings (Jan 2024 - Jun 2025)",
+        "Median Posting Duration",
+    ]
+    rows = {r[0]: (r[1], r[2]) for r in df.collect()}
+    assert rows["Registered Nurses"] == (41972.0, None)
+    # the ref-less cell after an explicit A3 lands in column B, and the
+    # error-free numeric column stays DOUBLE
+    assert rows["Software Developers"] == (30000.0, 12.5)
 
 
 # -- multimodal --------------------------------------------------------------

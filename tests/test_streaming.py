@@ -223,3 +223,56 @@ def test_streaming_upsert_sink_incremental(spark, tmp_path):
             assert row["value"] == base_rows[eid]["value"] + 1000.0
         else:
             assert row["value"] == base_rows[eid]["value"]
+
+
+def test_upsert_sink_redelivery_is_noop(spark, tmp_path):
+    """Crash-restart contract: if the process dies AFTER the _current
+    pointer swap but BEFORE the streaming checkpoint commits, the same
+    batch_id is re-delivered on restart. The sink must detect the
+    already-published snapshot (cur == v{batch_id}) and no-op instead of
+    reading v{n} while overwriting v{n} (error or data loss)."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value", "ts"
+        )
+
+    # first delivery: lands v0 and swaps the pointer
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], str(tmp_path / "ck1"))
+    before = sorted(
+        (r["event_id"], r["value"])
+        for r in SJ.read_upsert_table(spark, str(table_dir)).collect()
+    )
+    assert (table_dir / "_current").read_text().strip() == "v0"
+
+    # simulate the lost checkpoint commit: a FRESH checkpoint re-delivers
+    # the same source file as batch_id 0 against the already-swapped table
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], str(tmp_path / "ck2"))
+    after = sorted(
+        (r["event_id"], r["value"])
+        for r in SJ.read_upsert_table(spark, str(table_dir)).collect()
+    )
+    assert after == before
+    assert (table_dir / "_current").read_text().strip() == "v0"
+
+
+def test_read_events_stream_empty_source_dir(spark, tmp_path):
+    """A file-source stream routinely starts before the first file
+    lands; schema inference is impossible then, so the reader must fall
+    back to the pinned EVENTS schema instead of throwing."""
+    empty = tmp_path / "empty_src"
+    empty.mkdir()
+    stream = SJ.read_events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert set(SJ.EVENTS_SCHEMA.fieldNames()) <= set(stream.columns)
+    # and it must actually run (zero batches is a valid run)
+    ckpt = str(tmp_path / "ck_empty")
+    out = str(tmp_path / "out_empty")
+    SJ.run_available_now(stream, ckpt, out)

@@ -93,3 +93,30 @@ def test_observed_ingestion_metrics(spark, sf_dir):
     assert got["n_nonnull"] == n  # o_totalprice has no nulls
     expected_total = src.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
     assert got["total"] == expected_total
+
+
+def test_ngram_udtf_whitespace_parity_with_oracle(spark):
+    """ADVICE r3: the UDTF filters empty tokens from split(' '); the
+    DuckDB oracle must tokenize identically (list_filter on
+    string_split), or any input with consecutive/leading spaces
+    diverges. Pin both tokenizations on a dirty string."""
+    import duckdb
+
+    dirty = "  alpha  beta gamma "
+    got = [
+        (r["pos"], r["ngram"])
+        for r in udx.ngram_explode()(F.lit(dirty), F.lit(2)).collect()
+    ]
+    oracle = duckdb.sql(
+        """
+        WITH src AS (SELECT list_filter(string_split($d, ' '),
+                                        t -> t <> '') AS toks)
+        SELECT CAST(i - 1 AS INT) AS pos, toks[i] || ' ' || toks[i+1] AS ng
+        FROM src, LATERAL unnest(range(1, len(toks))) AS u(i)
+        """,
+        params={"d": dirty},
+    ).fetchall()
+    assert got == [(int(p), n) for p, n in oracle] == [
+        (0, "alpha beta"),
+        (1, "beta gamma"),
+    ]
