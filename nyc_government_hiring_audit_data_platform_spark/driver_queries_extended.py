@@ -1544,3 +1544,58 @@ def q_robust_stats_mad(spark, sf_dir):
             ).alias("mad_price"),
         )
     )
+
+
+@query(
+    "heavy_hitters_bound",
+    """
+    WITH s AS (
+      SELECT CAST(100 // (1 + CAST('0x' ||
+               substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 6)
+             AS UBIGINT) % 100) AS VARCHAR) AS term
+      FROM lineitem
+    ),
+    e AS (SELECT term, COUNT(*) AS exact_n FROM s GROUP BY term),
+    tot AS (SELECT SUM(exact_n) AS n FROM e)
+    SELECT term, TRUE AS captured, TRUE AS err_ok
+    FROM e, tot WHERE exact_n > n / 9
+    """,
+)
+def q_heavy_hitters_bound(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators.sketches, k=8) over a
+    deterministic power-law term stream (md5-uniform u -> 100 div u:
+    ~19 distinct values, the top two above the n/(k+1) threshold). The
+    sketch's per-term estimates depend on partition order, so - like
+    the HLL/KLL rows - the oracle checks the DETERMINISTIC bound the
+    algorithm guarantees: every term with exact count > n/(k+1) is
+    captured, with exact - n/(k+1) <= est <= exact. The plan is the
+    100 TB frequent-items shape: one pass, O(k) state per partition,
+    and a merge shuffle of at most k rows per partition."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.sketches import (
+        misra_gries_summary,
+    )
+
+    K = 8
+    li = table(spark, sf_dir, "lineitem")
+    stream = li.select(
+        F.expr(
+            "cast(100 div (1 + cast(conv(substr(md5(cast(l_orderkey * 10 + "
+            "l_linenumber as string)), 1, 6), 16, 10) as bigint) % 100) as string)"
+        ).alias("term")
+    )
+    summary = misra_gries_summary(stream, "term", K)
+    exact = stream.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = exact.agg(F.sum("exact_n").alias("n"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_n") > F.col("n") / (K + 1)
+    )
+    return heavy.join(summary, "term", "left").select(
+        "term",
+        F.col("est").isNotNull().alias("captured"),
+        F.when(F.col("est").isNull(), F.lit(False))
+        .otherwise(
+            (F.col("est") <= F.col("exact_n"))
+            & (F.col("est") >= F.col("exact_n") - F.col("n") / (K + 1))
+        )
+        .alias("err_ok"),
+    )

@@ -1,0 +1,66 @@
+"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+
+Completes the fixed-size-sketch family next to the HLL (distinct) and
+KLL (quantile) bound queries: at 100 TB you cannot shuffle an exact
+per-term count table whose domain is the open vocabulary of a corpus,
+but k counters per partition plus a (term, est) merge - at most
+k * n_partitions tiny rows - you always can.
+
+Algorithm (public; Misra & Gries 1982, "Finding repeated elements"):
+maintain at most k counters; an unseen term either claims a free
+counter or decrements ALL counters by one (evicting zeros). Guarantees
+per partition, for every term t with true count c_p(t) over the n_p
+items: c_p(t) - n_p/(k+1) <= est_p(t) <= c_p(t) (est 0 if absent).
+Summing per-partition summaries keeps both sides: the merged estimate
+is exact-or-under by at most sum(n_p)/(k+1) = n/(k+1), so every term
+with global count > n/(k+1) MUST survive in at least one partition's
+summary. That deterministic bound - not the partition-order-dependent
+estimates - is what the driver query checks.
+
+The per-item loop runs in Python over Arrow batches here; the point is
+the PLAN SHAPE (bounded state per partition, tiny merge). On a real
+cluster swap the kernel for datasketches' frequent-items via the same
+mapInPandas seam.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_summary(df: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries with k counters, merged by term.
+
+    Returns (term, est) with est <= true count and
+    est >= true - n/(k+1). One pass over the data, O(k) state per
+    partition, and the only shuffle moves <= k rows per partition.
+    """
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf[term_col]:
+                if term is None:
+                    continue
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < k:
+                    counters[term] = 1
+                else:
+                    for t in list(counters):
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            del counters[t]
+        yield pd.DataFrame(
+            {term_col: list(counters), "est": list(counters.values())}
+        )
+
+    summaries = df.select(term_col).mapInPandas(
+        partial, schema=f"{term_col} string, est long"
+    )
+    return summaries.groupBy(term_col).agg(F.sum("est").alias("est"))
