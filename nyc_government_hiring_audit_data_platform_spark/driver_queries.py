@@ -1042,3 +1042,6 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_extended as _extended,
 )
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_curation as _curation,
+)

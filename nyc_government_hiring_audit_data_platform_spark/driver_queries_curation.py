@@ -1,0 +1,362 @@
+"""Training-data-pipeline suite, part 3: corpus curation decisions.
+
+Round-4 additions covering the curation steps that sit BETWEEN the
+similarity primitives (dedup/, ann.py) and a training run: which n-grams
+are boilerplate, which chunks are corpus-duplicated, which near-dup doc
+survives its cluster, how link structure ranks nodes, and where the key
+skew is before you pick a join strategy. Every query is exact-oracle
+checked; every plan is a bounded number of key-grouped shuffles -
+nothing quadratic, nothing driver-side.
+
+Determinism conventions (see driver_queries module docstring): float
+outputs are single divisions or integer-sum-then-divide (never a
+cross-partition double sum), so the values are bit-identical across
+engines before the ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+
+# ---------------------------------------------------------------------------
+# C4/CCNet-style boilerplate detection: word n-grams shared by many docs
+# ---------------------------------------------------------------------------
+
+_BP_N = 4  # word-gram width
+_BP_DF = 3  # document-frequency threshold: gram in >= 3 docs = boilerplate
+_BP_DROP = 0.2  # drop a doc when >= 20% of its grams are boilerplate
+
+
+def _word_grams(toks_col, n: int):
+    """array<string> of space-joined word n-grams; empty when the doc has
+    fewer than ``n`` tokens (guards Spark's descending ``sequence(1, 0)``)."""
+    return F.when(
+        F.size(toks_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_grams_sql(toks_expr: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> array_to_string({toks_expr}[i:i+{n - 1}], ' '))"
+    )
+
+
+@query(
+    "boilerplate_ngram_flags",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest({_word_grams_sql('toks', _BP_N)}) AS g FROM src
+    ),
+    boiler AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
+    ),
+    per AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      FROM ex e LEFT JOIN boiler b ON e.g = b.g
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           ROUND(COALESCE(p.n_boiler, 0) * 1.0 / GREATEST(p.n_grams, 1), 4)
+             AS boiler_ratio,
+           CASE WHEN COALESCE(p.n_boiler, 0) * 1.0 / GREATEST(p.n_grams, 1)
+                     >= {_BP_DROP}
+                THEN 0 ELSE 1 END AS keep
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def q_boilerplate_ngram_flags(spark, sf_dir):
+    """C4/CCNet-style boilerplate removal: a word 4-gram appearing in >=
+    3 distinct documents is boilerplate; documents whose gram stream is
+    >= 20% boilerplate are dropped. Two shuffles at any scale: one
+    gram-grouped distinct-doc count (partial-agg combines repeated
+    grams map-side) and one doc-grouped rollup; the join back to the
+    exploded grams is on the HAVING-filtered gram set, which repetition
+    makes small (AQE broadcasts it when it fits - at sf0.01 it is ~100
+    grams). The ratio is one int/int division per doc - no
+    cross-partition float sums, so it hashes identically in DuckDB.
+    At 100 TB the df-threshold set is still corpus-bounded (a gram
+    needs >= 3 full copies to enter); a frequency sketch over a sample
+    is the standard fallback when even that set outgrows memory."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    ex = docs.select(
+        "doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g")
+    )
+    boiler = (
+        ex.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .select("g")
+    )
+    per = (
+        ex.join(boiler.withColumnRenamed("g", "bg"), ex["g"] == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    ratio = F.coalesce(F.col("n_boiler"), F.lit(0)) * 1.0 / F.greatest(
+        F.col("n_grams"), F.lit(1)
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(ratio, 4).alias("boiler_ratio"),
+            F.when(ratio >= _BP_DROP, 0).otherwise(1).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (the paragraph-dedup analog for one-line docs)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 16  # tokens per chunk
+
+
+@query(
+    "chunk_dedup",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1, {_CHUNK}),
+                    i -> array_to_string(toks[i:i+{_CHUNK - 1}], ' '))) AS chunk
+      FROM src
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS cnt FROM ch GROUP BY chunk)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_ratio
+    FROM ch c JOIN freq f ON c.chunk = f.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document exact dedup (the Dolma/FineWeb paragraph-dedup
+    shape, over fixed 16-token chunks since the synthetic docs are
+    single-line): split every doc into chunks, count each chunk's
+    corpus-wide occurrences, and report per-doc how much of the doc is
+    corpus-duplicated material. Plan: explode (map-side), one
+    chunk-grouped count (partial agg collapses repeats before the
+    shuffle), one equi-join back on chunk (AQE picks the strategy),
+    one doc-grouped rollup. Chunk hashes, not chunk text, would move
+    at 100 TB - the md5 swap is a one-line change; text is kept here
+    so the oracle predicate is readable. The ratio is int/int - exact
+    in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    starts = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK))
+    ).otherwise(F.array().cast("array<int>"))
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, _CHUNK), " "))
+        ).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup * 1.0 / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup keep-list: the curation DECISION on top of duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "neardup_keep_list",
+    None,  # oracle attached below (needs the ANN edge SQL + recursive CTE)
+)
+def q_neardup_keep_list(spark, sf_dir):
+    """The deliverable of a dedup pipeline: per vector, its duplicate
+    cluster and a KEEP/DROP decision (keep = the cluster's canonical
+    representative = min id; singletons keep themselves). Built from
+    embedding-cosine near-dup edges (LSH-bucket-blocked, never N^2) +
+    iterative min-label components; because the component label IS the
+    min reachable id, the keep flag is a plain equality - no extra
+    window or shuffle after the closure."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.operators import graph as G
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = ANN.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.3)
+    comps = G.connected_components(edges, "id_a", "id_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comps, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster"),
+            F.when(
+                F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id"), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+def _attach_neardup_keep_list_oracle():
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import ORACLE
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.operators import graph as G
+
+    comps = G.connected_components_sql(
+        ANN.embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding", 0.3),
+        "id_a",
+        "id_b",
+    )
+    ORACLE["neardup_keep_list"] = f"""
+    WITH comps AS ({comps})
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS cluster,
+           CASE WHEN COALESCE(c.component, e.vec_id) = e.vec_id THEN 1 ELSE 0 END
+             AS keep
+    FROM embeddings e LEFT JOIN comps c ON e.vec_id = c.node
+    """
+
+
+_attach_neardup_keep_list_oracle()
+
+
+# ---------------------------------------------------------------------------
+# one PageRank power-iteration step (link analysis over a derived graph)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # contributions as integer billionths: exact sums
+
+
+@query(
+    "pagerank_iteration",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    contrib AS (
+      SELECT e.dst,
+             COUNT(*) AS in_deg,
+             SUM({_PR_SCALE} // o.d) AS c
+      FROM edges e JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    )
+    SELECT dst AS node, in_deg,
+           ROUND(0.15 + 0.85 * (c / {_PR_SCALE}.0), 6) AS rank
+    FROM contrib
+    """,
+)
+def q_pagerank_iteration(spark, sf_dir):
+    """One PageRank power-iteration step over the supplier->part supply
+    graph (distinct lineitem (suppkey, partkey) pairs), uniform initial
+    rank: rank(p) = 0.15 + 0.85 * sum over in-edges of 1/outdeg(s).
+    Each iteration at any scale is one groupBy(src) for out-degrees and
+    one join + groupBy(dst) for the gather - the GraphX pregel step in
+    plain DataFrame ops, driver-side only per-iteration orchestration.
+    Edge contributions are integerized (floor of 1e9/outdeg, BIGINT
+    div) so the cross-partition sum is exact integer arithmetic and
+    hashes identically across engines; the final scale-back is a
+    single-op float chain."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("in_deg"),
+            F.sum(F.expr(f"CAST({_PR_SCALE} AS BIGINT) div d")).alias("c"),
+        )
+    )
+    return contrib.select(
+        F.col("dst").alias("node"),
+        "in_deg",
+        F.round(
+            F.lit(0.15) + F.lit(0.85) * (F.col("c") / F.lit(float(_PR_SCALE))), 6
+        ).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# key-skew profile: the diagnostic you run BEFORE choosing a join strategy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH per AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM per)
+    SELECT p.user_id, p.n_rows,
+           ROUND(p.n_rows * 100.0 / t.total, 4) AS share_pct,
+           ROUND(p.n_rows * t.nkeys * 1.0 / t.total, 4) AS skew_x
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.n_rows DESC, p.user_id ASC
+    LIMIT 20
+    """,
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Skew diagnostic: top-20 heaviest join keys with their share of
+    all rows and their skew factor vs a uniform key (n_rows / mean).
+    This is the measurement that justifies salting / AQE skew-join
+    before a big join ships. Plan: one key-grouped count (partial agg),
+    a one-row global total broadcast back (crossJoin of a single row -
+    same pattern as summary_stats), and TakeOrderedAndProject for the
+    top-20 - per-partition heaps, only 20 rows per partition move.
+    share/skew are int-product / int divisions - exact both engines."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("nkeys")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("total"), 4).alias("share_pct"),
+            F.round(F.col("n_rows") * F.col("nkeys") * 1.0 / F.col("total"), 4).alias(
+                "skew_x"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

@@ -1,0 +1,112 @@
+"""Semantic tests for the curation suite (driver_queries_curation) -
+invariants the parity harness can't see (it only proves Spark==DuckDB,
+not that both compute the intended thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+    _BP_N,
+    _CHUNK,
+    _word_grams,
+)
+
+
+def _grams_of(spark, text: str) -> list[str]:
+    df = spark.createDataFrame([(text,)], "text string")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return df.select(_word_grams(toks, _BP_N).alias("g")).collect()[0]["g"]
+
+
+def test_word_grams_shorter_than_n_is_empty(spark):
+    assert _grams_of(spark, "a b c") == []
+
+
+def test_word_grams_exact_n_single_gram(spark):
+    assert _grams_of(spark, "a b c d") == ["a b c d"]
+
+
+def test_word_grams_count_and_overlap(spark):
+    g = _grams_of(spark, "a b c d e f")
+    assert g == ["a b c d", "b c d e", "c d e f"]
+
+
+def test_word_grams_collapses_double_spaces(spark):
+    # tokenizer drops empty tokens, so runs of spaces can't shift grams
+    assert _grams_of(spark, "a  b c  d") == ["a b c d"]
+
+
+def test_boilerplate_fully_duplicated_doc_dropped(spark, sf_dir):
+    """A doc whose every gram is boilerplate must be flagged keep=0 (the
+    sf0.01 corpus contains at least one boiler_ratio=1.0 doc)."""
+    out = DQ.QUERIES["boilerplate_ngram_flags"](spark, sf_dir)
+    full = out.filter(F.col("boiler_ratio") == 1.0)
+    assert full.count() >= 1
+    assert full.filter(F.col("keep") == 1).count() == 0
+
+
+def test_boilerplate_clean_docs_kept(spark, sf_dir):
+    out = DQ.QUERIES["boilerplate_ngram_flags"](spark, sf_dir)
+    assert out.filter((F.col("n_boiler") == 0) & (F.col("keep") == 0)).count() == 0
+
+
+def test_chunk_dedup_chunk_count_matches_token_count(spark, sf_dir):
+    """n_chunks must equal ceil(n_tokens / CHUNK) for every doc."""
+    docs = DQ.table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("nt"),
+    )
+    out = DQ.QUERIES["chunk_dedup"](spark, sf_dir)
+    joined = out.join(docs, "doc_id")
+    bad = joined.filter(
+        F.col("n_chunks") != F.ceil(F.col("nt") / F.lit(_CHUNK))
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_dedup_ratio_bounds(spark, sf_dir):
+    out = DQ.QUERIES["chunk_dedup"](spark, sf_dir)
+    assert out.filter((F.col("dup_ratio") < 0) | (F.col("dup_ratio") > 1)).count() == 0
+    # the sf0.01 corpus has real duplicated chunks - the op must find some
+    assert out.filter(F.col("n_dup_chunks") > 0).count() > 0
+
+
+def test_keep_list_one_keeper_per_cluster(spark, sf_dir):
+    out = DQ.QUERIES["neardup_keep_list"](spark, sf_dir).cache()
+    per = out.groupBy("cluster").agg(
+        F.sum("keep").alias("keepers"), F.min("vec_id").alias("lo")
+    )
+    assert per.filter(F.col("keepers") != 1).count() == 0
+    # the keeper is the min id of its cluster: cluster label == min member
+    assert per.filter(F.col("cluster") != F.col("lo")).count() == 0
+    # every vector gets a verdict
+    n_vec = DQ.table(spark, sf_dir, "embeddings").count()
+    assert out.count() == n_vec
+    out.unpersist()
+
+
+def test_pagerank_rank_floor_and_edge_conservation(spark, sf_dir):
+    out = DQ.QUERIES["pagerank_iteration"](spark, sf_dir).cache()
+    # damping floor: every rank >= 0.15 (a node with in-edges gets more)
+    assert out.filter(F.col("rank") < 0.15).count() == 0
+    # sum of in-degrees == number of distinct edges
+    n_edges = (
+        DQ.table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .count()
+    )
+    assert out.agg(F.sum("in_deg")).collect()[0][0] == n_edges
+    out.unpersist()
+
+
+def test_skew_profile_shape(spark, sf_dir):
+    rows = DQ.QUERIES["key_skew_profile"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 < r["share_pct"] <= 100.0 for r in rows)
+    # top keys are at least as heavy as the mean key
+    assert all(r["skew_x"] >= 1.0 for r in rows)
