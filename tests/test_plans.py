@@ -343,3 +343,72 @@ def test_kernel_queries_run_real_pandas_udf(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan, f"{name} lost its pandas-UDF kernel"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """At cluster scale neither join side broadcasts; Spark's runtime
+    bloom filter (InjectRuntimeFilter) must then build a bloom sketch on
+    the filtered build side and semi-prune the probe-side scan. Local
+    testdata is under every default threshold, so thresholds are pinned
+    to force the cluster-shaped decision and assert the injection fires
+    (bloom_filter_agg on the build side, might_contain on the probe)."""
+    pins = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in pins.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = PI.physical_plan(j)
+        assert "bloom_filter_agg" in plan, "no bloom filter built on build side"
+        assert "might_contain" in plan, "probe-side scan not bloom-pruned"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_boilerplate_and_chunk_dedup_no_cartesian(spark, sf_dir):
+    """Both sub-document dedup queries are explode -> key-grouped aggs ->
+    equi-joins; a nested-loop anywhere means the blocking broke."""
+    for name in ("boilerplate_ngram_flags", "chunk_dedup"):
+        plan = PI.physical_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pagerank_iteration_bounded_shuffles(spark, sf_dir):
+    """One pregel step = distinct + out-degree agg + gather join/agg;
+    anything beyond a handful of key shuffles (or any nested loop) means
+    the step would not scale to a real edge set."""
+    df = QUERIES["pagerank_iteration"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert PI.shuffle_count(df) <= 5
+
+
+def test_skew_profile_top20_avoids_full_sort(spark, sf_dir):
+    """The top-20 keys come off per-partition heaps
+    (TakeOrderedAndProject), not a global sort of all keys."""
+    plan = PI.physical_plan(QUERIES["key_skew_profile"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
