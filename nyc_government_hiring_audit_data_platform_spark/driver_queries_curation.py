@@ -316,6 +316,113 @@ def q_pagerank_iteration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM surprisal: the perplexity-style model-based quality filter
+# ---------------------------------------------------------------------------
+
+_SURP_SCALE = 1_000_000  # per-term surprisal in integer micro-nats
+
+
+@query(
+    "unigram_surprisal_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    surp AS (
+      SELECT term, CAST(ROUND(ln(total * 1.0 / c) * {_SURP_SCALE}) AS BIGINT) AS s
+      FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS n_tok, SUM(tf.tf * surp.s) AS ssum
+      FROM tf JOIN surp USING (term) GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_tok, ssum * 1.0 / n_tok / {_SURP_SCALE} AS avg_s FROM per
+    ),
+    band AS (
+      SELECT quantile_disc(avg_s, 0.05) AS lo, quantile_disc(avg_s, 0.95) AS hi
+      FROM scored
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tok, 0) AS BIGINT) AS n_tok,
+           ROUND(s.avg_s, 4) AS avg_surprisal,
+           CASE WHEN s.avg_s >= b.lo AND s.avg_s <= b.hi THEN 1 ELSE 0 END AS keep
+    FROM documents d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    CROSS JOIN band b
+    """,
+)
+def q_unigram_surprisal_quality(spark, sf_dir):
+    """Model-based quality filtering, unigram edition: train a unigram
+    LM on the corpus (term counts), score every doc by its mean token
+    surprisal ln(total/count), and keep the docs inside the corpus's
+    [P05, P95] surprisal band - the tails are templated spam (too
+    predictable) or noise (too random). Per-term surprisal is
+    integerized (micro-nats) BEFORE the per-doc sum so the
+    cross-partition aggregation is exact integer arithmetic; the band
+    edges are DISCRETE percentiles (actual data values, bit-identical
+    across engines). Plan at 100 TB: word-count shuffle, a
+    vocabulary-sized model relation joined back (AQE broadcasts it),
+    one doc-grouped rollup, and a 2-double band broadcast. The same
+    shape serves a real LM scorer: swap the surp relation for
+    mapInPandas over model logits."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("total") * 1.0 / F.col("c")) * _SURP_SCALE)
+        .cast("long")
+        .alias("s"),
+    )
+    per = (
+        tf.join(surp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("s")).alias("ssum"),
+        )
+    )
+    scored = per.select(
+        "doc_id",
+        "n_tok",
+        (F.col("ssum") * 1.0 / F.col("n_tok") / _SURP_SCALE).alias("avg_s"),
+    )
+    band = scored.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY avg_s)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY avg_s)").alias("hi"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(band))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+            F.round("avg_s", 4).alias("avg_surprisal"),
+            F.when(
+                (F.col("avg_s") >= F.col("lo")) & (F.col("avg_s") <= F.col("hi")), 1
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # key-skew profile: the diagnostic you run BEFORE choosing a join strategy
 # ---------------------------------------------------------------------------
 

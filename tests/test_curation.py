@@ -110,3 +110,23 @@ def test_skew_profile_shape(spark, sf_dir):
     assert all(0 < r["share_pct"] <= 100.0 for r in rows)
     # top keys are at least as heavy as the mean key
     assert all(r["skew_x"] >= 1.0 for r in rows)
+
+
+def test_surprisal_band_trims_both_tails(spark, sf_dir):
+    """The [P05, P95] band must drop roughly 10% of docs - and the
+    dropped set must be exactly the docs outside the kept score range."""
+    out = DQ.QUERIES["unigram_surprisal_quality"](spark, sf_dir).cache()
+    n = out.count()
+    dropped = out.filter(F.col("keep") == 0)
+    frac = dropped.count() / n
+    assert 0.02 <= frac <= 0.2, frac
+    kept = out.filter(F.col("keep") == 1).agg(
+        F.min("avg_surprisal").alias("lo"), F.max("avg_surprisal").alias("hi")
+    ).collect()[0]
+    # every dropped doc scores outside the kept band (ties at the rounded
+    # 4th decimal can only sit ON the edge, never inside)
+    inside = dropped.filter(
+        (F.col("avg_surprisal") > kept["lo"]) & (F.col("avg_surprisal") < kept["hi"])
+    ).count()
+    assert inside == 0
+    out.unpersist()
