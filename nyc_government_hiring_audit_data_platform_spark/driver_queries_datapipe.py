@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+    norm_round,
+)
+
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
 from nyc_government_hiring_audit_data_platform_spark.functions.text import normalize_text_sql, tokens
 from nyc_government_hiring_audit_data_platform_spark.functions import textstats as TS
@@ -185,7 +189,7 @@ def q_zscore_normalize(spark, sf_dir):
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        (F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 3) + F.lit(0.0)).alias("zscore"),
+        norm_round((F.col("value") - F.col("mu")) / F.col("sigma"), 3).alias("zscore"),
     )
 
 

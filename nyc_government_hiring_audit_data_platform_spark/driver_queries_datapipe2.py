@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+    norm_round,
+)
+
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
 from nyc_government_hiring_audit_data_platform_spark.functions.textstats import (
     char_shingles,
@@ -274,8 +278,8 @@ def q_embedding_l2_normalize(spark, sf_dir):
     return sq.select(
         "vec_id",
         F.round("nrm", 4).alias("l2_norm"),
-        (F.round(F.col("e1") / F.col("nrm"), 4) + F.lit(0.0)).alias("u1"),
-        (F.round(F.col("e2") / F.col("nrm"), 4) + F.lit(0.0)).alias("u2"),
+        norm_round(F.col("e1") / F.col("nrm"), 4).alias("u1"),
+        norm_round(F.col("e2") / F.col("nrm"), 4).alias("u2"),
     )
 
 

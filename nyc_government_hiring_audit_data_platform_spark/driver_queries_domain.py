@@ -379,12 +379,18 @@ kpairs AS (
 # Sorted-token derivations (DuckDB). array_to_string of an EMPTY list is
 # NULL in DuckDB, hence the coalesce on every join-back.
 _TS = "coalesce(array_to_string(list_sort({x}), ' '), '')"
-_TOKSETS_SQL = f"""
+
+
+def _toksets_sql(src: str) -> str:
+    """tok/parts3 CTE pair (token-set decomposition) over ``src`` - one
+    definition for BOTH kernel oracles so a fix to the derivation (e.g.
+    the empty-list coalesce) cannot silently diverge between them."""
+    return f"""
 tok AS (
   SELECT pair_id, a, b,
          list_distinct(list_filter(string_split(a, ' '), t -> t <> '')) AS ta,
          list_distinct(list_filter(string_split(b, ' '), t -> t <> '')) AS tb
-  FROM kpairs
+  FROM {src}
 ),
 parts3 AS (
   SELECT pair_id, a, b,
@@ -396,6 +402,9 @@ parts3 AS (
          (len(ta) = 0 AND len(tb) = 0) AS both_empty
   FROM tok
 )"""
+
+
+_TOKSETS_SQL = _toksets_sql("kpairs")
 
 # LCS DP over (pair_id, s1, s2, scale) variant rows -> per-pair max of
 # scale * simple_ratio(s1, s2).
@@ -513,22 +522,7 @@ _WRATIO_FILTER = (
     kpairs_f AS (
       SELECT * FROM kpairs WHERE {_WRATIO_FILTER.format(a='a', b='b')}
     ),
-    tok AS (
-      SELECT pair_id, a, b,
-             list_distinct(list_filter(string_split(a, ' '), t -> t <> '')) AS ta,
-             list_distinct(list_filter(string_split(b, ' '), t -> t <> '')) AS tb
-      FROM kpairs_f
-    ),
-    parts3 AS (
-      SELECT pair_id, a, b,
-             {_TS.format(x='list_intersect(ta, tb)')} AS inter,
-             trim({_TS.format(x='list_intersect(ta, tb)')} || ' ' ||
-                  {_TS.format(x='list_filter(ta, t -> NOT list_contains(tb, t))')}) AS ca,
-             trim({_TS.format(x='list_intersect(ta, tb)')} || ' ' ||
-                  {_TS.format(x='list_filter(tb, t -> NOT list_contains(ta, t))')}) AS cb,
-             (len(ta) = 0 AND len(tb) = 0) AS both_empty
-      FROM tok
-    ),
+    {_toksets_sql('kpairs_f')},
     variants AS (
       SELECT pair_id, a AS s1, b AS s2, 1.0 AS scale FROM parts3
       UNION ALL

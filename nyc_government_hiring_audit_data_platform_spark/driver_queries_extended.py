@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+    norm_round,
+)
+
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
 from nyc_government_hiring_audit_data_platform_spark.operators import relational as R
 
@@ -751,8 +755,8 @@ def q_stats_agg(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("corr_qty_price"),
-        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias("covar_qty_price"),
+        norm_round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        norm_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
 
 

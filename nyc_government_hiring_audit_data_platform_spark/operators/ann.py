@@ -29,6 +29,10 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+    norm_round,
+)
+
 from nyc_government_hiring_audit_data_platform_spark.functions.similarity import (
     cosine_similarity,
 )
@@ -155,7 +159,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", norm_round("sim", 6).alias("sim"), "rank")
     )
 
 
@@ -220,7 +224,7 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", norm_round("sim", 6).alias("sim"), "rank")
     )
 
 
@@ -359,7 +363,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", (F.round("sim", 6) + F.lit(0.0)).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", norm_round("sim", 6).alias("sim"), "rank")
     )
 
 
@@ -417,7 +421,7 @@ def kmeans_update(
         .groupBy("cluster", "dim")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("value"),
+            norm_round(F.avg("val"), 6).alias("value"),
         )
     )
 
@@ -460,7 +464,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6) + F.lit(0.0)).alias("cos_sim"),
+            norm_round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -222,7 +222,12 @@ def interval_overlap_join(
     guard the verify predicate would admit them against any interval
     that strictly contains the degenerate point.
     """
-    bucket_micros = int(bucket_seconds) * 1_000_000
+    # round, don't truncate: bucket_seconds=0.5 is a legal sub-second
+    # grid (int() would yield 0 micros -> div-by-zero NULL cells -> a
+    # silently empty join)
+    bucket_micros = int(round(bucket_seconds * 1_000_000))
+    if bucket_micros <= 0:
+        raise ValueError(f"bucket_seconds={bucket_seconds!r}: grid must be >= 1 microsecond")
 
     def cells(start_col: str, end_col: str):
         lo = F.expr(f"unix_micros({start_col}) div {bucket_micros}")

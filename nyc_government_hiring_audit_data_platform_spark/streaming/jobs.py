@@ -16,6 +16,7 @@ one definition, two execution modes.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 import pandas as pd
@@ -96,6 +97,11 @@ def read_events_stream(
     try:
         raw_schema = spark.read.parquet(source_dir).schema
     except AnalysisException:
+        # Fall back ONLY for a directory that exists but holds no files
+        # yet; a nonexistent path is a caller error and must stay loud
+        # (otherwise a typo'd source_dir becomes a forever-empty stream).
+        if not os.path.isdir(source_dir):
+            raise
         raw_schema = EVENTS_SCHEMA
     reader = (
         spark.readStream.schema(raw_schema)
@@ -401,18 +407,21 @@ def run_upsert_sink(
     ``order_col`` wins when given, else an arbitrary-but-single row) -
     merge semantics require unique update keys. Combined with the
     checkpoint, restarts re-apply only unprocessed batches
-    (exactly-once table state). A crash between the pointer swap and
-    the checkpoint commit re-delivers the batch_id; the re-delivery is
-    detected (pointer already names ``v{batch_id}``) and skipped, so
-    the sink never reads a snapshot it is about to overwrite.
+    (exactly-once table state). Crash-restart safety rests on two
+    invariants: every batch writes to a FRESH snapshot directory (the
+    ``v{batch_id}`` name gets an ``r{k}`` suffix if it already exists
+    on disk), so the sink never reads a directory it is writing; and
+    ``merge_upsert`` is idempotent for re-delivered content, so a
+    batch_id replayed after a lost checkpoint commit - whether with
+    identical content or (after a checkpoint reset) a superset - lands
+    a correct new snapshot instead of being skipped on a batch_id
+    match that says nothing about batch CONTENT.
 
     This pointer-file commit is a LOCAL-filesystem protocol; on object
     stores this role is exactly what transactional table formats
     (Delta/Iceberg commit logs) exist for - swap this sink for one of
     those in that deployment.
     """
-    import os
-
     from nyc_government_hiring_audit_data_platform_spark.operators.relational import (
         merge_upsert,
     )
@@ -430,18 +439,20 @@ def run_upsert_sink(
             )
         else:
             batch = batch_df.dropDuplicates(keys)
+        # Always target a directory that does not exist yet: a replayed
+        # batch_id (crash before checkpoint commit, or a checkpoint
+        # reset that re-delivers batch 0 with MORE files) must never
+        # overwrite - or skip relative to - a published snapshot based
+        # on the id alone. Writing fresh and re-merging is safe because
+        # merge_upsert is idempotent for already-applied rows.
         snap = f"v{batch_id}"
+        retry = 0
+        while os.path.exists(os.path.join(table_dir, snap)):
+            retry += 1
+            snap = f"v{batch_id}r{retry}"
         if os.path.exists(ptr):
             with open(ptr) as f:
                 cur = f.read().strip()
-            if cur == snap:
-                # Crash-restart re-delivery: the pointer already names
-                # this batch's snapshot, so the batch was fully applied
-                # AND published before the streaming checkpoint could
-                # commit. Re-merging would read v{batch_id} while
-                # overwriting the same directory (error or data loss);
-                # the correct exactly-once move is a no-op.
-                return
             base = spark.read.parquet(os.path.join(table_dir, cur))
             merged = merge_upsert(base, batch, keys)
         else:
@@ -463,8 +474,6 @@ def run_upsert_sink(
 
 def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the current snapshot published by ``run_upsert_sink``."""
-    import os
-
     with open(os.path.join(table_dir, "_current")) as f:
         cur = f.read().strip()
     return spark.read.parquet(os.path.join(table_dir, cur))

@@ -61,3 +61,32 @@ def test_degenerate_empty_interval_matches_nothing(spark):
         l_start="l_start", l_end="l_end", r_start="r_start", r_end="r_end",
     )
     assert got.count() == 0, "empty interval contains no instant"
+
+
+def test_interval_overlap_fractional_bucket_seconds(spark):
+    """bucket_seconds=0.5 is a legal sub-second grid: int() truncation
+    would make the cell divisor 0 and silently return an empty join."""
+    from datetime import datetime as DT
+
+    left = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0, 0, 100_000), DT(2024, 1, 1, 0, 0, 0, 700_000))],
+        "lid int, l_start timestamp, l_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, DT(2024, 1, 1, 0, 0, 0, 600_000), DT(2024, 1, 1, 0, 0, 1))],
+        "rid int, r_start timestamp, r_end timestamp",
+    )
+    out = R.interval_overlap_join(
+        left, right, ["lid"], ["rid"], bucket_seconds=0.5
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in out] == [(1, 10)]
+
+
+def test_interval_overlap_zero_bucket_rejected(spark):
+    import pytest as _pytest
+
+    left = spark.range(0).selectExpr(
+        "id AS lid", "current_timestamp() AS l_start", "current_timestamp() AS l_end"
+    )
+    with _pytest.raises(ValueError):
+        R.interval_overlap_join(left, left, ["lid"], ["lid"], bucket_seconds=0)

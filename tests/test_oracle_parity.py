@@ -44,11 +44,8 @@ def _canon(v):
         # double 9.0 AND -0.0 from 0.0 (the two red classes of r3 were
         # exactly these). The old _canon collapsed integral floats to
         # int strings and lost the zero sign, so both classes passed
-        # locally and failed on the driver. Preserve full float identity:
-        # repr() keeps the type ("9.0" != "9") and we surface the sign
-        # of zero explicitly.
-        if v == 0.0 and math.copysign(1.0, v) < 0:
-            return "-0.0"
+        # locally and failed on the driver. repr() preserves full float
+        # identity: "9.0" != "9", and repr(-0.0) == "-0.0".
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))

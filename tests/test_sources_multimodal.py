@@ -136,10 +136,6 @@ def _write_minimal_xlsx(path, sheet2_xml=None):
         zf.writestr("xl/worksheets/sheet2.xml", sheet2_xml or sheet2)
 
 
-def _write_minimal_xlsx_custom(path, sheet2_xml):
-    _write_minimal_xlsx(path, sheet2_xml=sheet2_xml)
-
-
 def test_xlsx_stdlib_reader(spark, tmp_path):
     """S10: pure-stdlib XLSX ingestion - exotic reference column names
     verbatim, shared + inline strings, numeric typing, missing cells as
@@ -183,7 +179,7 @@ def test_xlsx_refless_and_error_cells(spark, tmp_path):
  </sheetData>
 </worksheet>"""
     path = str(tmp_path / "refless.xlsx")
-    _write_minimal_xlsx_custom(path, sheet2)
+    _write_minimal_xlsx(path, sheet2_xml=sheet2)
     df = FS.read_xlsx(spark, path, sheet_name="Occupations")
     assert df.columns == [
         "Occupation (SOC)",

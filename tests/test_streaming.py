@@ -225,12 +225,12 @@ def test_streaming_upsert_sink_incremental(spark, tmp_path):
             assert row["value"] == base_rows[eid]["value"]
 
 
-def test_upsert_sink_redelivery_is_noop(spark, tmp_path):
+def test_upsert_sink_redelivery_is_idempotent(spark, tmp_path):
     """Crash-restart contract: if the process dies AFTER the _current
     pointer swap but BEFORE the streaming checkpoint commits, the same
-    batch_id is re-delivered on restart. The sink must detect the
-    already-published snapshot (cur == v{batch_id}) and no-op instead of
-    reading v{n} while overwriting v{n} (error or data loss)."""
+    batch_id is re-delivered on restart. The sink must land a FRESH
+    snapshot (never read v{n} while overwriting v{n}) whose content is
+    unchanged - merge_upsert is idempotent for already-applied rows."""
     import shutil
 
     src = tmp_path / "src"
@@ -260,7 +260,45 @@ def test_upsert_sink_redelivery_is_noop(spark, tmp_path):
         for r in SJ.read_upsert_table(spark, str(table_dir)).collect()
     )
     assert after == before
-    assert (table_dir / "_current").read_text().strip() == "v0"
+    # published under a fresh name, v0 left untouched for pinned readers
+    assert (table_dir / "_current").read_text().strip() == "v0r1"
+
+
+def test_upsert_sink_checkpoint_reset_applies_new_rows(spark, tmp_path):
+    """A checkpoint RESET re-delivers batch_id 0 with a SUPERSET of the
+    already-applied content (old file + a new one). A guard keyed on
+    batch_id alone would skip the batch and silently lose the new rows;
+    the sink must merge them."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value", "ts"
+        )
+
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], str(tmp_path / "ck1"))
+    n_before = SJ.read_upsert_table(spark, str(table_dir)).count()
+
+    # new file lands, checkpoint is lost: batch 0 now carries BOTH files
+    extra = (
+        spark.read.parquet(str(src / "a.parquet"))
+        .limit(5)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    extra.write.mode("overwrite").parquet(str(tmp_path / "extra"))
+    for i, p in enumerate((tmp_path / "extra").glob("*.parquet")):
+        shutil.copy(p, src / f"b{i}.parquet")
+
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], str(tmp_path / "ck2"))
+    t = SJ.read_upsert_table(spark, str(table_dir))
+    assert t.count() == n_before + 5
+    assert t.filter(F.col("event_id") >= 10_000_000).count() == 5
 
 
 def test_read_events_stream_empty_source_dir(spark, tmp_path):
@@ -276,3 +314,13 @@ def test_read_events_stream_empty_source_dir(spark, tmp_path):
     ckpt = str(tmp_path / "ck_empty")
     out = str(tmp_path / "out_empty")
     SJ.run_available_now(stream, ckpt, out)
+
+
+def test_read_events_stream_nonexistent_path_raises(spark, tmp_path):
+    """The empty-dir schema fallback must NOT swallow a nonexistent
+    path: a typo'd source_dir has to fail at construction, not become a
+    stream that silently never produces a batch."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        SJ.read_events_stream(spark, str(tmp_path / "evnets"))
