@@ -316,6 +316,81 @@ def q_pagerank_iteration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# snapshot diff: dataset-version comparison (added / removed / changed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           ROUND(v1.price, 2) AS old_price,
+           ROUND(v2.price, 2) AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.price <> v2.price OR v1.status <> v2.status
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Dataset-version diff - the audit step between two snapshots of a
+    managed table (here: two deterministic views of orders standing in
+    for v{n}/v{n+1}): FULL OUTER join on the key, classify each key as
+    added / removed / changed (column-level inequality, no lossy string
+    hashing), drop the unchanged majority. One co-partitioned key
+    shuffle at any scale - and none at all when both snapshots are
+    bucketed on the key (see test_bucketed_join_no_shuffle); the
+    unchanged-row filter happens before anything is collected, so the
+    diff output is proportional to the churn, not the table."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+        | (F.col("a.status") != F.col("b.status"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        F.round(F.col("a.price"), 2).alias("old_price"),
+        F.round(F.col("b.price"), 2).alias("new_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # unigram-LM surprisal: the perplexity-style model-based quality filter
 # ---------------------------------------------------------------------------
 

@@ -28,6 +28,43 @@ def write_object_store(
     out.write.mode(mode).parquet(path)
 
 
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options
+) -> None:
+    """Format-parameterized sink over Spark's built-in writers (parquet /
+    ORC / JSON-lines / CSV). Parquet stays the default interchange
+    format; ORC is the drop-in columnar alternative (same pushdown and
+    pruning machinery), JSON/CSV are for row-oriented export. CSV gets
+    a header by default so a round-trip preserves column names."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt={fmt!r}: expected one of {_FORMATS}")
+    w = df.write.mode(mode)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    w.options(**options).format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Format-parameterized source matching :func:`write_table`. Pass
+    ``schema`` for JSON/CSV to skip the inference scan (mandatory at
+    scale: inference reads the data twice and guesses types)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt={fmt!r}: expected one of {_FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return r.options(**options).format(fmt).load(path)
+
+
 def most_recent_file(path: str, extension: str) -> str | None:
     """S7: latest-file resolution (reference: src/utils.py:32-42 picks
     max ctime over a glob). Kept for parity with single-file layouts;

@@ -628,3 +628,41 @@ def test_xlsx_col_index_round_trip():
 
     for i in [0, 1, 25, 26, 27, 51, 52, 701, 702]:
         assert FS._col_index(letters(i) + "7") == i, (i, letters(i))
+
+
+def test_multi_format_round_trip(spark, tmp_path):
+    """write_table/read_table: ORC and JSON-lines round-trip the same
+    rows as parquet (ORC through the identical columnar pushdown
+    machinery; JSON with an explicit schema so no inference scan)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("parquet", "orc", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        FS.write_table(src, path, fmt=fmt)
+        schema = src.schema if fmt == "json" else None
+        got = FS.read_table(spark, path, fmt=fmt, schema=schema)
+        assert sorted(map(tuple, got.select(*src.columns).collect())) == want
+
+
+def test_orc_pushdown_and_pruning(spark, tmp_path):
+    """ORC is a first-class columnar source: predicate pushdown and
+    column pruning must reach the scan exactly as with parquet."""
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    FS.write_table(src, path, fmt="orc")
+    df = (
+        FS.read_table(spark, path, fmt="orc")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice," in plan
+    assert "o_orderdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_write_table_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    src = spark.range(1)
+    with _pytest.raises(ValueError):
+        FS.write_table(src, str(tmp_path / "x"), fmt="avro")
