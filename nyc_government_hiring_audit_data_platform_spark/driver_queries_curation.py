@@ -316,6 +316,91 @@ def q_pagerank_iteration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training pair construction)
+# ---------------------------------------------------------------------------
+
+_HN_PANEL = "vec_id % 40 = 0 AND vec_id < 1600"  # <= 40 anchors at any SF
+_HN_K = 5
+
+
+@query(
+    "hard_negative_mining",
+    None,  # oracle attached below (needs the cosine SQL twin)
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard negatives: for each anchor in a
+    FIXED-SIZE panel, the top-5 most-similar vectors with a DIFFERENT
+    label - near the anchor in embedding space but semantically wrong,
+    the pairs that actually move a contrastive loss. The panel is
+    constant (<= 40 anchors) so the exact scoring join is
+    O(panel x corpus) - linear in the corpus, same argument as
+    ann_ivf_recall_bound; at index-served scale the candidate pool
+    swaps to IVF probes (operators.ann.ivf_topk) with this exact pass
+    as its quality monitor. Broadcast anchors, score, per-anchor
+    top-5 via WindowGroupLimit (only 5 rows per anchor survive the
+    shuffle)."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+        norm_round,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.expr(_HN_PANEL)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    cand = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    ).repartition(par)
+    scored = cand.join(
+        F.broadcast(anchors), F.col("alabel") != F.col("clabel")
+    ).select(
+        "anchor_id",
+        "neg_id",
+        ANN.cosine_similarity(F.col("av"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("anchor_id", "neg_id", norm_round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def _attach_hard_negative_mining_oracle():
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import ORACLE
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+
+    sim = ANN.cosine_sql("q.av", "c.embedding")
+    ORACLE["hard_negative_mining"] = f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+      FROM embeddings WHERE {_HN_PANEL}
+    ),
+    scored AS (
+      SELECT q.anchor_id, c.vec_id AS neg_id, {sim} AS sim
+      FROM anchors q JOIN embeddings c ON q.alabel <> c.label
+    ),
+    ranked AS (
+      SELECT anchor_id, neg_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY sim DESC, neg_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, neg_id, ROUND(sim, 6) + 0 AS sim, rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """
+
+
+_attach_hard_negative_mining_oracle()
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff: dataset-version comparison (added / removed / changed)
 # ---------------------------------------------------------------------------
 

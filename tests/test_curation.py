@@ -130,3 +130,25 @@ def test_surprisal_band_trims_both_tails(spark, sf_dir):
     ).count()
     assert inside == 0
     out.unpersist()
+
+
+def test_hard_negatives_cross_label_and_complete(spark, sf_dir):
+    """Every mined negative must carry a different label than its
+    anchor, and every anchor gets exactly k ranked negatives."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+        _HN_K,
+        _HN_PANEL,
+    )
+
+    out = DQ.QUERIES["hard_negative_mining"](spark, sf_dir).cache()
+    emb = DQ.table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = dict((r["vec_id"], r["label"]) for r in emb.collect())
+    rows = out.collect()
+    assert all(lab[r["anchor_id"]] != lab[r["neg_id"]] for r in rows)
+    n_anchors = emb.filter(F.expr(_HN_PANEL)).count()
+    per = out.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mr")
+    )
+    assert per.count() == n_anchors
+    assert per.filter((F.col("n") != _HN_K) | (F.col("mr") != _HN_K)).count() == 0
+    out.unpersist()

@@ -412,3 +412,13 @@ def test_skew_profile_top20_avoids_full_sort(spark, sf_dir):
     (TakeOrderedAndProject), not a global sort of all keys."""
     plan = PI.physical_plan(QUERIES["key_skew_profile"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negative_mining_broadcast_panel_topk(spark, sf_dir):
+    """The anchor panel broadcasts (corpus never shuffles for the score
+    join) and the per-anchor top-k compiles to WindowGroupLimit."""
+    df = QUERIES["hard_negative_mining"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert PI.uses_window_group_limit(df)
