@@ -94,6 +94,28 @@ SHOWCASE = {
         "over the blocked pair set - Python touches candidates only, "
         "batched via Arrow; everything else is JVM projection."
     ),
+    "boilerplate_ngram_flags": (
+        "Boilerplate removal: gram-grouped distinct-doc count with "
+        "partial agg, then the HAVING-filtered (repetition-bounded) "
+        "gram set joins back - AQE broadcasts it when it fits; the "
+        "drop ratio is one int/int division per doc."
+    ),
+    "hard_negative_mining": (
+        "Contrastive hard negatives: the fixed anchor panel broadcasts "
+        "(corpus never shuffles to score), per-anchor top-5 compiles "
+        "to WindowGroupLimit so only 5 rows per anchor move."
+    ),
+    "snapshot_diff": (
+        "Dataset-version diff: ONE full-outer key join; the unchanged "
+        "majority is filtered before anything aggregates, so output "
+        "is proportional to churn. Bucketed snapshots make it "
+        "shuffle-free."
+    ),
+    "pagerank_iteration": (
+        "One pregel step = out-degree agg + gather join/agg, all keyed "
+        "shuffles; contributions are integerized so the sum is exact "
+        "at any partitioning."
+    ),
 }
 
 
