@@ -72,6 +72,17 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "embedding_l2_normalize",
     "winsorize_clip",
+    # corpus-curation suite (round 4). neardup_keep_list stays OUT:
+    # it is the iterative component closure (multi-round convergence
+    # loop, measured separately) - same policy as neardup_components.
+    "boilerplate_ngram_flags",
+    "chunk_dedup",
+    "unigram_surprisal_quality",
+    "hard_negative_mining",
+    "snapshot_diff",
+    "pagerank_iteration",
+    "key_skew_profile",
+    "heavy_hitters_bound",
 ]
 
 

@@ -92,11 +92,16 @@ def q_boilerplate_ngram_flags(spark, sf_dir):
     At 100 TB the df-threshold set is still corpus-bounded (a gram
     needs >= 3 full copies to enter); a frequency sketch over a sample
     is the standard fallback when even that set outgrows memory."""
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # two consumers (df counts + join-back): persist or the
+    # tokenize+gram+explode subtree executes once per consumer (the
+    # tfidf/minhash precedent)
     ex = docs.select(
         "doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         ex.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
