@@ -588,6 +588,183 @@ def q_unigram_surprisal_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage: tokenizer-training prep (freq-ranked cumulative share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+        AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    ranked AS (
+      SELECT term, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, term) AS vocab_rank,
+             SUM(c) OVER (ORDER BY c DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cnt
+    )
+    SELECT vocab_rank, term, c,
+           ROUND(cum * 100.0 / t.total, 4) AS cum_pct,
+           CASE WHEN cum * 100.0 / t.total >= 95.0
+                 AND (cum - c) * 100.0 / t.total < 95.0
+                THEN 1 ELSE 0 END AS covers_95
+    FROM ranked CROSS JOIN tot t
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-training prep: frequency-ranked vocabulary with
+    cumulative corpus coverage, flagging the rank at which 95% of all
+    tokens are covered (the data-driven vocab-size decision). Counts
+    are exact integers end to end - the cumulative window sums BIGINTs
+    and every percentage is one int-product division, so the output
+    hashes identically across engines. Plan: word-count shuffle with
+    map-side combine, then a single-partition window over the
+    VOCABULARY relation (vocab is corpus-bounded, tiny next to the
+    corpus; at a trillion tokens the vocab still fits one partition -
+    and if it didn't, a two-level rank/cum-sum decomposition drops in)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("term")
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = cnt.select(
+        "term",
+        "c",
+        F.row_number().over(w).alias("vocab_rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    pct = F.col("cum") * 100.0 / F.col("total")
+    prev_pct = (F.col("cum") - F.col("c")) * 100.0 / F.col("total")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "vocab_rank",
+        "term",
+        "c",
+        F.round(pct, 4).alias("cum_pct"),
+        F.when((pct >= 95.0) & (prev_pct < 95.0), 1).otherwise(0).alias("covers_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence: embedding-training prep (adjacent-bigram association)
+# ---------------------------------------------------------------------------
+
+_PMI_SCALE = 1_000_000
+_PMI_TOPK = 50
+
+
+@query(
+    "pmi_cooccurrence",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+      FROM src
+    ),
+    pc AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM src) GROUP BY w
+    ),
+    tot AS (SELECT SUM(c12) AS n_pairs FROM pc),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.c12,
+             CAST(ROUND(ln(pc.c12 * 1.0 * t.n_pairs / (u1.c * u2.c))
+                        * {_PMI_SCALE}) AS BIGINT) AS pmi_micro
+      FROM pc
+      JOIN uni u1 ON pc.w1 = u1.w
+      JOIN uni u2 ON pc.w2 = u2.w
+      CROSS JOIN tot t
+      WHERE pc.c12 >= 5
+    )
+    SELECT w1, w2, c12, ROUND(pmi_micro / {_PMI_SCALE}.0, 4) AS pmi
+    FROM scored
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def q_pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information over adjacent word bigrams - the
+    collocation/association score behind phrase detection and classic
+    embedding objectives. Counts shuffle on pair/word keys (map-side
+    combine); unigram counts are vocabulary-sized so AQE broadcasts the
+    two join-backs; the min-count floor (c12 >= 5) keeps the scored
+    relation honest at any scale. The PMI double is integerized
+    (micro-nats, one per-row ln - the tfidf precedent) BEFORE the
+    top-50 TakeOrdered so ordering and output agree bit-for-bit across
+    engines."""
+    from pyspark.sql import Window  # noqa: F401  (house import style)
+
+    docs = table(spark, sf_dir, "documents")
+    toks_col = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    src = docs.select(toks_col.alias("toks"))
+    pairs = src.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = src.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = pc.agg(F.sum("c12").alias("n_pairs"))
+    scored = (
+        pc.filter(F.col("c12") >= 5)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12") * 1.0 * F.col("n_pairs") / (F.col("c1") * F.col("c2"))
+                )
+                * _PMI_SCALE
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("pmi_micro") / F.lit(float(_PMI_SCALE)), 4).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # key-skew profile: the diagnostic you run BEFORE choosing a join strategy
 # ---------------------------------------------------------------------------
 

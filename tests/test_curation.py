@@ -152,3 +152,30 @@ def test_hard_negatives_cross_label_and_complete(spark, sf_dir):
     assert per.count() == n_anchors
     assert per.filter((F.col("n") != _HN_K) | (F.col("mr") != _HN_K)).count() == 0
     out.unpersist()
+
+
+def test_vocab_coverage_invariants(spark, sf_dir):
+    rows = sorted(
+        DQ.QUERIES["vocab_coverage"](spark, sf_dir).collect(),
+        key=lambda r: r["vocab_rank"],
+    )
+    # exactly one rank crosses the 95% line; cumulative share is
+    # monotone and ends at 100%
+    assert sum(r["covers_95"] for r in rows) == 1
+    pcts = [r["cum_pct"] for r in rows]
+    assert pcts == sorted(pcts)
+    assert abs(pcts[-1] - 100.0) < 1e-9
+    counts = [r["c"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_pmi_topk_sorted_and_floored(spark, sf_dir):
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+        _PMI_TOPK,
+    )
+
+    rows = DQ.QUERIES["pmi_cooccurrence"](spark, sf_dir).collect()
+    assert len(rows) == _PMI_TOPK
+    assert all(r["c12"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
