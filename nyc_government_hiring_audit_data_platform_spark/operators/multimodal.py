@@ -5,16 +5,18 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Three decoder modes:
 
 - ``decoder="codec"`` (alias ``"ppm"``): REAL decode paths with no
-  external library - a pure-numpy PPM (P6) codec AND a pure-stdlib PNG
-  codec (zlib inflate, all five scanline filters unfiltered, 8-bit
-  gray/RGB/RGBA). Actual image bytes are decoded, transformed and
+  external library - a pure-numpy PPM (P6) codec, a pure-stdlib PNG
+  codec (zlib inflate, all five scanline filters, 8-bit
+  gray/RGB/RGBA) AND a baseline JPEG codec (``operators.jpeg``: full
+  DCT/Huffman entropy coding per the public T.81 spec, 4:4:4 + 4:2:0,
+  restart markers). Actual image bytes are decoded, transformed and
   re-encoded end-to-end; dispatch is by mime type.
 - ``decoder="fake"`` (default): deterministic pseudo-frames from the
   raw bytes, for mixed-media plumbing runs (schema, batching,
   partitioning, UDF signatures are identical to the real path).
 - ``decoder="real"``: the Pillow/torchaudio/ffmpeg plug-point for
-  JPEG/WAV/MP4 and bulk compressed data; raises NotImplementedError
-  because those libraries are unavailable in this container.
+  MP4/AV and bulk compressed data; raises NotImplementedError because
+  those libraries are unavailable in this container.
 
 Scale notes: media rows are wide (MBs per row), so the operators
 repartition by byte budget rather than row count, keep Arrow batches
@@ -125,6 +127,12 @@ def decode_ppm(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 PNG_MIME = "image/png"
+
+from nyc_government_hiring_audit_data_platform_spark.operators.jpeg import (  # noqa: E402
+    JPEG_MIME,
+    decode_jpeg,
+    encode_jpeg,
+)
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> channels (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
@@ -267,6 +275,8 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_ppm(payload)
     if mime == PNG_MIME:
         return decode_png(payload)
+    if mime == JPEG_MIME:
+        return decode_jpeg(payload)
     raise ValueError(f"no built-in codec for {mime}")
 
 
@@ -275,6 +285,8 @@ def encode_image(arr: np.ndarray, mime: str) -> bytes:
         return encode_ppm(arr)
     if mime == PNG_MIME:
         return encode_png(arr)
+    if mime == JPEG_MIME:
+        return encode_jpeg(arr)
     raise ValueError(f"no built-in codec for {mime}")
 
 
@@ -331,6 +343,29 @@ def make_png_media_fixture(spark, n_rows: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_jpeg_media_fixture(spark, n_rows: int = 24) -> DataFrame:
+    """MEDIA_SCHEMA rows whose payloads are REAL baseline JPEGs
+    (deterministic gradients; alternating 4:4:4 / 4:2:0 and restart
+    intervals so the decoder exercises every entropy-layout path)."""
+    rows = []
+    for i in range(n_rows):
+        h, w = 12 + (i % 5) * 20, 12 + (i * 7 % 9) * 12
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [
+                (xx * 255 // max(1, w - 1)).astype(np.uint8),
+                (yy * 255 // max(1, h - 1)).astype(np.uint8),
+                np.full((h, w), i * 17 % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        payload = encode_jpeg(
+            arr, quality=90, subsample=(i % 2 == 1), restart_interval=(i % 3)
+        )
+        rows.append((i, "image", JPEG_MIME, bytearray(payload), w, h, -1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def repartition_by_bytes(
     df: DataFrame, payload_col: str = "payload", target_partition_bytes: int = 128 << 20
 ) -> DataFrame:
@@ -368,7 +403,7 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     def _mean(payload: bytes, mime: str) -> float:
         if not len(payload):
             return 0.0
-        if decoder in ("ppm", "codec") and mime in (PPM_MIME, PNG_MIME):
+        if decoder in ("ppm", "codec") and mime in (PPM_MIME, PNG_MIME, JPEG_MIME):
             return float(decode_image(bytes(payload), mime).mean())
         return float(_decode_fake(bytes(payload)).mean())
 
@@ -378,7 +413,7 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 raise NotImplementedError(
                     "real decoders (Pillow/ffmpeg) are not available in this "
                     "container; use decoder='codec' (pure-python PPM + PNG "
-                    "codecs) or decoder='fake' for plumbing runs"
+                    "+ baseline JPEG codecs) or decoder='fake' for plumbing runs"
                 )
             out = {
                 "media_id": pdf["media_id"],
@@ -444,15 +479,15 @@ def resize_images(df: DataFrame, max_side: int = 256, decoder: str = "fake") -> 
         for pdf in batches:
             if decoder == "real":  # pragma: no cover
                 raise NotImplementedError(
-                    "real compressed-image resize unavailable here; "
-                    "decoder='ppm' resizes uncompressed P6 payloads"
+                    "Pillow-backed resize unavailable here; decoder='codec' "
+                    "resizes PPM, PNG and baseline-JPEG payloads"
                 )
             out = pdf.copy()
             is_img = out["kind"] == "image"
             if decoder in ("ppm", "codec"):
                 for idx in out.index[is_img]:
                     mime = out.at[idx, "mime"]
-                    if mime not in (PPM_MIME, PNG_MIME):
+                    if mime not in (PPM_MIME, PNG_MIME, JPEG_MIME):
                         continue
                     arr = resize_nearest(
                         decode_image(bytes(out.at[idx, "payload"]), mime), max_side
