@@ -141,3 +141,52 @@ def test_jpeg_features_and_resize_end_to_end(spark):
         arr = J.decode_jpeg(bytes(r["payload"]))
         assert max(arr.shape[:2]) <= 24
         assert (r["height"], r["width"]) == arr.shape[:2]
+
+
+# -- Y4M video codec ---------------------------------------------------------
+
+
+def test_y4m_roundtrip_c444_near_exact():
+    """C444 carries full-resolution chroma: the only loss is the
+    RGB<->YCbCr integer rounding (within +/-2 per channel)."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (3, 12, 16, 3), dtype=np.uint8).astype(np.uint8)
+    dec, fps = MM.decode_y4m(MM.encode_y4m(frames, fps=30))
+    assert fps == 30 and dec.shape == frames.shape
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 2
+
+
+def test_y4m_c420_shape_and_luma():
+    yy, xx = np.mgrid[0:16, 0:24]
+    frame = np.stack([xx * 10 % 256, yy * 10 % 256, (xx + yy) % 256], -1).astype(np.uint8)
+    frames = np.stack([frame, frame])
+    dec, _ = MM.decode_y4m(MM.encode_y4m(frames, subsample=True))
+    assert dec.shape == frames.shape
+    # luma is full-res in 4:2:0 - gray content must round-trip closely
+    gray = frames.mean(axis=-1)
+    dgray = dec.astype(float).mean(axis=-1)
+    assert np.abs(gray - dgray).max() < 16
+
+
+def test_y4m_rejects_foreign_bytes():
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        MM.decode_y4m(b"RIFF....WEBP")
+
+
+def test_y4m_frame_sampling_end_to_end(spark):
+    """decoder='codec' explodes Y4M videos into REAL sampled frames:
+    indices follow every_nth over the true frame count, and each frame
+    payload is a decodable PPM raster of the advertised size."""
+    media = MM.make_y4m_media_fixture(spark, 6)
+    meta = {r["media_id"]: r for r in media.collect()}
+    out = MM.sample_frames(media, every_nth=2, decoder="codec").collect()
+    assert len(out) > 0
+    seen: dict[int, list[int]] = {}
+    for r in out:
+        seen.setdefault(r["media_id"], []).append(r["frame_idx"])
+        arr = MM.decode_ppm(bytes(r["frame"]))
+        m = meta[r["media_id"]]
+        assert arr.shape == (m["height"], m["width"], 3)
+    for mid, idxs in seen.items():
+        n_frames = meta[mid]["duration_ms"] // 40
+        assert sorted(idxs) == list(range(0, n_frames, 2))
