@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "pagerank_iteration",
     "key_skew_profile",
     "heavy_hitters_bound",
+    "vocab_coverage",
+    "pmi_cooccurrence",
+    "triangle_count",
+    "record_linkage_scores",
 ]
 
 
