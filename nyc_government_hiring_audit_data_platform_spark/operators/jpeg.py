@@ -217,13 +217,23 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy data ended mid-symbol")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
-            nxt = self.data[self.pos]
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
             if nxt == 0x00:
                 self.pos += 1  # unstuff
-            # restart markers are consumed by the caller via sync()
+            else:
+                # a bare marker (EOI, unexpected RSTn, anything else)
+                # inside the counted entropy stream is corruption; the
+                # caller consumes legitimate RSTn via sync_restart()
+                raise ValueError(
+                    f"corrupt JPEG: marker 0xFF{nxt:02X} inside entropy data"
+                    if nxt is not None
+                    else "truncated JPEG: dangling 0xFF at end of data"
+                )
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -242,7 +252,11 @@ class _BitReader:
     def sync_restart(self) -> None:
         """Skip to just past the next RSTn marker and reset bit state."""
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: expected RSTn marker")
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                break
             self.pos += 1
         self.pos += 2
 

@@ -453,6 +453,8 @@ def encode_y4m(frames: np.ndarray, fps: int = 25, subsample: bool = False) -> by
     )
 
     n, h, w = frames.shape[:3]
+    if subsample and (h % 2 or w % 2):
+        raise ValueError(f"C420 needs even dimensions, got {h}x{w} (use C444)")
     ctag = "C420jpeg" if subsample else "C444"
     out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 {ctag}\n".encode())
     for i in range(n):
@@ -497,7 +499,10 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
     sub = ctag.startswith("C420")
     if not sub and ctag != "C444":
         raise ValueError(f"unsupported Y4M chroma {ctag}")
-    csz = (h // 2) * (w // 2) if sub else h * w
+    # 4:2:0 chroma planes are ceil(h/2) x ceil(w/2) (odd dims legal in
+    # the wild even though our encoder refuses to produce them)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    csz = ch * cw if sub else h * w
     frames = []
     pos = nl + 1
     while pos < len(data):
@@ -510,8 +515,8 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
         cr = np.frombuffer(data, np.uint8, csz, pos + h * w + csz)
         pos += h * w + 2 * csz
         if sub:
-            cb = np.repeat(np.repeat(cb.reshape(h // 2, w // 2), 2, 0), 2, 1)
-            cr = np.repeat(np.repeat(cr.reshape(h // 2, w // 2), 2, 0), 2, 1)
+            cb = np.repeat(np.repeat(cb.reshape(ch, cw), 2, 0), 2, 1)[:h, :w]
+            cr = np.repeat(np.repeat(cr.reshape(ch, cw), 2, 0), 2, 1)[:h, :w]
         else:
             cb, cr = cb.reshape(h, w), cr.reshape(h, w)
         ycc = np.stack([y, cb, cr], axis=-1).astype(np.float64)

@@ -430,15 +430,22 @@ def run_upsert_sink(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # The in-batch dedup MUST be content-deterministic: a crash
+        # after the pointer swap replays this batch, and the replayed
+        # merge only leaves the table unchanged if the same survivor
+        # row wins both times. dropDuplicates is partition-order
+        # dependent, so without order_col the tiebreak is a stable
+        # whole-row hash instead.
+        tiebreak = F.asc(F.xxhash64(*batch_df.columns))
         if order_col is not None:
-            w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-            batch = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            w = Window.partitionBy(*keys).orderBy(F.desc(order_col), tiebreak)
         else:
-            batch = batch_df.dropDuplicates(keys)
+            w = Window.partitionBy(*keys).orderBy(tiebreak)
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         # Always target a directory that does not exist yet: a replayed
         # batch_id (crash before checkpoint commit, or a checkpoint
         # reset that re-delivers batch 0 with MORE files) must never

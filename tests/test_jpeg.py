@@ -190,3 +190,39 @@ def test_y4m_frame_sampling_end_to_end(spark):
     for mid, idxs in seen.items():
         n_frames = meta[mid]["duration_ms"] // 40
         assert sorted(idxs) == list(range(0, n_frames, 2))
+
+
+def test_truncated_jpeg_fails_cleanly():
+    """Cutting the entropy stream must surface as a ValueError, never a
+    bare IndexError from the bit reader."""
+    img = _gradient(32, 32)
+    enc = J.encode_jpeg(img, quality=85)
+    sos = enc.find(b"\xff\xda")
+    for cut in (sos + 20, len(enc) - 8):
+        with pytest.raises(ValueError, match="JPEG"):
+            J.decode_jpeg(enc[:cut])
+
+
+def test_y4m_odd_dimension_c420_decodes():
+    """Externally produced odd-dimension 4:2:0 streams (chroma planes
+    are ceil(h/2) x ceil(w/2)) must decode; our encoder refuses to
+    produce them, so build the stream by hand."""
+    h, w = 11, 13
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    y = (np.arange(h * w) % 256).astype(np.uint8)
+    cb = np.full(ch * cw, 128, np.uint8)
+    cr = np.full(ch * cw, 128, np.uint8)
+    data = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        + b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes()
+    )
+    frames, fps = MM.decode_y4m(data)
+    assert frames.shape == (1, h, w, 3) and fps == 25
+    # neutral chroma: output equals luma in all channels (within rounding)
+    assert np.abs(frames[0, :, :, 1].astype(int) - y.reshape(h, w).astype(int)).max() <= 1
+
+
+def test_y4m_encoder_rejects_odd_c420():
+    frames = np.zeros((1, 11, 13, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        MM.encode_y4m(frames, subsample=True)

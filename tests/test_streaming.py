@@ -324,3 +324,33 @@ def test_read_events_stream_nonexistent_path_raises(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         SJ.read_events_stream(spark, str(tmp_path / "evnets"))
+
+
+def test_upsert_sink_dedup_is_content_deterministic(spark, tmp_path):
+    """Without order_col, the in-batch dedup survivor must be a pure
+    function of batch CONTENT (stable hash tiebreak), so a crash-replay
+    merge leaves the published table unchanged - dropDuplicates'
+    partition-order dependence would not guarantee that."""
+    rows = [(1, "a", float(v), None) for v in (1.0, 2.0, 3.0)] + [
+        (2, "b", 9.0, None)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double, ts timestamp")
+    src = tmp_path / "src"
+    df.repartition(3).write.parquet(str(src))
+
+    def run(ck):
+        SJ.run_upsert_sink(
+            SJ.read_events_stream(spark, str(src)).select(
+                "event_id", "event_type", "value", "ts"
+            ),
+            str(tmp_path / f"tbl_{ck}"),
+            ["event_id"],
+            str(tmp_path / f"ck_{ck}"),
+        )
+        return sorted(
+            (r["event_id"], r["value"])
+            for r in SJ.read_upsert_table(spark, str(tmp_path / f"tbl_{ck}")).collect()
+        )
+
+    # two fully independent runs over the same content pick the same survivor
+    assert run("x") == run("y")
