@@ -1,0 +1,146 @@
+"""Table-maintenance operators: manifest-based file pruning and
+small-file compaction.
+
+These are the lakehouse jobs a 100 TB parquet table needs between
+writes (what Delta/Iceberg ship as OPTIMIZE / data-skipping manifests,
+re-expressed over plain parquet directories):
+
+- ``build_manifest``: one pass over the parquet FOOTERS (statistics
+  only, no data pages) collecting per-file min/max/row-count per
+  column - the data-skipping index. Runs distributed (file list ->
+  mapInPandas over pyarrow footer reads), so a million-file table
+  builds its manifest without a driver loop.
+- ``read_pruned``: resolve a range predicate against the manifest and
+  scan ONLY the overlapping files. With ``write_sorted``'s
+  near-disjoint layout this turns point/range queries into O(files
+  that matter); orthogonal to (and composable with) Spark's own
+  row-group pushdown once the file is open.
+- ``compact_small_files``: bin-pack a directory's small files into
+  ~target-size outputs (repartition by total-bytes/target) and rewrite
+  atomically into a fresh directory. Small-file explosion is the #1
+  operational failure of streaming sinks at scale; compaction restores
+  scan efficiency (fewer tasks, bigger sequential reads).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "file string, n_rows long, n_bytes long, col string, min_val string, "
+    "max_val string"
+)
+
+
+def _footer_stats(files: Iterator[pd.DataFrame], columns: list[str]):
+    import pyarrow.parquet as pq
+
+    for pdf in files:
+        out = {k: [] for k in ("file", "n_rows", "n_bytes", "col", "min_val", "max_val")}
+        for path in pdf["file"]:
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            names = md.schema.names
+            for col in columns:
+                idx = names.index(col)
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                out["file"].append(path)
+                out["n_rows"].append(md.num_rows)
+                out["n_bytes"].append(os.path.getsize(path))
+                out["col"].append(col)
+                out["min_val"].append(None if lo is None else str(lo))
+                out["max_val"].append(None if hi is None else str(hi))
+        yield pd.DataFrame(out)
+
+
+def build_manifest(spark: SparkSession, table_dir: str, columns: list[str]) -> DataFrame:
+    """Distributed footer scan -> (file, n_rows, n_bytes, col, min, max)
+    rows. Values are stringified (a manifest is an INDEX: pruning
+    re-casts to the query type at use time)."""
+    files = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files under {table_dir}")
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+    return fdf.mapInPandas(
+        lambda it: _footer_stats(it, columns), schema=MANIFEST_SCHEMA
+    )
+
+
+def prune_files(
+    manifest: DataFrame, col: str, lo, hi, cast: str = "double"
+) -> list[str]:
+    """Files whose [min, max] range for ``col`` overlaps [lo, hi].
+    Files with missing stats are conservatively KEPT (pruning must
+    never drop a row)."""
+    m = manifest.filter(F.col("col") == col)
+    keep = m.filter(
+        F.col("min_val").isNull()
+        | F.col("max_val").isNull()
+        | (
+            (F.col("min_val").cast(cast) <= F.lit(hi))
+            & (F.col("max_val").cast(cast) >= F.lit(lo))
+        )
+    )
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+def read_pruned(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+    cast: str = "double",
+) -> DataFrame:
+    """Scan only the manifest-overlapping files, then apply the exact
+    predicate (file pruning is a superset filter, never the final
+    answer). Returns an empty relation of the right schema when no
+    file overlaps."""
+    files = prune_files(manifest, col, lo, hi, cast)
+    any_file = [r["file"] for r in manifest.select("file").limit(1).collect()]
+    if not files:
+        empty = spark.read.parquet(*any_file).limit(0)
+        return empty.filter(F.lit(False))
+    return spark.read.parquet(*files).filter(
+        (F.col(col).cast(cast) >= F.lit(lo)) & (F.col(col).cast(cast) <= F.lit(hi))
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a directory of (possibly many tiny) parquet files as
+    ceil(total_bytes / target_bytes) files in ``out_dir``; returns the
+    output file count. Row-count-preserving by construction (one read,
+    one repartition, one write - verified by the round-trip test).
+    The rewrite lands in a fresh directory so readers of the old one
+    are never disturbed; swapping a table pointer (see
+    streaming.run_upsert_sink) publishes it."""
+    files = glob.glob(os.path.join(table_dir, "*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {table_dir}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    spark.read.parquet(table_dir).repartition(n_out).write.mode("error").parquet(
+        out_dir
+    )
+    return len(glob.glob(os.path.join(out_dir, "*.parquet")))

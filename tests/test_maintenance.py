@@ -1,0 +1,92 @@
+"""Table-maintenance tests: manifest data-skipping and compaction."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.sources import files as FS
+from nyc_government_hiring_audit_data_platform_spark.sources import maintenance as MT
+
+
+@pytest.fixture(scope="module")
+def sorted_orders_dir(spark, tmp_path_factory):
+    """orders range-sorted by o_totalprice into 8 near-disjoint files."""
+    d = str(tmp_path_factory.mktemp("orders_sorted"))
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    FS.write_sorted(df, d, ["o_totalprice"], n_files=8)
+    return d
+
+
+def test_manifest_covers_every_file_and_column(spark, sorted_orders_dir):
+    man = MT.build_manifest(
+        spark, sorted_orders_dir, ["o_totalprice", "o_orderkey"]
+    ).cache()
+    n_files = len(glob.glob(f"{sorted_orders_dir}/*.parquet"))
+    assert man.select("file").distinct().count() == n_files
+    assert man.groupBy("col").count().count() == 2
+    # row counts in the manifest sum to the table's rows (once per col)
+    total = spark.read.parquet(sorted_orders_dir).count()
+    per_col = man.filter(F.col("col") == "o_totalprice").agg(
+        F.sum("n_rows")
+    ).collect()[0][0]
+    assert per_col == total
+    man.unpersist()
+
+
+def test_pruned_read_is_exact_and_skips_files(spark, sorted_orders_dir):
+    """The pruned scan must return exactly the full-scan answer while
+    opening strictly fewer files (the write_sorted layout makes a
+    narrow price band live in 1-2 files)."""
+    man = MT.build_manifest(spark, sorted_orders_dir, ["o_totalprice"])
+    lo, hi = 100000.0, 110000.0
+    files = MT.prune_files(man, "o_totalprice", lo, hi)
+    n_files = len(glob.glob(f"{sorted_orders_dir}/*.parquet"))
+    assert 0 < len(files) < n_files
+    got = MT.read_pruned(spark, man, "o_totalprice", lo, hi)
+    want = (
+        spark.read.parquet(sorted_orders_dir)
+        .filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi))
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("o_orderkey")).collect() == want.agg(
+        F.sum("o_orderkey")
+    ).collect()
+
+
+def test_pruned_read_empty_band(spark, sorted_orders_dir):
+    man = MT.build_manifest(spark, sorted_orders_dir, ["o_totalprice"])
+    got = MT.read_pruned(spark, man, "o_totalprice", -2.0, -1.0)
+    assert got.count() == 0
+    # schema preserved even when nothing overlaps
+    assert "o_orderkey" in got.columns
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    df.repartition(64).write.parquet(src)  # simulate small-file explosion
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    out = str(tmp_path / "compacted")
+    n_out = MT.compact_small_files(spark, src, out, target_bytes=1 << 30)
+    assert n_out == 1
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
+
+
+def test_compaction_respects_target_size(spark, tmp_path):
+    src = str(tmp_path / "frag2")
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").repartition(
+        32
+    ).write.parquet(src)
+    import os
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    out = str(tmp_path / "comp2")
+    n_out = MT.compact_small_files(spark, src, out, target_bytes=total // 3)
+    assert 2 <= n_out <= 5
