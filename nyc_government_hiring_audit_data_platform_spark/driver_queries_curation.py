@@ -725,10 +725,17 @@ def q_record_linkage_scores(spark, sf_dir):
         F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 100.0
     ).otherwise(0.0)
     score = 0.5 * name_sim + 0.3 * bal_sim + 0.2 * seg_sim
-    return pairs.filter(score >= _RL_THRESHOLD).select(
-        F.col("a.c_custkey").alias("id_a"),
-        F.col("b.c_custkey").alias("id_b"),
-        F.round(score, 2).alias("link_score"),
+    # materialize the score once in a projection BEFORE the threshold
+    # filter - referencing the expression in both filter and select
+    # makes codegen evaluate the levenshtein kernel twice per pair
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            score.alias("_s"),
+        )
+        .filter(F.col("_s") >= _RL_THRESHOLD)
+        .select("id_a", "id_b", F.round("_s", 2).alias("link_score"))
     )
 
 
