@@ -65,6 +65,19 @@ def read_table(
     return r.options(**options).format(fmt).load(path)
 
 
+def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Schema-evolution read: union the schemas of every file under
+    ``path`` (``mergeSchema``) so older files missing later-added
+    columns surface them as nulls instead of failing or silently
+    dropping the column. The schema-merge pass reads footers only; at
+    a large file count, pin the merged schema explicitly (one
+    ``read_evolved`` then ``.schema`` reuse) instead of re-merging per
+    job."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"schema merge supported for columnar formats, got {fmt!r}")
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
+
+
 def most_recent_file(path: str, extension: str) -> str | None:
     """S7: latest-file resolution (reference: src/utils.py:32-42 picks
     max ctime over a glob). Kept for parity with single-file layouts;

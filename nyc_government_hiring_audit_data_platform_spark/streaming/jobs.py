@@ -479,8 +479,32 @@ def run_upsert_sink(
     q.awaitTermination()
 
 
-def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the current snapshot published by ``run_upsert_sink``."""
-    with open(os.path.join(table_dir, "_current")) as f:
-        cur = f.read().strip()
-    return spark.read.parquet(os.path.join(table_dir, cur))
+def read_upsert_table(
+    spark: SparkSession, table_dir: str, version: str | None = None
+) -> DataFrame:
+    """Read a snapshot published by ``run_upsert_sink``: the current one
+    by default, or any retained historical version (time travel - the
+    snapshot dirs are immutable once the pointer moves past them, so
+    old versions stay readable forever until a retention job prunes
+    them). ``list_upsert_versions`` enumerates what exists."""
+    if version is None:
+        with open(os.path.join(table_dir, "_current")) as f:
+            version = f.read().strip()
+    snap = os.path.join(table_dir, version)
+    if not os.path.isdir(snap):
+        raise ValueError(
+            f"unknown snapshot {version!r}; have {list_upsert_versions(table_dir)}"
+        )
+    return spark.read.parquet(snap)
+
+
+def list_upsert_versions(table_dir: str) -> list[str]:
+    """Retained snapshot names (publication order: the directory mtime
+    ordering matches pointer history because snapshots are never
+    rewritten after publication)."""
+    vs = [
+        d
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(table_dir, d))
+    ]
+    return sorted(vs, key=lambda d: os.path.getmtime(os.path.join(table_dir, d)))

@@ -90,3 +90,22 @@ def test_compaction_respects_target_size(spark, tmp_path):
     out = str(tmp_path / "comp2")
     n_out = MT.compact_small_files(spark, src, out, target_bytes=total // 3)
     assert 2 <= n_out <= 5
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Files written before a column existed read back with nulls for
+    that column under read_evolved; plain reads would pick ONE footer
+    and could drop it."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+    got = FS.read_evolved(spark, d)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="columnar"):
+        FS.read_evolved(spark, d, fmt="json")

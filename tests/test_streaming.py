@@ -354,3 +354,40 @@ def test_upsert_sink_dedup_is_content_deterministic(spark, tmp_path):
 
     # two fully independent runs over the same content pick the same survivor
     assert run("x") == run("y")
+
+
+def test_upsert_time_travel(spark, tmp_path):
+    """Historical snapshots stay readable after the pointer moves on:
+    version v0 must still show pre-merge values once v1 is current."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value", "ts"
+        )
+
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], ckpt)
+    n0 = SJ.read_upsert_table(spark, str(table_dir)).count()
+
+    extra = (
+        spark.read.parquet(str(src / "a.parquet"))
+        .limit(3)
+        .withColumn("event_id", F.col("event_id") + 5_000_000)
+    )
+    extra.write.parquet(str(tmp_path / "x"))
+    for i, p in enumerate((tmp_path / "x").glob("*.parquet")):
+        shutil.copy(p, src / f"b{i}.parquet")
+    SJ.run_upsert_sink(stream(), str(table_dir), ["event_id"], ckpt)
+
+    versions = SJ.list_upsert_versions(str(table_dir))
+    assert versions[0] == "v0" and len(versions) >= 2
+    assert SJ.read_upsert_table(spark, str(table_dir)).count() == n0 + 3
+    # time travel: v0 still shows the pre-merge row count
+    assert SJ.read_upsert_table(spark, str(table_dir), version="v0").count() == n0
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        SJ.read_upsert_table(spark, str(table_dir), version="v99")
