@@ -217,3 +217,73 @@ def build_app():  # pragma: no cover - fastapi not installed here
         return rows
 
     return app
+
+
+# -- pure-stdlib HTTP server (ungated serving path) --------------------------
+
+
+def build_stdlib_server(port: int = 0):
+    """The same route surface as :func:`build_app` (reference
+    api/main.py:14-51) over ``http.server`` - zero dependencies, so the
+    serving layer RUNS in this container instead of raising. Routes:
+    '/', '/health', '/reports', '/reports/{id}?offset=&limit=' with the
+    reference's status mapping (bad params -> 400, unknown id/empty
+    page -> 404). Returns the (unstarted) ThreadingHTTPServer; callers
+    own serve_forever/shutdown. Production serving would front Spark
+    with a proper ASGI stack - this is route-parity for tests and
+    local use, not a scalability claim (each request triggers a Spark
+    job; see dashboard_view for the one-action aggregate pattern)."""
+    import datetime
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # silence per-request stderr noise
+            pass
+
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API name)
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            try:
+                if not parts:
+                    self._send(200, {
+                        "message": "Welcome to the NYC Jobs Audit API. Please "
+                        "visit '/docs' for documentation on how to use this API."
+                    })
+                elif parts == ["health"]:
+                    self._send(200, {
+                        "status": "healthy",
+                        "timestamp": datetime.datetime.now().isoformat(),
+                    })
+                elif parts == ["reports"]:
+                    self._send(200, list_datasets())
+                elif len(parts) == 2 and parts[0] == "reports":
+                    q = parse_qs(url.query)
+                    try:
+                        rows = fetch_single_dataset(
+                            parts[1],
+                            q.get("offset", ["0"])[0],
+                            q.get("limit", ["750000"])[0],
+                        )
+                    except ValueError as e:
+                        return self._send(400, {"detail": str(e)})
+                    except KeyError:
+                        return self._send(404, {"detail": "Dataset not found"})
+                    if not rows:
+                        return self._send(404, {"detail": "Report not found"})
+                    self._send(200, rows)
+                else:
+                    self._send(404, {"detail": "Not Found"})
+            except BrokenPipeError:  # client went away mid-write
+                pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -167,3 +167,50 @@ def test_routes_via_testclient():
     assert {r["rec_id"] for r in p1}.isdisjoint({r["rec_id"] for r in p2})
     assert client.get("/reports/99").status_code == 400
     assert client.get("/reports/not-a-number").status_code == 400
+
+
+def test_stdlib_server_routes_end_to_end():
+    """The zero-dependency HTTP server serves the reference's route
+    surface with its status mapping: 200 on root/health/reports/pages,
+    400 on non-numeric params, 404 on unknown id and empty pages."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    srv = SRV.build_stdlib_server()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    def get(path):
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        code, body = get("/")
+        assert code == 200 and "Welcome" in body["message"]
+        code, body = get("/health")
+        assert code == 200 and body["status"] == "healthy"
+        code, body = get("/reports")
+        assert code == 200 and body == SRV.list_datasets()
+        code, body = get("/reports/2?offset=0&limit=5")
+        assert code == 200 and len(body) == 5
+        code, body = get("/reports/2?offset=5&limit=5")
+        assert code == 200 and len(body) == 5
+        code, body = get("/reports/abc")
+        assert code == 400
+        # unknown id is ValueError('Invalid dataset_id') -> 400, matching
+        # the FastAPI shim's mapping of the reference fetch behavior
+        code, body = get("/reports/99")
+        assert code == 400 and body["detail"].startswith("Invalid dataset_id")
+        code, body = get("/reports/2?offset=100000&limit=5")
+        assert code == 404 and body["detail"] == "Report not found"
+        code, _ = get("/nope")
+        assert code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
