@@ -14,10 +14,12 @@ process, unbounded memory. Two Spark-first shapes replace it:
    executors, and a failed page retries as a normal task retry.
 
 Transports are resolved by ``module:function`` name (a string option)
-so the reader stays picklable and the HTTP layer is injectable - the
-container has no network, so tests register a deterministic fake; a
-real deployment points it at a ``requests``-based function with the
-same signature.
+so the reader stays picklable and the HTTP layer is injectable. Two
+REAL zero-dependency transports ship here (``http_json_transport`` for
+plain offset/limit endpoints, ``socrata_transport`` for the
+reference's ``$limit``/``$offset`` dialect - both urllib); tests run
+the full loop against an in-process ``serving`` HTTP server, and
+offline tests register a deterministic fake.
 """
 
 from __future__ import annotations
@@ -43,6 +45,38 @@ def resolve_transport(name: str) -> Transport:
     mod_name, _, fn_name = name.partition(":")
     mod = importlib.import_module(mod_name)
     return getattr(mod, fn_name)
+
+
+def _http_json(url: str) -> list[dict]:
+    import json
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return []  # past the last page (serving maps empty -> 404)
+        raise
+
+
+def http_json_transport(base_url: str, offset: int, limit: int) -> list[dict]:
+    """Zero-dependency (urllib) transport: GET
+    ``base_url?offset=N&limit=M`` expecting a JSON array of row
+    objects. Pairs with ``serving.reports.build_stdlib_server`` for a
+    full in-process ingestion round trip; works against any endpoint
+    with plain offset/limit pagination."""
+    sep = "&" if "?" in base_url else "?"
+    return _http_json(f"{base_url}{sep}offset={offset}&limit={limit}")
+
+
+def socrata_transport(base_url: str, offset: int, limit: int) -> list[dict]:
+    """urllib transport speaking the reference's Socrata pagination
+    dialect (``$limit``/``$offset``, reference src/data_ingestion.py:
+    15-36)."""
+    sep = "&" if "?" in base_url else "?"
+    return _http_json(f"{base_url}{sep}%24limit={limit}&%24offset={offset}")
 
 
 def fetch_paginated(

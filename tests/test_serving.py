@@ -214,3 +214,47 @@ def test_stdlib_server_routes_end_to_end():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_ingestion_round_trip(spark):
+    """Full S1 loop with zero deps: the Spark paginated-API DataSource
+    fetches pages over REAL HTTP (urllib transport) from the stdlib
+    report server, executors pulling offset partitions in parallel -
+    ingest and serve in one process tree."""
+    import threading
+
+    from nyc_government_hiring_audit_data_platform_spark.sources import (
+        paginated_api as PA,
+    )
+
+    srv = SRV.build_stdlib_server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}/reports/2"
+        schema = "rec_id long, match_score double"
+        # driver-side loop
+        small = PA.fetch_paginated(
+            spark, url, schema, PA.http_json_transport, page_size=30
+        )
+        assert small.count() == 100
+        # executor-parallel Data Source
+        spark.dataSource.register(PA.PaginatedApiDataSource)
+        df = (
+            spark.read.format("paginated_api")
+            .schema(schema)
+            .option("url", url)
+            .option(
+                "transport",
+                "nyc_government_hiring_audit_data_platform_spark.sources."
+                "paginated_api:http_json_transport",
+            )
+            .option("page_size", "25")
+            .option("total_rows", "100")
+            .load()
+        )
+        got = sorted(r["rec_id"] for r in df.collect())
+        assert got == list(range(100))
+    finally:
+        srv.shutdown()
+        srv.server_close()
