@@ -594,6 +594,182 @@ def q_unigram_surprisal_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# the filter stack: composite per-doc keep/drop with per-rule attribution
+# ---------------------------------------------------------------------------
+
+_LEN_MIN, _LEN_MAX = 10, 1000  # token-count band
+
+
+@query(
+    "curation_keep_decisions",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest({_word_grams_sql('toks', _BP_N)}) AS g FROM src
+    ),
+    boiler AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
+    ),
+    bp AS (
+      SELECT e.doc_id,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               AS br
+      FROM ex e LEFT JOIN boiler b ON e.g = b.g GROUP BY e.doc_id
+    ),
+    ltoks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ltoks GROUP BY doc_id, term),
+    cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    surp AS (
+      SELECT term, CAST(ROUND(ln(total * 1.0 / c) * {_SURP_SCALE}) AS BIGINT) AS s
+      FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS n_tok,
+             SUM(tf.tf * surp.s) * 1.0 / SUM(tf.tf) / {_SURP_SCALE} AS avg_s
+      FROM tf JOIN surp USING (term) GROUP BY tf.doc_id
+    ),
+    band AS (
+      SELECT quantile_disc(avg_s, 0.05) AS lo, quantile_disc(avg_s, 0.95) AS hi
+      FROM per
+    ),
+    flags AS (
+      SELECT d.doc_id,
+             CASE WHEN COALESCE(bp.br, 0) >= {_BP_DROP} THEN 1 ELSE 0 END
+               AS flag_boilerplate,
+             CASE WHEN p.avg_s IS NULL OR p.avg_s < b.lo OR p.avg_s > b.hi
+                  THEN 1 ELSE 0 END AS flag_surprisal,
+             CASE WHEN COALESCE(p.n_tok, 0) < {_LEN_MIN}
+                    OR COALESCE(p.n_tok, 0) > {_LEN_MAX}
+                  THEN 1 ELSE 0 END AS flag_length
+      FROM documents d
+      LEFT JOIN bp ON d.doc_id = bp.doc_id
+      LEFT JOIN per p ON d.doc_id = p.doc_id
+      CROSS JOIN band b
+    )
+    SELECT doc_id, flag_boilerplate, flag_surprisal, flag_length,
+           CASE WHEN flag_boilerplate + flag_surprisal + flag_length = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM flags
+    """,
+)
+def q_curation_keep_decisions(spark, sf_dir):
+    """The capstone of the curation suite: one pass emitting the
+    per-document KEEP/DROP decision a training-data pipeline actually
+    ships, with per-rule attribution flags (boilerplate ratio >= 20%,
+    surprisal outside the corpus [P05, P95] band, token count outside
+    [10, 1000]) so corpus health dashboards can see WHY documents die.
+    Composes the already-verified boilerplate and surprisal chains -
+    same shuffles, plus two doc-keyed joins to assemble flags; nothing
+    quadratic, and the rules evaluate in one plan (a real stack adds
+    rules as columns, not extra passes)."""
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    ex = docs.select(
+        "doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    boiler = (
+        ex.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .select(F.col("g").alias("bg"))
+    )
+    bp = (
+        ex.join(boiler, ex["g"] == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("br")
+        )
+    )
+    lterms = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = lterms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("total") * 1.0 / F.col("c")) * _SURP_SCALE)
+        .cast("long")
+        .alias("s"),
+    )
+    per = (
+        tf.join(surp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            (
+                F.sum(F.col("tf") * F.col("s"))
+                * 1.0
+                / F.sum("tf")
+                / _SURP_SCALE
+            ).alias("avg_s"),
+        )
+    )
+    band = per.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY avg_s)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY avg_s)").alias("hi"),
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(bp, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(band))
+        .select(
+            "doc_id",
+            F.when(F.coalesce(F.col("br"), F.lit(0.0)) >= _BP_DROP, 1)
+            .otherwise(0)
+            .alias("flag_boilerplate"),
+            F.when(
+                F.col("avg_s").isNull()
+                | (F.col("avg_s") < F.col("lo"))
+                | (F.col("avg_s") > F.col("hi")),
+                1,
+            )
+            .otherwise(0)
+            .alias("flag_surprisal"),
+            F.when(
+                (F.coalesce(F.col("n_tok"), F.lit(0)) < _LEN_MIN)
+                | (F.coalesce(F.col("n_tok"), F.lit(0)) > _LEN_MAX),
+                1,
+            )
+            .otherwise(0)
+            .alias("flag_length"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        "flag_boilerplate",
+        "flag_surprisal",
+        "flag_length",
+        F.when(
+            F.col("flag_boilerplate") + F.col("flag_surprisal") + F.col("flag_length")
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # triangle counting (graph structure metric over an edge table)
 # ---------------------------------------------------------------------------
 

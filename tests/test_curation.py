@@ -226,3 +226,31 @@ def test_record_linkage_blocked_and_thresholded(spark, sf_dir):
         (F.col("na") != F.col("nb")) | (F.col("ba") != F.col("bbk"))
     ).count() == 0
     out.unpersist()
+
+
+def test_keep_decisions_consistent_with_component_filters(spark, sf_dir):
+    """The composite stack must agree rule-for-rule with the standalone
+    queries it composes: a doc flagged boilerplate here is exactly a
+    doc the boilerplate query drops, same for surprisal."""
+    stack = DQ.QUERIES["curation_keep_decisions"](spark, sf_dir).cache()
+    bp = DQ.QUERIES["boilerplate_ngram_flags"](spark, sf_dir).select(
+        "doc_id", (1 - F.col("keep")).alias("bp_drop")
+    )
+    sp = DQ.QUERIES["unigram_surprisal_quality"](spark, sf_dir).select(
+        "doc_id", (1 - F.col("keep")).alias("sp_drop")
+    )
+    j = stack.join(bp, "doc_id").join(sp, "doc_id")
+    assert j.filter(F.col("flag_boilerplate") != F.col("bp_drop")).count() == 0
+    assert j.filter(F.col("flag_surprisal") != F.col("sp_drop")).count() == 0
+    # keep is the conjunction of all three rules
+    bad = stack.filter(
+        (F.col("keep") == 1)
+        & (
+            F.col("flag_boilerplate")
+            + F.col("flag_surprisal")
+            + F.col("flag_length")
+            > 0
+        )
+    ).count()
+    assert bad == 0
+    stack.unpersist()
