@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "pagerank_iteration",
     "key_skew_profile",
     "heavy_hitters_bound",
+    "curation_keep_decisions",
     "vocab_coverage",
     "pmi_cooccurrence",
     "triangle_count",
