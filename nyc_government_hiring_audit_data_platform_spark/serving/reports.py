@@ -276,14 +276,17 @@ def build_stdlib_server(port: int = 0):
                         )
                     except ValueError as e:
                         return self._send(400, {"detail": str(e)})
-                    except KeyError:
-                        return self._send(404, {"detail": "Dataset not found"})
                     if not rows:
                         return self._send(404, {"detail": "Report not found"})
                     self._send(200, rows)
                 else:
                     self._send(404, {"detail": "Not Found"})
-            except BrokenPipeError:  # client went away mid-write
-                pass
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-write
+            except Exception as e:  # noqa: BLE001 - route-parity: 500, not a dropped socket
+                try:
+                    self._send(500, {"detail": f"{type(e).__name__}: {e}"})
+                except OSError:
+                    pass
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)

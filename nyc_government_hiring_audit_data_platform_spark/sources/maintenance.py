@@ -49,15 +49,18 @@ def _footer_stats(files: Iterator[pd.DataFrame], columns: list[str]):
             md = pf.metadata
             names = md.schema.names
             for col in columns:
-                idx = names.index(col)
                 lo = hi = None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                # schema-evolved tables legitimately have files missing
+                # later-added columns: null stats -> conservative keep
+                if col in names:
+                    idx = names.index(col)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
                 out["file"].append(path)
                 out["n_rows"].append(md.num_rows)
                 out["n_bytes"].append(os.path.getsize(path))
@@ -89,13 +92,17 @@ def prune_files(
     Files with missing stats are conservatively KEPT (pruning must
     never drop a row)."""
     m = manifest.filter(F.col("col") == col)
+    lo_c, hi_c = F.col("min_val").cast(cast), F.col("max_val").cast(cast)
+    # Conservative in BOTH null modes: stats absent (min_val null) OR
+    # stats present but not castable to the query type (cast -> null) -
+    # either way the file must be kept; a null comparison would
+    # otherwise silently drop it (pruning must never lose a row).
     keep = m.filter(
         F.col("min_val").isNull()
         | F.col("max_val").isNull()
-        | (
-            (F.col("min_val").cast(cast) <= F.lit(hi))
-            & (F.col("max_val").cast(cast) >= F.lit(lo))
-        )
+        | lo_c.isNull()
+        | hi_c.isNull()
+        | ((lo_c <= F.lit(hi)) & (hi_c >= F.lit(lo)))
     )
     return [r["file"] for r in keep.select("file").collect()]
 
@@ -113,8 +120,11 @@ def read_pruned(
     answer). Returns an empty relation of the right schema when no
     file overlaps."""
     files = prune_files(manifest, col, lo, hi, cast)
-    any_file = [r["file"] for r in manifest.select("file").limit(1).collect()]
     if not files:
+        # only now pay for a schema probe (one file) - doing this
+        # unconditionally would re-run the lazy footer-scan plan as an
+        # extra job on every pruned read
+        any_file = [r["file"] for r in manifest.select("file").limit(1).collect()]
         empty = spark.read.parquet(*any_file).limit(0)
         return empty.filter(F.lit(False))
     return spark.read.parquet(*files).filter(
@@ -127,6 +137,7 @@ def compact_small_files(
     table_dir: str,
     out_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a directory of (possibly many tiny) parquet files as
     ceil(total_bytes / target_bytes) files in ``out_dir``; returns the
@@ -134,13 +145,23 @@ def compact_small_files(
     one repartition, one write - verified by the round-trip test).
     The rewrite lands in a fresh directory so readers of the old one
     are never disturbed; swapping a table pointer (see
-    streaming.run_upsert_sink) publishes it."""
+    streaming.run_upsert_sink) publishes it.
+
+    Pass ``sort_cols`` when the table has a clustered layout
+    (``write_sorted``) or a manifest depends on per-file min/max
+    ranges: the default round-robin repartition spreads every value
+    range across every output file, which silently defeats
+    ``read_pruned``; range repartition + in-partition sort preserves
+    the skipping layout through compaction."""
     files = glob.glob(os.path.join(table_dir, "*.parquet"))
     if not files:
         raise ValueError(f"no parquet files under {table_dir}")
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_bytes))
-    spark.read.parquet(table_dir).repartition(n_out).write.mode("error").parquet(
-        out_dir
-    )
+    df = spark.read.parquet(table_dir)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("error").parquet(out_dir)
     return len(glob.glob(os.path.join(out_dir, "*.parquet")))

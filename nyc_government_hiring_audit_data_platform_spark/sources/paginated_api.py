@@ -57,7 +57,15 @@ def _http_json(url: str) -> list[dict]:
             return json.loads(r.read())
     except urllib.error.HTTPError as e:
         if e.code == 404:
-            return []  # past the last page (serving maps empty -> 404)
+            # ONLY the empty-page 404 terminates pagination; a 404 for a
+            # typo'd path or unknown dataset must stay loud, or a
+            # misconfigured ingest "succeeds" with zero rows
+            try:
+                detail = json.loads(e.read()).get("detail", "")
+            except Exception:
+                detail = ""
+            if detail == "Report not found":
+                return []
         raise
 
 

@@ -499,12 +499,15 @@ def read_upsert_table(
 
 
 def list_upsert_versions(table_dir: str) -> list[str]:
-    """Retained snapshot names (publication order: the directory mtime
-    ordering matches pointer history because snapshots are never
-    rewritten after publication)."""
-    vs = [
-        d
-        for d in os.listdir(table_dir)
-        if d.startswith("v") and os.path.isdir(os.path.join(table_dir, d))
-    ]
-    return sorted(vs, key=lambda d: os.path.getmtime(os.path.join(table_dir, d)))
+    """Retained snapshot names in publication order, parsed from the
+    names themselves (v{batch}[r{retry}]) - filesystem mtimes are not a
+    reliable order (coarse-granularity mounts tie; copy/rsync rewrites
+    them entirely)."""
+    import re
+
+    vs = []
+    for d in os.listdir(table_dir):
+        m = re.fullmatch(r"v(\d+)(?:r(\d+))?", d)
+        if m and os.path.isdir(os.path.join(table_dir, d)):
+            vs.append((int(m.group(1)), int(m.group(2) or 0), d))
+    return [d for _, _, d in sorted(vs)]

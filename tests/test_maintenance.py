@@ -109,3 +109,53 @@ def test_schema_evolution_read(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="columnar"):
         FS.read_evolved(spark, d, fmt="json")
+
+
+def test_prune_keeps_files_when_stats_uncastable(spark, tmp_path):
+    """String-column stats that fail the numeric cast must keep every
+    file (conservative), never silently prune them all."""
+    d = str(tmp_path / "strs")
+    spark.createDataFrame([("x", 1), ("y", 2)], "s string, v int").write.parquet(d)
+    man = MT.build_manifest(spark, d, ["s"])
+    files = MT.prune_files(man, "s", 0.0, 1.0, cast="double")
+    assert len(files) == len(glob.glob(f"{d}/*.parquet"))
+
+
+def test_manifest_tolerates_schema_evolution(spark, tmp_path):
+    """Files predating a column get null stats (kept on every prune),
+    not a crashed manifest build."""
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1,)], "id long").coalesce(1).write.parquet(d)
+    spark.createDataFrame([(2, 5.0)], "id long, score double").coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    man = MT.build_manifest(spark, d, ["score"]).cache()
+    rows = {r["file"]: r for r in man.collect()}
+    assert len(rows) == 2
+    assert sum(1 for r in rows.values() if r["min_val"] is None) == 1
+    files = MT.prune_files(man, "score", 100.0, 200.0)
+    # the stats-less old file survives every prune; the new one doesn't
+    assert len(files) == 1
+    man.unpersist()
+
+
+def test_compaction_with_sort_cols_preserves_skipping(spark, tmp_path):
+    """Compacting a clustered table with sort_cols keeps per-file ranges
+    narrow enough that the manifest still prunes."""
+    src = str(tmp_path / "clustered")
+    FS.write_sorted(
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet"),
+        src,
+        ["o_totalprice"],
+        n_files=16,
+    )
+    out = str(tmp_path / "compacted_sorted")
+    import os
+
+    total = sum(os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet"))
+    MT.compact_small_files(
+        spark, src, out, target_bytes=total // 4, sort_cols=["o_totalprice"]
+    )
+    man = MT.build_manifest(spark, out, ["o_totalprice"])
+    files = MT.prune_files(man, "o_totalprice", 100000.0, 110000.0)
+    assert 0 < len(files) < len(glob.glob(f"{out}/*.parquet"))

@@ -227,6 +227,12 @@ def test_http_ingestion_round_trip(spark):
         paginated_api as PA,
     )
 
+    # reader tasks block in urlopen while each HTTP handler needs a free
+    # task slot on the SAME local Spark to answer - on a tiny core count
+    # that is a circular wait, so require headroom
+    if spark.sparkContext.defaultParallelism < 6:
+        pytest.skip("needs >=6 local task slots (reader + server jobs)")
+
     srv = SRV.build_stdlib_server()
     port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -256,5 +262,58 @@ def test_http_ingestion_round_trip(spark):
         got = sorted(r["rec_id"] for r in df.collect())
         assert got == list(range(100))
     finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_transport_rejects_foreign_404(spark):
+    """Only the empty-page 404 ('Report not found') ends pagination; a
+    typo'd path or unknown dataset must raise, not yield zero rows."""
+    import threading
+    import urllib.error
+
+    from nyc_government_hiring_audit_data_platform_spark.sources import (
+        paginated_api as PA,
+    )
+
+    srv = SRV.build_stdlib_server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            PA.http_json_transport(f"http://127.0.0.1:{port}/report/2", 0, 5)
+        with pytest.raises(urllib.error.HTTPError):
+            PA.http_json_transport(f"http://127.0.0.1:{port}/reports/99", 0, 5)
+        # genuine past-the-end page still terminates cleanly
+        assert PA.http_json_transport(
+            f"http://127.0.0.1:{port}/reports/2", 10_000, 5
+        ) == []
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_stdlib_server_500_on_internal_error():
+    """A failing dataset factory must surface as HTTP 500, not a dropped
+    socket (route parity with the ASGI shim)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    def boom():
+        raise RuntimeError("factory exploded")
+
+    SRV.register_dataset(7, "broken", boom)
+    srv = SRV.build_stdlib_server()
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/reports/7")
+        assert ei.value.code == 500
+        assert "factory exploded" in json.loads(ei.value.read())["detail"]
+    finally:
+        SRV._REGISTRY.pop(7, None)
         srv.shutdown()
         srv.server_close()

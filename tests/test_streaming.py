@@ -391,3 +391,20 @@ def test_upsert_time_travel(spark, tmp_path):
     assert SJ.read_upsert_table(spark, str(table_dir), version="v0").count() == n0
     with pytest.raises(ValueError, match="unknown snapshot"):
         SJ.read_upsert_table(spark, str(table_dir), version="v99")
+
+
+def test_list_upsert_versions_name_order(tmp_path):
+    """Publication order comes from the names, not mtimes (which rsync
+    or coarse filesystems scramble)."""
+    import os
+    import time
+
+    for name in ("v2", "v0", "v10", "v0r1", "v0r2"):
+        os.makedirs(tmp_path / name)
+    # scramble mtimes hard
+    now = time.time()
+    for i, name in enumerate(("v10", "v0", "v2", "v0r2", "v0r1")):
+        os.utime(tmp_path / name, (now - i * 100, now - i * 100))
+    assert SJ.list_upsert_versions(str(tmp_path)) == [
+        "v0", "v0r1", "v0r2", "v2", "v10",
+    ]
