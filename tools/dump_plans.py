@@ -116,6 +116,11 @@ SHOWCASE = {
         "shuffles; contributions are integerized so the sum is exact "
         "at any partitioning."
     ),
+    "curation_keep_decisions": (
+        "The composite filter stack evaluates boilerplate + surprisal "
+        "+ length rules in ONE plan: rules are columns assembled by "
+        "doc-keyed joins, not extra corpus passes."
+    ),
 }
 
 
