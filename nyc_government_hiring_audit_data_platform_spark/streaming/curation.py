@@ -1,0 +1,136 @@
+"""Streaming curation: train-batch / apply-stream for the filter stack.
+
+The corpus-global statistics the keep/drop rules need (boilerplate gram
+set, unigram surprisal weights, the [P05, P95] surprisal band) cannot be
+computed ON a stream - they are properties of a whole corpus. The
+production shape is therefore:
+
+1. ``build_curation_model`` - one batch pass over a reference corpus
+   produces a VOCABULARY-SIZED model (gram set + term weights + band
+   edges). Vocabulary scales with language, not corpus: at 100 TB the
+   model still fits comfortably in a broadcast.
+2. ``streaming_keep_decisions`` - the model is inlined as literal
+   array/map columns, so per-document scoring is a stateless
+   expression chain: NO stream-side shuffle, NO stateful aggregation,
+   NO watermark needed - documents flow through in append mode and
+   each row leaves with its keep/drop flags. This is the same
+   batch-train/stream-serve split as any model scorer.
+
+Flag semantics match ``driver_queries_curation.q_curation_keep_decisions``
+exactly (asserted by test against the batch query on the same corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+    _BP_DF,
+    _BP_DROP,
+    _BP_N,
+    _LEN_MAX,
+    _LEN_MIN,
+    _SURP_SCALE,
+    _word_grams,
+)
+
+
+def build_curation_model(spark: SparkSession, docs: DataFrame) -> dict:
+    """Batch-train the filter-stack model from a reference corpus.
+
+    Returns {"boiler_grams": [str], "surp": {term: micro_nats},
+    "band": (lo, hi)} - all vocabulary-sized; the three collects pull
+    back the gram set, the term-weight table and two doubles, never
+    document rows."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    ex = docs.select("doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g"))
+    boiler = [
+        r["g"]
+        for r in ex.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .collect()
+    ]
+    lterms = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = lterms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    surp_rows = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.round(F.log(F.col("total") * 1.0 / F.col("c")) * _SURP_SCALE)
+            .cast("long")
+            .alias("s"),
+        )
+        .collect()
+    )
+    surp = {r["term"]: r["s"] for r in surp_rows}
+    surp_df = spark.createDataFrame(surp_rows)
+    per = (
+        tf.join(surp_df, "term")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.col("s")) * 1.0 / F.sum("tf") / _SURP_SCALE
+            ).alias("avg_s")
+        )
+    )
+    band = per.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY avg_s)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY avg_s)").alias("hi"),
+    ).collect()[0]
+    return {"boiler_grams": boiler, "surp": surp, "band": (band["lo"], band["hi"])}
+
+
+def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
+    """Apply the batch-trained model to a (streaming or batch) document
+    relation as pure expressions: per row, grams via transform, the
+    boilerplate ratio via array_intersect-style membership against the
+    literal gram set, surprisal via a literal term->weight map fold.
+    Stateless map -> valid in append mode with no watermark."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    ltoks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    grams = _word_grams(toks, _BP_N)
+
+    boiler_set = F.array(*[F.lit(g) for g in model["boiler_grams"]])
+    n_grams = F.size(grams)
+    n_boiler = F.size(F.filter(grams, lambda g: F.array_contains(boiler_set, g)))
+    br = n_boiler * 1.0 / F.greatest(n_grams, F.lit(1))
+
+    if model["surp"]:
+        terms, weights = zip(*sorted(model["surp"].items()))
+        surp_map = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in terms]),
+            F.array(*[F.lit(int(w)) for w in weights]),
+        )
+    else:
+        surp_map = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<bigint>")
+        )
+    known = F.filter(ltoks, lambda t: surp_map.getItem(t).isNotNull())
+    n_tok = F.size(known)
+    ssum = F.aggregate(
+        known, F.lit(0).cast("bigint"), lambda acc, t: acc + surp_map.getItem(t)
+    )
+    avg_s = ssum * 1.0 / F.greatest(n_tok, F.lit(1)) / _SURP_SCALE
+    lo, hi = model["band"]
+
+    flag_bp = F.when(br >= _BP_DROP, 1).otherwise(0)
+    flag_sp = F.when(
+        (n_tok == 0) | (avg_s < F.lit(lo)) | (avg_s > F.lit(hi)), 1
+    ).otherwise(0)
+    flag_len = F.when((n_tok < _LEN_MIN) | (n_tok > _LEN_MAX), 1).otherwise(0)
+    return docs.select(
+        "doc_id",
+        flag_bp.alias("flag_boilerplate"),
+        flag_sp.alias("flag_surprisal"),
+        flag_len.alias("flag_length"),
+        F.when(flag_bp + flag_sp + flag_len == 0, 1).otherwise(0).alias("keep"),
+    )

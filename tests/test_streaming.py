@@ -408,3 +408,39 @@ def test_list_upsert_versions_name_order(tmp_path):
     assert SJ.list_upsert_versions(str(tmp_path)) == [
         "v0", "v0r1", "v0r2", "v2", "v10",
     ]
+
+
+def test_streaming_curation_matches_batch_stack(spark, tmp_path):
+    """Train-batch / apply-stream: the vocabulary-sized model built from
+    the corpus, applied as stateless literal-expression scoring to a
+    document STREAM, must reproduce the batch filter stack's flags
+    row-for-row (same corpus => every term is in-model, so semantics
+    coincide exactly)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        QUERIES,
+        table,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.streaming import (
+        curation as SC,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    model = SC.build_curation_model(spark, docs)
+    assert model["boiler_grams"] and model["surp"]
+    lo, hi = model["band"]
+    assert lo <= hi
+
+    # stream the same documents through the scorer (append mode: the
+    # plan must be stateless - no watermark, no stateful agg)
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "d.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    flags = SC.streaming_keep_decisions(stream, model)
+    assert flags.isStreaming
+    SJ.run_to_memory(flags, "stream_curation", output_mode="append")
+    got = sorted(map(tuple, spark.table("stream_curation").collect()))
+
+    want = sorted(map(tuple, QUERIES["curation_keep_decisions"](spark, sf).collect()))
+    assert got == want
