@@ -594,6 +594,95 @@ def q_unigram_surprisal_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# deterministic multi-epoch shuffle (training data-order assignment)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 2
+_SHUF_SHARDS = 16
+
+
+@query(
+    "epoch_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT d.doc_id, e.epoch,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+               AS k
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_EPOCHS})) AS epoch) e
+    ),
+    sharded AS (
+      SELECT doc_id, epoch, k,
+             CAST(('0x' || substr(k, 1, 2))::BIGINT % {_SHUF_SHARDS} AS BIGINT)
+               AS shard
+      FROM keyed
+    ),
+    within AS (
+      SELECT doc_id, epoch, shard,
+             ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY k) AS rn
+      FROM sharded
+    ),
+    offsets AS (
+      SELECT epoch, shard,
+             SUM(COUNT(*)) OVER (PARTITION BY epoch ORDER BY shard
+                                 ROWS UNBOUNDED PRECEDING) - COUNT(*) AS off
+      FROM sharded GROUP BY epoch, shard
+    )
+    SELECT w.doc_id, CAST(w.epoch AS INT) AS epoch,
+           CAST(w.rn - 1 + o.off AS BIGINT) AS position
+    FROM within w JOIN offsets o ON w.epoch = o.epoch AND w.shard = o.shard
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch data ordering (the multi-epoch shuffle a
+    training loop needs to be reproducible and resumable): every doc
+    gets, for each epoch, a position drawn from an md5-keyed
+    permutation - same seed, same order, on any cluster, under any
+    retry. The global rank is computed the 100 TB-safe way: rank
+    WITHIN hash shards (parallel windows) + tiny per-shard prefix-sum
+    offsets (shard = first key byte, a prefix of the sort key, so
+    (shard, key) order == global key order) - never one
+    whole-corpus-in-one-partition window. Positions are a proven
+    permutation of 0..n-1 per epoch (test) and epochs decorrelate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 2), 16, 10).cast("long") % _SHUF_SHARDS),
+    )
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("epoch", "shard").orderBy("k")
+    within = sharded.select(
+        "doc_id", "epoch", "shard", F.row_number().over(w_in).alias("rn")
+    )
+    w_off = (
+        Window.partitionBy("epoch")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offsets = (
+        sharded.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "epoch", "shard", (F.sum("n").over(w_off) - F.col("n")).alias("off")
+        )
+    )
+    return within.join(offsets, ["epoch", "shard"]).select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("rn") - 1 + F.col("off")).cast("long").alias("position"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # the filter stack: composite per-doc keep/drop with per-rule attribution
 # ---------------------------------------------------------------------------
 

@@ -254,3 +254,30 @@ def test_keep_decisions_consistent_with_component_filters(spark, sf_dir):
     ).count()
     assert bad == 0
     stack.unpersist()
+
+
+def test_epoch_shuffle_is_permutation_and_decorrelated(spark, sf_dir):
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+        _EPOCHS,
+    )
+
+    out = DQ.QUERIES["epoch_shuffle"](spark, sf_dir).cache()
+    n = DQ.table(spark, sf_dir, "documents").count()
+    for e in range(_EPOCHS):
+        pos = sorted(
+            r["position"] for r in out.filter(F.col("epoch") == e).collect()
+        )
+        assert pos == list(range(n))  # exact permutation per epoch
+    # epochs produce different orders (decorrelation)
+    p0 = {r["doc_id"]: r["position"] for r in out.filter("epoch = 0").collect()}
+    p1 = {r["doc_id"]: r["position"] for r in out.filter("epoch = 1").collect()}
+    moved = sum(1 for d in p0 if p0[d] != p1[d])
+    assert moved > n * 0.9
+    # retry-stability: a second evaluation gives identical positions
+    again = {
+        (r["doc_id"], r["epoch"]): r["position"]
+        for r in DQ.QUERIES["epoch_shuffle"](spark, sf_dir).collect()
+    }
+    for r in out.collect():
+        assert again[(r["doc_id"], r["epoch"])] == r["position"]
+    out.unpersist()
