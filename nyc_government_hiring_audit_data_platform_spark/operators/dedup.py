@@ -460,3 +460,79 @@ def simhash_collision_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFr
         F.col("b.doc_id").alias("id_b"),
         F.col("a.simhash"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental near-dup: new batch vs a persisted band index
+# --------------------------------------------------------------------------
+
+
+def build_band_index(
+    df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """The persisted side of INCREMENTAL dedup: (id, band, bh, hs) rows
+    for the existing corpus - write this once (partitioned/bucketed on
+    (band, bh) in production) and each new ingest batch probes it
+    instead of re-deduping the whole corpus. Index size is
+    BANDS rows/doc + one shingle-hash set/doc; growth is linear."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
+        .repartition(par)
+        .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
+    )
+    sigs = docs.select(
+        "id", "hs", minhash_signature_from_hashes(F.col("hs")).alias("sig")
+    )
+    return sigs.select(
+        "id",
+        "hs",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(BANDS)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"), "hs")
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    band_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an existing corpus's
+    band index: (new_id, corpus_id, jaccard). Cost is proportional to
+    the BATCH (hash + band each new doc, equi-join into the index's
+    (band, bh) space, verify only in-bucket candidates) - the corpus is
+    touched only through index lookups, which a (band, bh)-bucketed
+    layout serves without a full shuffle. Batch-internal duplicates are
+    the ordinary minhash_lsh_pairs call; this covers batch-vs-corpus."""
+    new_idx = build_band_index(new_df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = (
+        new_idx.alias("n")
+        .join(
+            band_index.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.col("n.hs").alias("hs_a"),
+            F.col("c.hs").alias("hs_b"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -1,0 +1,73 @@
+"""Incremental near-dup: new batch vs a persisted band index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.operators import dedup as D
+
+
+def _corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select("doc_id", "text")
+
+
+def test_incremental_matches_full_rededup(spark, tmp_path):
+    """The incremental probe must find exactly the cross (batch,
+    corpus) pairs a full re-dedup of corpus+batch finds - same
+    threshold, same jaccard values - without re-hashing the corpus."""
+    corpus = _corpus(spark)
+    # batch: 3 near-copies of corpus docs (light perturbation) + 2
+    # genuinely new docs
+    dup_src = corpus.orderBy("doc_id").limit(3).collect()
+    rows = [
+        (10_000 + i, r["text"] + " extra tail token")
+        for i, r in enumerate(dup_src)
+    ] + [
+        (20_000, "completely unrelated fresh document one two three"),
+        (20_001, "another brand new never seen text four five six"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_dir = str(tmp_path / "band_index")
+    D.build_band_index(corpus, "text", "doc_id").write.parquet(index_dir)
+    index = spark.read.parquet(index_dir)
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in D.incremental_neardup(batch, index, "text", "doc_id", 0.5).collect()
+    }
+
+    # ground truth: full re-dedup over corpus+batch, keep cross pairs
+    union = corpus.unionByName(batch)
+    full = D.minhash_lsh_pairs(union, "text", "doc_id", 0.5)
+    want = {}
+    for r in full.collect():
+        lo, hi = r["id_a"], r["id_b"]
+        if lo < 10_000 <= hi:
+            want[(hi, lo)] = r["jaccard"]
+    assert got == want
+    assert len(got) >= 3  # the three perturbed near-copies are found
+    assert not any(nid >= 20_000 for nid, _ in got)  # fresh docs are clean
+
+
+def test_band_index_shape_and_growth(spark):
+    corpus = _corpus(spark)
+    idx = D.build_band_index(corpus, "text", "doc_id")
+    n_docs = corpus.count()
+    assert idx.count() == n_docs * D.BANDS
+    assert idx.select("id").distinct().count() == n_docs
+    # per-doc shingle sets ride along for in-bucket exact verification
+    assert dict(idx.dtypes)["hs"] == "array<bigint>"
+
+
+def test_incremental_exact_copy_scores_one(spark):
+    corpus = _corpus(spark)
+    index = D.build_band_index(corpus, "text", "doc_id")
+    one = corpus.orderBy("doc_id").limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [(99_999, one["text"])], "doc_id long, text string"
+    )
+    got = D.incremental_neardup(batch, index, "text", "doc_id", 0.5).collect()
+    exact = [r for r in got if r["corpus_id"] == one["doc_id"]]
+    assert len(exact) == 1 and exact[0]["jaccard"] == 1.0
