@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "heavy_hitters_bound",
     "curation_keep_decisions",
+    "epoch_shuffle",
     "vocab_coverage",
     "pmi_cooccurrence",
     "triangle_count",
