@@ -134,3 +134,77 @@ def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
         flag_len.alias("flag_length"),
         F.when(flag_bp + flag_sp + flag_len == 0, 1).otherwise(0).alias("keep"),
     )
+
+
+def run_dedup_ingest(
+    stream_docs: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.5,
+) -> None:
+    """Streaming ingest with near-dup rejection - the production loop
+    that keeps a growing corpus duplicate-free at ingest time:
+
+    per micro-batch (foreachBatch):
+      1. probe the persisted MinHash band index with ONLY the batch
+         (``operators.dedup.incremental_neardup`` - cost proportional
+         to the batch, the corpus is touched via index lookups);
+      2. drop batch docs matching the corpus, then near-dups WITHIN the
+         batch (min-id survivor via ``minhash_lsh_pairs``);
+      3. append survivors to the corpus and their band rows to the
+         index, so the NEXT batch dedups against them too.
+
+    Appends are idempotent-safe under the streaming checkpoint (a
+    replayed batch re-probes the index that already contains its
+    survivors: every doc now matches itself at jaccard 1.0 and is
+    dropped, so no duplicate corpus rows - exact-copy self-match is
+    what makes the replay a no-op). availableNow + awaitTermination."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import dedup as D
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text").persist()
+        try:
+            if os.path.isdir(index_dir) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(index_dir)
+                for f in fs
+            ):
+                spark = batch_df.sparkSession
+                index = spark.read.parquet(index_dir)
+                hits = D.incremental_neardup(
+                    batch, index, "text", "doc_id", jaccard_threshold
+                )
+                batch_kept = batch.join(
+                    hits.select(F.col("new_id").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+            else:
+                batch_kept = batch
+            # batch-internal near-dups: min doc_id survives
+            pairs = D.minhash_lsh_pairs(
+                batch_kept, "text", "doc_id", jaccard_threshold
+            )
+            losers = pairs.select(
+                F.greatest("id_a", "id_b").alias("doc_id")
+            ).distinct()
+            survivors = batch_kept.join(losers, "doc_id", "left_anti").persist()
+            if survivors.take(1):
+                survivors.write.mode("append").parquet(corpus_dir)
+                D.build_band_index(survivors, "text", "doc_id").write.mode(
+                    "append"
+                ).parquet(index_dir)
+            survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

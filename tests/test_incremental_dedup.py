@@ -71,3 +71,59 @@ def test_incremental_exact_copy_scores_one(spark):
     got = D.incremental_neardup(batch, index, "text", "doc_id", 0.5).collect()
     exact = [r for r in got if r["corpus_id"] == one["doc_id"]]
     assert len(exact) == 1 and exact[0]["jaccard"] == 1.0
+
+
+def test_streaming_dedup_ingest_loop(spark, tmp_path):
+    """End-to-end ingest-dedup: two micro-batches stream in; the second
+    contains an exact copy and a near-copy of batch-1 docs plus one
+    fresh doc - only the fresh doc (and batch-1 survivors) land in the
+    corpus, and the index grows to cover every accepted doc."""
+    from nyc_government_hiring_audit_data_platform_spark.streaming import (
+        curation as SC,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "batch1"))
+    for p in (src / "batch1").glob("*.parquet"):
+        p.rename(src / "b1.parquet")
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    SC.run_dedup_ingest(stream, corpus_dir, index_dir, ckpt)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [1, 2]
+
+    b2 = spark.createDataFrame(
+        [
+            (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (12, "one two three four five six seven eight nine ten eleven"),
+            (13, "completely different fresh content with novel words here"),
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(str(src / "batch2"))
+    for p in (src / "batch2").glob("*.parquet"):
+        p.rename(src / "b2.parquet")
+
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    SC.run_dedup_ingest(stream2, corpus_dir, index_dir, ckpt)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus_dir).collect())
+    assert kept == [1, 2, 13]  # 11 exact-dup of 1, 12 near-dup of 2
+    # index covers every accepted doc
+    idx_ids = {
+        r["id"] for r in spark.read.parquet(index_dir).select("id").collect()
+    }
+    assert idx_ids == {1, 2, 13}
