@@ -597,8 +597,7 @@ def q_unigram_surprisal_quality(spark, sf_dir):
 # deterministic multi-epoch shuffle (training data-order assignment)
 # ---------------------------------------------------------------------------
 
-_EPOCHS = 2
-_SHUF_SHARDS = 16
+_EPOCHS = 2  # shards = 16 (the first hex nibble of the key)
 
 
 @query(
@@ -613,8 +612,7 @@ _SHUF_SHARDS = 16
     ),
     sharded AS (
       SELECT doc_id, epoch, k,
-             CAST(('0x' || substr(k, 1, 2))::BIGINT % {_SHUF_SHARDS} AS BIGINT)
-               AS shard
+             CAST(('0x' || substr(k, 1, 1))::BIGINT AS BIGINT) AS shard
       FROM keyed
     ),
     within AS (
@@ -653,9 +651,11 @@ def q_epoch_shuffle(spark, sf_dir):
             F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
         ).alias("k"),
     )
+    # shard = the FIRST hex nibble: a true prefix of the sort key, so
+    # ordering by (shard, k) equals ordering by k alone and the
+    # shard-offset decomposition reproduces the single global rank
     sharded = keyed.withColumn(
-        "shard",
-        (F.conv(F.substring("k", 1, 2), 16, 10).cast("long") % _SHUF_SHARDS),
+        "shard", F.conv(F.substring("k", 1, 1), 16, 10).cast("long")
     )
     from pyspark.sql import Window
 

@@ -215,15 +215,7 @@ def minhash_lsh_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = docs.select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(BANDS)
-            ])
-        ).alias("e"),
-    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    bands = band_rows(sigs).select("id", "band", "bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -238,13 +230,8 @@ def minhash_lsh_pairs(
     da = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(da, "id_a").join(db, "id_b")
-    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
-    return (
-        paired.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+    return jaccard_verify(paired, jaccard_threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -467,6 +454,35 @@ def simhash_collision_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFr
 # --------------------------------------------------------------------------
 
 
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(.., sig) -> one row per (doc, band) with the band hash - THE
+    banding step, shared by full-corpus LSH and the incremental index
+    so the two can never drift apart."""
+    return sigs.select(
+        *[c for c in sigs.columns if c != "sig"],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
+                for b in range(BANDS)
+            ])
+        ).alias("e"),
+    ).withColumns({"band": F.col("e.band"), "bh": F.col("e.bh")}).drop("e")
+
+
+def jaccard_verify(
+    cand: DataFrame, threshold: float, hs_a: str = "hs_a", hs_b: str = "hs_b"
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs, keeping rows at
+    or above ``threshold`` with a rounded ``jaccard`` column - the ONE
+    definition of the verify step (empty-vs-empty counts as identical)."""
+    inter = F.size(F.array_intersect(F.col(hs_a), F.col(hs_b)))
+    union = F.size(F.col(hs_a)) + F.size(F.col(hs_b)) - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
+    return cand.withColumn("jaccard", F.round(jac, 6)).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def build_band_index(
     df: DataFrame, text_col: str, id_col: str, n: int = SHINGLE_N
 ) -> DataFrame:
@@ -484,16 +500,7 @@ def build_band_index(
     sigs = docs.select(
         "id", "hs", minhash_signature_from_hashes(F.col("hs")).alias("sig")
     )
-    return sigs.select(
-        "id",
-        "hs",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(F.col("sig"), b).alias("bh"))
-                for b in range(BANDS)
-            ])
-        ).alias("e"),
-    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"), "hs")
+    return band_rows(sigs).select("id", "band", "bh", "hs")
 
 
 def incremental_neardup(
@@ -511,9 +518,7 @@ def incremental_neardup(
     touched only through index lookups, which a (band, bh)-bucketed
     layout serves without a full shuffle. Batch-internal duplicates are
     the ordinary minhash_lsh_pairs call; this covers batch-vs-corpus."""
-    new_idx = build_band_index(new_df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    new_idx = build_band_index(new_df, text_col, id_col, n)
     cand = (
         new_idx.alias("n")
         .join(
@@ -528,11 +533,6 @@ def incremental_neardup(
         )
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
-    return (
-        cand.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("new_id", "corpus_id", "jaccard")
+    return jaccard_verify(cand, jaccard_threshold).select(
+        "new_id", "corpus_id", "jaccard"
     )

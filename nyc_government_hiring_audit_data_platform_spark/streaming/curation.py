@@ -10,11 +10,15 @@ production shape is therefore:
    edges). Vocabulary scales with language, not corpus: at 100 TB the
    model still fits comfortably in a broadcast.
 2. ``streaming_keep_decisions`` - the model is inlined as literal
-   array/map columns, so per-document scoring is a stateless
-   expression chain: NO stream-side shuffle, NO stateful aggregation,
-   NO watermark needed - documents flow through in append mode and
-   each row leaves with its keep/drop flags. This is the same
-   batch-train/stream-serve split as any model scorer.
+   map columns, so per-document scoring is a stateless expression
+   chain: NO stream-side shuffle, NO stateful aggregation, NO
+   watermark needed - documents flow through in append mode and each
+   row leaves with its keep/drop flags. This is the same
+   batch-train/stream-serve split as any model scorer. Literal maps
+   carry comfortably to ~10^4-10^5 entries; for a full web-scale
+   vocabulary, swap the map literals for a broadcast variable consumed
+   inside a mapInPandas scorer - same stateless append-mode contract,
+   model shipped once per executor instead of once per plan.
 
 Flag semantics match ``driver_queries_curation.q_curation_keep_decisions``
 exactly (asserted by test against the batch query on the same corpus).
@@ -72,6 +76,10 @@ def build_curation_model(spark: SparkSession, docs: DataFrame) -> dict:
         .collect()
     )
     surp = {r["term"]: r["s"] for r in surp_rows}
+    if not surp_rows:
+        # degenerate corpus (empty, or all-empty texts): empty model -
+        # the stream scorer then drops everything via the n_tok==0 rule
+        return {"boiler_grams": boiler, "surp": {}, "band": (0.0, 0.0)}
     surp_df = spark.createDataFrame(surp_rows)
     per = (
         tf.join(surp_df, "term")
@@ -99,9 +107,19 @@ def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
     ltoks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     grams = _word_grams(toks, _BP_N)
 
-    boiler_set = F.array(*[F.lit(g) for g in model["boiler_grams"]])
+    # gram membership as an O(1) map lookup per gram, not an O(|set|)
+    # array scan
+    if model["boiler_grams"]:
+        boiler_map = F.map_from_arrays(
+            F.array(*[F.lit(g) for g in model["boiler_grams"]]),
+            F.array(*[F.lit(1) for _ in model["boiler_grams"]]),
+        )
+    else:
+        boiler_map = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
     n_grams = F.size(grams)
-    n_boiler = F.size(F.filter(grams, lambda g: F.array_contains(boiler_set, g)))
+    n_boiler = F.size(F.filter(grams, lambda g: boiler_map.getItem(g).isNotNull()))
     br = n_boiler * 1.0 / F.greatest(n_grams, F.lit(1))
 
     if model["surp"]:
@@ -126,7 +144,12 @@ def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
     flag_sp = F.when(
         (n_tok == 0) | (avg_s < F.lit(lo)) | (avg_s > F.lit(hi)), 1
     ).otherwise(0)
-    flag_len = F.when((n_tok < _LEN_MIN) | (n_tok > _LEN_MAX), 1).otherwise(0)
+    # length is a DOCUMENT property: count every token, not just
+    # model-vocabulary tokens (OOV-heavy streamed docs would otherwise
+    # look artificially short); surprisal stays averaged over known
+    # tokens, the only ones the model can score
+    n_all = F.size(ltoks)
+    flag_len = F.when((n_all < _LEN_MIN) | (n_all > _LEN_MAX), 1).otherwise(0)
     return docs.select(
         "doc_id",
         flag_bp.alias("flag_boilerplate"),
@@ -155,25 +178,33 @@ def run_dedup_ingest(
       3. append survivors to the corpus and their band rows to the
          index, so the NEXT batch dedups against them too.
 
-    Appends are idempotent-safe under the streaming checkpoint (a
-    replayed batch re-probes the index that already contains its
-    survivors: every doc now matches itself at jaccard 1.0 and is
-    dropped, so no duplicate corpus rows - exact-copy self-match is
-    what makes the replay a no-op). availableNow + awaitTermination."""
-    import os
+    Writes are REPLAY-IDEMPOTENT by construction: each batch lands in
+    its own ``b{batch_id}`` subdirectory of corpus and index with
+    mode=overwrite, and the probe EXCLUDES the current batch's own
+    index rows (an ``ingest_batch`` column). A replayed batch therefore
+    recomputes the same survivor set against the same prior-state index
+    and overwrites its own subdirs with identical content - no
+    duplicates, no loss, regardless of where the previous attempt
+    crashed. Presence probing goes through the Spark reader (glob), so
+    any Hadoop-compatible filesystem works - never driver-local
+    os.path. availableNow + awaitTermination. Read the corpus back
+    with ``read_ingested_corpus``."""
+    from pyspark.errors import AnalysisException
 
     from nyc_government_hiring_audit_data_platform_spark.operators import dedup as D
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").persist()
         try:
-            if os.path.isdir(index_dir) and any(
-                f.endswith(".parquet")
-                for _, _, fs in os.walk(index_dir)
-                for f in fs
-            ):
-                spark = batch_df.sparkSession
-                index = spark.read.parquet(index_dir)
+            try:
+                index = spark.read.parquet(f"{index_dir}/b*").filter(
+                    F.col("ingest_batch") != batch_id
+                )
+                have_index = bool(index.take(1))
+            except AnalysisException:
+                have_index = False
+            if have_index:
                 hits = D.incremental_neardup(
                     batch, index, "text", "doc_id", jaccard_threshold
                 )
@@ -192,11 +223,10 @@ def run_dedup_ingest(
                 F.greatest("id_a", "id_b").alias("doc_id")
             ).distinct()
             survivors = batch_kept.join(losers, "doc_id", "left_anti").persist()
-            if survivors.take(1):
-                survivors.write.mode("append").parquet(corpus_dir)
-                D.build_band_index(survivors, "text", "doc_id").write.mode(
-                    "append"
-                ).parquet(index_dir)
+            survivors.write.mode("overwrite").parquet(f"{corpus_dir}/b{batch_id}")
+            D.build_band_index(survivors, "text", "doc_id").withColumn(
+                "ingest_batch", F.lit(batch_id)
+            ).write.mode("overwrite").parquet(f"{index_dir}/b{batch_id}")
             survivors.unpersist()
         finally:
             batch.unpersist()
@@ -208,3 +238,9 @@ def run_dedup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def read_ingested_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """All documents accepted by ``run_dedup_ingest`` (union of the
+    per-batch subdirectories)."""
+    return spark.read.parquet(f"{corpus_dir}/b*")

@@ -281,3 +281,26 @@ def test_epoch_shuffle_is_permutation_and_decorrelated(spark, sf_dir):
     for r in out.collect():
         assert again[(r["doc_id"], r["epoch"])] == r["position"]
     out.unpersist()
+
+
+def test_epoch_shuffle_position_is_global_key_rank(spark, sf_dir):
+    """The shard+offset decomposition must equal ONE global ORDER BY of
+    the md5 key (shard is the first key nibble, a true prefix)."""
+    from pyspark.sql import Window
+
+    out = DQ.QUERIES["epoch_shuffle"](spark, sf_dir)
+    docs = DQ.table(spark, sf_dir, "documents").select("doc_id")
+    e0 = out.filter(F.col("epoch") == 0)
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    )
+    ref = keyed.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("k")) - 1).alias("ref_pos"),
+    )
+    assert e0.join(ref, "doc_id").filter(
+        F.col("position") != F.col("ref_pos")
+    ).count() == 0

@@ -103,7 +103,7 @@ def test_streaming_dedup_ingest_loop(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(str(src))
     SC.run_dedup_ingest(stream, corpus_dir, index_dir, ckpt)
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+        r["doc_id"] for r in SC.read_ingested_corpus(spark, corpus_dir).collect()
     ) == [1, 2]
 
     b2 = spark.createDataFrame(
@@ -120,10 +120,24 @@ def test_streaming_dedup_ingest_loop(spark, tmp_path):
 
     stream2 = spark.readStream.schema(schema).parquet(str(src))
     SC.run_dedup_ingest(stream2, corpus_dir, index_dir, ckpt)
-    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus_dir).collect())
+    kept = sorted(
+        r["doc_id"] for r in SC.read_ingested_corpus(spark, corpus_dir).collect()
+    )
     assert kept == [1, 2, 13]  # 11 exact-dup of 1, 12 near-dup of 2
     # index covers every accepted doc
     idx_ids = {
-        r["id"] for r in spark.read.parquet(index_dir).select("id").collect()
+        r["id"]
+        for r in spark.read.parquet(f"{index_dir}/b*").select("id").collect()
     }
     assert idx_ids == {1, 2, 13}
+
+    # crash-replay idempotency: re-running batch 1 against the state it
+    # already wrote (fresh checkpoint forces redelivery of every file)
+    # must converge to the same corpus - per-batch overwrite + own-batch
+    # index exclusion, not blind appends
+    stream3 = spark.readStream.schema(schema).parquet(str(src))
+    SC.run_dedup_ingest(stream3, corpus_dir, index_dir, str(tmp_path / "ck2"))
+    again = sorted(
+        r["doc_id"] for r in SC.read_ingested_corpus(spark, corpus_dir).collect()
+    )
+    assert again == [1, 2, 13]
