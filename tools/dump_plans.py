@@ -121,6 +121,11 @@ SHOWCASE = {
         "+ length rules in ONE plan: rules are columns assembled by "
         "doc-keyed joins, not extra corpus passes."
     ),
+    "epoch_shuffle": (
+        "Distributed global ranking: rank within 16 key-prefix shards "
+        "(parallel windows) + tiny prefix-sum offsets - provably equal "
+        "to one global ORDER BY, with no single-partition window."
+    ),
 }
 
 
