@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "heavy_hitters_bound",
     "curation_keep_decisions",
     "epoch_shuffle",
+    "dedup_funnel",
     "vocab_coverage",
     "pmi_cooccurrence",
     "triangle_count",

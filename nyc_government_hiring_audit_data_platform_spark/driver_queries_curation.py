@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+    normalize_text_sql,
+)
 
 # ---------------------------------------------------------------------------
 # C4/CCNet-style boilerplate detection: word n-grams shared by many docs
@@ -590,6 +593,125 @@ def q_unigram_surprisal_quality(spark, sf_dir):
             .otherwise(0)
             .alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup funnel: corpus-health attrition report across dedup stages
+# ---------------------------------------------------------------------------
+
+_CHUNK_CLEAN_MAX = 0.5  # docs with > 50% corpus-duplicated chunks drop
+
+
+@query(
+    "dedup_funnel",
+    f"""
+    WITH raw AS (SELECT COUNT(*) AS n FROM documents),
+    exact_s AS (SELECT COUNT(DISTINCT md5(text)) AS n FROM documents),
+    norm_s AS (
+      SELECT COUNT(DISTINCT md5({normalize_text_sql('text')})) AS n FROM documents
+    ),
+    src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1, {_CHUNK}),
+                    i -> array_to_string(toks[i:i+{_CHUNK - 1}], ' '))) AS chunk
+      FROM src
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS cnt FROM ch GROUP BY chunk),
+    perdoc AS (
+      SELECT c.doc_id,
+             SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dr
+      FROM ch c JOIN freq f ON c.chunk = f.chunk GROUP BY c.doc_id
+    ),
+    chunk_s AS (
+      SELECT COUNT(*) AS n FROM perdoc WHERE dr <= {_CHUNK_CLEAN_MAX}
+    ),
+    stages AS (
+      SELECT 1 AS stage, 'raw' AS name, (SELECT n FROM raw) AS n_docs
+      UNION ALL
+      SELECT 2, 'exact_text', (SELECT n FROM exact_s)
+      UNION ALL
+      SELECT 3, 'normalized_text', (SELECT n FROM norm_s)
+      UNION ALL
+      SELECT 4, 'chunk_clean', (SELECT n FROM chunk_s)
+    )
+    SELECT stage, name, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(n_docs * 100.0 / (SELECT n FROM raw), 4) AS pct_of_raw
+    FROM stages
+    """,
+)
+def q_dedup_funnel(spark, sf_dir):
+    """Corpus-health funnel: how many documents survive each dedup
+    stage - raw count, distinct raw texts, distinct NORMALIZED texts
+    (casing/spacing variants collapse), and chunk-clean docs (<= 50%
+    corpus-duplicated 16-token chunks). The attrition report a data
+    team reviews before/after every ingest. Each stage is one
+    hash-keyed count (exact/normalized collapse to 16-byte keys
+    map-side); nothing here rescans another stage's output - the
+    funnel is assembled from four independent aggregates over one scan
+    lineage."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+        normalize_text,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n_raw = docs.agg(F.count(F.lit(1)).alias("n"))
+    n_exact = docs.agg(
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n")
+    )
+    n_norm = docs.agg(
+        F.countDistinct(F.md5(normalize_text("text").cast("binary"))).alias("n")
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    starts = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK))
+    ).otherwise(F.array().cast("array<int>"))
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda i: F.array_join(F.slice(toks, i, _CHUNK), " "))
+        ).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    perdoc = (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("dr")
+        )
+    )
+    n_chunk = perdoc.filter(F.col("dr") <= _CHUNK_CLEAN_MAX).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def stage(i: int, name: str, agg):
+        return agg.select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+
+    stages = (
+        stage(1, "raw", n_raw)
+        .unionByName(stage(2, "exact_text", n_exact))
+        .unionByName(stage(3, "normalized_text", n_norm))
+        .unionByName(stage(4, "chunk_clean", n_chunk))
+    )
+    return stages.crossJoin(
+        F.broadcast(n_raw.select(F.col("n").alias("raw_n")))
+    ).select(
+        "stage",
+        "name",
+        "n_docs",
+        F.round(F.col("n_docs") * 100.0 / F.col("raw_n"), 4).alias("pct_of_raw"),
     )
 
 

@@ -304,3 +304,20 @@ def test_epoch_shuffle_position_is_global_key_rank(spark, sf_dir):
     assert e0.join(ref, "doc_id").filter(
         F.col("position") != F.col("ref_pos")
     ).count() == 0
+
+
+def test_dedup_funnel_monotone(spark, sf_dir):
+    """Stage survivor counts can only shrink down the funnel (each
+    stage's criterion is at least as strict in doc-count terms), and
+    raw is 100%."""
+    rows = sorted(
+        DQ.QUERIES["dedup_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["name"] for r in rows] == [
+        "raw", "exact_text", "normalized_text", "chunk_clean",
+    ]
+    assert rows[0]["pct_of_raw"] == 100.0
+    counts = [r["n_docs"] for r in rows]
+    assert counts[1] <= counts[0] and counts[2] <= counts[1]
+    assert counts[3] <= counts[0]
