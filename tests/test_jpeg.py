@@ -226,3 +226,59 @@ def test_y4m_encoder_rejects_odd_c420():
     frames = np.zeros((1, 11, 13, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="even"):
         MM.encode_y4m(frames, subsample=True)
+
+
+# -- property-based round-trip bounds (hypothesis) ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    gray=st.booleans(),
+    sub=st.booleans(),
+    ri=st.sampled_from([0, 3]),
+)
+def test_jpeg_random_roundtrip_property(h, w, seed, gray, sub, ri):
+    """Any uint8 image of any dimensions encodes to a decodable stream
+    whose raster comes back at the right shape with bounded error (high
+    quality => PSNR floor; uniform-ish content is near-exact)."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8)
+    enc = J.encode_jpeg(img, quality=95, subsample=(sub and not gray), restart_interval=ri)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    if sub and not gray:
+        # 4:2:0 legitimately averages away the chroma of tiny noise
+        # images; the spec guarantee is the FULL-RES luma channel
+        luma = lambda a: (  # noqa: E731
+            0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        )
+        assert _psnr(luma(dec.astype(float)), luma(img.astype(float))) > 25
+    else:
+        assert _psnr(dec, img) > 25
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 4),
+    h=st.integers(2, 24).map(lambda v: v * 2),
+    w=st.integers(2, 24).map(lambda v: v * 2),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+def test_y4m_random_roundtrip_property(n, h, w, seed, sub):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8).astype(np.uint8)
+    dec, fps = MM.decode_y4m(MM.encode_y4m(frames, fps=24, subsample=sub))
+    assert dec.shape == frames.shape and fps == 24
+    if not sub:
+        assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 2
+    else:
+        # luma-preserving even under chroma decimation of noise
+        assert _psnr(dec.mean(axis=-1), frames.astype(float).mean(axis=-1)) > 20
