@@ -1045,3 +1045,6 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_curation as _curation,
 )
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_sequence as _sequence,
+)

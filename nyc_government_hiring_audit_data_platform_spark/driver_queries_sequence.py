@@ -1,0 +1,463 @@
+"""Sequence / session analytics and tokenizer-training queries.
+
+Round-4 continuation suite: the ordered-event operators a behavioral or
+time-series user would expect (forward-fill imputation, gap-and-island
+runs, ordered path signatures, time-weighted averages, deterministic
+per-key mode) plus two training-data ops (a BPE merge-candidate scan -
+the inner loop of tokenizer training - and iterative BFS reachability
+over a derived graph), and broadcast-assigned equal-frequency binning.
+
+Scale posture (the 100 TB question, per query):
+
+- the window queries partition by ``user_id`` (high-cardinality key, no
+  global window anywhere), so state per task is one user's events;
+- ``bpe_pair_counts`` is explode -> groupBy(pair): one shuffle keyed by
+  a tiny alphabet-squared domain with map-side partial aggregation;
+- ``bfs_distance`` is the pregel gather: per iteration ONE equi-join
+  frontier-to-edges plus ONE groupBy(node) min - never materializes
+  paths (the oracle's recursive CTE does, which is exactly why the
+  oracle is the oracle and the iterative plan is the engine);
+- ``quantile_bucketize`` never sorts globally: a 9-value discrete-
+  quantile aggregate is broadcast back over the fact table, the
+  MLlib-Bucketizer shape (agg + broadcast map-side assignment), NOT an
+  ntile over a single-partition window.
+
+Determinism conventions follow the driver_queries module docstring:
+copied values over computed floats, integer-cents sums before a single
+division, discrete percentiles, identical alias names, UTC timestamps
+formatted to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+
+# DuckDB: whole seconds since the epoch, truncated like Spark's
+# unix_seconds (events.ts is naive-UTC; both engines floor positives).
+_SEC_SQL = (
+    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', date_trunc('second', {ts}))"
+)
+
+
+# ---------------------------------------------------------------------------
+# forward-fill: last-observation-carried-forward imputation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forward_fill",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_s,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: treat ``error`` events as sensor
+    dropouts (NULL readings) and fill each from the user's most recent
+    good reading. ``F.last(ignorenulls=True)`` over a rows-unbounded-
+    preceding frame is the canonical Spark LOCF; the filled value is a
+    COPY of an input double (never arithmetic), so cross-engine parity
+    is exact. Partitioned by user_id - per-task state is one user's
+    history, embarrassingly parallel at any scale."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_s"),
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: contiguous active-hour runs per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "activity_islands",
+    f"""
+    WITH hrs AS (
+      SELECT DISTINCT user_id, {_SEC_SQL.format(ts="ts")} // 3600 AS h
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, h,
+             h - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS grp
+      FROM hrs
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(h) * 3600 * 1000000),
+                    '%Y-%m-%d %H:%M') AS island_start,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands via the classic value-minus-row_number trick:
+    distinct active hours per user, then ``h - row_number()`` is
+    constant exactly across a consecutive run. One distinct + one
+    user-partitioned window + one groupBy - integer arithmetic
+    throughout, so the island keys hash identically across engines."""
+    ev = table(spark, sf_dir, "events")
+    hrs = ev.select(
+        "user_id", F.expr("unix_seconds(ts) div 3600").alias("h")
+    ).distinct()
+    g = hrs.withColumn(
+        "grp",
+        F.col("h") - F.row_number().over(Window.partitionBy("user_id").orderBy("h")),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(
+                F.timestamp_seconds(F.min("h") * 3600), "yyyy-MM-dd HH:mm"
+            ).alias("island_start"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select("user_id", "island_start", "n_hours")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-key mode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mode_per_group",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_event, cnt AS modal_cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type with a TOTAL tie order (count desc,
+    then lexicographic) - engines' built-in ``mode()`` aggregates break
+    ties arbitrarily, so the portable form is count + row_number over
+    the tiny aggregated table. The window runs over at most
+    |event_type| rows per user, never the raw events."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event"),
+            F.col("cnt").alias("modal_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered path signature (behavioral funnel fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "path_signature",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           CAST(COUNT(*) AS BIGINT) AS path_len
+    FROM r WHERE rn <= 15 GROUP BY user_id
+    """,
+)
+def q_path_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's first-15-events path as an ORDERED '>'-joined string
+    (the clickstream fingerprint that feeds funnel clustering).
+    ``collect_list`` has no ordering contract, so order is made
+    explicit: collect (rn, event_type) structs, array_sort (structs
+    sort by leading field), project, join. The window limit prunes to
+    15 rows per user before any aggregation state builds up."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter("rn <= 15")
+    return r.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, event_type))),"
+            " x -> x.event_type), '>')"
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             {_SEC_SQL.format(ts="ts")} AS sec
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, cents,
+             LEAD(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - sec AS gap
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(gap) AS BIGINT) AS total_sec,
+           ROUND(SUM(cents * gap) / (SUM(gap) * 100.0), 4) AS twap
+    FROM g WHERE gap IS NOT NULL AND gap > 0
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each reading is weighted by
+    the seconds it was 'current' (until the next event; the open-ended
+    last reading is excluded). The weighted sum is exact BIGINT
+    arithmetic - integer cents x integer seconds - so the one float
+    division at the end is bit-identical across engines (the corpus's
+    integerize-then-divide convention). One user-partitioned lead + one
+    groupBy."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("unix_seconds(ts)").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = s.withColumn("gap", F.lead("sec").over(w) - F.col("sec")).filter(
+        "gap IS NOT NULL AND gap > 0"
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("gap").alias("total_sec"),
+        F.round(
+            F.sum(F.col("cents") * F.col("gap")) / (F.sum("gap") * F.lit(100.0)), 4
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate scan (tokenizer training inner loop)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substring(tok, i, 2))) AS pair
+      FROM toks
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 40
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-candidate scan: count adjacent symbol pairs inside
+    every corpus token and rank merge candidates - the inner loop of
+    byte-pair-encoding tokenizer training at corpus scale. Pure
+    explode -> groupBy(pair): the pair domain is alphabet-squared
+    (tiny), so map-side partial aggregation collapses the shuffle to
+    almost nothing regardless of corpus size. LIMIT is deterministic:
+    (cnt DESC, pair) is a total order because pair is the group key."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("tok")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(tok) >= 2 THEN "
+                "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_MOD = 499
+_BFS_HOPS = 3
+
+
+@query(
+    "bfs_distance",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_orderkey % {_BFS_MOD} AS x, l_partkey % {_BFS_MOD} AS y
+      FROM lineitem
+      WHERE l_quantity = 1 AND l_orderkey % {_BFS_MOD} <> l_partkey % {_BFS_MOD}
+    ),
+    und AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+    walk(node, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT u.y, w.d + 1 FROM walk w JOIN und u ON u.x = w.node
+      WHERE w.d < {_BFS_HOPS}
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS distance from node 0 within 3 hops, over the sparse
+    undirected graph of (l_orderkey mod 499, l_partkey mod 499) pairs
+    restricted to quantity-1 lineitems (avg degree ~5, so distances
+    actually vary). The engine side is the pregel iteration: per hop,
+    ONE frontier-to-edges equi-join plus ONE groupBy(node) MIN - the
+    distance table never exceeds |V| rows and no path set is ever
+    materialized. The DuckDB oracle's recursive CTE DOES enumerate
+    paths, which is fine for an oracle and exactly what you cannot do
+    at 100 TB; see also connected_components (operators/graph.py) for
+    the converging variant with a driver-side scalar stop test."""
+    li = table(spark, sf_dir, "lineitem")
+    m = _BFS_MOD
+    base = (
+        li.filter(F.col("l_quantity") == 1)
+        .select(
+            (F.col("l_orderkey") % m).alias("x"), (F.col("l_partkey") % m).alias("y")
+        )
+        .filter("x <> y")
+    )
+    und = base.union(base.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
+    dist = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("int").alias("dist")
+    )
+    for k in range(1, _BFS_HOPS + 1):
+        # Re-alias per iteration: `dist` already contains `und`'s lineage
+        # after hop 1, so unaliased column refs turn ambiguous.
+        d, u = dist.alias(f"d{k}"), und.alias(f"u{k}")
+        nxt = d.join(u, F.col(f"d{k}.node") == F.col(f"u{k}.x")).select(
+            F.col(f"u{k}.y").alias("node"), F.lit(k).cast("int").alias("dist")
+        )
+        dist = dist.unionByName(nxt).groupBy("node").agg(F.min("dist").alias("dist"))
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# equal-frequency binning via broadcast quantile assignment
+# ---------------------------------------------------------------------------
+
+_QB_EDGES = [i / 10 for i in range(1, 10)]
+
+
+def _qb_edge_cols_sql() -> str:
+    return ",\n             ".join(
+        f"quantile_disc(o_totalprice, {q}) AS e{i}"
+        for i, q in enumerate(_QB_EDGES, 1)
+    )
+
+
+def _qb_bucket_sql() -> str:
+    return " + ".join(
+        f"CASE WHEN o.o_totalprice > e.e{i} THEN 1 ELSE 0 END"
+        for i in range(1, len(_QB_EDGES) + 1)
+    )
+
+
+@query(
+    "quantile_bucketize",
+    f"""
+    WITH e AS (
+      SELECT {_qb_edge_cols_sql()}
+      FROM orders
+    ),
+    b AS (
+      SELECT o.o_totalprice,
+             ({_qb_bucket_sql()}) AS bucket
+      FROM orders o CROSS JOIN e
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 / (COUNT(*) * 100.0), 2) AS avg_price
+    FROM b GROUP BY bucket
+    """,
+)
+def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning the way it survives scale: compute
+    the 9 DISCRETE decile edges in one aggregate, broadcast that single
+    row back over the fact table, and assign each row by counting edges
+    it exceeds - the MLlib-Bucketizer shape (agg + broadcast map-side
+    assignment). NEVER ntile over a global window: that is a single-
+    partition sort of the whole table. Discrete quantiles are actual
+    data values (bit-identical across engines, corpus convention);
+    ties land below their edge deterministically; the per-bucket mean
+    is an exact integer-cents sum with one final division."""
+    o = table(spark, sf_dir, "orders")
+    edges = o.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+                f"e{i}"
+            )
+            for i, q in enumerate(_QB_EDGES, 1)
+        ]
+    )
+    bucket = sum(
+        F.when(F.col("o_totalprice") > F.col(f"e{i}"), 1).otherwise(0)
+        for i in range(1, len(_QB_EDGES) + 1)
+    )
+    b = o.crossJoin(F.broadcast(edges)).select(
+        "o_totalprice", bucket.alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.round(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            / (F.count(F.lit(1)) * F.lit(100.0)),
+            2,
+        ).alias("avg_price"),
+    )
