@@ -90,6 +90,14 @@ BENCH_QUERIES = [
     "pmi_cooccurrence",
     "triangle_count",
     "record_linkage_scores",
+    # sequence/session suite (round-4 continuation). bfs_distance stays
+    # OUT: its unrolled 3-hop lineage re-derives the edge set per hop
+    # (fine for a fixed-depth query, measured separately) - the
+    # converging loop is neardup_components' slot.
+    "forward_fill",
+    "time_weighted_avg",
+    "bpe_pair_counts",
+    "quantile_bucketize",
 ]
 
 

@@ -426,30 +426,51 @@ def _qb_bucket_sql() -> str:
     """,
 )
 def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency decile binning the way it survives scale: compute
-    the 9 DISCRETE decile edges in one aggregate, broadcast that single
-    row back over the fact table, and assign each row by counting edges
-    it exceeds - the MLlib-Bucketizer shape (agg + broadcast map-side
-    assignment). NEVER ntile over a global window: that is a single-
-    partition sort of the whole table. Discrete quantiles are actual
-    data values (bit-identical across engines, corpus convention);
-    ties land below their edge deterministically; the per-bucket mean
-    is an exact integer-cents sum with one final division."""
-    o = table(spark, sf_dir, "orders")
-    edges = o.agg(
-        *[
-            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)").alias(
-                f"e{i}"
-            )
-            for i, q in enumerate(_QB_EDGES, 1)
-        ]
+    """Equal-frequency decile binning the way it survives scale: extract
+    the 9 DISCRETE decile edges with the shard-prefix distributed rank
+    (rank within value-range shards in parallel windows + tiny
+    per-shard prefix-sum offsets - the epoch_shuffle machinery; the
+    ANSI percentile_disc element is the value at global sorted position
+    ceil(q*n)), then broadcast the 9-value edge array back over the
+    fact table for map-side bucket assignment - the MLlib-Bucketizer
+    shape. NEVER ntile over a global window (single-partition sort of
+    the whole table), and never a percentile aggregate that buffers
+    every value on one reducer. Discrete edges are actual data values
+    (bit-identical across engines, corpus convention); ties land below
+    their edge deterministically; the per-bucket mean is an exact
+    integer-cents sum with one final division."""
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    # shard = integer prefix of the value order: floor(v / 10000) is
+    # monotone in v, so (shard, v) order == global v order and the
+    # shard-offset decomposition reproduces the single global rank.
+    sharded = o.withColumn(
+        "shard", F.expr("CAST(o_totalprice AS BIGINT) div 10000")
     )
-    bucket = sum(
-        F.when(F.col("o_totalprice") > F.col(f"e{i}"), 1).otherwise(0)
-        for i in range(1, len(_QB_EDGES) + 1)
+    w_in = Window.partitionBy("shard").orderBy("o_totalprice")
+    within = sharded.withColumn("rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("shard", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("off"))
+    )
+    ranked = within.join(offsets, "shard").select(
+        "o_totalprice", (F.col("rn") + F.col("off")).alias("pos")
+    )
+    # target ranks r = ceil(q*n) for q = 1/10..9/10, in exact integers
+    targets = (
+        o.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(9))).alias("qn"), "n")
+        .select(F.expr("(qn * n + 9) div 10").alias("r"))
+    )
+    edges = ranked.join(F.broadcast(targets), ranked["pos"] == targets["r"]).agg(
+        F.sort_array(F.collect_list("o_totalprice")).alias("edges")
     )
     b = o.crossJoin(F.broadcast(edges)).select(
-        "o_totalprice", bucket.alias("bucket")
+        "o_totalprice",
+        F.size(F.filter("edges", lambda e: F.col("o_totalprice") > e)).alias(
+            "bucket"
+        ),
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),

@@ -422,3 +422,49 @@ def test_hard_negative_mining_broadcast_panel_topk(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert PI.uses_window_group_limit(df)
+
+
+def test_sequence_windows_single_user_shuffle(spark, sf_dir):
+    """The LOCF fill, TWAP, and path queries all hang off ONE
+    hash-partition-by-user exchange that the downstream groupBy reuses;
+    a second shuffle means the window/agg partitioning stopped
+    aligning (a silent 2x at scale)."""
+    for name in ("forward_fill", "time_weighted_avg", "path_signature"):
+        assert PI.shuffle_count(QUERIES[name](spark, sf_dir)) <= 1, name
+
+
+def test_bpe_pair_counts_partial_agg_topk(spark, sf_dir):
+    """Tiny-domain pair counting must collapse map-side (partial
+    HashAggregate before the single shuffle) and take its top-40 off
+    per-partition heaps, never a global sort."""
+    df = QUERIES["bpe_pair_counts"](spark, sf_dir)
+    assert PI.shuffle_count(df) <= 1
+    assert "TakeOrderedAndProject" in PI.physical_plan(df)
+
+
+def test_quantile_bucketize_broadcast_no_global_sort(spark, sf_dir):
+    """Equal-frequency binning ranks within value-range SHARDS (the
+    epoch_shuffle decomposition - parallel hashpartitioning(shard)
+    windows, never the whole fact table through one ntile window) and
+    assigns buckets via a broadcast one-row edge vector (the corpus's
+    broadcast-totals pattern)."""
+    df = QUERIES["quantile_bucketize"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(shard" in plan  # the parallel rank windows
+    assert "ntile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_distance_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """Each BFS hop is one frontier equi-join + one groupBy MIN. The
+    only condition-less joins allowed are the constant-folded 1-row
+    seed broadcasts; a CartesianProduct or unbounded shuffle growth
+    means a hop stopped being key-partitioned."""
+    df = QUERIES["bfs_distance"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # 3 unrolled hops x (join + min-agg) over recomputed lineage: 14
+    # exchanges today; the bound catches an accidental extra per-hop
+    # shuffle class, not noise.
+    assert PI.shuffle_count(df) <= 16
