@@ -1048,3 +1048,6 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_sequence as _sequence,
 )
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_audit as _audit,
+)

@@ -1,0 +1,272 @@
+"""Audit / data-forensics queries.
+
+Round-4 continuation suite, part 2: the semantics an auditor of the
+reference's payroll-style data would reach for - null-safe linkage
+(SQL's only sane NULL-key join), semi-structured extraction through
+Spark 4's VARIANT type, marketing-style last-touch attribution of
+conversion events, and a Benford first-digit screen (the classic
+forensic-accounting test for fabricated monetary values).
+
+Scale posture: null_safe_join is a hash equi-join (EqualNullSafe is a
+valid hash key - no nested loop); variant_json_extract is map-only;
+attribution is one user-partitioned window pass; the Benford screen is
+a groupBy over a 9-value digit domain with map-side combine plus a
+broadcast one-row total.
+
+Determinism: digit extraction goes through exact integer-cents
+string-prefix (never float log10, whose libm rounding can differ across
+engines at powers of ten); Benford expectations are Python-computed
+literals injected identically into BOTH engines; the one negative-
+capable rounded output uses the norm_round negative-zero convention.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
+    norm_round,
+    norm_round_sql,
+)
+
+# ---------------------------------------------------------------------------
+# null-safe join (NULL keys match each other exactly once per pair)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_safe_join",
+    """
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 5, 3) AS grp FROM customer
+    ),
+    b AS (
+      SELECT s_suppkey, NULLIF(s_nationkey % 5, 3) AS grp FROM supplier
+    )
+    SELECT a.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT b.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY a.grp
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: plain ``=`` silently drops NULL keys,
+    while ``<=>`` (IS NOT DISTINCT FROM) matches NULL to NULL - the
+    semantics record-linkage needs when a blocking key is legitimately
+    absent on both sides. EqualNullSafe is a valid HASH join key in
+    Spark (it compiles to the same shuffled/broadcast hash join as
+    ``=``, no nested loop), which the plan gate pins."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("NULLIF(c_nationkey % 5, 3)").alias("grp")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr("NULLIF(s_nationkey % 5, 3)").alias("grp")
+    )
+    joined = cust.alias("a").join(
+        supp.alias("b"), F.col("a.grp").eqNullSafe(F.col("b.grp"))
+    )
+    return joined.groupBy(F.col("a.grp").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("a.c_custkey").alias("n_customers"),
+        F.countDistinct("b.s_suppkey").alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 open-format type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_json_extract",
+    """
+    WITH j AS (
+      SELECT event_id,
+             json_object('t', event_type,
+                         'm', json_object(
+                           'k', CAST(json_extract_string(props, '$.k') AS INT),
+                           'u', user_id)) AS doc
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(doc, '$.t') AS t,
+           CAST(json_extract(doc, '$.m.k') AS INT) AS k,
+           CAST(json_extract(doc, '$.m.u') AS BIGINT) AS u
+    FROM j
+    WHERE CAST(json_extract(doc, '$.m.k') AS INT) > 80
+    """,
+)
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed path extraction through Spark 4's VARIANT: build a nested
+    JSON document per event, ``parse_json`` it into a VARIANT, and pull
+    typed leaves back out with ``variant_get`` path expressions - the
+    open-format semi-structured flow (VARIANT is the binary JSON type
+    Spark/Delta/Iceberg standardized; DuckDB's JSON type is the oracle
+    twin). Values are strings/integers end-to-end, so the text
+    round-trip is exact; the predicate on the extracted leaf stays a
+    map-side filter (no shuffle anywhere in the plan)."""
+    ev = table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("user_id").alias("u"),
+            ).alias("m"),
+        )
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.t', 'string')").alias("t"),
+        F.expr("variant_get(v, '$.m.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.m.u', 'bigint')").alias("u"),
+    ).filter("k > 80")
+
+
+# ---------------------------------------------------------------------------
+# last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+_TOUCHES = ("click", "view", "signup")
+_TOUCH_IN = ", ".join(f"'{t}'" for t in _TOUCHES)
+_SEC = (
+    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', date_trunc('second', ts))"
+)
+
+
+@query(
+    "attribution_last_touch",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, event_type, ts, {_SEC} AS sec FROM events
+    ),
+    t AS (
+      SELECT event_id, user_id, event_type, sec,
+             LAST_VALUE(CASE WHEN event_type IN ({_TOUCH_IN})
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ({_TOUCH_IN})
+                             THEN sec END IGNORE NULLS) OVER w AS touch_sec
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, touch_type,
+           CAST(sec - touch_sec AS BIGINT) AS sec_since_touch
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    STRICTLY-preceding touch event (click/view/signup) in the same
+    user's history, plus the conversion lag in seconds. Two
+    ignore-nulls ``last`` windows over the same frame and the same
+    NULL-condition necessarily read the same row, so (touch_type,
+    touch_sec) stay consistent without a struct payload. Purchases with
+    no prior touch surface as NULLs (organic conversions) rather than
+    dropping. One user-partitioned window pass - the 1-PRECEDING frame
+    bound makes 'strictly before' explicit instead of relying on a
+    self-exclusion filter."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("unix_seconds(ts)").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_TOUCHES)
+    t = s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "sec",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("sec")), ignorenulls=True)
+        .over(w)
+        .alias("touch_sec"),
+    )
+    return t.filter("event_type = 'purchase'").select(
+        "event_id",
+        "user_id",
+        "touch_type",
+        (F.col("sec") - F.col("touch_sec")).alias("sec_since_touch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensic screen
+# ---------------------------------------------------------------------------
+
+# Python-computed literals injected identically into BOTH engines (never
+# per-engine log10 - libm rounding differs). repr() round-trips exactly.
+_BENFORD = {d: math.log10(1 + 1 / d) * 100 for d in range(1, 10)}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+)
+
+
+@query(
+    "benford_digit_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 100.0 / total, 4) AS pct,
+           CASE digit {_BENFORD_CASE} END AS expected_pct,
+           {norm_round_sql(f"n * 100.0 / total - (CASE digit {_BENFORD_CASE} END)", 4)}
+             AS deviation
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals - the
+    forensic-accounting test an audit platform runs for fabricated
+    monetary values. The leading digit comes from the exact
+    integer-cents STRING prefix (integer-to-text is locale-free and
+    identical across engines), never float log10/pow, whose libm
+    rounding at powers of ten can flip a digit per engine. Counts
+    groupBy a 9-value domain (map-side combine collapses the shuffle);
+    the expected distribution is a shared literal table; deviation is
+    negative-capable so it carries the norm_round -0.0 convention."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+            "AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    expected = F.expr(f"CASE digit {_BENFORD_CASE} END")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 100.0 / F.col("total"), 4).alias("pct"),
+        expected.alias("expected_pct"),
+        norm_round(F.col("n") * 100.0 / F.col("total") - expected, 4).alias(
+            "deviation"
+        ),
+    )

@@ -468,3 +468,37 @@ def test_bfs_distance_no_cartesian_bounded_shuffles(spark, sf_dir):
     # exchanges today; the bound catches an accidental extra per-hop
     # shuffle class, not noise.
     assert PI.shuffle_count(df) <= 16
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """EqualNullSafe must compile to a HASH join (shuffled or
+    broadcast) exactly like ``=`` - a nested loop here means Spark
+    stopped treating <=> as an equi-key and the join went quadratic."""
+    df = QUERIES["null_safe_join"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_extract_is_map_only(spark, sf_dir):
+    """VARIANT build + typed path extraction + leaf predicate is a pure
+    projection chain: zero exchanges."""
+    assert PI.shuffle_count(QUERIES["variant_json_extract"](spark, sf_dir)) == 0
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Last-touch attribution is ONE user-partitioned window shuffle;
+    both ignore-nulls lasts share the frame."""
+    assert PI.shuffle_count(QUERIES["attribution_last_touch"](spark, sf_dir)) <= 1
+
+
+def test_benford_broadcast_total_tiny_domain(spark, sf_dir):
+    """The Benford screen reduces to a 9-row digit table before any
+    join; the grand total rides the broadcast-one-row pattern (the
+    only condition-less join allowed) and nothing cartesian appears."""
+    df = QUERIES["benford_digit_audit"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert PI.shuffle_count(df) <= 3
