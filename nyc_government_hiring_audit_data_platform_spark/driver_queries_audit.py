@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
+    epoch_seconds_sql,
+)
 from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
     norm_round,
     norm_round_sql,
@@ -136,9 +139,7 @@ def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOUCHES = ("click", "view", "signup")
 _TOUCH_IN = ", ".join(f"'{t}'" for t in _TOUCHES)
-_SEC = (
-    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', date_trunc('second', ts))"
-)
+_SEC = epoch_seconds_sql()
 
 
 @query(

@@ -34,11 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
-
-# DuckDB: whole seconds since the epoch, truncated like Spark's
-# unix_seconds (events.ts is naive-UTC; both engines floor positives).
-_SEC_SQL = (
-    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', date_trunc('second', {ts}))"
+from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
+    epoch_seconds_sql,
 )
 
 
@@ -90,7 +87,7 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "activity_islands",
     f"""
     WITH hrs AS (
-      SELECT DISTINCT user_id, {_SEC_SQL.format(ts="ts")} // 3600 AS h
+      SELECT DISTINCT user_id, {epoch_seconds_sql()} // 3600 AS h
       FROM events
     ),
     g AS (
@@ -225,7 +222,7 @@ def q_path_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, ts, event_id,
              CAST(ROUND(value * 100) AS BIGINT) AS cents,
-             {_SEC_SQL.format(ts="ts")} AS sec
+             {epoch_seconds_sql()} AS sec
       FROM events
     ),
     g AS (

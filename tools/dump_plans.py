@@ -126,6 +126,27 @@ SHOWCASE = {
         "(parallel windows) + tiny prefix-sum offsets - provably equal "
         "to one global ORDER BY, with no single-partition window."
     ),
+    "quantile_bucketize": (
+        "Exact discrete decile edges WITHOUT a single-reducer percentile "
+        "buffer: shard-prefix distributed rank picks the values at ranks "
+        "ceil(q*n); a broadcast 9-value edge array then assigns buckets "
+        "map-side (the MLlib-Bucketizer shape, no global ntile sort)."
+    ),
+    "bfs_distance": (
+        "Pregel iteration: each hop is ONE frontier equi-join + ONE "
+        "groupBy(node) MIN; the distance table never exceeds |V| rows "
+        "and no path set is materialized (the oracle's recursive CTE "
+        "does - exactly what cannot run at scale)."
+    ),
+    "null_safe_join": (
+        "EqualNullSafe (<=>) keeps the HASH join: NULL keys match "
+        "NULL keys without falling back to a nested loop."
+    ),
+    "forward_fill": (
+        "LOCF imputation in one user-partitioned window exchange that "
+        "the downstream projection reuses - per-task state is one "
+        "user's history."
+    ),
 }
 
 
