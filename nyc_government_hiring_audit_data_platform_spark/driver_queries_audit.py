@@ -210,6 +210,88 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# weighted median (quantity-weighted discrete median price)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+      FROM lineitem GROUP BY flag, cents
+    ),
+    c AS (
+      SELECT flag, cents,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM h
+    )
+    SELECT flag,
+           ROUND(MIN(CASE WHEN 2 * cum >= tot THEN cents END) / 100.0, 2)
+             AS weighted_median,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted DISCRETE median price per return flag: the
+    smallest price whose cumulative weight reaches half the total
+    (integer comparison ``2*cum >= tot`` - no float quantile). The
+    engine never sorts raw rows: prices collapse to an integer-cents
+    histogram first (domain-bounded at any corpus size), and the
+    cumulative weights use the shard-prefix decomposition (windows
+    partitioned by (flag, cents-range shard) + tiny per-shard offsets)
+    rather than one window per flag over the whole histogram - the
+    same distributed-rank machinery as quantile_bucketize. The oracle
+    states the naive single-window form, which is exactly what the
+    engine plan must NOT be."""
+    li = table(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)")).alias("w"))
+        .withColumn("shard", F.expr("cents div 1000000"))
+    )
+    w_in = (
+        Window.partitionBy("flag", "shard")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = h.withColumn("wcum", F.sum("w").over(w_in))
+    shard_tot = h.groupBy("flag", "shard").agg(F.sum("w").alias("sw"))
+    w_off = (
+        Window.partitionBy("flag")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = shard_tot.select(
+        "flag",
+        "shard",
+        (F.sum("sw").over(w_off) - F.col("sw")).alias("off"),
+        F.sum("sw").over(w_tot).alias("tot"),
+    )
+    c = within.join(offsets, ["flag", "shard"]).select(
+        "flag", "cents", (F.col("wcum") + F.col("off")).alias("cum"), "tot"
+    )
+    return c.groupBy("flag").agg(
+        F.round(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))) / 100.0,
+            2,
+        ).alias("weighted_median"),
+        F.max("tot").cast("bigint").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit forensic screen
 # ---------------------------------------------------------------------------
 

@@ -381,6 +381,203 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# nearest as-of join (tolerance-bounded, both directions)
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL = 3600  # seconds
+
+
+@query(
+    "asof_join_nearest",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, event_type, ts, {epoch_seconds_sql()} AS sec
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    t AS (
+      SELECT event_id, user_id, event_type, sec,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN sec END
+                        IGNORE NULLS) OVER wb AS b_sec,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS) OVER wb AS b_eid,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN sec END
+                         IGNORE NULLS) OVER wf AS f_sec,
+             FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                         IGNORE NULLS) OVER wf AS f_eid
+      FROM s
+      WINDOW wb AS (PARTITION BY user_id ORDER BY sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY sec, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    p AS (
+      SELECT event_id, user_id,
+             CASE WHEN b_sec IS NOT NULL AND sec - b_sec <= {_NEAREST_TOL}
+                       AND (f_sec IS NULL OR f_sec - sec > {_NEAREST_TOL}
+                            OR sec - b_sec <= f_sec - sec)
+                  THEN b_eid
+                  WHEN f_sec IS NOT NULL AND f_sec - sec <= {_NEAREST_TOL}
+                  THEN f_eid END AS purchase_event_id,
+             CASE WHEN b_sec IS NOT NULL AND sec - b_sec <= {_NEAREST_TOL}
+                       AND (f_sec IS NULL OR f_sec - sec > {_NEAREST_TOL}
+                            OR sec - b_sec <= f_sec - sec)
+                  THEN b_sec - sec
+                  WHEN f_sec IS NOT NULL AND f_sec - sec <= {_NEAREST_TOL}
+                  THEN f_sec - sec END AS gap_sec
+      FROM t WHERE event_type = 'click'
+    )
+    SELECT event_id, user_id, purchase_event_id,
+           CAST(gap_sec AS BIGINT) AS gap_sec
+    FROM p WHERE purchase_event_id IS NOT NULL
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join, the two-sided variant of ``asof_join``: each
+    click pairs with its closest purchase in EITHER direction within a
+    1-hour tolerance (ties go backward, the as-of convention). Same
+    union-merge shape as the backward as-of: interleave both event
+    types in ONE user-partitioned ordered pass and read the nearest
+    neighbors off two ignore-nulls window frames (preceding/following,
+    both excluding the current row) - never a theta self-join, which
+    would be quadratic per user. The paired (sec, event_id) columns
+    come from identical NULL-conditions over identical frames, so each
+    pair reads the same row."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_seconds(ts)").alias("sec"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p_sec = F.when(F.col("event_type") == "purchase", F.col("sec"))
+    p_eid = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    t = s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "sec",
+        F.last(p_sec, ignorenulls=True).over(wb).alias("b_sec"),
+        F.last(p_eid, ignorenulls=True).over(wb).alias("b_eid"),
+        F.first(p_sec, ignorenulls=True).over(wf).alias("f_sec"),
+        F.first(p_eid, ignorenulls=True).over(wf).alias("f_eid"),
+    ).filter("event_type = 'click'")
+    tol = _NEAREST_TOL
+    back_ok = (F.col("b_sec").isNotNull()) & (F.col("sec") - F.col("b_sec") <= tol)
+    fwd_ok = (F.col("f_sec").isNotNull()) & (F.col("f_sec") - F.col("sec") <= tol)
+    prefer_back = back_ok & (
+        F.col("f_sec").isNull()
+        | (F.col("f_sec") - F.col("sec") > tol)
+        | (F.col("sec") - F.col("b_sec") <= F.col("f_sec") - F.col("sec"))
+    )
+    out = t.select(
+        "event_id",
+        "user_id",
+        F.when(prefer_back, F.col("b_eid"))
+        .when(fwd_ok, F.col("f_eid"))
+        .alias("purchase_event_id"),
+        F.when(prefer_back, F.col("b_sec") - F.col("sec"))
+        .when(fwd_ok, F.col("f_sec") - F.col("sec"))
+        .cast("bigint")
+        .alias("gap_sec"),
+    )
+    return out.filter("purchase_event_id IS NOT NULL")
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing (merge overlapping activity spans)
+# ---------------------------------------------------------------------------
+
+_SPAN = 900  # each event opens a 15-minute activity interval
+
+
+@query(
+    "interval_coalesce",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id, {epoch_seconds_sql()} AS s,
+             {epoch_seconds_sql()} + {_SPAN} AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, island
+    """,
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals (each event opens a 15-minute
+    activity span; touching/overlapping spans per user coalesce into
+    one): running MAX of interval end over the preceding frame, a new
+    island exactly when the next start clears it, then a cumulative
+    island counter and one groupBy - the sweep-line algorithm as three
+    window expressions over ONE user-partitioned sort, no self-join.
+    All integer-seconds arithmetic, so the island keys and span bounds
+    hash identically across engines."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_seconds(ts)").alias("s"),
+        (F.expr("unix_seconds(ts)") + _SPAN).alias("e"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("prev_max_e", F.max("e").over(wp))
+    g = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+            ).otherwise(0)
+        ).over(wc),
+    )
+    return (
+        g.groupBy("user_id", "island")
+        .agg(
+            F.min("s").cast("bigint").alias("span_start"),
+            F.max("e").cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "span_start", "span_end", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # equal-frequency binning via broadcast quantile assignment
 # ---------------------------------------------------------------------------
 

@@ -502,3 +502,31 @@ def test_benford_broadcast_total_tiny_domain(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert PI.shuffle_count(df) <= 3
+
+
+def test_nearest_asof_single_pass(spark, sf_dir):
+    """Both direction frames (preceding/following) share one
+    user-partitioned sort: ONE exchange, two Window frames, and never
+    a theta self-join."""
+    df = QUERIES["asof_join_nearest"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert PI.shuffle_count(df) <= 1
+    assert "Join" not in plan  # pure window pass, no join operator at all
+
+
+def test_interval_coalesce_single_shuffle(spark, sf_dir):
+    """Sweep-line coalescing: windows + groupBy(user, island) all ride
+    the hash(user_id) exchange (subset partitioning satisfies the
+    clustered distribution) - one shuffle end to end."""
+    assert PI.shuffle_count(QUERIES["interval_coalesce"](spark, sf_dir)) <= 1
+
+
+def test_weighted_median_sharded_no_cartesian(spark, sf_dir):
+    """Cumulative weights run over (flag, cents-shard) partitions (the
+    shard-prefix decomposition), never one whole-histogram window per
+    flag; all joins stay keyed."""
+    df = QUERIES["weighted_median"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "hashpartitioning(flag" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
