@@ -1,0 +1,150 @@
+"""Brute-force property checks for the sequence/temporal queries.
+
+The oracle-parity suite proves Spark == DuckDB; these tests prove both
+engines compute the SEMANTICS claimed, by re-deriving the answers with
+naive in-Python algorithms over the real sf0.001 events (small enough
+to brute-force, real enough to carry ties, bursts, and per-user
+variety).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+_TOL = 3600
+_SPAN = 900
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_smoke):
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    rows = (
+        table(spark, sf_smoke, "events")
+        .selectExpr(
+            "event_id", "user_id", "event_type", "unix_seconds(ts) AS sec"
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.sec, r.event_id, r.event_type))
+    for v in by_user.values():
+        v.sort(key=lambda t: (t[0], t[1]))
+    return by_user
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_smoke, events):
+    """Every emitted pair is the minimum-|gap| purchase within
+    tolerance (ties backward), and every click with an eligible
+    purchase IS emitted."""
+    got = {
+        r.event_id: (r.purchase_event_id, r.gap_sec)
+        for r in QUERIES["asof_join_nearest"](spark, sf_smoke).collect()
+    }
+    expected = {}
+    for seq in events.values():
+        for i, (sec, eid, et) in enumerate(seq):
+            if et != "click":
+                continue
+            back = next(
+                (
+                    (s, e)
+                    for s, e, t in reversed(seq[:i])
+                    if t == "purchase" and sec - s <= _TOL
+                ),
+                None,
+            )
+            fwd = next(
+                (
+                    (s, e)
+                    for s, e, t in seq[i + 1 :]
+                    if t == "purchase" and s - sec <= _TOL
+                ),
+                None,
+            )
+            if back is not None and (
+                fwd is None or sec - back[0] <= fwd[0] - sec
+            ):
+                expected[eid] = (back[1], back[0] - sec)
+            elif fwd is not None:
+                expected[eid] = (fwd[1], fwd[0] - sec)
+    assert got == expected
+
+
+def test_interval_coalesce_spans_disjoint_and_cover(spark, sf_smoke, events):
+    """Per user: spans are maximal, strictly separated (gap > 0 between
+    consecutive spans), every event's interval is inside exactly one
+    span, and n_events adds up to the user's event count."""
+    spans = defaultdict(list)
+    for r in QUERIES["interval_coalesce"](spark, sf_smoke).collect():
+        spans[r.user_id].append((r.span_start, r.span_end, r.n_events))
+    for uid, seq in events.items():
+        got = sorted(spans[uid])
+        assert sum(n for _, _, n in got) == len(seq)
+        for (s1, e1, _), (s2, _, _) in zip(got, got[1:]):
+            assert s2 > e1, f"user {uid}: spans touch/overlap"
+        # brute-force merge of [sec, sec+span)
+        merged = []
+        for sec, _, _t in seq:
+            if merged and sec <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], sec + _SPAN)
+                merged[-1][2] += 1
+            else:
+                merged.append([sec, sec + _SPAN, 1])
+        assert got == [tuple(m) for m in merged]
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_smoke):
+    """The emitted median is the smallest price whose cumulative
+    quantity weight reaches half the total, per return flag."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").selectExpr(
+        "l_returnflag AS flag",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS w",
+    )
+    data = defaultdict(list)
+    for r in li.collect():
+        data[r.flag].append((r.cents, r.w))
+    got = {
+        r.flag: (r.weighted_median, r.total_weight)
+        for r in QUERIES["weighted_median"](spark, sf_smoke).collect()
+    }
+    for flag, pairs in data.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        med = None
+        for cents, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                med = round(cents / 100.0, 2)
+                break
+        assert got[flag] == (med, tot)
+
+
+def test_forward_fill_carries_last_good(spark, sf_smoke, events):
+    """Filled value equals the most recent non-error reading; leading
+    errors stay NULL."""
+    vals = {
+        r.event_id: r.value
+        for r in spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("event_id", "value")
+        .collect()
+    }
+    got = {
+        r.event_id: r.filled_value
+        for r in QUERIES["forward_fill"](spark, sf_smoke).collect()
+    }
+    for seq in events.values():
+        last_good = None
+        for _sec, eid, et in seq:
+            if et != "error":
+                last_good = vals[eid]
+            assert got[eid] == last_good
