@@ -210,6 +210,61 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-anonymity suppression (privacy screen over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_suppress",
+    f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey AS nat,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    g AS (
+      SELECT c_custkey, nat, bal_band,
+             COUNT(*) OVER (PARTITION BY nat, bal_band) AS grp_n
+      FROM q
+    )
+    SELECT c_custkey,
+           CASE WHEN grp_n >= {_K_ANON} THEN nat END AS nat,
+           CASE WHEN grp_n >= {_K_ANON} THEN bal_band END AS bal_band,
+           CAST(grp_n AS BIGINT) AS grp_n,
+           grp_n < {_K_ANON} AS suppressed
+    FROM g
+    """,
+)
+def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen: customers whose quasi-identifier combination
+    (nation, account-balance band) is shared by fewer than k=5 others
+    get those fields SUPPRESSED (nulled) before the table leaves the
+    boundary - the release-readiness check a privacy reviewer runs on
+    an audit extract. One count-over-partition window keyed by the
+    quasi-identifier (equivalently a groupBy+join-back; the window form
+    is one shuffle); the band uses FLOOR of a single double division so
+    negative balances band identically on both engines."""
+    cust = table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+    )
+    w = Window.partitionBy("nat", "bal_band")
+    g = q.withColumn("grp_n", F.count(F.lit(1)).over(w))
+    keep = F.col("grp_n") >= _K_ANON
+    return g.select(
+        "c_custkey",
+        F.when(keep, F.col("nat")).alias("nat"),
+        F.when(keep, F.col("bal_band")).alias("bal_band"),
+        F.col("grp_n").cast("bigint").alias("grp_n"),
+        (F.col("grp_n") < _K_ANON).alias("suppressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # weighted median (quantity-weighted discrete median price)
 # ---------------------------------------------------------------------------
 

@@ -381,6 +381,69 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# overlapping-window document chunking (RAG / long-context splitting)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # window stride (8-token overlap)
+
+
+@query(
+    "chunk_overlap_split",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) + 1, {_STRIDE}),
+               s -> struct_pack(
+                 start := s,
+                 chunk := array_to_string(toks[s:s + {_CHUNK} - 1], ' '),
+                 n_tok := len(toks[s:s + {_CHUNK} - 1])))) AS c
+      FROM src WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(c.start AS BIGINT) AS start_tok,
+           CAST(c.n_tok AS INT) AS n_tok,
+           c.chunk AS chunk_text
+    FROM ch
+    """,
+)
+def q_chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking - the RAG / long-context
+    splitter: 32-token windows every 24 tokens (8-token overlap so no
+    boundary sentence is ever lost), tail windows kept short rather
+    than dropped. Pure map-side transform+explode: the chunk set for a
+    doc is computed where the doc lives, zero shuffles at any corpus
+    size. Chunk identity is the start-token offset (stable under
+    re-chunking; pairs with chunk_dedup, which dedups CONTENT)."""
+    docs = table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks")
+    ).filter(F.size("toks") > 0)
+    ch = src.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks), {_STRIDE}), s -> "
+                f"struct(s AS start, "
+                f"array_join(slice(toks, s, {_CHUNK}), ' ') AS chunk, "
+                f"size(slice(toks, s, {_CHUNK})) AS n_tok))"
+            )
+        ).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.start").cast("bigint").alias("start_tok"),
+        F.col("c.n_tok").cast("int").alias("n_tok"),
+        F.col("c.chunk").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # nearest as-of join (tolerance-bounded, both directions)
 # ---------------------------------------------------------------------------
 

@@ -530,3 +530,15 @@ def test_weighted_median_sharded_no_cartesian(spark, sf_dir):
     assert "hashpartitioning(flag" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_split_map_only(spark, sf_dir):
+    """Sliding-window chunking computes every chunk where the doc
+    lives: zero exchanges."""
+    assert PI.shuffle_count(QUERIES["chunk_overlap_split"](spark, sf_dir)) == 0
+
+
+def test_k_anonymity_single_qi_shuffle(spark, sf_dir):
+    """The suppression screen is one count-over-quasi-identifier
+    window: one shuffle keyed by (nat, bal_band)."""
+    assert PI.shuffle_count(QUERIES["k_anonymity_suppress"](spark, sf_dir)) <= 1
