@@ -35,6 +35,7 @@ from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
     norm_round,
     norm_round_sql,
 )
+from nyc_government_hiring_audit_data_platform_spark.operators import sequence as SEQ
 
 # ---------------------------------------------------------------------------
 # null-safe join (NULL keys match each other exactly once per pair)
@@ -305,44 +306,24 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the naive single-window form, which is exactly what the
     engine plan must NOT be."""
     li = table(spark, sf_dir, "lineitem")
-    h = (
-        li.groupBy(
-            F.col("l_returnflag").alias("flag"),
-            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)")).alias("w"))
-        .withColumn("shard", F.expr("cents div 1000000"))
-    )
-    w_in = (
-        Window.partitionBy("flag", "shard")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = h.withColumn("wcum", F.sum("w").over(w_in))
-    shard_tot = h.groupBy("flag", "shard").agg(F.sum("w").alias("sw"))
-    w_off = (
-        Window.partitionBy("flag")
-        .orderBy("shard")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy("flag").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = shard_tot.select(
-        "flag",
-        "shard",
-        (F.sum("sw").over(w_off) - F.col("sw")).alias("off"),
-        F.sum("sw").over(w_tot).alias("tot"),
-    )
-    c = within.join(offsets, ["flag", "shard"]).select(
-        "flag", "cents", (F.col("wcum") + F.col("off")).alias("cum"), "tot"
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    ).agg(F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)")).alias("w"))
+    c = SEQ.sharded_rank(
+        h,
+        value="cents",
+        shard_expr="cents div 1000000",
+        keys=["flag"],
+        weight="w",
     )
     return c.groupBy("flag").agg(
         F.round(
-            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))) / 100.0,
+            F.min(F.when(2 * F.col("pos") >= F.col("total"), F.col("cents")))
+            / 100.0,
             2,
         ).alias("weighted_median"),
-        F.max("tot").cast("bigint").alias("total_weight"),
+        F.max("total").cast("bigint").alias("total_weight"),
     )
 
 

@@ -37,6 +37,7 @@ from nyc_government_hiring_audit_data_platform_spark.driver_queries import query
 from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
     epoch_seconds_sql,
 )
+from nyc_government_hiring_audit_data_platform_spark.operators import sequence as SEQ
 
 
 # ---------------------------------------------------------------------------
@@ -64,17 +65,18 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact. Partitioned by user_id - per-task state is one user's
     history, embarrassingly parallel at any scale."""
     ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = SEQ.forward_fill(
+        ev,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        value="value",
+        good=F.col("event_type") != "error",
     )
-    good = F.when(F.col("event_type") != "error", F.col("value"))
-    return ev.select(
+    return filled.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_s"),
-        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+        "filled_value",
     )
 
 
@@ -423,23 +425,9 @@ def q_chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     src = docs.select(
         "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks")
-    ).filter(F.size("toks") > 0)
-    ch = src.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks), {_STRIDE}), s -> "
-                f"struct(s AS start, "
-                f"array_join(slice(toks, s, {_CHUNK}), ' ') AS chunk, "
-                f"size(slice(toks, s, {_CHUNK})) AS n_tok))"
-            )
-        ).alias("c"),
     )
-    return ch.select(
-        "doc_id",
-        F.col("c.start").cast("bigint").alias("start_tok"),
-        F.col("c.n_tok").cast("int").alias("n_tok"),
-        F.col("c.chunk").alias("chunk_text"),
+    return SEQ.chunk_overlap(src, "toks", size=_CHUNK, stride=_STRIDE).select(
+        "doc_id", "start_tok", "n_tok", "chunk_text"
     )
 
 
@@ -512,48 +500,22 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("unix_seconds(ts)").alias("sec"),
     )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("sec", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    paired = SEQ.nearest_asof(
+        s,
+        keys=["user_id"],
+        sec="sec",
+        order_tiebreak=["event_id"],
+        is_left=F.col("event_type") == "click",
+        is_right=F.col("event_type") == "purchase",
+        right_payload="event_id",
+        tolerance=_NEAREST_TOL,
     )
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy("sec", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    p_sec = F.when(F.col("event_type") == "purchase", F.col("sec"))
-    p_eid = F.when(F.col("event_type") == "purchase", F.col("event_id"))
-    t = s.select(
+    return paired.select(
         "event_id",
         "user_id",
-        "event_type",
-        "sec",
-        F.last(p_sec, ignorenulls=True).over(wb).alias("b_sec"),
-        F.last(p_eid, ignorenulls=True).over(wb).alias("b_eid"),
-        F.first(p_sec, ignorenulls=True).over(wf).alias("f_sec"),
-        F.first(p_eid, ignorenulls=True).over(wf).alias("f_eid"),
-    ).filter("event_type = 'click'")
-    tol = _NEAREST_TOL
-    back_ok = (F.col("b_sec").isNotNull()) & (F.col("sec") - F.col("b_sec") <= tol)
-    fwd_ok = (F.col("f_sec").isNotNull()) & (F.col("f_sec") - F.col("sec") <= tol)
-    prefer_back = back_ok & (
-        F.col("f_sec").isNull()
-        | (F.col("f_sec") - F.col("sec") > tol)
-        | (F.col("sec") - F.col("b_sec") <= F.col("f_sec") - F.col("sec"))
-    )
-    out = t.select(
-        "event_id",
-        "user_id",
-        F.when(prefer_back, F.col("b_eid"))
-        .when(fwd_ok, F.col("f_eid"))
-        .alias("purchase_event_id"),
-        F.when(prefer_back, F.col("b_sec") - F.col("sec"))
-        .when(fwd_ok, F.col("f_sec") - F.col("sec"))
-        .cast("bigint")
-        .alias("gap_sec"),
-    )
-    return out.filter("purchase_event_id IS NOT NULL")
+        F.col("matched_event_id").alias("purchase_event_id"),
+        "gap_sec",
+    ).filter("purchase_event_id IS NOT NULL")
 
 
 # ---------------------------------------------------------------------------
@@ -610,33 +572,14 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_seconds(ts)").alias("s"),
         (F.expr("unix_seconds(ts)") + _SPAN).alias("e"),
     )
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    out = SEQ.coalesce_intervals(
+        iv, keys=["user_id"], start="s", end="e", order_tiebreak=["event_id"]
     )
-    wc = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = iv.withColumn("prev_max_e", F.max("e").over(wp))
-    g = m.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
-            ).otherwise(0)
-        ).over(wc),
-    )
-    return (
-        g.groupBy("user_id", "island")
-        .agg(
-            F.min("s").cast("bigint").alias("span_start"),
-            F.max("e").cast("bigint").alias("span_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select("user_id", "span_start", "span_end", "n_events")
+    return out.select(
+        "user_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_intervals").alias("n_events"),
     )
 
 
@@ -699,21 +642,11 @@ def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_totalprice")
     # shard = integer prefix of the value order: floor(v / 10000) is
     # monotone in v, so (shard, v) order == global v order and the
-    # shard-offset decomposition reproduces the single global rank.
-    sharded = o.withColumn(
-        "shard", F.expr("CAST(o_totalprice AS BIGINT) div 10000")
-    )
-    w_in = Window.partitionBy("shard").orderBy("o_totalprice")
-    within = sharded.withColumn("rn", F.row_number().over(w_in))
-    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = (
-        sharded.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("shard", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("off"))
-    )
-    ranked = within.join(offsets, "shard").select(
-        "o_totalprice", (F.col("rn") + F.col("off")).alias("pos")
-    )
+    # shard-offset decomposition reproduces the single global rank
+    # (operators/sequence.py:sharded_rank).
+    ranked = SEQ.sharded_rank(
+        o, value="o_totalprice", shard_expr="CAST(o_totalprice AS BIGINT) div 10000"
+    ).select("o_totalprice", "pos")
     # target ranks r = ceil(q*n) for q = 1/10..9/10, in exact integers
     targets = (
         o.agg(F.count(F.lit(1)).alias("n"))

@@ -451,7 +451,7 @@ def test_quantile_bucketize_broadcast_no_global_sort(spark, sf_dir):
     df = QUERIES["quantile_bucketize"](spark, sf_dir)
     plan = PI.physical_plan(df)
     assert "BroadcastExchange" in plan
-    assert "hashpartitioning(shard" in plan  # the parallel rank windows
+    assert "hashpartitioning(_shard" in plan  # the parallel rank windows
     assert "ntile" not in plan.lower()
     assert "CartesianProduct" not in plan
 
