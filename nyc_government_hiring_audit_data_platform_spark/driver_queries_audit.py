@@ -240,10 +240,12 @@ _K_ANON = 5
 )
 def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity screen: customers whose quasi-identifier combination
-    (nation, account-balance band) is shared by fewer than k=5 others
-    get those fields SUPPRESSED (nulled) before the table leaves the
-    boundary - the release-readiness check a privacy reviewer runs on
-    an audit extract. One count-over-partition window keyed by the
+    (nation, account-balance band) occurs in a group of fewer than k=5
+    records TOTAL (i.e. the record is indistinguishable from fewer than
+    k-1 others - the standard definition) get those fields SUPPRESSED
+    (nulled) before the table leaves the boundary - the
+    release-readiness check a privacy reviewer runs on an audit
+    extract. One count-over-partition window keyed by the
     quasi-identifier (equivalently a groupBy+join-back; the window form
     is one shuffle); the band uses FLOOR of a single double division so
     negative balances band identically on both engines."""
@@ -316,6 +318,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_expr="cents div 1000000",
         keys=["flag"],
         weight="w",
+        with_total=True,
     )
     return c.groupBy("flag").agg(
         F.round(

@@ -39,6 +39,13 @@ from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
 )
 from nyc_government_hiring_audit_data_platform_spark.operators import sequence as SEQ
 
+# RAW whitespace tokens with empties dropped - deliberately NOT
+# textstats.tokens (which normalizes/lowercases): the chunker and the
+# BPE scan must preserve original casing. One definition per engine so
+# the two call sites cannot drift.
+_RAW_TOKS = "filter(split(text, ' '), t -> t <> '')"
+_RAW_TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
 
 # ---------------------------------------------------------------------------
 # forward-fill: last-observation-carried-forward imputation
@@ -277,9 +284,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_pair_counts",
-    """
+    f"""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      SELECT unnest({_RAW_TOKS_SQL}) AS tok
       FROM documents
     ),
     pairs AS (
@@ -302,7 +309,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cnt DESC, pair) is a total order because pair is the group key."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("tok")
+        F.explode(F.expr(_RAW_TOKS)).alias("tok")
     )
     pairs = toks.select(
         F.explode(
@@ -394,7 +401,7 @@ _STRIDE = 24  # window stride (8-token overlap)
     "chunk_overlap_split",
     f"""
     WITH src AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks
       FROM documents
     ),
     ch AS (
@@ -424,7 +431,7 @@ def q_chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-chunking; pairs with chunk_dedup, which dedups CONTENT)."""
     docs = table(spark, sf_dir, "documents")
     src = docs.select(
-        "doc_id", F.expr("filter(split(text, ' '), t -> t <> '')").alias("toks")
+        "doc_id", F.expr(_RAW_TOKS).alias("toks")
     )
     return SEQ.chunk_overlap(src, "toks", size=_CHUNK, stride=_STRIDE).select(
         "doc_id", "start_tok", "n_tok", "chunk_text"

@@ -33,6 +33,19 @@ def _cols(names: Sequence[str]) -> list[Column]:
     return [F.col(n) for n in names]
 
 
+def _guard_output_cols(df: DataFrame, taken: Sequence[str], op: str) -> None:
+    """Fail loudly instead of silently clobbering caller columns: these
+    operators ADD named output/scratch columns, and ``withColumn`` on an
+    existing name replaces it without warning (wrong results, no
+    error)."""
+    clash = [c for c in taken if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash}; rename them first "
+            f"(the operator writes these names)"
+        )
+
+
 def forward_fill(
     df: DataFrame,
     keys: Sequence[str],
@@ -45,6 +58,7 @@ def forward_fill(
     recent ``value`` (optionally only rows where ``good`` holds count
     as observations). One window exchange on ``keys``; rows before the
     first observation stay NULL."""
+    _guard_output_cols(df, [out], "forward_fill")
     w = (
         Window.partitionBy(*_cols(keys))
         .orderBy(*_cols(order))
@@ -68,6 +82,11 @@ def coalesce_intervals(
     All three window expressions and the final aggregate ride ONE
     hash(keys) exchange (subset partitioning satisfies the clustered
     distribution)."""
+    _guard_output_cols(
+        df,
+        ["_prev_max_e", "_island", "span_start", "span_end", "n_intervals"],
+        "coalesce_intervals",
+    )
     order = [F.col(start), *_cols(order_tiebreak)]
     wp = (
         Window.partitionBy(*_cols(keys))
@@ -119,6 +138,11 @@ def nearest_asof(
     sort, two ignore-nulls frames - never a theta self-join. The
     payload and sec columns are read from identical NULL-conditions
     over identical frames, so they always come from the same row."""
+    _guard_output_cols(
+        df,
+        ["_b_sec", "_b_pay", "_f_sec", "_f_pay", f"matched_{right_payload}", "gap_sec"],
+        "nearest_asof",
+    )
     order = [F.col(sec), *_cols(order_tiebreak)]
     wb = (
         Window.partitionBy(*_cols(keys))
@@ -171,6 +195,7 @@ def sharded_rank(
     shard_expr: str,
     keys: Sequence[str] = (),
     weight: str | None = None,
+    with_total: bool = False,
 ) -> DataFrame:
     """Global (per ``keys``) rank / cumulative weight of ``value``
     without a single-partition sort: rank within value-range shards in
@@ -178,7 +203,11 @@ def sharded_rank(
     ``shard_expr`` must be a SQL expression MONOTONE in ``value`` (a
     prefix of the sort order) so (shard, value) order equals global
     value order. Returns the input plus ``pos`` (1-based rank, or
-    cumulative weight when ``weight`` is given) and ``total``."""
+    cumulative weight when ``weight`` is given) and - only when
+    ``with_total`` - a ``total`` column (it costs a second window pass
+    over the tiny shard-totals table, so rank-only callers skip it)."""
+    taken = ["_shard", "_wcum", "_off", "pos"] + (["total"] if with_total else [])
+    _guard_output_cols(df, taken, "sharded_rank")
     sharded = df.withColumn("_shard", F.expr(shard_expr))
     w_val = F.col(weight) if weight is not None else F.lit(1)
     w_in = (
@@ -195,15 +224,17 @@ def sharded_rank(
         .orderBy("_shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy(*_cols(keys)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = shard_tot.select(
+    off_cols = [
         *_cols(keys),
         F.col("_shard"),
         (F.sum("_sw").over(w_off) - F.col("_sw")).alias("_off"),
-        F.sum("_sw").over(w_tot).alias("total"),
-    )
+    ]
+    if with_total:
+        w_tot = Window.partitionBy(*_cols(keys)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_sw").over(w_tot).alias("total"))
+    offsets = shard_tot.select(*off_cols)
     return (
         within.join(offsets, [*keys, "_shard"])
         .withColumn("pos", F.col("_wcum") + F.col("_off"))
@@ -221,14 +252,21 @@ def chunk_overlap(
     ``size`` every ``stride`` tokens, tail windows kept short. Map-side
     transform+explode - zero shuffles. Adds start_tok / n_tok /
     chunk_text; rows with empty token arrays are dropped."""
+    _guard_output_cols(
+        df, ["_c", "start_tok", "n_tok", "chunk_text"], "chunk_overlap"
+    )
+    # backtick-quote: the name is interpolated into SQL text, and an
+    # unquoted "a.b" would resolve as a struct field, a spaced name
+    # would not parse at all
+    t = f"`{tokens}`"
     ch = df.filter(F.size(tokens) > 0).withColumn(
         "_c",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size({tokens}), {stride}), s -> "
+                f"transform(sequence(1, size({t}), {stride}), s -> "
                 f"struct(s AS start, "
-                f"array_join(slice({tokens}, s, {size}), ' ') AS chunk, "
-                f"size(slice({tokens}, s, {size})) AS n_tok))"
+                f"array_join(slice({t}, s, {size}), ' ') AS chunk, "
+                f"size(slice({t}, s, {size})) AS n_tok))"
             )
         ),
     )

@@ -145,6 +145,33 @@ def test_forward_fill_carries_last_good(spark, sf_smoke, events):
     for seq in events.values():
         last_good = None
         for _sec, eid, et in seq:
-            if et != "error":
+            # ignorenulls: a non-error row with a NULL reading is
+            # skipped, not carried (events.value is nullable by schema
+            # even though current datagen emits no NULLs)
+            if et != "error" and vals[eid] is not None:
                 last_good = vals[eid]
             assert got[eid] == last_good
+
+
+def test_operator_output_collision_guard(spark):
+    """The sequence operators refuse inputs whose columns they would
+    silently clobber (withColumn on an existing name replaces it with
+    no error - wrong results otherwise)."""
+    df = spark.range(3).selectExpr("id AS k", "id AS v", "id AS pos")
+    with pytest.raises(ValueError, match="sharded_rank"):
+        from nyc_government_hiring_audit_data_platform_spark.operators import (
+            sequence as SEQ,
+        )
+
+        SEQ.sharded_rank(df, value="v", shard_expr="v div 10")
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        sequence as SEQ,
+    )
+
+    with pytest.raises(ValueError, match="forward_fill"):
+        SEQ.forward_fill(
+            df.withColumnRenamed("pos", "filled_value"),
+            keys=["k"],
+            order=["v"],
+            value="v",
+        )
