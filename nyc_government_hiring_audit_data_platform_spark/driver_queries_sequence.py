@@ -390,6 +390,131 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# running distinct count (online cardinality per key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "running_distinct_count",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct_types
+    FROM f
+    """,
+)
+def q_running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online cardinality: after each event, how many DISTINCT event
+    types has this user produced so far? Exact running COUNT(DISTINCT)
+    is not a window aggregate in either engine; the portable exact form
+    marks each (user, type)'s FIRST occurrence with one window and
+    cumulatively sums the marks with a second - two key-partitioned
+    window passes, state bounded by the user's history. (The sketch
+    twin for unbounded domains is hll_union_bound.)"""
+    ev = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w_first).alias("occ"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .over(w_run)
+        .cast("bigint")
+        .alias("n_distinct_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-key robust outlier flags (median/MAD anomaly screen)
+# ---------------------------------------------------------------------------
+
+_OUT_K = 3  # flag |v - median| > K * MAD
+
+
+@query(
+    "user_outlier_flags",
+    f"""
+    WITH v AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT user_id, quantile_disc(cents, 0.5) AS med_cents
+      FROM v GROUP BY user_id
+    ),
+    dev AS (
+      SELECT v.event_id, v.user_id, v.cents,
+             ABS(v.cents - m.med_cents) AS dev_cents
+      FROM v JOIN med m ON v.user_id = m.user_id
+    ),
+    mad AS (
+      SELECT user_id, quantile_disc(dev_cents, 0.5) AS mad_cents
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id,
+           CAST(d.dev_cents AS BIGINT) AS dev_cents,
+           d.dev_cents > {_OUT_K} * a.mad_cents AS is_outlier
+    FROM dev d JOIN mad a ON d.user_id = a.user_id
+    """,
+)
+def q_user_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust anomaly screen: flag readings more than 3 MADs
+    (median absolute deviations) from the user's own median - the
+    outlier test that survives skew and contamination where mean/stddev
+    z-scores break. Two groupBy-aggregate passes over INTEGER cents
+    (discrete medians are actual data values - exact in both engines)
+    with join-backs keyed by user_id; median/MAD state is per-user and
+    the joins are plain equi-joins, so the screen runs at any corpus
+    size. Global twin: robust_stats_mad."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    med = v.groupBy("user_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias(
+            "med_cents"
+        )
+    )
+    dev = v.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev_cents"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev_cents)").alias(
+            "mad_cents"
+        )
+    )
+    return dev.join(mad, "user_id").select(
+        "event_id",
+        "user_id",
+        F.col("dev_cents").cast("bigint").alias("dev_cents"),
+        (F.col("dev_cents") > _OUT_K * F.col("mad_cents")).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # overlapping-window document chunking (RAG / long-context splitting)
 # ---------------------------------------------------------------------------
 

@@ -542,3 +542,18 @@ def test_k_anonymity_single_qi_shuffle(spark, sf_dir):
     """The suppression screen is one count-over-quasi-identifier
     window: one shuffle keyed by (nat, bal_band)."""
     assert PI.shuffle_count(QUERIES["k_anonymity_suppress"](spark, sf_dir)) <= 1
+
+
+def test_running_distinct_two_window_passes(spark, sf_dir):
+    """Exact online cardinality = first-occurrence mark + cumulative
+    sum: two key-partitioned exchanges, nothing else."""
+    assert PI.shuffle_count(QUERIES["running_distinct_count"](spark, sf_dir)) <= 2
+
+
+def test_outlier_flags_keyed_joins_only(spark, sf_dir):
+    """Median/MAD screen: groupBy + equi-join-backs on user_id, no
+    cartesian and no window over raw events."""
+    df = QUERIES["user_outlier_flags"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
