@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "time_weighted_avg",
     "bpe_pair_counts",
     "quantile_bucketize",
+    "asof_join_nearest",
+    "interval_coalesce",
 ]
 
 
