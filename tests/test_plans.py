@@ -557,3 +557,4 @@ def test_outlier_flags_keyed_joins_only(spark, sf_dir):
     plan = PI.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # aggregates only - pin the stated shape
