@@ -109,7 +109,24 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.md"))
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--panel",
+        default=None,
+        help="comma-separated query subset (the SCALING.md two-decade "
+        "x100 section used the relational/event panel: doc/embedding "
+        "queries are degenerate at 100 exact copies per row)",
+    )
+    ap.add_argument(
+        "--big-only",
+        action="store_true",
+        help="time only the replica (print JSON; skip sf0.01/sf0.1 and "
+        "the report) - for multipliers whose full three-scale run "
+        "exceeds a timeout budget",
+    )
     args = ap.parse_args()
+    if args.panel:
+        global PANEL
+        PANEL = [q.strip() for q in args.panel.split(",") if q.strip()]
 
     big_dir = f"/tmp/spark_graft_scale_x{args.mult}"
     spark = get_spark(app_name="scale_probe")
@@ -118,6 +135,13 @@ def main() -> None:
     if not os.path.isdir(os.path.join(big_dir, "lineitem.parquet")):
         print(f"building {args.mult}x replica in {big_dir} ...", file=sys.stderr)
         build_replica(spark, big_dir, args.mult)
+
+    if args.big_only:
+        import json
+
+        print(json.dumps(time_panel(spark, big_dir)))
+        spark.stop()
+        return
 
     t_small = time_panel(spark, SMALL)
     t_mid = time_panel(spark, BASE)
