@@ -564,6 +564,161 @@ def q_chunk_overlap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tf-idf full-text retrieval (search top-k)
+# ---------------------------------------------------------------------------
+
+_RETRIEVAL_TERMS = ("hash", "join", "vector", "stream")
+_IDF_SCALE = 1_000_000  # integer micro-nat idf (surprisal-suite convention)
+_TERMS_IN = ", ".join(f"'{t}'" for t in _RETRIEVAL_TERMS)
+
+
+@query(
+    "tfidf_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_TERMS_IN}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term,
+             CAST(ROUND(ln(n_docs * 1.0 / df) * {_IDF_SCALE}) AS BIGINT)
+               AS idf_micro
+      FROM df CROSS JOIN n
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_match_terms,
+             SUM(tf.tf * idf.idf_micro) AS score_micro
+      FROM tf JOIN idf USING (term) GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_match_terms,
+           ROUND(score_micro / {_IDF_SCALE}.0, 4) AS score
+    FROM scored
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: score every document against a fixed query
+    ("hash join vector stream") by tf-idf and return the top 10 - the
+    search capability a corpus platform serves. The plan is the
+    inverted-index shape: tokenize -> filter to the QUERY terms first
+    (so document frequency, scoring, and the final heap all run over
+    the tiny matched subset, not the corpus vocabulary) -> broadcast
+    the per-term idf -> one groupBy(doc) -> TakeOrderedAndProject.
+    idf is integer micro-nats (the surprisal-suite convention: ln
+    rounded at 1e-6, then all downstream arithmetic is exact BIGINT),
+    and the ORDER BY ties break on integer score then doc_id, so the
+    LIMIT is deterministic across engines. BM25 is the same plan with
+    a per-doc length normalizer in the tf term."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_RAW_TOKS.replace("text", "lower(text)"))).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_RETRIEVAL_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.expr(
+            f"CAST(ROUND(ln(n_docs * 1.0 / df) * {_IDF_SCALE}) AS BIGINT)"
+        ).alias("idf_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_match_terms"),
+            F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "n_match_terms",
+            F.round(F.col("score_micro") / float(_IDF_SCALE), 4).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-decayed engagement (exact binary half-life recency weighting)
+# ---------------------------------------------------------------------------
+
+_DECAY_WEEK = 604_800  # half-life = one week
+_DECAY_CAP = 20  # floor division by 2^20 beyond ~5 months
+
+
+@query(
+    "time_decayed_engagement",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             {epoch_seconds_sql()} AS sec
+      FROM events
+    ),
+    mx AS (SELECT MAX(sec) AS max_sec FROM s),
+    d AS (
+      SELECT user_id, cents,
+             CAST(LEAST((mx.max_sec - sec) // {_DECAY_WEEK}, {_DECAY_CAP})
+                  AS INT) AS age_weeks
+      FROM s CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(SUM(cents // (CAST(1 AS BIGINT) << age_weeks)) AS BIGINT)
+             AS decayed_cents,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents
+    FROM d GROUP BY user_id
+    """,
+)
+def q_time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement with a one-week BINARY half-life:
+    each reading contributes cents >> age_weeks (integer floor halving
+    per elapsed week, capped at 2^20). Exponential decay via exp() is
+    the textbook form but libm rounding differs across engines; integer
+    halving defines the same shape with EXACT portable arithmetic - the
+    floor loss is part of the declared semantics, not numerical noise.
+    One broadcast max-timestamp row, then a map-side weight and one
+    groupBy(user)."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("unix_seconds(ts)").alias("sec"),
+    )
+    mx = s.agg(F.max("sec").alias("max_sec"))
+    d = s.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "cents",
+        F.expr(
+            f"CAST(LEAST((max_sec - sec) div {_DECAY_WEEK}, {_DECAY_CAP}) AS INT)"
+        ).alias("age_weeks"),
+    )
+    return d.groupBy("user_id").agg(
+        F.sum(
+            F.expr("cents div shiftleft(CAST(1 AS BIGINT), age_weeks)")
+        )
+        .cast("bigint")
+        .alias("decayed_cents"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # nearest as-of join (tolerance-bounded, both directions)
 # ---------------------------------------------------------------------------
 

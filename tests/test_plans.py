@@ -558,3 +558,23 @@ def test_outlier_flags_keyed_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan  # aggregates only - pin the stated shape
+
+
+def test_tfidf_retrieval_inverted_index_shape(spark, sf_dir):
+    """Search top-k: query-term filter BEFORE any aggregation, idf
+    broadcast back, final heap via TakeOrderedAndProject - never a
+    global sort of all scored docs or a vocabulary-wide df pass."""
+    df = QUERIES["tfidf_retrieval"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_decay_broadcast_max_one_groupby(spark, sf_dir):
+    """Binary-decay weighting: one broadcast scalar (max ts), map-side
+    weights, one groupBy(user) - the decay math never shuffles raw
+    rows more than once."""
+    df = QUERIES["time_decayed_engagement"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
