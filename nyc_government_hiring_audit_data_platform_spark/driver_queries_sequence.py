@@ -655,6 +655,123 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval (length-normalized search scoring)
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 with k1 = 1.2, b = 0.75. The per-(doc, term) score is ONE
+# arithmetic expression over exact inputs (integer tf/dl, micro-nat
+# integer idf, the single-division avgdl double), written as the SAME
+# literal text on both engines so the IEEE op sequence is identical;
+# the per-doc total is a FIXED-ORDER sum of the four per-term values
+# (one SUM(CASE) per query term over at most one row each - never an
+# order-dependent float aggregation).
+_BM25_EXPR = (
+    "(idf_micro / {scale}.0) * tf * 2.2"
+    " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+).format(scale=_IDF_SCALE)
+
+
+def _bm25_term_sql(t: str) -> str:
+    return f"SUM(CASE WHEN term = '{t}' THEN {_BM25_EXPR} END)"
+
+
+@query(
+    "bm25_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT SUM(dl) * 1.0 / COUNT(*) AS avgdl,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({_TERMS_IN}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term,
+             CAST(ROUND(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * {_IDF_SCALE}) AS BIGINT) AS idf_micro
+      FROM df CROSS JOIN stats s
+    ),
+    j AS (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.idf_micro, dl.dl, s.avgdl
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_match_terms,
+             COALESCE({_bm25_term_sql(_RETRIEVAL_TERMS[0])}, 0)
+               + COALESCE({_bm25_term_sql(_RETRIEVAL_TERMS[1])}, 0)
+               + COALESCE({_bm25_term_sql(_RETRIEVAL_TERMS[2])}, 0)
+               + COALESCE({_bm25_term_sql(_RETRIEVAL_TERMS[3])}, 0) AS score
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_match_terms, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the fixed query - the standard
+    length-normalized retrieval scorer (tfidf_retrieval without the
+    saturation/normalization terms is the naive baseline). Same
+    inverted-index plan: query-term filter first, broadcast idf and the
+    one-row corpus stats, doc-length join, one groupBy(doc),
+    TakeOrderedAndProject. Float determinism: every per-term value is
+    one arithmetic expression over exact integers evaluated from
+    IDENTICAL literal text on both engines, and the doc total adds the
+    four per-term values in a FIXED textual order - no float ever flows
+    through an order-free SUM across rows."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(_RAW_TOKS.replace("text", "lower(text)"))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_RETRIEVAL_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.expr(
+            f"CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+            f" * {_IDF_SCALE}) AS BIGINT)"
+        ).alias("idf_micro"),
+    )
+    j = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+    )
+    term_sums = [
+        F.coalesce(F.expr(_bm25_term_sql(t)), F.lit(0.0))
+        for t in _RETRIEVAL_TERMS
+    ]
+    scored = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_match_terms"),
+        (term_sums[0] + term_sums[1] + term_sums[2] + term_sums[3]).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_match_terms", F.round("score", 4).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # time-decayed engagement (exact binary half-life recency weighting)
 # ---------------------------------------------------------------------------
 

@@ -578,3 +578,12 @@ def test_time_decay_broadcast_max_one_groupby(spark, sf_dir):
     plan = PI.physical_plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_inverted_index_shape(spark, sf_dir):
+    """BM25 rides the same inverted-index plan as tfidf_retrieval:
+    broadcast idf/stats, per-doc heap, nothing cartesian."""
+    df = QUERIES["bm25_retrieval"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
