@@ -655,6 +655,61 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PCA power-iteration step (spectral structure of the embedding matrix)
+# ---------------------------------------------------------------------------
+
+_PCA_SCALE = 1000  # milli-unit integer quantization of embedding values
+_PCA_DIM = 64  # operators/ann.py EMBED_DIM
+
+
+@query(
+    "pca_power_iteration",
+    f"""
+    WITH e AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(ROUND((embedding::DOUBLE[])[i] * {_PCA_SCALE}) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(1, {_PCA_DIM + 1}) t(i)
+    ),
+    s AS (SELECT vec_id, SUM(q) AS s FROM e GROUP BY vec_id)
+    SELECT e.dim, CAST(SUM(e.q * s.s) AS BIGINT) AS w
+    FROM e JOIN s USING (vec_id) GROUP BY e.dim
+    """,
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the embedding matrix's top
+    principal direction: w = X^T (X v) with the all-ones seed v - the
+    distributed building block of PCA / spectral methods, computed
+    WITHOUT ever materializing the Gram matrix (X^T X is dim x dim but
+    costs a full outer-product pass; the two matrix-vector products are
+    each one explode + one keyed groupBy). Embeddings are quantized to
+    integer milli-units first so every product and sum is exact BIGINT
+    arithmetic - the cross-partition float-summation-order problem that
+    plagues naive distributed PCA simply never arises. Normalization
+    (and the next iterate) happens on the 64-row result, driver-side or
+    broadcast - scalar work at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        # widen float32 -> double BEFORE the multiply: the oracle's
+        # embedding::DOUBLE[] does the same, and a float32 product can
+        # land exactly on .5 (0.3195f * 1000 = 319.5f) where the double
+        # product is 319.4999... - a one-unit rounding flip per engine
+        F.expr(f"CAST(ROUND(CAST(val AS DOUBLE) * {_PCA_SCALE}) AS BIGINT)").alias(
+            "q"
+        ),
+    )
+    s = e.groupBy("vec_id").agg(F.sum("q").alias("s"))
+    return (
+        e.join(s, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("q") * F.col("s")).cast("bigint").alias("w"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 retrieval (length-normalized search scoring)
 # ---------------------------------------------------------------------------
 

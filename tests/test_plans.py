@@ -587,3 +587,13 @@ def test_bm25_inverted_index_shape(spark, sf_dir):
     plan = PI.physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pca_power_iteration_no_gram_matrix(spark, sf_dir):
+    """w = X^T(Xv) as two keyed aggregations - the dim x dim Gram
+    matrix never materializes and nothing goes cartesian."""
+    df = QUERIES["pca_power_iteration"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert PI.shuffle_count(df) <= 3
