@@ -211,6 +211,64 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# referential-integrity audit (FK orphan screen)
+# ---------------------------------------------------------------------------
+
+_FK_CHECKS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def _fk_check_sql(label, child, ck, parent, pk) -> str:
+    return f"""
+    SELECT '{label}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{ck} = p.{pk}"""
+
+
+@query(
+    "referential_integrity_audit",
+    "\nUNION ALL\n".join(_fk_check_sql(*chk) for chk in _FK_CHECKS),
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity screen over the star schema's three FK
+    edges: per relationship, total child rows, orphan count (child keys
+    with no parent), and a pass flag - the structural check an audit
+    platform runs before trusting any join-based metric downstream.
+    Each check is one left join against the DISTINCT parent keys
+    (broadcast when small, shuffled-hash otherwise; AQE decides)
+    reduced to a single row - never a row-level orphan dump, so the
+    audit costs one aggregate per edge at any scale."""
+    parts = []
+    for label, child, ck, parent, pk in _FK_CHECKS:
+        c = table(spark, sf_dir, child).select(F.col(ck).alias("ck"))
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        j = c.join(p, c["ck"] == p["pk"], "left")
+        parts.append(
+            j.agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+                (
+                    F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)) == 0
+                ).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity suppression (privacy screen over quasi-identifiers)
 # ---------------------------------------------------------------------------
 

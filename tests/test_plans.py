@@ -597,3 +597,12 @@ def test_pca_power_iteration_no_gram_matrix(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert PI.shuffle_count(df) <= 3
+
+
+def test_referential_audit_no_cartesian(spark, sf_dir):
+    """Each FK check is a keyed left join reduced to one row; nothing
+    cartesian, no nested loop."""
+    df = QUERIES["referential_integrity_audit"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
