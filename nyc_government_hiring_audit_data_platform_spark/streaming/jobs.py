@@ -219,6 +219,74 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operator: streaming LOCF (forward-fill across batches)
+# ---------------------------------------------------------------------------
+
+_LOCF_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("filled_value", DoubleType()),
+    ]
+)
+
+# (has_observation, last_good_value): GroupState cannot hold a nullable
+# "maybe" directly, so presence is an explicit flag
+_LOCF_STATE = StructType(
+    [StructField("has", LongType()), StructField("val", DoubleType())]
+)
+
+
+def _locf_fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user last-observation-carried-forward across micro-batches:
+    the state is the last good ('error' rows are dropouts, NULL values
+    skipped) reading seen in ANY earlier batch, so fills are continuous
+    over the stream's lifetime - the semantics the batch twin
+    (operators/sequence.py:forward_fill) has within one dataset.
+    Within a batch rows are ordered by (ts, event_id), matching the
+    batch window's ORDER BY. Assumes per-user event time is
+    non-decreasing ACROSS batches (file-source arrival order); late
+    rows would need a reorder buffer, which is session_windows /
+    watermark territory."""
+    has, val = state.get if state.exists else (0, 0.0)
+    frames = list(batches)
+    if not frames:
+        return
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    pdf = pdf.sort_values(["ts", "event_id"])
+    fills: list[float | None] = []
+    for et, v in zip(pdf["event_type"], pdf["value"]):
+        if et != "error" and pd.notna(v):
+            has, val = 1, float(v)
+        fills.append(val if has else None)
+    state.update((has, val))
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": key[0],
+            "filled_value": fills,
+        }
+    )
+
+
+def streaming_locf(events: DataFrame) -> DataFrame:
+    """Streaming forward-fill: every event is emitted once (append
+    mode) with its LOCF-imputed value; per-user fill state survives
+    across micro-batches (applyInPandasWithState, no timeout)."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _locf_fn,
+            outputStructType=_LOCF_SCHEMA,
+            stateStructType=_LOCF_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (transformWithStateInPandas - the Spark 4
 # successor API: typed state variables, timers, TTL; requires the
 # RocksDB state store provider)

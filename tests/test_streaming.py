@@ -444,3 +444,74 @@ def test_streaming_curation_matches_batch_stack(spark, tmp_path):
 
     want = sorted(map(tuple, QUERIES["curation_keep_decisions"](spark, sf).collect()))
     assert got == want
+
+
+def test_streaming_locf_matches_batch_forward_fill(spark, events_dir, batch_events):
+    """Streaming LOCF (stateful, applyInPandasWithState) fills exactly
+    like the batch forward_fill operator over the same data."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        sequence as SEQ,
+    )
+
+    stream = SJ.streaming_locf(SJ.read_events_stream(spark, events_dir))
+    got = {
+        r["event_id"]: r["filled_value"]
+        for r in _drain(spark, stream, "t_locf", mode="append").collect()
+    }
+    want = {
+        r["event_id"]: r["filled_value"]
+        for r in SEQ.forward_fill(
+            batch_events,
+            keys=["user_id"],
+            order=["ts", "event_id"],
+            value="value",
+            good=F.col("event_type") != "error",
+        )
+        .select("event_id", "filled_value")
+        .collect()
+    }
+    assert got == want
+
+
+def test_locf_state_carries_across_batches():
+    """The fill state must survive micro-batch boundaries: a user whose
+    second batch opens with dropouts keeps filling from the FIRST
+    batch's last good reading. Drives _locf_fn directly with a fake
+    GroupState so the batch split is deterministic."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {
+            "ts": [1, 2],
+            "event_id": [10, 11],
+            "event_type": ["view", "error"],
+            "value": [5.0, 99.0],
+        }
+    )
+    out1 = next(SJ._locf_fn((7,), [b1], st))
+    assert list(out1["filled_value"]) == [5.0, 5.0]
+    b2 = pd.DataFrame(
+        {
+            "ts": [3, 4],
+            "event_id": [12, 13],
+            "event_type": ["error", "click"],
+            "value": [99.0, 7.0],
+        }
+    )
+    out2 = next(SJ._locf_fn((7,), [b2], st))
+    assert list(out2["filled_value"]) == [5.0, 7.0]
+    assert st.get == (1, 7.0)
