@@ -287,6 +287,81 @@ def streaming_locf(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operator: streaming running-distinct (bitmask state)
+# ---------------------------------------------------------------------------
+
+# The events domain has a small closed set of types, so the per-user
+# "which types seen so far" SET compresses to one integer bitmask -
+# set-valued streaming state in 8 bytes instead of a growing
+# collection. Unknown types (a future datagen) fold into a reserved
+# overflow bit: the count then LOWER-bounds the true distinct count,
+# loudly documented rather than silently wrong.
+_EVENT_TYPE_BITS = {
+    "click": 0,
+    "view": 1,
+    "purchase": 2,
+    "signup": 3,
+    "error": 4,
+}
+_OTHER_BIT = 5
+
+_RDIST_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("n_distinct_types", LongType()),
+    ]
+)
+
+_RDIST_STATE = StructType([StructField("mask", LongType())])
+
+
+def _running_distinct_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-user online distinct-type count across micro-batches: the
+    seen-set is a bitmask carried in GroupState; each row emits the
+    cardinality after itself (batch twin: the running_distinct_count
+    query's first-occurrence-mark + cumulative-sum windows)."""
+    (mask,) = state.get if state.exists else (0,)
+    frames = list(batches)
+    if not frames:
+        return
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    pdf = pdf.sort_values(["ts", "event_id"])
+    counts: list[int] = []
+    for et in pdf["event_type"]:
+        mask |= 1 << _EVENT_TYPE_BITS.get(et, _OTHER_BIT)
+        counts.append(bin(mask).count("1"))
+    state.update((mask,))
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": key[0],
+            "n_distinct_types": counts,
+        }
+    )
+
+
+def streaming_running_distinct(events: DataFrame) -> DataFrame:
+    """Streaming online cardinality: after each event, how many distinct
+    event types has this user produced over the stream's LIFETIME -
+    set-valued state as an integer bitmask (applyInPandasWithState,
+    append mode)."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_distinct_fn,
+            outputStructType=_RDIST_SCHEMA,
+            stateStructType=_RDIST_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (transformWithStateInPandas - the Spark 4
 # successor API: typed state variables, timers, TTL; requires the
 # RocksDB state store provider)

@@ -515,3 +515,56 @@ def test_locf_state_carries_across_batches():
     out2 = next(SJ._locf_fn((7,), [b2], st))
     assert list(out2["filled_value"]) == [5.0, 7.0]
     assert st.get == (1, 7.0)
+
+
+def test_streaming_running_distinct_matches_batch(spark, events_dir, batch_events):
+    """Bitmask-state online cardinality equals the batch
+    running_distinct_count query (first-occurrence marks + cumulative
+    sum) row for row."""
+    import __spark_entry__ as entrymod
+
+    stream = SJ.streaming_running_distinct(SJ.read_events_stream(spark, events_dir))
+    got = {
+        r["event_id"]: r["n_distinct_types"]
+        for r in _drain(spark, stream, "t_rdist", mode="append").collect()
+    }
+    # events_dir is the sf0.001 events table (fixture); the batch query
+    # reads the same data from the original sf dir
+    want = {
+        r["event_id"]: r["n_distinct_types"]
+        for r in entrymod.queries()["running_distinct_count"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_distinct_state_carries_across_batches():
+    """The seen-type bitmask survives batch boundaries: a type first
+    seen in batch 1 does not increment the count again in batch 2."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {"ts": [1, 2], "event_id": [1, 2], "event_type": ["click", "view"]}
+    )
+    out1 = next(SJ._running_distinct_fn((3,), [b1], st))
+    assert list(out1["n_distinct_types"]) == [1, 2]
+    b2 = pd.DataFrame(
+        {"ts": [3, 4], "event_id": [3, 4], "event_type": ["view", "purchase"]}
+    )
+    out2 = next(SJ._running_distinct_fn((3,), [b2], st))
+    assert list(out2["n_distinct_types"]) == [2, 3]
