@@ -1,0 +1,231 @@
+"""Training-data-pipeline suite, part 4: published curation rule sets.
+
+The two most widely cited rule-based document filters in the LLM-corpus
+literature, re-expressed as pure Column-expression chains:
+
+- ``gopher_quality_flags`` - the word-statistics rules of Gopher
+  (Rae et al. 2021, "Scaling Language Models", Appendix A): word count
+  in range, mean word length in range, fraction of alphabetic words,
+  symbol-to-word ratio.
+- ``c4_quality_rules`` - the format rules of C4 (Raffel et al. 2020,
+  "Exploring the Limits of Transfer Learning", section 2.2): terminal
+  punctuation, minimum sentence count, no code braces, no lorem ipsum,
+  minimum words per line.
+
+These extend the heuristic scoring already in ``quality_scores``
+(length/punct/stopword blend) with the exact published RULE shape: one
+keep/drop flag per rule plus the composite decision, so a corpus run
+can attribute every drop to the rule that caused it (the same
+attribution shape as ``curation_keep_decisions``).
+
+Scale posture: both queries are a single map-only projection per
+document - zero shuffles, zero UDFs, whole-stage-codegen end to end.
+At 100 TB they are scan-bound by construction; nothing here changes
+shape with corpus size.
+
+Determinism conventions (see driver_queries module docstring): every
+output column is an integer - ratios are integerized to milli-units
+with integer division (``DIV`` / ``//``) so the values are bit-identical
+across engines; no float column ever crosses the hasher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+
+# ---------------------------------------------------------------------------
+# Gopher word-statistics rules (public thresholds from the paper)
+# ---------------------------------------------------------------------------
+
+_G_MIN_WORDS = 50
+_G_MAX_WORDS = 100_000
+_G_MIN_MWL_MILLI = 3_000  # mean word length >= 3 chars
+_G_MAX_MWL_MILLI = 10_000  # mean word length <= 10 chars
+_G_MIN_ALPHA_MILLI = 800  # >= 80% of words contain an alphabetic char
+_G_MAX_SYM_MILLI = 100  # <= 10% symbol words ('#' / '...')
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS nw,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+                  AS BIGINT) AS tc,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+             len(list_filter(toks,
+                             x -> contains(x, '#') OR contains(x, '...'))) AS sw
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(nw AS INT) AS n_words,
+           CAST(tc * 1000 // GREATEST(nw, 1) AS BIGINT) AS mwl_milli,
+           CAST(aw * 1000 // GREATEST(nw, 1) AS BIGINT) AS alpha_milli,
+           CAST(sw * 1000 // GREATEST(nw, 1) AS BIGINT) AS sym_milli,
+           CAST(CASE WHEN nw BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                     THEN 1 ELSE 0 END AS INT) AS flag_words,
+           CAST(CASE WHEN tc * 1000 // GREATEST(nw, 1)
+                          BETWEEN {_G_MIN_MWL_MILLI} AND {_G_MAX_MWL_MILLI}
+                     THEN 1 ELSE 0 END AS INT) AS flag_mwl,
+           CAST(CASE WHEN aw * 1000 // GREATEST(nw, 1) >= {_G_MIN_ALPHA_MILLI}
+                     THEN 1 ELSE 0 END AS INT) AS flag_alpha,
+           CAST(CASE WHEN sw * 1000 // GREATEST(nw, 1) <= {_G_MAX_SYM_MILLI}
+                     THEN 1 ELSE 0 END AS INT) AS flag_sym,
+           CAST(CASE WHEN nw BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+                      AND tc * 1000 // GREATEST(nw, 1)
+                          BETWEEN {_G_MIN_MWL_MILLI} AND {_G_MAX_MWL_MILLI}
+                      AND aw * 1000 // GREATEST(nw, 1) >= {_G_MIN_ALPHA_MILLI}
+                      AND sw * 1000 // GREATEST(nw, 1) <= {_G_MAX_SYM_MILLI}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    """,
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher rule filter (Rae et al. 2021 App. A): per-document word
+    count, mean word length, alphabetic-word fraction, and symbol-word
+    ratio, each with its own keep flag plus the composite decision.
+
+    Ratios are milli-units via 64-bit integer division (`1000L ... DIV`)
+    so every output column is an exact integer on both engines; the
+    widening to long also makes the char-sum arithmetic overflow-safe
+    for multi-megabyte documents. Map-only: one projection over the
+    scan, no shuffle, no UDF - the 100 TB plan is the sf0.01 plan."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stats = docs.select(
+        "doc_id",
+        F.size(toks).alias("nw"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("tc"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("aw"),
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("..."))).alias(
+            "sw"
+        ),
+    )
+    flag_words = f"nw BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}"
+    flag_mwl = (
+        f"tc * 1000L DIV GREATEST(nw, 1) "
+        f"BETWEEN {_G_MIN_MWL_MILLI} AND {_G_MAX_MWL_MILLI}"
+    )
+    flag_alpha = f"aw * 1000L DIV GREATEST(nw, 1) >= {_G_MIN_ALPHA_MILLI}"
+    flag_sym = f"sw * 1000L DIV GREATEST(nw, 1) <= {_G_MAX_SYM_MILLI}"
+    return stats.select(
+        "doc_id",
+        F.col("nw").alias("n_words"),
+        F.expr("tc * 1000L DIV GREATEST(nw, 1)").alias("mwl_milli"),
+        F.expr("aw * 1000L DIV GREATEST(nw, 1)").alias("alpha_milli"),
+        F.expr("sw * 1000L DIV GREATEST(nw, 1)").alias("sym_milli"),
+        F.expr(f"CAST(CASE WHEN {flag_words} THEN 1 ELSE 0 END AS INT)").alias(
+            "flag_words"
+        ),
+        F.expr(f"CAST(CASE WHEN {flag_mwl} THEN 1 ELSE 0 END AS INT)").alias(
+            "flag_mwl"
+        ),
+        F.expr(f"CAST(CASE WHEN {flag_alpha} THEN 1 ELSE 0 END AS INT)").alias(
+            "flag_alpha"
+        ),
+        F.expr(f"CAST(CASE WHEN {flag_sym} THEN 1 ELSE 0 END AS INT)").alias(
+            "flag_sym"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN {flag_words} AND {flag_mwl} AND {flag_alpha} "
+            f"AND {flag_sym} THEN 1 ELSE 0 END AS INT)"
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 format rules (public thresholds from the paper)
+# ---------------------------------------------------------------------------
+
+_C4_MIN_SENTENCES = 3
+_C4_MIN_LINE_WORDS = 5
+# Terminal punctuation set from the paper: period, exclamation,
+# question mark, closing quote.
+_C4_TERMINAL_RE = '[.!?"]\\s*$'
+_C4_SENT_SPLIT_RE = "[.!?]+"
+
+
+@query(
+    "c4_quality_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+               AS lines,
+             list_filter(string_split_regex(text, '{_C4_SENT_SPLIT_RE}'),
+                         s -> trim(s) <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN regexp_matches(text, '{_C4_TERMINAL_RE}')
+                     THEN 1 ELSE 0 END AS INT) AS has_terminal,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS INT)
+             AS has_brace,
+           CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+                     THEN 1 ELSE 0 END AS INT) AS has_lorem,
+           CAST(COALESCE(list_min(list_transform(lines,
+                l -> len(list_filter(string_split(l, ' '), w -> w <> '')))), 0)
+                AS INT) AS min_line_words,
+           CAST(CASE WHEN regexp_matches(text, '{_C4_TERMINAL_RE}')
+                      AND len(sents) >= {_C4_MIN_SENTENCES}
+                      AND NOT contains(text, '{{')
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND COALESCE(list_min(list_transform(lines,
+                          l -> len(list_filter(string_split(l, ' '),
+                                               w -> w <> '')))), 0)
+                          >= {_C4_MIN_LINE_WORDS}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM t
+    """,
+)
+def q_c4_quality_rules(spark, sf_dir):
+    """C4 format filter (Raffel et al. 2020 section 2.2): terminal
+    punctuation, >= 3 sentences, no '{' (code page signal), no 'lorem
+    ipsum', and every non-blank line >= 5 words - one flag per rule
+    plus the composite keep decision.
+
+    Sentence and line tokenization are the SAME regex splits on both
+    engines (the udtf_ngram_explode lesson: mirror the empty-token
+    filter, or single-vs-double spacing diverges the engines). Map-only
+    projection, no shuffle, no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    lines = F.filter(F.split("text", "\n"), lambda line: F.trim(line) != "")
+    sents = F.filter(
+        F.split("text", _C4_SENT_SPLIT_RE), lambda s: F.trim(s) != ""
+    )
+    line_words = F.transform(
+        lines, lambda line: F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    )
+    has_terminal = F.when(F.col("text").rlike(_C4_TERMINAL_RE), 1).otherwise(0)
+    has_brace = F.when(F.col("text").contains("{"), 1).otherwise(0)
+    has_lorem = F.when(F.lower("text").contains("lorem ipsum"), 1).otherwise(0)
+    min_line_words = F.coalesce(F.array_min(line_words), F.lit(0))
+    n_sentences = F.size(sents)
+    return docs.select(
+        "doc_id",
+        has_terminal.cast("int").alias("has_terminal"),
+        n_sentences.alias("n_sentences"),
+        has_brace.cast("int").alias("has_brace"),
+        has_lorem.cast("int").alias("has_lorem"),
+        min_line_words.alias("min_line_words"),
+        (
+            (has_terminal == 1)
+            & (n_sentences >= _C4_MIN_SENTENCES)
+            & (has_brace == 0)
+            & (has_lorem == 0)
+            & (min_line_words >= _C4_MIN_LINE_WORDS)
+        )
+        .cast("int")
+        .alias("keep"),
+    )

@@ -1,0 +1,90 @@
+"""Unit + plan gates for the published curation rule filters
+(driver_queries_quality: Gopher word-stats rules, C4 format rules).
+
+Cross-engine exactness is covered by tests/test_oracle_parity.py (the
+module registers both queries with full DuckDB oracles); here we pin
+the rule SEMANTICS on hand-built documents and gate the plan shape
+(map-only: these filters must never shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+from nyc_government_hiring_audit_data_platform_spark.plans.inspect import (
+    physical_plan,
+)
+
+
+def _run_on_docs(spark, tmp_path, name, texts):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / f"{name}_sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = DQ.QUERIES[name](spark, d)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}, out
+
+
+def test_gopher_rules_semantics(spark, tmp_path):
+    texts = [
+        # 0: 60 normal words -> passes every rule
+        " ".join(["word"] * 60),
+        # 1: too short (10 words)
+        " ".join(["word"] * 10),
+        # 2: mean word length too high (60 x 12-char words)
+        " ".join(["w" * 12] * 60),
+        # 3: mostly numeric tokens -> alpha fraction below 80%
+        " ".join(["123"] * 40 + ["word"] * 20),
+        # 4: symbol-heavy ('#' markdown soup above 10%)
+        " ".join(["word"] * 50 + ["#"] * 10),
+    ]
+    rows, out = _run_on_docs(spark, tmp_path, "gopher_quality_flags", texts)
+    assert rows[0]["keep"] == 1 and rows[0]["n_words"] == 60
+    assert rows[1]["flag_words"] == 0 and rows[1]["keep"] == 0
+    assert rows[2]["flag_mwl"] == 0 and rows[2]["mwl_milli"] == 12000
+    assert rows[3]["flag_alpha"] == 0 and rows[3]["alpha_milli"] == 333
+    assert rows[4]["flag_sym"] == 0 and rows[4]["sym_milli"] == 166
+    # map-only contract: no exchange anywhere in the plan
+    assert "Exchange" not in physical_plan(out)
+
+
+def test_c4_rules_semantics(spark, tmp_path):
+    good = ("this line has plenty of words in it. " * 3).strip()
+    texts = [
+        good,  # 0: 3 sentences, terminal '.', >=5 words/line -> keep
+        good[:-1],  # 1: no terminal punctuation
+        "one sentence only with enough words here.",  # 2: < 3 sentences
+        good + " {",  # 3: brace -> drop (and kills terminal punct too)
+        good.replace("plenty", "lorem ipsum"),  # 4: placeholder text
+        "short line.\n" + good,  # 5: a 2-word line -> min_line_words < 5
+    ]
+    rows, out = _run_on_docs(spark, tmp_path, "c4_quality_rules", texts)
+    assert rows[0] == {
+        "doc_id": 0,
+        "has_terminal": 1,
+        "n_sentences": 3,
+        "has_brace": 0,
+        "has_lorem": 0,
+        "min_line_words": 24,
+        "keep": 1,
+    }
+    assert rows[1]["has_terminal"] == 0 and rows[1]["keep"] == 0
+    assert rows[2]["n_sentences"] == 1 and rows[2]["keep"] == 0
+    assert rows[3]["has_brace"] == 1 and rows[3]["keep"] == 0
+    assert rows[4]["has_lorem"] == 1 and rows[4]["keep"] == 0
+    assert rows[5]["min_line_words"] == 2 and rows[5]["keep"] == 0
+    assert "Exchange" not in physical_plan(out)
+
+
+@pytest.mark.parametrize("name", ["gopher_quality_flags", "c4_quality_rules"])
+def test_rule_filters_all_integer_schema(spark, sf_smoke, name):
+    """Driver-hasher safety: every output column is integral (the
+    module's determinism convention - no float crosses the hasher)."""
+    out = DQ.QUERIES[name](spark, sf_smoke)
+    for f in out.schema.fields:
+        assert f.dataType.simpleString() in ("int", "bigint"), (
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+        )
