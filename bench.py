@@ -116,6 +116,16 @@ def main() -> None:
     DQ.table(spark, sf_dir, "lineitem").count()
     for name in BENCH_QUERIES:
         DQ.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Several queries persist() multi-consumer subtrees and cannot
+        # unpersist them (the caller owns the returned DataFrame's
+        # lifetime). Left in place across a 58-query session those
+        # blocks accumulate into storage-memory pressure that evicts /
+        # GC-thrashes the LATE queries (measured: heavy_hitters_bound
+        # 11.3s inside the leaky session vs 0.9s isolated). Dropping
+        # the cache between queries keeps each measurement the
+        # steady-state of ITS OWN plan, which is what predicts cluster
+        # behavior; within a query's timed laps the cache still reuses.
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -126,6 +136,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
