@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "quantile_bucketize",
     "asof_join_nearest",
     "interval_coalesce",
+    # published curation rule sets (round-4 continuation)
+    "gopher_quality_flags",
+    "c4_quality_rules",
+    "dsir_importance_weights",
 ]
 
 

@@ -229,3 +229,164 @@ def q_c4_quality_rules(spark, sf_dir):
         .cast("int")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed-feature buckets
+_DSIR_SCALE = 1_000_000  # micro-nats: integerize per-bucket log-ratios
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(CAST('0x' || substr(md5(term), 1, 6) AS UBIGINT)
+                  % {_DSIR_B} AS BIGINT) AS b
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM feat GROUP BY doc_id, b),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM feat
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    rawc AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+    tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt,
+                   (SELECT COALESCE(SUM(cr), 0) FROM rawc) AS tr),
+    lr AS (
+      SELECT r.b,
+             CAST(ROUND(ln(
+               ((COALESCE(t.ct, 0) + 1) * (tot.tr + {_DSIR_B})) * 1.0
+               / ((r.cr + 1) * (tot.tt + {_DSIR_B}))
+             ) * {_DSIR_SCALE}) AS BIGINT) AS s
+      FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    per AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS n_tok, SUM(tf.tf * lr.s) AS ssum
+      FROM tf JOIN lr USING (b) GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_tok, ssum,
+             ssum * 1.0 / n_tok AS avg_micro
+      FROM per
+    ),
+    band AS (SELECT quantile_disc(avg_micro, 0.5) AS m FROM scored)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tok, 0) AS BIGINT) AS n_tok,
+           CAST(FLOOR(s.avg_micro) AS BIGINT) AS avg_lr_micro,
+           CAST(CASE WHEN s.avg_micro >= b.m THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    CROSS JOIN band b
+    """,
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the mean hashed-unigram log importance ratio
+    ln(p_target / p_raw) - here target = the 'en' language slice -
+    and keep the top half (>= discrete-median weight), the
+    deterministic stand-in for resampling proportional to the weight.
+
+    Determinism: the Laplace-smoothed ratio is assembled as ONE
+    integer-product fraction per bucket and passed through a single
+    ``ln``, then integerized to micro-nats BEFORE the per-doc sum
+    (the unigram_surprisal_quality technique), so cross-partition
+    aggregation is exact integer arithmetic; the keep threshold is a
+    DISCRETE median (an actual data value) and the reported score is
+    FLOOR of the single-division micro-nat average - floor has no .5
+    boundary, so identical doubles can never round apart (ROUND(x, 4)
+    did exactly that here: Spark rounds the double's exact decimal,
+    DuckDB rounds via float multiply, and one sf0.1 row straddled the
+    boundary).
+
+    Plan at 100 TB: the hashed-feature relation is persisted once and
+    feeds three grouped counts (doc x bucket, target-bucket,
+    raw-bucket); the model is a FIXED 4096-row relation however big
+    the corpus is (that is the point of hashed features) and
+    broadcasts back onto doc x bucket term frequencies; one
+    doc-grouped rollup and a 1-row median broadcast finish. Nothing
+    scales with corpus size except the linear scans and the doc-keyed
+    shuffles."""
+    from pyspark import StorageLevel
+
+    B, S = _DSIR_B, _DSIR_SCALE
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    feat = toks.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"cast(conv(substr(md5(term), 1, 6), 16, 10) as bigint) % {B}"
+        ).alias("b"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    tgt = (
+        feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rawc = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = rawc.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    lr = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * (F.col("tr") + B))
+                    * 1.0
+                    / ((F.col("cr") + 1) * (F.col("tt") + B))
+                )
+                * S
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    per = (
+        tf.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("s")).alias("ssum"),
+        )
+    )
+    scored = per.select(
+        "doc_id",
+        "n_tok",
+        (F.col("ssum") * 1.0 / F.col("n_tok")).alias("avg_micro"),
+    )
+    band = scored.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_micro)").alias("m")
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(band))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            F.floor("avg_micro").cast("long").alias("avg_lr_micro"),
+            F.when(F.col("avg_micro") >= F.col("m"), 1).otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

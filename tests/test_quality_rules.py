@@ -88,3 +88,23 @@ def test_rule_filters_all_integer_schema(spark, sf_smoke, name):
         assert f.dataType.simpleString() in ("int", "bigint"), (
             f"{name}.{f.name}: {f.dataType.simpleString()}"
         )
+
+
+def test_dsir_selects_target_language(spark, sf_dir):
+    """DSIR's whole claim: documents distributed like the target slice
+    (lang='en') get higher importance weights. Check the keep rate of
+    en documents strictly exceeds every other language's at sf0.01,
+    and the score column is exact integer micro-nats."""
+    from pyspark.sql import functions as F
+
+    out = DQ.QUERIES["dsir_importance_weights"](spark, sf_dir)
+    assert dict(out.dtypes)["avg_lr_micro"] == "bigint"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("keep").alias("rate"))
+        .collect()
+    }
+    assert all(rates["en"] > v for k, v in rates.items() if k != "en"), rates
