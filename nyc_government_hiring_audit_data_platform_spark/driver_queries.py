@@ -20,6 +20,16 @@ driver's order-insensitive value-hash comparison exact:
 - percentiles/medians use the discrete element (``percentile_disc`` /
   DuckDB ``quantile_disc``), never interpolation — interpolated values
   drift in the last ulp across engines;
+- ``ROUND(x, N)`` itself is a hazard even on BIT-IDENTICAL doubles:
+  Spark rounds the double's exact decimal expansion (BigDecimal
+  HALF_UP) while DuckDB rounds via float multiply, so a value whose
+  exact decimal sits on the .5 boundary (e.g. -0.021750000...x) rounds
+  APART (round-4 ``dsir_importance_weights`` at sf0.1). New float
+  scores should integerize and emit ``FLOOR`` of a single division
+  instead — floor has no .5 boundary, so identical doubles can never
+  diverge. Existing ROUND outputs are empirically exact at sf0.01 and
+  sf0.1; any future red of this shape means convert that column to the
+  floor-integer convention, not tweak the rounding;
 - date/timestamp outputs are emitted as strings via an explicit format;
 - the Spark callable pins the session timezone to UTC (the oracle's
   timestamps are naive-UTC).
