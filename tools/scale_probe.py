@@ -107,7 +107,10 @@ def time_panel(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALING.md"))
+    # SCALING.md is a curated record (hand-merged sections per probe
+    # run); default to stdout so a probe run can't clobber it — pass
+    # --out explicitly to (re)write the file wholesale.
+    ap.add_argument("--out", default=None)
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument(
         "--panel",
@@ -184,9 +187,13 @@ def main() -> None:
         ),
         "",
     ]
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {args.out}")
+    report = "\n".join(lines)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report)
+        print(f"wrote {args.out}")
+    else:
+        print(report)
     spark.stop()
 
 
