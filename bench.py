@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "c4_quality_rules",
     "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -390,3 +390,118 @@ def q_dsir_importance_weights(spark, sf_dir):
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+_CC_SCALE = 1_000_000  # micro-nats
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    surp AS (
+      SELECT term,
+             CAST(ROUND(ln(total * 1.0 / c) * {_CC_SCALE}) AS BIGINT) AS s
+      FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS n_tok, SUM(tf.tf * surp.s) AS ssum
+      FROM tf JOIN surp USING (term) GROUP BY tf.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, p.ssum * 1.0 / p.n_tok AS avg_micro
+      FROM documents d JOIN per p ON d.doc_id = p.doc_id
+    ),
+    edges AS (
+      SELECT lang,
+             quantile_disc(avg_micro, 0.333) AS e33,
+             quantile_disc(avg_micro, 0.667) AS e67
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang,
+           CAST(FLOOR(s.avg_micro) AS BIGINT) AS surprisal_micro,
+           CASE WHEN s.avg_micro <= e.e33 THEN 'head'
+                WHEN s.avg_micro <= e.e67 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN edges e ON s.lang = e.lang
+    """,
+)
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score each document with a language model (here the
+    corpus-unigram surprisal stand-in, same integerized micro-nat
+    technique as unigram_surprisal_quality) and split each language's
+    documents into head / middle / tail at the per-language surprisal
+    tertiles - CCNet's released corpora ship exactly these three
+    slices per language.
+
+    Determinism: per-term surprisal integerized BEFORE summation;
+    per-doc score is ONE division (bit-identical across engines);
+    tertile edges are DISCRETE per-language quantiles (actual data
+    values); the reported score is FLOOR (no .5 boundary - see the
+    module conventions). Plan at 100 TB: word-count shuffle, the
+    vocabulary-sized model broadcast back, a doc rollup, and a
+    languages x 2 edge relation broadcast - the bucket assignment
+    itself is map-side."""
+    docs = table(spark, sf_dir, "documents")
+    S = _CC_SCALE
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("total") * 1.0 / F.col("c")) * S)
+        .cast("long")
+        .alias("s"),
+    )
+    per = (
+        tf.join(surp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("s")).alias("ssum"),
+        )
+    )
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(per, "doc_id")
+        .select(
+            "doc_id", "lang", (F.col("ssum") * 1.0 / F.col("n_tok")).alias("avg_micro")
+        )
+    )
+    edges = scored.groupBy("lang").agg(
+        F.expr("percentile_disc(0.333) WITHIN GROUP (ORDER BY avg_micro)").alias(
+            "e33"
+        ),
+        F.expr("percentile_disc(0.667) WITHIN GROUP (ORDER BY avg_micro)").alias(
+            "e67"
+        ),
+    )
+    return scored.join(F.broadcast(edges), "lang").select(
+        "doc_id",
+        "lang",
+        F.floor("avg_micro").cast("long").alias("surprisal_micro"),
+        F.when(F.col("avg_micro") <= F.col("e33"), "head")
+        .when(F.col("avg_micro") <= F.col("e67"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

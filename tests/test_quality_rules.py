@@ -108,3 +108,25 @@ def test_dsir_selects_target_language(spark, sf_dir):
         .collect()
     }
     assert all(rates["en"] > v for k, v in rates.items() if k != "en"), rates
+
+
+def test_ccnet_buckets_tertile_shape(spark, sf_dir):
+    """Each language splits ~1/3-1/3-1/3 across head/middle/tail
+    (discrete tertile edges make it approximate), and every bucket is
+    one of the three labels."""
+    from pyspark.sql import functions as F
+
+    out = DQ.QUERIES["ccnet_perplexity_buckets"](spark, sf_dir)
+    rows = (
+        out.groupBy("lang")
+        .pivot("bucket", ["head", "middle", "tail"])
+        .agg(F.count(F.lit(1)))
+        .collect()
+    )
+    assert rows, "no languages"
+    for r in rows:
+        total = (r["head"] or 0) + (r["middle"] or 0) + (r["tail"] or 0)
+        assert total > 0
+        for b in ("head", "middle", "tail"):
+            share = (r[b] or 0) / total
+            assert 0.15 <= share <= 0.55, (r["lang"], b, share)
