@@ -17,10 +17,11 @@ with global count > n/(k+1) MUST survive in at least one partition's
 summary. That deterministic bound - not the partition-order-dependent
 estimates - is what the driver query checks.
 
-The per-item loop runs in Python over Arrow batches here; the point is
-the PLAN SHAPE (bounded state per partition, tiny merge). On a real
-cluster swap the kernel for datasketches' frequent-items via the same
-mapInPandas seam.
+The kernel is the batched mergeable-summaries formulation (Agarwal et
+al. 2012): each Arrow batch's exact value_counts (vectorized C) merges
+into the k-counter summary via :func:`mg_merge_counts`, preserving the
+same one-sided bound. On a real cluster the same mapInPandas seam takes
+datasketches' frequent-items unchanged.
 """
 
 from __future__ import annotations
@@ -33,6 +34,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_merge_counts(
+    counters: dict[str, int], counts: dict[str, int], k: int
+) -> dict[str, int]:
+    """Merge exact ``counts`` into a Misra-Gries ``k``-counter summary.
+
+    Mergeable-summaries rule: add pointwise, then if more than ``k``
+    counters survive, subtract the (k+1)-th largest value and drop
+    non-positives. Each compress removes >= m*(k+1) stream mass while
+    lowering any counter by <= m, so the total underestimate stays
+    <= n/(k+1) however the stream is batched or partitioned."""
+    for term, c in counts.items():
+        counters[term] = counters.get(term, 0) + int(c)
+    if len(counters) > k:
+        m = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - m for t, c in counters.items() if c > m}
+    return counters
+
+
 def misra_gries_summary(df: DataFrame, term_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries with k counters, merged by term.
 
@@ -42,22 +61,11 @@ def misra_gries_summary(df: DataFrame, term_col: str, k: int) -> DataFrame:
     """
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Batched Misra-Gries via the mergeable-summaries formulation
-        # (Agarwal et al. 2012): each Arrow batch's exact value_counts
-        # (error-0 summary, vectorized C) is merged into the running
-        # k-counter summary, then compressed by subtracting the
-        # (k+1)-th largest counter and dropping non-positives. Each
-        # compress removes >= m*(k+1) stream mass while lowering any
-        # counter by <= m, so the total underestimate stays <= n/(k+1)
-        # - the same one-sided bound as the per-row algorithm, ~100x
-        # faster (the per-row Python loop was the hot-path cost).
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term, c in pdf[term_col].dropna().value_counts().items():
-                counters[term] = counters.get(term, 0) + int(c)
-            if len(counters) > k:
-                m = sorted(counters.values(), reverse=True)[k]
-                counters = {t: c - m for t, c in counters.items() if c > m}
+            counters = mg_merge_counts(
+                counters, pdf[term_col].dropna().value_counts().to_dict(), k
+            )
         yield pd.DataFrame(
             {term_col: list(counters), "est": list(counters.values())}
         )

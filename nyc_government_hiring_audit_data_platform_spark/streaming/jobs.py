@@ -362,6 +362,95 @@ def streaming_running_distinct(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming heavy hitters (bucketed Misra-Gries in GroupState)
+# ---------------------------------------------------------------------------
+
+_HH_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("term", StringType()),
+        StructField("est", LongType()),
+        StructField("version", LongType()),
+    ]
+)
+
+# k counters as a JSON object: the state struct stays fixed-width-ish
+# (one string, one long) while the counter set stays <= k entries.
+_HH_STATE = StructType(
+    [StructField("counters", StringType()), StructField("version", LongType())]
+)
+
+
+def _heavy_hitters_fn(k: int):
+    """Per-bucket stateful kernel (module-level factory so tests can
+    drive it with a fake GroupState across deterministic batch splits,
+    the _locf_fn precedent)."""
+    import json
+
+    from nyc_government_hiring_audit_data_platform_spark.operators.sketches import (
+        mg_merge_counts,
+    )
+
+    def fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+        counters, version = (
+            (json.loads(state.get[0]), state.get[1]) if state.exists else ({}, 0)
+        )
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        counters = mg_merge_counts(
+            counters, pdf["term"].dropna().value_counts().to_dict(), k
+        )
+        version += 1
+        state.update((json.dumps(counters), version))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "term": list(counters),
+                "est": list(counters.values()),
+                "version": version,
+            }
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    terms: DataFrame, k: int = 8, buckets: int = 16
+) -> DataFrame:
+    """Streaming frequent items: a Misra-Gries ``k``-counter summary per
+    hash bucket, carried across micro-batches in GroupState.
+
+    Input is any streaming DataFrame with a ``term`` string column.
+    Terms are routed to ``pmod(xxhash64(term), buckets)`` so one term's
+    whole stream lands in one bucket (state stays k counters per
+    bucket, ``buckets`` parallel groups - never a global hot key);
+    each micro-batch merges its exact per-term counts into the bucket's
+    summary via the same mergeable-summaries rule as the batch operator
+    (operators.sketches.mg_merge_counts), so every term whose count in
+    its bucket exceeds n_bucket/(k+1) is guaranteed present, exactly
+    the batch bound. Each batch emits the bucket's refreshed <= k
+    (term, est) rows tagged with a monotonically increasing state
+    version; downstream takes max-version per bucket for the current
+    snapshot (update-mode semantics on an append sink).
+    """
+    return (
+        terms.select(
+            F.pmod(F.xxhash64("term"), F.lit(buckets)).alias("bucket"), "term"
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _heavy_hitters_fn(k),
+            outputStructType=_HH_SCHEMA,
+            stateStructType=_HH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (transformWithStateInPandas - the Spark 4
 # successor API: typed state variables, timers, TTL; requires the
 # RocksDB state store provider)

@@ -568,3 +568,88 @@ def test_running_distinct_state_carries_across_batches():
     )
     out2 = next(SJ._running_distinct_fn((3,), [b2], st))
     assert list(out2["n_distinct_types"]) == [2, 3]
+
+
+_HH_TERM = (
+    "cast(100 div (1 + cast(conv(substr(md5(cast(event_id as string)), 1, 6), "
+    "16, 10) as bigint) % 100) as string)"
+)
+
+
+def test_streaming_heavy_hitters_bound(spark, events_dir, batch_events):
+    """Streaming bucketed Misra-Gries satisfies the batch bound: for
+    every term whose exact count in its bucket exceeds n_bucket/(k+1),
+    the final snapshot contains it with exact - n_bucket/(k+1) <= est
+    <= exact."""
+    K, BUCKETS = 8, 16
+    stream = SJ.streaming_heavy_hitters(
+        SJ.read_events_stream(spark, events_dir).selectExpr(f"{_HH_TERM} as term"),
+        k=K,
+        buckets=BUCKETS,
+    )
+    snap = _drain(spark, stream, "t_hh", mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    final = (
+        snap.withColumn("maxv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("maxv"))
+        .select("bucket", "term", "est")
+        .collect()
+    )
+    got = {(r["bucket"], r["term"]): r["est"] for r in final}
+    exact = (
+        batch_events.selectExpr(f"{_HH_TERM} as term")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(BUCKETS)).alias("bucket"), "term"
+        )
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n_bucket: dict[int, int] = {}
+    for r in exact:
+        n_bucket[r["bucket"]] = n_bucket.get(r["bucket"], 0) + r["c"]
+    checked_heavy = 0
+    for r in exact:
+        bound = n_bucket[r["bucket"]] / (K + 1)
+        est = got.get((r["bucket"], r["term"]))
+        if r["c"] > bound:
+            checked_heavy += 1
+            assert est is not None, f"heavy {r['term']} lost from bucket {r['bucket']}"
+        if est is not None:
+            assert est <= r["c"]
+            assert est >= r["c"] - bound - 1e-9
+    assert checked_heavy > 0, "degenerate stream: no heavy terms to check"
+
+
+def test_heavy_hitters_state_survives_batches():
+    """The summary must keep accumulating across micro-batches: a term
+    heavy only in AGGREGATE across two batches is still present with a
+    bound-respecting estimate. Drives _heavy_hitters_fn directly with a
+    fake GroupState so the batch split is deterministic."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = SJ._heavy_hitters_fn(2)
+    state = FakeState()
+    b1 = pd.DataFrame({"term": ["x"] * 5 + ["a", "b", "c"]})
+    b2 = pd.DataFrame({"term": ["x"] * 5 + ["d", "e", "f"]})
+    out1 = list(fn((0,), [b1], state))
+    out2 = list(fn((0,), [b2], state))
+    assert out1[0]["version"].iloc[0] == 1 and out2[0]["version"].iloc[0] == 2
+    snap = dict(zip(out2[0]["term"], out2[0]["est"]))
+    # x: exact 10 over n=16, k=2 -> est >= 10 - 16/3 > 4
+    assert "x" in snap and 4 <= snap["x"] <= 10
