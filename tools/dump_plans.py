@@ -147,6 +147,22 @@ SHOWCASE = {
         "the downstream projection reuses - per-task state is one "
         "user's history."
     ),
+    "gopher_quality_flags": (
+        "Published rule filter as a single map-only projection: zero "
+        "Exchange nodes, one WholeStageCodegen span over the scan - "
+        "the 100 TB plan IS the sf0.01 plan."
+    ),
+    "dsir_importance_weights": (
+        "DSIR importance weights: the hashed-feature model collapses "
+        "to a FIXED 4096-row relation at any corpus size, broadcast "
+        "back onto doc-bucket term frequencies; only doc-keyed "
+        "shuffles scale with data."
+    ),
+    "ccnet_perplexity_buckets": (
+        "Per-language tertile bucketing: vocabulary-sized model and a "
+        "languages x 2 edge relation broadcast; the head/middle/tail "
+        "assignment itself is map-side."
+    ),
 }
 
 
