@@ -130,3 +130,50 @@ def test_ccnet_buckets_tertile_shape(spark, sf_dir):
         for b in ("head", "middle", "tail"):
             share = (r[b] or 0) / total
             assert 0.15 <= share <= 0.55, (r["lang"], b, share)
+
+
+def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
+    """Cross-engine parity on inputs nastier than the testdata: empty
+    text, runs of spaces, tabs, newlines, unicode case folding,
+    punctuation-only, and a pathological long token. The udtf lesson
+    (engines tokenizing differently on dirty whitespace) applied to
+    every rule-set query."""
+    import duckdb
+
+    from test_oracle_parity import _rowset
+
+    texts = [
+        "",
+        "   ",
+        "word",
+        "a  b \n\n c.",
+        "héllo wörld! ça va? bien. HELLO World.",
+        "x" * 5000,
+        "123 456 789 #tag ... more words here now.",
+        "a\tb stays one-token.",
+        'ends with a quote"',
+        "{code} blocks and lorem ipsum placeholders.",
+        "one. two! three? four.",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en" if i % 2 else "fr", "srcX", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "adv")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "gopher_quality_flags",
+        "c4_quality_rules",
+        "dsir_importance_weights",
+        "ccnet_perplexity_buckets",
+    ):
+        sdf = DQ.QUERIES[name](spark, d)
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(DQ.ORACLE[name])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+        assert _rowset(sdf.columns, srows) == _rowset(ocols, orows), name
