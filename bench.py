@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "c4_quality_rules",
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
+    "bpe_apply_merge",
 ]
 
 

@@ -329,6 +329,125 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge application (the other half of the tokenizer-training loop)
+# ---------------------------------------------------------------------------
+
+# Each symbol is wrapped OPEN||sym||CLOSE (chr(30)/chr(31), ASCII record
+# and unit separators - by contract absent from corpus tokens; a
+# production run over arbitrary bytes would pre-escape them). Wrapping
+# with DISTINCT boundary markers means adjacent pair matches share no
+# characters, so built-in left-to-right non-overlapping ``replace``
+# reproduces greedy BPE exactly: 'aaaa' -> [aa, aa], 'aaa' -> [aa, a].
+# (A single shared separator gets this wrong - the first replacement
+# consumes the boundary the next match needs: 'aaaa' -> [aa, a, a] -
+# caught by test_bpe_apply_merge_greedy_chain.)
+
+_BPE_PAIRS_SQL = f"""
+    WITH toks AS (
+      SELECT unnest({_RAW_TOKS_SQL}) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substring(tok, i, 2))) AS pair
+      FROM toks
+    ),
+    top AS (
+      SELECT pair FROM pairs GROUP BY pair
+      ORDER BY COUNT(*) DESC, pair LIMIT 1
+    )
+"""
+
+# merged token string: wrap every char, then one replace of the wrapped
+# winning pair. Each merge shrinks the wrapped string by exactly 2
+# marker chars (6-char pattern -> 4-char replacement), so
+# n_merges = (3*len(t) - len(merged)) / 2, integer by construction.
+_BPE_MERGED_SQL = (
+    "replace(regexp_replace(t, '(.)', chr(30) || '\\1' || chr(31), 'g'), "
+    "chr(30) || substring(p.pair, 1, 1) || chr(31) || "
+    "chr(30) || substring(p.pair, 2, 1) || chr(31), "
+    "chr(30) || p.pair || chr(31))"
+)
+
+
+@query(
+    "bpe_apply_merge",
+    _BPE_PAIRS_SQL
+    + f"""
+    SELECT d.doc_id, p.pair,
+           CAST(COALESCE(list_sum(list_transform(d.toks,
+                t -> length(t))), 0) AS BIGINT) AS n_sym_before,
+           CAST(COALESCE(list_sum(list_transform(d.toks, t ->
+                length(t) - (3 * length(t) - length({_BPE_MERGED_SQL})) // 2
+                )), 0) AS BIGINT) AS n_sym_after
+    FROM (SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents) d
+    CROSS JOIN top p
+    """,
+)
+def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the BPE training iteration: take the winning
+    pair from the merge-candidate scan (bpe_pair_counts' (cnt DESC,
+    pair) total order, LIMIT 1) and APPLY it - rewrite every token's
+    symbol sequence merging adjacent (a, b) -> ab left-to-right
+    non-overlapping, the greedy order real BPE training uses ('aaaa'
+    -> [aa, aa], 'aaa' -> [aa, a]; pinned by unit test).
+
+    The rewrite runs identically on both engines: wrap every char as
+    OPEN||c||CLOSE (distinct markers, so adjacent matches share no
+    characters), one built-in ``replace`` of the wrapped pair, and the
+    new symbol count falls out of pure length arithmetic - each merge
+    removes exactly two marker chars. All-integer outputs; the winning
+    pair is ONE broadcast row.
+
+    Plan at 100 TB: the candidate scan is the alphabet-squared
+    map-side-combined shuffle bpe_pair_counts already proved; the
+    apply pass is map-only over the corpus with the winner broadcast -
+    iterating train steps re-runs this stage pair, never anything
+    super-linear."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_RAW_TOKS)).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(tok) >= 2 THEN "
+                "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    merged = (
+        "replace(regexp_replace(t, '(.)', concat(chr(30), '$1', chr(31))), "
+        "concat(chr(30), substring(pair, 1, 1), chr(31), "
+        "chr(30), substring(pair, 2, 1), chr(31)), "
+        "concat(chr(30), pair, chr(31)))"
+    )
+    return (
+        docs.select("doc_id", F.expr(_RAW_TOKS).alias("toks"))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "doc_id",
+            "pair",
+            F.expr(
+                "aggregate(transform(toks, t -> cast(length(t) as bigint)), 0L, "
+                "(acc, x) -> acc + x)"
+            ).alias("n_sym_before"),
+            F.expr(
+                f"aggregate(transform(toks, t -> cast(length(t) - "
+                f"(3 * length(t) - length({merged})) div 2 as bigint)), 0L, "
+                f"(acc, x) -> acc + x)"
+            ).alias("n_sym_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BFS reachability (iterative frontier expansion)
 # ---------------------------------------------------------------------------
 

@@ -170,6 +170,7 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         "c4_quality_rules",
         "dsir_importance_weights",
         "ccnet_perplexity_buckets",
+        "bpe_apply_merge",
     ):
         sdf = DQ.QUERIES[name](spark, d)
         srows = [tuple(r) for r in sdf.collect()]

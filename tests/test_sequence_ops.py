@@ -175,3 +175,29 @@ def test_operator_output_collision_guard(spark):
             order=["v"],
             value="v",
         )
+
+
+def test_bpe_apply_merge_greedy_chain(spark, tmp_path):
+    """Left-to-right non-overlapping merge semantics: with winning pair
+    'aa', the token 'aaaa' merges to [aa, aa] (2 symbols) and 'aaa' to
+    [aa, a] (2 symbols) - never the overlapping [aa, aa] from 'aaa'."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa aaa", "en", "s", 8),  # pair 'aa' dominates
+            (1, "ab", "en", "s", 2),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bpe")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["bpe_apply_merge"](spark, d).collect()
+    }
+    assert rows[0]["pair"] == "aa"
+    # 'aaaa' (4 chars) -> [aa, aa]; 'aaa' (3 chars) -> [aa, a]: 7 -> 4
+    assert rows[0]["n_sym_before"] == 7 and rows[0]["n_sym_after"] == 4
+    # 'ab' has no 'aa': untouched
+    assert rows[1]["n_sym_before"] == 2 and rows[1]["n_sym_after"] == 2
