@@ -1,32 +1,33 @@
-"""Training-data-pipeline suite, part 4: published curation rule sets.
+"""Training-data-pipeline suite, part 4: published curation methods.
 
-The two most widely cited rule-based document filters in the LLM-corpus
-literature, re-expressed as pure Column-expression chains:
+The most widely cited corpus-curation methods in the LLM literature,
+re-expressed as pure Column-expression chains:
 
 - ``gopher_quality_flags`` - the word-statistics rules of Gopher
   (Rae et al. 2021, "Scaling Language Models", Appendix A): word count
   in range, mean word length in range, fraction of alphabetic words,
-  symbol-to-word ratio.
+  symbol-to-word ratio. Map-only, all-integer.
 - ``c4_quality_rules`` - the format rules of C4 (Raffel et al. 2020,
   "Exploring the Limits of Transfer Learning", section 2.2): terminal
   punctuation, minimum sentence count, no code braces, no lorem ipsum,
-  minimum words per line.
+  minimum words per line. Map-only, all-integer.
+- ``dsir_importance_weights`` - DSIR (Xie et al. 2023): hashed-unigram
+  importance resampling against a target slice; the model is a FIXED
+  4096-bucket relation at any corpus size.
+- ``ccnet_perplexity_buckets`` - CCNet (Wenzek et al. 2020): per-
+  language head/middle/tail slices at discrete perplexity tertiles.
 
-These extend the heuristic scoring already in ``quality_scores``
-(length/punct/stopword blend) with the exact published RULE shape: one
-keep/drop flag per rule plus the composite decision, so a corpus run
-can attribute every drop to the rule that caused it (the same
-attribution shape as ``curation_keep_decisions``).
+The rule filters extend the heuristic scoring already in
+``quality_scores`` (length/punct/stopword blend) with the exact
+published RULE shape: one keep/drop flag per rule plus the composite
+decision, so a corpus run can attribute every drop to the rule that
+caused it (the same attribution shape as ``curation_keep_decisions``).
 
-Scale posture: both queries are a single map-only projection per
-document - zero shuffles, zero UDFs, whole-stage-codegen end to end.
-At 100 TB they are scan-bound by construction; nothing here changes
-shape with corpus size.
-
-Determinism conventions (see driver_queries module docstring): every
-output column is an integer - ratios are integerized to milli-units
-with integer division (``DIV`` / ``//``) so the values are bit-identical
-across engines; no float column ever crosses the hasher.
+Determinism conventions (see driver_queries module docstring): outputs
+are integers (milli-unit integer division, micro-nat FLOOR of a single
+division) or strings; no ROUND-ed float column crosses the hasher -
+this module is where the ROUND-on-identical-doubles hazard was
+discovered and the floor-integer convention set.
 """
 
 from __future__ import annotations
