@@ -53,7 +53,8 @@ _G_MAX_SYM_MILLI = 100  # <= 10% symbol words ('#' / '...')
     f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')
+               AS toks
       FROM documents
     ),
     s AS (
@@ -100,7 +101,10 @@ def q_gopher_quality_flags(spark, sf_dir):
     for multi-megabyte documents. Map-only: one projection over the
     scan, no shuffle, no UDF - the 100 TB plan is the sf0.01 plan."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # COALESCE guard: Spark's legacy size(NULL) = -1 vs DuckDB's NULL
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != ""
+    )
     stats = docs.select(
         "doc_id",
         F.size(toks).alias("nw"),
@@ -160,10 +164,11 @@ _C4_SENT_SPLIT_RE = "[.!?]+"
     "c4_quality_rules",
     f"""
     WITH t AS (
-      SELECT doc_id, text,
-             list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
-               AS lines,
-             list_filter(string_split_regex(text, '{_C4_SENT_SPLIT_RE}'),
+      SELECT doc_id, COALESCE(text, '') AS text,
+             list_filter(string_split(COALESCE(text, ''), chr(10)),
+                         l -> trim(l) <> '') AS lines,
+             list_filter(string_split_regex(COALESCE(text, ''),
+                                            '{_C4_SENT_SPLIT_RE}'),
                          s -> trim(s) <> '') AS sents
       FROM documents
     )
@@ -200,7 +205,9 @@ def q_c4_quality_rules(spark, sf_dir):
     engines (the udtf_ngram_explode lesson: mirror the empty-token
     filter, or single-vs-double spacing diverges the engines). Map-only
     projection, no shuffle, no UDF."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     lines = F.filter(F.split("text", "\n"), lambda line: F.trim(line) != "")
     sents = F.filter(
         F.split("text", _C4_SENT_SPLIT_RE), lambda s: F.trim(s) != ""

@@ -43,8 +43,12 @@ from nyc_government_hiring_audit_data_platform_spark.operators import sequence a
 # textstats.tokens (which normalizes/lowercases): the chunker and the
 # BPE scan must preserve original casing. One definition per engine so
 # the two call sites cannot drift.
-_RAW_TOKS = "filter(split(text, ' '), t -> t <> '')"
-_RAW_TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+# COALESCE guards NULL text: Spark's legacy size(NULL) is -1 (ANSI off)
+# while DuckDB's len(NULL) is NULL, so a NULL document diverges every
+# downstream count unless both engines see '' (caught by the NULL-text
+# parity probe in tests/test_quality_rules.py).
+_RAW_TOKS = "filter(split(coalesce(text, ''), ' '), t -> t <> '')"
+_RAW_TOKS_SQL = "list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')"
 
 
 # ---------------------------------------------------------------------------

@@ -154,9 +154,13 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         'ends with a quote"',
         "{code} blocks and lorem ipsum placeholders.",
         "one. two! three? four.",
+        None,  # NULL text: Spark legacy size(NULL)=-1 vs DuckDB NULL
     ]
     docs = spark.createDataFrame(
-        [(i, t, "en" if i % 2 else "fr", "srcX", len(t)) for i, t in enumerate(texts)],
+        [
+            (i, t, "en" if i % 2 else "fr", "srcX", len(t) if t else 0)
+            for i, t in enumerate(texts)
+        ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     d = str(tmp_path / "adv")
