@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
     "bpe_apply_merge",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -513,3 +513,106 @@ def q_ccnet_perplexity_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion (Cormack et al. 2009)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_SCALE = 1_000_000
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import ORACLE
+
+    lex = ORACLE["bm25_retrieval"]
+    from nyc_government_hiring_audit_data_platform_spark.operators.ann import (
+        cosine_topk_sql,
+    )
+
+    vec = cosine_topk_sql("embeddings", "vec_id", "embedding", "vec_id = 0", _RRF_TOPK)
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank_lex
+      FROM ({lex})
+    ),
+    vec AS (
+      SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS rank_vec
+      FROM ({vec})
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rank_lex, v.rank_vec,
+             CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + l.rank_lex), 0)
+                + COALESCE({_RRF_SCALE} // ({_RRF_K} + v.rank_vec), 0)
+                AS BIGINT) AS rrf_micro
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@query("hybrid_rrf_retrieval", _rrf_oracle())
+def q_hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid search: fuse the lexical lane (Okapi BM25 top-10 for the
+    fixed query terms - the hash-verified bm25_retrieval plan) with the
+    vector lane (exact cosine top-10 around the vec_id-0 query
+    embedding) by reciprocal rank fusion (Cormack et al. 2009):
+    score(d) = sum over lanes of 1/(60 + rank_lane(d)), here in exact
+    integer micro-units (1e6 DIV (60+rank) - pure integer arithmetic,
+    nothing for the hasher to disagree on). Fusing top-k LISTS (not
+    full rankings) is the standard production shape: each lane's
+    contribution below its own top-k is bounded by 1/(60+k).
+
+    Plan at 100 TB: each lane keeps its already-audited shape (inverted
+    index + TakeOrderedAndProject; broadcast query vector over the
+    corpus - swap in the IVF lane for true scale); the fusion itself
+    joins two <= k-row relations - negligible at any corpus size."""
+    from pyspark.sql import Window
+
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_sequence import (
+        q_bm25_retrieval,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.operators.ann import (
+        cosine_topk,
+    )
+
+    lex = q_bm25_retrieval(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("rank_lex"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    vec = cosine_topk(
+        emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding",
+        "vec_id", "embedding", _RRF_TOPK,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_vec"),
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + rank_vec)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOPK)

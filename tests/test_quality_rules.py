@@ -182,3 +182,25 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         ocols = [c[0] for c in res.description]
         orows = res.fetchall()
         assert _rowset(sdf.columns, srows) == _rowset(ocols, orows), name
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
+    """The fused score IS the RRF formula over the emitted ranks
+    (integer micro-units), rows come out in (rrf desc, doc_id) order,
+    and both lanes contribute at least one member to the fused top-10."""
+    rows = [
+        r.asDict()
+        for r in DQ.QUERIES["hybrid_rrf_retrieval"](spark, sf_dir).collect()
+    ]
+    assert len(rows) == 10
+    for r in rows:
+        want = 0
+        if r["rank_lex"] is not None:
+            want += 1_000_000 // (60 + r["rank_lex"])
+        if r["rank_vec"] is not None:
+            want += 1_000_000 // (60 + r["rank_vec"])
+        assert r["rrf_micro"] == want, r
+    keys = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert any(r["rank_lex"] is not None for r in rows)
+    assert any(r["rank_vec"] is not None for r in rows)
