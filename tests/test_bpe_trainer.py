@@ -1,0 +1,86 @@
+"""BPE trainer vs a from-first-principles Python reference.
+
+The reference implements the classic algorithm directly (count adjacent
+symbol pairs, merge the most frequent left-to-right, repeat) with the
+operator's documented tie order (count DESC, left, right). The Spark
+trainer must reproduce the exact merge sequence and final symbolization.
+"""
+
+from __future__ import annotations
+
+from nyc_government_hiring_audit_data_platform_spark.operators.bpe import train_bpe
+
+
+def _ref_bpe(tokens: list[str], n_merges: int):
+    seqs = [list(t) for t in tokens if t]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + 1
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[pair] < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        new_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+    return merges, sorted(tuple(s) for s in seqs)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def test_bpe_trainer_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+    ]
+    docs = _docs(spark, texts)
+    merges, syms = train_bpe(docs, "text", n_merges=6)
+    want_merges, want_seqs = _ref_bpe(" ".join(texts).split(" "), 6)
+    assert merges == want_merges
+    got_seqs = sorted(tuple(r["syms"]) for r in syms.collect())
+    assert got_seqs == want_seqs
+    syms.unpersist()
+
+
+def test_bpe_trainer_greedy_chain_and_stop(spark):
+    """Chains merge greedily ('aaaa' -> [aa, aa]); training stops when
+    no pair repeats (cnt < 2), returning fewer merges than asked."""
+    docs = _docs(spark, ["aaaa aaa xyz"])
+    merges, syms = train_bpe(docs, "text", n_merges=10)
+    want_merges, want_seqs = _ref_bpe(["aaaa", "aaa", "xyz"], 10)
+    assert merges == want_merges
+    assert merges[0] == ("a", "a")
+    got_seqs = sorted(tuple(r["syms"]) for r in syms.collect())
+    assert got_seqs == want_seqs
+    assert len(merges) < 10
+    syms.unpersist()
+
+
+def test_bpe_trainer_null_and_empty_text(spark):
+    """NULL/empty documents contribute nothing and never crash the
+    wrap/unwrap rewrite."""
+    docs = _docs(spark, [None, "", "ab ab"])
+    merges, syms = train_bpe(docs, "text", n_merges=2)
+    assert merges == [("a", "b")]
+    got = sorted(tuple(r["syms"]) for r in syms.collect())
+    assert got == [("ab",), ("ab",)]
+    syms.unpersist()
