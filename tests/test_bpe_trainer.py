@@ -84,3 +84,69 @@ def test_bpe_trainer_null_and_empty_text(spark):
     got = sorted(tuple(r["syms"]) for r in syms.collect())
     assert got == [("ab",), ("ab",)]
     syms.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=12), st.integers(1, 4))
+def test_bpe_trainer_matches_reference_random(spark, words, n):
+    """Random small corpora over a 4-letter alphabet: the Spark trainer
+    and the Python reference produce identical merge sequences and
+    final symbolizations (few examples - each drives real Spark jobs)."""
+    docs = _docs(spark, [" ".join(words)])
+    merges, syms = train_bpe(docs, "text", n_merges=n)
+    want_merges, want_seqs = _ref_bpe(words, n)
+    got_seqs = sorted(tuple(r["syms"]) for r in syms.collect())
+    syms.unpersist()
+    assert merges == want_merges
+    assert got_seqs == want_seqs
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=120),
+    st.integers(2, 6),
+    st.data(),
+)
+def test_mg_merge_counts_bound_any_batching(stream, k, data):
+    """Misra-Gries invariant under ARBITRARY batch splits (pure Python,
+    no Spark): for every term, exact - n/(k+1) <= est <= exact, and any
+    term with exact count > n/(k+1) survives in the summary."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.sketches import (
+        mg_merge_counts,
+    )
+
+    # random cut points -> batches
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(stream)), max_size=6), label="cuts"
+        )
+    )
+    bounds = [0, *cuts, len(stream)]
+    counters: dict[str, int] = {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = stream[lo:hi]
+        counts: dict[str, int] = {}
+        for t in batch:
+            counts[t] = counts.get(t, 0) + 1
+        counters = mg_merge_counts(counters, counts, k)
+    assert len(counters) <= k
+    n = len(stream)
+    exact: dict[str, int] = {}
+    for t in stream:
+        exact[t] = exact.get(t, 0) + 1
+    for t, c in exact.items():
+        est = counters.get(t, 0)
+        assert est <= c, (t, est, c)
+        assert est >= c - n / (k + 1) - 1e-9, (t, est, c, n / (k + 1))
+        if c > n / (k + 1):
+            assert t in counters, f"heavy {t} lost (c={c}, bound={n/(k+1)})"
