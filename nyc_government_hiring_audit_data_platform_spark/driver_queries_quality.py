@@ -16,6 +16,8 @@ re-expressed as pure Column-expression chains:
   4096-bucket relation at any corpus size.
 - ``ccnet_perplexity_buckets`` - CCNet (Wenzek et al. 2020): per-
   language head/middle/tail slices at discrete perplexity tertiles.
+- ``hybrid_rrf_retrieval`` - reciprocal rank fusion (Cormack et al.
+  2009) of the BM25 and cosine lanes in exact integer micro-units.
 
 The rule filters extend the heuristic scoring already in
 ``quality_scores`` (length/punct/stopword blend) with the exact
