@@ -30,13 +30,28 @@ driver's order-insensitive value-hash comparison exact:
   diverge. Existing ROUND outputs are empirically exact at sf0.01 and
   sf0.1; any future red of this shape means convert that column to the
   floor-integer convention, not tweak the rounding;
+- bare integer ``SUM(...)`` (also ``SUM(CASE ...)``, ``COUNT(*) * k``
+  arithmetic) widens to HUGEINT/INT128 in DuckDB vs Spark's BIGINT and
+  hashes apart on identical values (round-4 red ``chunk_dedup``):
+  every projected integer SUM in an oracle carries
+  ``CAST(... AS BIGINT)``;
+- bare numeric literals in PROJECTED output (CASE branches, constant
+  columns) parse as DECIMAL with engine-specific precision/scale and
+  hash apart on identical values (round-4 red ``benford_digit_audit``):
+  wrap in ``CAST(... AS DOUBLE)`` on BOTH engines — DECIMAL-typed
+  output columns are banned outright;
 - date/timestamp outputs are emitted as strings via an explicit format;
 - the Spark callable pins the session timezone to UTC (the oracle's
   timestamps are naive-UTC).
 
 ``tests/test_oracle_parity.py`` enforces all of the above empirically:
 its ``_canon`` preserves float identity (``repr``, so ``9.0 != 9``) and
-the sign of zero, matching the driver hasher's strictness.
+the sign of zero, and its dtype gate compares DuckDB ``DESCRIBE`` types
+against the Spark schema per column, rejecting DECIMAL/HUGEINT output
+entirely - matching the driver hasher's strictness at the TYPE level,
+which value-level comparison cannot see (DuckDB hands HUGEINT back as
+Python int and DECIMAL as decimal.Decimal, both str()-identical to the
+Spark value).
 
 Each callable takes (spark, sf_dir) and returns a lazy DataFrame.
 """

@@ -415,7 +415,7 @@ _BENFORD_CASE = " ".join(
     SELECT digit,
            CAST(n AS BIGINT) AS n,
            ROUND(n * 100.0 / total, 4) AS pct,
-           CASE digit {_BENFORD_CASE} END AS expected_pct,
+           CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS expected_pct,
            {norm_round_sql(f"n * 100.0 / total - (CASE digit {_BENFORD_CASE} END)", 4)}
              AS deviation
     FROM c CROSS JOIN tot
@@ -440,7 +440,11 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     tot = c.agg(F.sum("n").alias("total"))
-    expected = F.expr(f"CASE digit {_BENFORD_CASE} END")
+    # CAST to DOUBLE on BOTH engines: bare numeric literals in projected
+    # output parse as DECIMAL with engine-specific precision/scale (DuckDB
+    # DECIMAL(17,15) vs Spark's CASE-unified decimal), hashing apart even
+    # when every value is identical (CORRECTNESS_r04 red).
+    expected = F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)")
     return c.crossJoin(F.broadcast(tot)).select(
         "digit",
         F.col("n").cast("bigint").alias("n"),

@@ -22,6 +22,7 @@ from nyc_government_hiring_audit_data_platform_spark.driver_queries import query
 from nyc_government_hiring_audit_data_platform_spark.functions.text import (
     normalize_text_sql,
 )
+from nyc_government_hiring_audit_data_platform_spark.operators import sequence as SEQ
 
 # ---------------------------------------------------------------------------
 # C4/CCNet-style boilerplate detection: word n-grams shared by many docs
@@ -161,7 +162,8 @@ _CHUNK = 16  # tokens per chunk
     freq AS (SELECT chunk, COUNT(*) AS cnt FROM ch GROUP BY chunk)
     SELECT c.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
            ROUND(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
              AS dup_ratio
     FROM ch c JOIN freq f ON c.chunk = f.chunk
@@ -1160,13 +1162,18 @@ def q_vocab_coverage(spark, sf_dir):
     """Tokenizer-training prep: frequency-ranked vocabulary with
     cumulative corpus coverage, flagging the rank at which 95% of all
     tokens are covered (the data-driven vocab-size decision). Counts
-    are exact integers end to end - the cumulative window sums BIGINTs
-    and every percentage is one int-product division, so the output
-    hashes identically across engines. Plan: word-count shuffle with
-    map-side combine, then a single-partition window over the
-    VOCABULARY relation (vocab is corpus-bounded, tiny next to the
-    corpus; at a trillion tokens the vocab still fits one partition -
-    and if it didn't, a two-level rank/cum-sum decomposition drops in)."""
+    are exact integers end to end - the cumulative sums are over
+    BIGINTs and every percentage is one int-product division, so the
+    output hashes identically across engines. Plan: word-count shuffle
+    with map-side combine, then the shard-prefix DISTRIBUTED rank
+    (operators/sequence.py:sharded_rank, the quantile_bucketize /
+    epoch_shuffle machinery) - never a single-partition window over the
+    vocabulary, which at a 100M-term web-corpus vocab funnels every
+    distinct term through one task. The shard key is (-count, first
+    char of term): exact -count keeps the shard monotone along the
+    (count DESC, term ASC) sort order, and the term-prefix component
+    subdivides the huge hapax/low-count tie plateaus (Zipf: ~half the
+    vocab has count 1) across parallel windows."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -1175,14 +1182,18 @@ def q_vocab_coverage(spark, sf_dir):
     )
     cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").alias("total"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = cnt.select(
-        "term",
-        "c",
-        F.row_number().over(w).alias("vocab_rank"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ranked = (
+        SEQ.sharded_rank(
+            cnt.withColumn("_negc", -F.col("c")),
+            value="_negc",
+            shard_expr="named_struct('nc', _negc, 'p', substring(term, 1, 1))",
+            weight="c",
+            order_extra=("term",),
+            with_rank=True,
+        )
+        .withColumnRenamed("pos", "cum")
+        .withColumnRenamed("rank", "vocab_rank")
+        .drop("_negc")
     )
     pct = F.col("cum") * 100.0 / F.col("total")
     prev_pct = (F.col("cum") - F.col("c")) * 100.0 / F.col("total")

@@ -217,20 +217,23 @@ def q_pack_sequences(spark, sf_dir):
 def q_domain_mix_plan(spark, sf_dir):
     """Domain mixing: per-source token inventory plus the subsample rate
     that equalizes every source to the smallest one (uniform target
-    mix). One partial-agg shuffle on source; the global MIN window runs
-    over the tiny per-source relation, not the corpus."""
+    mix). One partial-agg shuffle on source; the global MIN rides the
+    broadcast-one-row-totals pattern (an agg reduced to one row, then a
+    broadcast join back) - no single-partition Window anywhere, even
+    over the per-source relation (the test_plans global-window gate
+    flags empty-partition windows regardless of input size)."""
     docs = table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(whitespace_token_count("text")).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy()
-    return per_source.select(
+    mn = per_source.agg(F.min("n_tokens").alias("_min_tokens"))
+    return per_source.crossJoin(F.broadcast(mn)).select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(
-            F.min("n_tokens").over(w).cast("double") / F.col("n_tokens"), 4
+            F.col("_min_tokens").cast("double") / F.col("n_tokens"), 4
         ).alias("resample_rate"),
     )
 

@@ -47,14 +47,14 @@ _G_MAX_WORDS = 100_000
 _G_MIN_MWL_MILLI = 3_000  # mean word length >= 3 chars
 _G_MAX_MWL_MILLI = 10_000  # mean word length <= 10 chars
 _G_MIN_ALPHA_MILLI = 800  # >= 80% of words contain an alphabetic char
-_G_MAX_SYM_MILLI = 100  # <= 10% symbol words ('#' / '...')
+_G_MAX_SYM_MILLI = 100  # symbol-to-word ratio <= 0.1 ('#' / '...' occurrences)
 
 
 @query(
     "gopher_quality_flags",
     f"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT doc_id, COALESCE(text, '') AS txt,
              list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')
                AS toks
       FROM documents
@@ -65,8 +65,8 @@ _G_MAX_SYM_MILLI = 100  # <= 10% symbol words ('#' / '...')
              CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
                   AS BIGINT) AS tc,
              len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
-             len(list_filter(toks,
-                             x -> contains(x, '#') OR contains(x, '...'))) AS sw
+             (length(txt) - length(replace(txt, '#', '')))
+               + (length(txt) - length(replace(txt, '...', ''))) // 3 AS sw
       FROM t
     )
     SELECT doc_id,
@@ -94,8 +94,13 @@ _G_MAX_SYM_MILLI = 100  # <= 10% symbol words ('#' / '...')
 )
 def q_gopher_quality_flags(spark, sf_dir):
     """Gopher rule filter (Rae et al. 2021 App. A): per-document word
-    count, mean word length, alphabetic-word fraction, and symbol-word
-    ratio, each with its own keep flag plus the composite decision.
+    count, mean word length, alphabetic-word fraction, and the
+    symbol-to-word RATIO - the published rule counts '#' and '...'
+    OCCURRENCES over the word count (a word with many symbols counts
+    each), computed here as replace-length arithmetic over the whole
+    text (tokens are space-split, so whole-text occurrence counts equal
+    the per-token sum). Each rule gets its own keep flag plus the
+    composite decision.
 
     Ratios are milli-units via 64-bit integer division (`1000L ... DIV`)
     so every output column is an exact integer on both engines; the
@@ -114,9 +119,12 @@ def q_gopher_quality_flags(spark, sf_dir):
             F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("tc"),
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("aw"),
-        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("..."))).alias(
-            "sw"
-        ),
+        F.expr(
+            "length(coalesce(text, '')) "
+            "- length(replace(coalesce(text, ''), '#', '')) "
+            "+ (length(coalesce(text, '')) "
+            "- length(replace(coalesce(text, ''), '...', ''))) DIV 3"
+        ).alias("sw"),
     )
     flag_words = f"nw BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}"
     flag_mwl = (

@@ -366,8 +366,13 @@ _BPE_PAIRS_SQL = f"""
 # winning pair. Each merge shrinks the wrapped string by exactly 2
 # marker chars (6-char pattern -> 4-char replacement), so
 # n_merges = (3*len(t) - len(merged)) / 2, integer by construction.
+# (?s) = DOTALL in both Java regex (Spark) and RE2 (DuckDB): without it
+# '.' skips \n/\r, leaving newline chars inside tokens unwrapped and
+# inflating the per-merge length arithmetic by 1 per such char (both
+# engines replicated the flaw identically, so only a true-count test -
+# test_bpe_apply_merge_newline_chars - can catch it, not parity).
 _BPE_MERGED_SQL = (
-    "replace(regexp_replace(t, '(.)', chr(30) || '\\1' || chr(31), 'g'), "
+    "replace(regexp_replace(t, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g'), "
     "chr(30) || substring(p.pair, 1, 1) || chr(31) || "
     "chr(30) || substring(p.pair, 2, 1) || chr(31), "
     "chr(30) || p.pair || chr(31))"
@@ -427,7 +432,7 @@ def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair")
     )
     merged = (
-        "replace(regexp_replace(t, '(.)', concat(chr(30), '$1', chr(31))), "
+        "replace(regexp_replace(t, '(?s)(.)', concat(chr(30), '$1', chr(31))), "
         "concat(chr(30), substring(pair, 1, 1), chr(31), "
         "chr(30), substring(pair, 2, 1), chr(31)), "
         "concat(chr(30), pair, chr(31)))"

@@ -57,7 +57,13 @@ def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
     right non-overlapping replace IS greedy BPE), split back on the
     CLOSE||OPEN boundary and strip the outer markers.
     """
-    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    # Spark SQL string literals process C-style escapes by default, so a
+    # symbol containing a backslash (paths, escaped text) would corrupt
+    # the literal unless doubled - escape backslashes BEFORE quotes.
+    def _q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    qa, qb = _q(a), _q(b)
     wrapped = (
         f"aggregate(syms, cast('' as string), "
         f"(acc, s) -> concat(acc, {_OPEN}, s, {_CLOSE}))"

@@ -196,31 +196,62 @@ def sharded_rank(
     keys: Sequence[str] = (),
     weight: str | None = None,
     with_total: bool = False,
+    order_extra: Sequence[str] = (),
+    with_rank: bool = False,
 ) -> DataFrame:
     """Global (per ``keys``) rank / cumulative weight of ``value``
     without a single-partition sort: rank within value-range shards in
     parallel windows, then add tiny per-shard prefix-sum offsets.
     ``shard_expr`` must be a SQL expression MONOTONE in ``value`` (a
     prefix of the sort order) so (shard, value) order equals global
-    value order. Returns the input plus ``pos`` (1-based rank, or
-    cumulative weight when ``weight`` is given) and - only when
+    value order; to subdivide large tie groups of ``value`` the shard
+    may additionally depend on a prefix of the next sort key, but ONLY
+    at exact-``value`` granularity (e.g. ``struct(v, substring(tb,1,1))``
+    - clamping/bucketing ``v`` while keeping the tiebreak component
+    breaks monotonicity). ``order_extra`` names tiebreak columns
+    appended to the within-shard sort so ranks over tied values are
+    deterministic. Returns the input plus ``pos`` (1-based rank, or
+    cumulative weight when ``weight`` is given); with ``with_rank``
+    (requires ``weight``) also a ``rank`` column carrying the plain
+    1-based row rank from the same window pass; and - only when
     ``with_total`` - a ``total`` column (it costs a second window pass
     over the tiny shard-totals table, so rank-only callers skip it)."""
-    taken = ["_shard", "_wcum", "_off", "pos"] + (["total"] if with_total else [])
+    if with_rank and weight is None:
+        raise ValueError(
+            "sharded_rank: with_rank only adds information when a weight "
+            "is given (pos IS the rank otherwise)"
+        )
+    taken = (
+        ["_shard", "_wcum", "_off", "pos"]
+        + (["total"] if with_total else [])
+        + (["_rcum", "_roff", "rank"] if with_rank else [])
+    )
     _guard_output_cols(df, taken, "sharded_rank")
     sharded = df.withColumn("_shard", F.expr(shard_expr))
     w_val = F.col(weight) if weight is not None else F.lit(1)
     w_in = (
         Window.partitionBy(*_cols(keys), F.col("_shard"))
-        .orderBy(value)
+        .orderBy(value, *order_extra)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = sharded.withColumn("_wcum", F.sum(w_val).over(w_in))
-    shard_tot = sharded.groupBy(*_cols(keys), F.col("_shard")).agg(
-        F.sum(w_val).alias("_sw")
-    )
+    if with_rank:
+        # same window spec -> Spark evaluates both sums in ONE Window node
+        within = within.withColumn("_rcum", F.sum(F.lit(1)).over(w_in))
+    agg_cols = [F.sum(w_val).alias("_sw")]
+    if with_rank:
+        agg_cols.append(F.count(F.lit(1)).alias("_sn"))
+    shard_tot = sharded.groupBy(*_cols(keys), F.col("_shard")).agg(*agg_cols)
+    # The offset windows run over the SHARD-TOTALS relation - one row per
+    # (keys, shard), tiny by construction. With empty keys they are
+    # deliberately single-partition; partition on a constant so the pass
+    # is explicit rather than tripping WindowExec's "No Partition Defined"
+    # warning meant for accidental whole-table windows (the plan-gate test
+    # in tests/test_plans.py still audits every constant-partitioned
+    # window for the _shard-totals shape).
+    part = _cols(keys) if keys else [F.lit(0)]
     w_off = (
-        Window.partitionBy(*_cols(keys))
+        Window.partitionBy(*part)
         .orderBy("_shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -229,17 +260,23 @@ def sharded_rank(
         F.col("_shard"),
         (F.sum("_sw").over(w_off) - F.col("_sw")).alias("_off"),
     ]
+    if with_rank:
+        off_cols.append((F.sum("_sn").over(w_off) - F.col("_sn")).alias("_roff"))
     if with_total:
-        w_tot = Window.partitionBy(*_cols(keys)).rowsBetween(
+        w_tot = Window.partitionBy(*part).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         off_cols.append(F.sum("_sw").over(w_tot).alias("total"))
     offsets = shard_tot.select(*off_cols)
-    return (
+    out = (
         within.join(offsets, [*keys, "_shard"])
         .withColumn("pos", F.col("_wcum") + F.col("_off"))
-        .drop("_shard", "_wcum", "_off")
     )
+    if with_rank:
+        out = out.withColumn("rank", F.col("_rcum") + F.col("_roff")).drop(
+            "_rcum", "_roff"
+        )
+    return out.drop("_shard", "_wcum", "_off")
 
 
 def chunk_overlap(

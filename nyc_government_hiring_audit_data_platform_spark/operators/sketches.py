@@ -43,13 +43,18 @@ def mg_merge_counts(
     counters survive, subtract the (k+1)-th largest value and drop
     non-positives. Each compress removes >= m*(k+1) stream mass while
     lowering any counter by <= m, so the total underestimate stays
-    <= n/(k+1) however the stream is batched or partitioned."""
+    <= n/(k+1) however the stream is batched or partitioned.
+
+    Non-mutating: the caller's ``counters`` dict is never modified (the
+    pre-fix version mutated it in place on the no-compression path but
+    returned a fresh dict after compression - inconsistent aliasing)."""
+    merged = dict(counters)
     for term, c in counts.items():
-        counters[term] = counters.get(term, 0) + int(c)
-    if len(counters) > k:
-        m = sorted(counters.values(), reverse=True)[k]
-        counters = {t: c - m for t, c in counters.items() if c > m}
-    return counters
+        merged[term] = merged.get(term, 0) + int(c)
+    if len(merged) > k:
+        m = sorted(merged.values(), reverse=True)[k]
+        merged = {t: c - m for t, c in merged.items() if c > m}
+    return merged
 
 
 def misra_gries_summary(df: DataFrame, term_col: str, k: int) -> DataFrame:

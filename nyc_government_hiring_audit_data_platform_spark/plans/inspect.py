@@ -73,6 +73,53 @@ def uses_window_group_limit(df: DataFrame) -> bool:
     return "WindowGroupLimit" in physical_plan(df)
 
 
+def _subtree_bounds_window_input(node) -> bool:
+    """True when a logical subtree is bounded by construction for the
+    purpose of feeding a single-partition Window: it contains a Limit
+    (top-k lane) or an Aggregate grouping on a ``_shard`` attribute (the
+    sharded_rank offsets relation - one row per shard by construction)."""
+    cls = node.getClass().getSimpleName()
+    if cls in ("GlobalLimit", "LocalLimit"):
+        return True
+    if cls == "Aggregate":
+        ge = node.groupingExpressions()
+        for i in range(ge.size()):
+            if "_shard" in ge.apply(i).toString():
+                return True
+    ch = node.children()
+    for i in range(ch.size()):
+        if _subtree_bounds_window_input(ch.apply(i)):
+            return True
+    return False
+
+
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Window nodes that would funnel their whole input through ONE task
+    at scale: partitionSpec empty or all-foldable (a constant like
+    ``lit(0)`` partitions exactly like no partitioning), over an input
+    subtree that is NOT bounded by construction (no Limit, no
+    ``_shard``-totals Aggregate). This is the vocab_coverage-class gate:
+    a global ``Window.orderBy`` running sum over an unbounded relation
+    is fine at sf0.1 and a driver-side funnel at a 100M-key corpus."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            spec = node.partitionSpec()
+            n = spec.size()
+            unpartitioned = n == 0 or all(
+                spec.apply(i).foldable() for i in range(n)
+            )
+            if unpartitioned and not _subtree_bounds_window_input(node):
+                out.append(node.simpleString(200))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan
     (BroadcastExchange is data movement but not a shuffle)."""

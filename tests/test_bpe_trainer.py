@@ -75,6 +75,20 @@ def test_bpe_trainer_greedy_chain_and_stop(spark):
     syms.unpersist()
 
 
+def test_bpe_trainer_backslash_symbols(spark):
+    """Symbols containing backslashes (paths, escaped text) must survive
+    the SQL-literal interpolation in _apply_merge: Spark SQL processes
+    C-style escapes inside string literals, so an unescaped backslash
+    corrupts the replace pattern (ADVICE round 4)."""
+    docs = _docs(spark, ["a\\b a\\b c\\\\d"])
+    merges, syms = train_bpe(docs, "text", n_merges=3)
+    want_merges, want_seqs = _ref_bpe(["a\\b", "a\\b", "c\\\\d"], 3)
+    assert merges == want_merges
+    got = sorted(tuple(r["syms"]) for r in syms.collect())
+    assert got == want_seqs
+    syms.unpersist()
+
+
 def test_bpe_trainer_null_and_empty_text(spark):
     """NULL/empty documents contribute nothing and never crash the
     wrap/unwrap rewrite."""

@@ -15,6 +15,29 @@ from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
 QUERIES = entrymod.queries()
 
 
+# Documented exceptions to the global-window gate, each with the reason
+# a single-partition window is the DESIGN there, not an accident:
+_GLOBAL_WINDOW_ALLOWED = {
+    # BRONZE per-file record stamping: input is one bounded ingest file
+    # by contract (operators/relational.py:with_record_id docstring);
+    # bulk data takes the monotonically_increasing_id path instead.
+    "record_id",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_global_window(spark, sf_dir, name):
+    """The vocab_coverage-class gate (locks out the CLASS, not just the
+    fixed instance): no query may contain a Window whose partitioning is
+    empty/constant over an input that is not bounded by construction
+    (Limit lane or sharded_rank's _shard-totals aggregate). Such a
+    window funnels the whole relation through one task at 100 TB."""
+    if name in _GLOBAL_WINDOW_ALLOWED:
+        pytest.skip("documented bounded-input exception")
+    bad = PI.global_window_violations(QUERIES[name](spark, sf_dir))
+    assert not bad, f"{name}: unbounded single-partition Window(s):\n" + "\n".join(bad)
+
+
 def test_scan_projection_pruned(spark, sf_dir):
     df = QUERIES["scan_project"](spark, sf_dir)
     PI.assert_column_pruning(df, 4)

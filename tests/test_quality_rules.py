@@ -40,6 +40,12 @@ def test_gopher_rules_semantics(spark, tmp_path):
         " ".join(["123"] * 40 + ["word"] * 20),
         # 4: symbol-heavy ('#' markdown soup above 10%)
         " ".join(["word"] * 50 + ["#"] * 10),
+        # 5: ONE token of 12 '#'s - the published rule counts symbol
+        # OCCURRENCES over words (12/51 > 0.1 -> drop); the per-word
+        # containment flag would count it once (1/51 -> keep)
+        " ".join(["word"] * 50 + ["#" * 12]),
+        # 6: '......' = two non-overlapping '...' occurrences (2/51 -> keep)
+        " ".join(["word"] * 50 + ["......"]),
     ]
     rows, out = _run_on_docs(spark, tmp_path, "gopher_quality_flags", texts)
     assert rows[0]["keep"] == 1 and rows[0]["n_words"] == 60
@@ -47,6 +53,8 @@ def test_gopher_rules_semantics(spark, tmp_path):
     assert rows[2]["flag_mwl"] == 0 and rows[2]["mwl_milli"] == 12000
     assert rows[3]["flag_alpha"] == 0 and rows[3]["alpha_milli"] == 333
     assert rows[4]["flag_sym"] == 0 and rows[4]["sym_milli"] == 166
+    assert rows[5]["flag_sym"] == 0 and rows[5]["sym_milli"] == 235
+    assert rows[6]["flag_sym"] == 1 and rows[6]["sym_milli"] == 39
     # map-only contract: no exchange anywhere in the plan
     assert "Exchange" not in physical_plan(out)
 

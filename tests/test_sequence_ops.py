@@ -201,3 +201,35 @@ def test_bpe_apply_merge_greedy_chain(spark, tmp_path):
     assert rows[0]["n_sym_before"] == 7 and rows[0]["n_sym_after"] == 4
     # 'ab' has no 'aa': untouched
     assert rows[1]["n_sym_before"] == 2 and rows[1]["n_sym_after"] == 2
+
+
+def test_bpe_apply_merge_newline_chars(spark, tmp_path):
+    """TRUE-count assertion (not cross-engine parity, which both engines
+    could fail identically): tokens containing \\n/\\r must wrap every
+    char - pre-fix, '(.)' skipped newlines in Java regex AND RE2, so the
+    length arithmetic inflated the merge count and token '\\n\\n'
+    reported 0 symbols for 2 (ADVICE round 4)."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    # space-tokenization keeps newlines INSIDE tokens: doc 0's tokens are
+    # ['aa\naa', 'aaaa']; winning pair 'aa' (count: 2 in 'aa\naa' split by
+    # the \n barrier... actually 'aa\naa' contains pairs aa,a\n,\na,aa).
+    docs = spark.createDataFrame(
+        [
+            (0, "aa\naa aaaa", "en", "s", 10),
+            (1, "\n\n", "en", "s", 2),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bpe_nl")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["bpe_apply_merge"](spark, d).collect()
+    }
+    assert rows[0]["pair"] == "aa"
+    # 'aa\naa' (5 symbols) -> [aa, \n, aa] (3); 'aaaa' (4) -> [aa, aa] (2)
+    assert rows[0]["n_sym_before"] == 9 and rows[0]["n_sym_after"] == 5
+    # doc 1: one token '\n\n' - 2 symbols, no 'aa', untouched (pre-fix
+    # this reported n_sym_after == 0)
+    assert rows[1]["n_sym_before"] == 2 and rows[1]["n_sym_after"] == 2
