@@ -72,9 +72,7 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "embedding_l2_normalize",
     "winsorize_clip",
-    # corpus-curation suite (round 4). neardup_keep_list stays OUT:
-    # it is the iterative component closure (multi-round convergence
-    # loop, measured separately) - same policy as neardup_components.
+    # corpus-curation suite (round 4)
     "boilerplate_ngram_flags",
     "chunk_dedup",
     "unigram_surprisal_quality",
@@ -90,10 +88,7 @@ BENCH_QUERIES = [
     "pmi_cooccurrence",
     "triangle_count",
     "record_linkage_scores",
-    # sequence/session suite (round-4 continuation). bfs_distance stays
-    # OUT: its unrolled 3-hop lineage re-derives the edge set per hop
-    # (fine for a fixed-depth query, measured separately) - the
-    # converging loop is neardup_components' slot.
+    # sequence/session suite (round-4 continuation)
     "forward_fill",
     "time_weighted_avg",
     "bpe_pair_counts",
@@ -107,6 +102,23 @@ BENCH_QUERIES = [
     "ccnet_perplexity_buckets",
     "bpe_apply_merge",
     "hybrid_rrf_retrieval",
+    # round-5 additions: one slot per previously-unbenched plan FAMILY
+    # so regressions in each family are visible (round-4 ask #7) -
+    # iterative component closure, unrolled frontier expansion,
+    # window-chained interval versioning, shard-prefix weighted rank,
+    # batch-vs-index probe, and the full training loop.
+    "neardup_keep_list",
+    "bfs_distance",
+    "scd2_intervals",
+    "weighted_median",
+    "incremental_neardup_batch",
+    "bpe_train_merges",
+    # round-5 published-method additions
+    "semdedup_prune",
+    "winnowing_fingerprints",
+    "mixture_temperature_weights",
+    "cms_frequency_bound",
+    "duplicate_span_detect",
 ]
 
 

@@ -207,6 +207,123 @@ def q_chunk_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# stride-1 duplicate spans (the exact-substring dedup shape)
+# ---------------------------------------------------------------------------
+
+_SPAN = 16  # tokens per span (stride 1)
+
+
+@query(
+    "duplicate_span_detect",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, e.pos AS pos, e.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {_SPAN - 2}),
+                      i -> struct_pack(pos := i,
+                           h := md5(array_to_string(toks[i:i + {_SPAN - 1}],
+                                                    ' '))))) AS e
+        FROM src
+      )
+    ),
+    freq AS (SELECT h, COUNT(*) AS cnt FROM sp GROUP BY h),
+    j AS (SELECT sp.doc_id, sp.pos, f.cnt FROM sp JOIN freq f ON sp.h = f.h),
+    d AS (SELECT doc_id, pos FROM j WHERE cnt > 1),
+    r AS (
+      SELECT doc_id,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run
+      FROM r GROUP BY doc_id, grp
+    ),
+    mx AS (SELECT doc_id, MAX(run) AS max_dup_run FROM runs GROUP BY doc_id),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM j GROUP BY doc_id
+    )
+    SELECT per.doc_id, n_spans, n_dup_spans,
+           COALESCE(mx.max_dup_run, 0) AS max_dup_run,
+           CASE WHEN COALESCE(mx.max_dup_run, 0) > 0
+                THEN COALESCE(mx.max_dup_run, 0) + {_SPAN - 1}
+                ELSE 0 END AS max_dup_tokens
+    FROM per LEFT JOIN mx ON per.doc_id = mx.doc_id
+    """,
+)
+def q_duplicate_span_detect(spark, sf_dir):
+    """Stride-1 duplicate-span detection - the exact-substring dedup
+    shape (Lee et al. 2022, "Deduplicating Training Data Makes LMs
+    Better", the suffix-array result approximated at fixed span width):
+    every overlapping 16-token span is hashed, spans occurring more
+    than once corpus-wide are duplicated material, and consecutive
+    duplicated spans coalesce (gaps-and-islands per doc) into the
+    longest duplicated run - max_dup_tokens = run + 15 is the length
+    of the longest substring this doc shares with the corpus (itself
+    included on internal repeats), the quantity the suffix-array method
+    extracts exactly. Differs from chunk_dedup (stride = chunk width):
+    stride 1 catches duplicates at ANY alignment, the reason the
+    published method beats block hashing.
+
+    Plan: explode L-15 md5-hashed spans per doc (map-side, hashes not
+    span text move), one span-grouped count, equi-join back, and the
+    island window partitioned BY DOC - every stage is key-grouped;
+    volume is span-count ~ token-count, linear in the corpus."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    spans = F.when(
+        F.size(toks) >= _SPAN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SPAN - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i, _SPAN), " ").cast("binary"))
+                .alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    sp = docs.select("doc_id", F.explode(spans).alias("e")).select(
+        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    )
+    freq = sp.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    j = sp.join(freq, "h").select("doc_id", "pos", "cnt").persist()
+    from pyspark.sql import Window as W
+
+    d = j.filter(F.col("cnt") > 1)
+    r = d.select(
+        "doc_id",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    runs = r.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    mx = runs.groupBy("doc_id").agg(F.max("run").alias("max_dup_run"))
+    per = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+    )
+    run0 = F.coalesce(F.col("max_dup_run"), F.lit(0).cast("bigint"))
+    return per.join(mx, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        run0.alias("max_dup_run"),
+        F.when(run0 > 0, run0 + (_SPAN - 1)).otherwise(0).alias("max_dup_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup keep-list: the curation DECISION on top of duplicate clusters
 # ---------------------------------------------------------------------------
 

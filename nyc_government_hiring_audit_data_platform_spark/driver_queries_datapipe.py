@@ -10,15 +10,24 @@ double math, ROUND) so the driver's value-hash check stays strong.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.functions.similarity import (
+    cosine_similarity,
+)
 
 from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
     norm_round,
 )
 
 from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
-from nyc_government_hiring_audit_data_platform_spark.functions.text import normalize_text_sql, tokens
+from nyc_government_hiring_audit_data_platform_spark.functions.text import (
+    normalize_text,
+    normalize_text_sql,
+    tokens,
+)
 from nyc_government_hiring_audit_data_platform_spark.functions import textstats as TS
 from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
 from nyc_government_hiring_audit_data_platform_spark.operators import dedup as DD
@@ -90,6 +99,122 @@ def q_simhash_collisions(spark, sf_dir):
     )
 
 
+_WIN_W = 4  # winnowing window (consecutive k-gram hashes per window)
+
+
+@query(
+    "winnowing_fingerprints",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length({normalize_text_sql('text')})
+                                           - {TS.SHINGLE_N - 1}, 0)),
+               i -> {DD.base_hash_sql(
+                   f"substring({normalize_text_sql('text')}, i, {TS.SHINGLE_N})")})
+               AS hs
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, hs,
+             list_distinct(
+               CASE WHEN len(hs) >= {_WIN_W}
+                    THEN list_transform(range(1, len(hs) - {_WIN_W - 2}),
+                                        i -> list_min(hs[i:i + {_WIN_W - 1}]))
+                    WHEN len(hs) >= 1 THEN [list_min(hs)]
+                    ELSE []::BIGINT[] END) AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps) AS min_fp,
+           list_max(fps) AS max_fp
+    FROM w
+    """,
+)
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every positional character {n}-gram of the
+    normalized text, slide a window of {w} consecutive hashes, and
+    record the minimum of each window - the selected fingerprints are
+    a deterministic, position-robust subset guaranteeing any shared
+    substring of length >= n + w - 1 contributes a shared fingerprint.
+    Short docs (< w grams) fingerprint their global minimum; empty docs
+    yield none. Map-only at any corpus size: the whole computation is
+    per-document array expressions (positional hashes, NOT the distinct
+    shingle set dedup uses - order matters to windows), zero shuffles.
+    The fingerprint inventory (count, min, max) is the hash-checked
+    output; a plagiarism/overlap join would explode fps and equi-join
+    exactly like ngram_jaccard_neardup's blocking."""
+    # repartition BEFORE the per-char md5 pass: a single-file source
+    # otherwise hashes every gram in one task (operators/dedup.py's
+    # documented pattern)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    s = normalize_text(F.col("text"))
+    n = TS.SHINGLE_N
+    hs = F.when(
+        F.length(s) < n, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: DD.base_hash(F.substring(s, i, n)),
+        )
+    )
+    h = docs.select("doc_id", hs.alias("hs"))
+    wins = (
+        F.when(
+            F.size("hs") >= _WIN_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice("hs", i, _WIN_W)),
+            ),
+        )
+        .when(F.size("hs") >= 1, F.array(F.array_min("hs")))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    w = h.select("doc_id", "hs", F.array_distinct(wins).alias("fps"))
+    return w.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+@query(
+    "incremental_neardup_batch",
+    DD.incremental_neardup_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 1)",
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "text",
+        "doc_id",
+        0.25,
+    ),
+)
+def q_incremental_neardup_batch(spark, sf_dir):
+    """INCREMENTAL dedup, the batch-vs-corpus shape a daily ingest
+    runs: the existing corpus (doc_id % 5 = 1 slice) is captured once
+    as a persisted (id, band, bh, hs) band index; the new batch
+    (doc_id % 5 = 0 slice) is hashed/banded and probes the index via a
+    (band, bh) equi-join, with the exact-Jaccard verify only inside
+    shared buckets. Cost is proportional to the BATCH - the corpus is
+    touched only through index lookups, which a (band, bh)-bucketed
+    index layout serves without a full corpus shuffle at 100 TB.
+    Previously pytest-only (tests/test_incremental_dedup.py); this row
+    gives the operator a direct driver hash check."""
+    docs = table(spark, sf_dir, "documents")
+    idx = DD.build_band_index(
+        docs.filter(F.col("doc_id") % 5 == 1), "text", "doc_id"
+    )
+    return DD.incremental_neardup(
+        docs.filter(F.col("doc_id") % 5 == 0), idx, "text", "doc_id", 0.25
+    )
+
+
 @query(
     "embedding_neardup",
     ANN.embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding", 0.3),
@@ -100,6 +225,139 @@ def q_embedding_neardup(spark, sf_dir):
     same-bucket cosine ~0.45); production near-dup would use ~0.95."""
     return ANN.embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3
+    )
+
+
+# --- SemDeDup: semantic dedup inside embedding clusters --------------------
+
+_SD_TAU = 0.3  # semantic-duplicate cosine threshold (synthetic embeddings
+# have no true dups - max in-cluster cosine ~0.45; production uses ~0.95)
+
+# centroid L2 norms as Python-computed literals injected identically into
+# both engines (repr round-trips exactly - never per-engine float math)
+_SD_NORMS = [
+    repr(__import__("math").sqrt(sum(x * x for x in c))) for c in ANN.CENTROIDS
+]
+
+
+def _semdedup_oracle() -> str:
+    dots = ANN._centroid_dots_sql("embedding")
+    selfdot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform((v::DOUBLE[]), x -> x * x)), (acc, x) -> acc + x)"
+    )
+    norms = "[" + ", ".join(f"{n}::DOUBLE" for n in _SD_NORMS) + "]"
+    return f"""
+    WITH b0 AS MATERIALIZED (
+      SELECT vec_id, embedding AS v, {dots} AS ds FROM embeddings
+    ),
+    b1 AS (
+      SELECT vec_id, v, ds, sqrt({selfdot}) AS nv,
+             {ANN._probe_list_sql('ds', 1)}[1] AS cluster
+      FROM b0
+    ),
+    b2 AS MATERIALIZED (
+      SELECT vec_id, v, cluster,
+             ds[cluster + 1] / (nv * ({norms})[cluster + 1]) AS cent
+      FROM b1
+    ),
+    dup AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.cent AS cent_a, b.cent AS cent_b
+      FROM b2 a JOIN b2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {ANN.cosine_sql('a.v', 'b.v')} >= {_SD_TAU}
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN cent_a > cent_b THEN id_a
+                           WHEN cent_b > cent_a THEN id_b
+                           ELSE GREATEST(id_a, id_b) END AS vec_id
+      FROM dup
+    )
+    SELECT b2.vec_id, cluster,
+           ROUND(cent, 6) + 0 AS cent_sim,
+           CASE WHEN d.vec_id IS NOT NULL THEN 0 ELSE 1 END AS keep
+    FROM b2 LEFT JOIN drops d ON b2.vec_id = d.vec_id
+    """
+
+
+@query("semdedup_prune", _semdedup_oracle())
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by pruning
+    high-cosine pairs INSIDE embedding clusters. Every vector is
+    assigned to its nearest IVF centroid map-side (the coarse quantizer
+    ann_ivf_topk already uses - production learns centroids with
+    sampled k-means, kmeans_iteration's loop); within each cluster,
+    pairs with cosine >= tau are semantic duplicates, and the paper's
+    keep rule retains the member FARTHEST from the centroid (lowest
+    centroid-cosine; exact ties keep the lower id) - edge points carry
+    more diverse signal than cluster cores. Output: every vector with
+    its cluster, centroid cosine, and the keep/drop decision.
+
+    Plan at 100 TB: assignment is one map pass; the pairwise stage is
+    an equi-join ON CLUSTER ID, so the quadratic work is bounded per
+    cluster exactly as published (cluster count scales with the corpus;
+    here it is the fixed 16-centroid quantizer shared with the oracle).
+    The assigned relation persists once and feeds both join sides and
+    the final projection; centroid norms are shared Python literals, so
+    every double on both engines is bit-identical before the ROUND."""
+    emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    v = ANN._vec_sql("v")
+    selfdot = (
+        f"aggregate(zip_with({v}, {v}, (a, b) -> a * b), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    norms = "array(" + ", ".join(f"{n}D" for n in _SD_NORMS) + ")"
+    b0 = emb.repartition(par).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        ANN._centroid_dots("embedding").alias("ds"),
+    )
+    b1 = b0.select(
+        "vec_id",
+        "v",
+        "ds",
+        F.expr(f"sqrt({selfdot})").alias("nv"),
+        ANN._probe_list(F.col("ds"), 1)[0].alias("cluster"),
+    )
+    b2 = b1.select(
+        "vec_id",
+        "v",
+        "cluster",
+        (
+            F.element_at("ds", F.col("cluster") + 1)
+            / (F.col("nv") * F.element_at(F.expr(norms), F.col("cluster") + 1))
+        ).alias("cent"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = b2.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        "cluster",
+        F.col("cent").alias("cent_a"),
+    )
+    b = b2.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        "cluster",
+        F.col("cent").alias("cent_b"),
+    )
+    dup = a.join(b, ["cluster"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (cosine_similarity(F.col("va"), F.col("vb")) >= _SD_TAU)
+    )
+    drops = dup.select(
+        F.when(F.col("cent_a") > F.col("cent_b"), F.col("id_a"))
+        .when(F.col("cent_b") > F.col("cent_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("vec_id")
+    ).distinct()
+    return b2.join(
+        drops.withColumn("_d", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster",
+        norm_round(F.col("cent"), 6).alias("cent_sim"),
+        F.when(F.col("_d").isNotNull(), 0).otherwise(1).alias("keep"),
     )
 
 

@@ -239,6 +239,65 @@ def q_domain_mix_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# temperature-scaled mixture weights (multilingual-corpus sampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_temperature_weights",
+    f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM({whitespace_token_count_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS sqrt_micro
+      FROM per_source
+    ),
+    tot AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS total FROM scaled)
+    SELECT source, n_tokens, sqrt_micro,
+           sqrt_micro * 1000000 // total AS weight_micro
+    FROM scaled CROSS JOIN tot
+    """,
+)
+def q_mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled domain mixture weights, the published
+    multilingual/multi-domain sampling rule (mT5, XLM-R, GPT-3 data
+    mixing): p_i proportional to n_i^alpha with alpha < 1, boosting
+    low-resource sources relative to proportional sampling. alpha is
+    fixed at 1/2 here because IEEE sqrt is CORRECTLY ROUNDED on both
+    engines (bit-identical doubles), unlike libm pow whose last-ulp
+    drift would break the oracle hash; the weight itself is exact
+    integer micro-units (FLOOR-integerized sqrt, BIGINT total, one
+    integer division - the module's floor-integer convention, no
+    cross-partition float sum ever crosses the hasher). Plan: one
+    partial-agg shuffle on source, then broadcast-one-row total - the
+    per-source relation is domain-bounded at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    scaled = (
+        docs.groupBy("source")
+        .agg(F.sum(whitespace_token_count("text")).cast("long").alias("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+            .cast("long")
+            .alias("sqrt_micro"),
+        )
+    )
+    tot = scaled.agg(F.sum("sqrt_micro").alias("total"))
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "sqrt_micro",
+        F.expr("sqrt_micro * 1000000L DIV total").alias("weight_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding L2 normalization (ANN preprocessing)
 # ---------------------------------------------------------------------------
 

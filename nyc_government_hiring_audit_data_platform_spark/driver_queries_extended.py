@@ -1164,6 +1164,122 @@ def q_kll_quantile_bound(spark, sf_dir):
     )
 
 
+# --- Count-Min sketch (deterministic hashes -> EXACT oracle) ---------------
+
+_CMS_W = 256  # buckets per hash row
+_CMS_D = 3  # hash rows (reuses the first 3 minhash permutation pairs)
+
+
+def _cms_bucket_exprs() -> list[tuple[int, str]]:
+    """(j, SQL-expression) per hash row - identical text on both engines
+    modulo the base-hash call, which each side renders itself."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.dedup import (
+        MH_COEF,
+        MH_P,
+    )
+
+    return [
+        (j, f"(({a} * h + {b}) % {MH_P}) % {_CMS_W}")
+        for j, (a, b) in enumerate(MH_COEF[:_CMS_D])
+    ]
+
+
+def _cms_oracle() -> str:
+    from nyc_government_hiring_audit_data_platform_spark.operators.dedup import (
+        base_hash_sql,
+    )
+
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {e} AS bucket, c FROM hashed"
+        for j, e in _cms_bucket_exprs()
+    )
+    pj = " UNION ALL ".join(
+        f"SELECT term, c, {j} AS j, {e} AS bucket FROM probes"
+        for j, e in _cms_bucket_exprs()
+    )
+    return f"""
+    WITH cnt AS MATERIALIZED (
+      SELECT term, COUNT(*) AS c
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                          t -> t <> '')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    hashed AS MATERIALIZED (
+      SELECT term, c, {base_hash_sql('term')} AS h FROM cnt
+    ),
+    rows_ AS ({rows}),
+    sketch AS (
+      SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS bc FROM rows_ GROUP BY 1, 2
+    ),
+    probes AS (SELECT term, c, h FROM hashed ORDER BY c DESC, term LIMIT 8),
+    pj AS ({pj})
+    SELECT pj.term,
+           CAST(MAX(pj.c) AS BIGINT) AS exact_cnt,
+           MIN(s.bc) AS est_cnt,
+           MIN(s.bc) - CAST(MAX(pj.c) AS BIGINT) AS over_count
+    FROM pj JOIN sketch s ON pj.j = s.j AND pj.bucket = s.bucket
+    GROUP BY pj.term
+    """
+
+
+@query("cms_frequency_bound", _cms_oracle())
+def q_cms_frequency_bound(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    term frequencies, probed at the 8 most frequent terms: D={d} hash
+    rows x W={w} buckets, est = min over rows of the bucket sum, with
+    the one-sided guarantee est >= exact (over_count is the collision
+    bias, never negative). The hash rows reuse the minhash permutation
+    pairs over the shared md5 base hash, so the sketch is DETERMINISTIC
+    and the oracle checks exact VALUES, not just the bound - stronger
+    than the HLL/KLL rows, whose estimates are impl-specific.
+
+    Scale shape: the sketch is built from the TERM-COUNT relation (sum
+    of counts per bucket == count of tokens per bucket, but distinct
+    terms << tokens), so after the word-count shuffle everything
+    downstream is fixed-size: D*W sketch cells, 8*D probe rows, all
+    broadcast-joined. This is the mergeable-summaries frequency sketch
+    that complements heavy_hitters_bound's Misra-Gries (MG: which keys
+    are heavy; CMS: point estimates for ANY key)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.dedup import (
+        base_hash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("term")
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    hashed = cnt.select("term", "c", base_hash(F.col("term")).alias("h")).persist()
+    buckets = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.expr(e).alias("bucket"))
+            for j, e in _cms_bucket_exprs()
+        ]
+    )
+    rows = hashed.select(F.explode(buckets).alias("e"), "c").select(
+        F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"), "c"
+    )
+    sketch = rows.groupBy("j", "bucket").agg(F.sum("c").alias("bc"))
+    probes = hashed.orderBy(F.desc("c"), F.asc("term")).limit(8)
+    pj = probes.select("term", "c", F.explode(buckets).alias("e")).select(
+        "term", "c", F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket")
+    )
+    est = (
+        pj.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("term")
+        .agg(F.max("c").alias("exact_cnt"), F.min("bc").alias("est_cnt"))
+    )
+    return est.select(
+        "term",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("over_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # behavioral analytics: ordered funnels and cohort retention - standard
 # large-scale event-log operators the reference's events table invites

