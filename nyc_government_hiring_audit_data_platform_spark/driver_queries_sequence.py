@@ -529,6 +529,101 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle(n_rounds: int) -> str:
+    """Doc-keyed twin of _bpe_train_oracle: carries doc_id and the
+    original symbol count through the merge rounds, then aggregates the
+    per-doc compression the trained tokenizer achieves."""
+    parts = [
+        f"""WITH s0 AS MATERIALIZED (
+      SELECT doc_id, length(tok) AS n0,
+             regexp_replace(tok, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g')
+               AS w
+      FROM (SELECT doc_id, unnest({_RAW_TOKS_SQL}) AS tok FROM documents)
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(l)),
+               i -> struct_pack(a := l[i], b := l[i + 1]))) AS pr
+        FROM (SELECT string_split(substring(w, 2, length(w) - 2),
+                     chr(31) || chr(30)) AS l FROM s{r - 1})
+      ) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    w{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT doc_id, n0,
+             CASE WHEN w.a IS NULL THEN s.w
+             ELSE replace(s.w,
+                          chr(30) || w.a || chr(31) || chr(30) || w.b || chr(31),
+                          chr(30) || w.a || w.b || chr(31)) END AS w
+      FROM s{r - 1} s LEFT JOIN w{r} w ON TRUE
+    )""")
+    last = f"s{n_rounds}"
+    return ",\n    ".join(parts) + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(n0) AS BIGINT) AS n_sym_before,
+           CAST(SUM(length(w) - length(replace(w, chr(31), ''))) AS BIGINT)
+             AS n_sym_after,
+           CAST(SUM(length(w) - length(replace(w, chr(31), ''))) * 1000
+                // SUM(n0) AS BIGINT) AS compression_milli
+    FROM {last} GROUP BY doc_id
+    """
+
+
+@query("bpe_encode_corpus", _bpe_encode_oracle(_BPE_TRAIN_N))
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOY half of tokenizer training: train the N={n}-merge BPE
+    vocabulary (operators/bpe.py:train_bpe - the loop bpe_train_merges
+    hash-verifies), then ENCODE the whole corpus with it in one
+    map-only pass - the trained merges are collected driver-side (N
+    tiny rows, the sanctioned scalar pattern) and inlined as N nested
+    ``replace`` calls over the wrapped symbol string, so corpus
+    encoding is stateless per row: no shuffle beyond the final per-doc
+    aggregation, exactly how a trained tokenizer is applied at 100 TB
+    (broadcast vocab, map-side encode). Output is the per-doc
+    compression the vocabulary achieves (symbols before/after, exact
+    integer milli-ratio). The oracle re-derives the SAME merges inside
+    DuckDB (doc-keyed unrolled rounds) - so the check covers training
+    AND application end to end."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.bpe import (
+        train_bpe,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N)
+    syms.unpersist()
+
+    def _q(s: str) -> str:  # Spark SQL literal escape (backslash first)
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    w = "regexp_replace(tok, '(?s)(.)', concat(chr(30), '$1', chr(31)))"
+    for a, b in merges:
+        qa, qb = _q(a), _q(b)
+        w = (
+            f"replace({w}, concat(chr(30), '{qa}', chr(31), "
+            f"chr(30), '{qb}', chr(31)), "
+            f"concat(chr(30), '{qa}', '{qb}', chr(31)))"
+        )
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_RAW_TOKS)).alias("tok")
+    ).select(
+        "doc_id",
+        F.length("tok").alias("n0"),
+        F.expr(f"length({w}) - length(replace({w}, chr(31), ''))").alias("ns"),
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("n0").alias("n_sym_before"),
+        F.sum("ns").alias("n_sym_after"),
+        F.expr("CAST(SUM(ns) * 1000 DIV SUM(n0) AS BIGINT)").alias(
+            "compression_milli"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BFS reachability (iterative frontier expansion)
 # ---------------------------------------------------------------------------

@@ -163,6 +163,40 @@ SHOWCASE = {
         "languages x 2 edge relation broadcast; the head/middle/tail "
         "assignment itself is map-side."
     ),
+    "vocab_coverage": (
+        "Frequency-ranked vocabulary WITHOUT a single-partition window: "
+        "shard-prefix distributed rank over (-count, term-prefix) shards "
+        "computes rank AND cumulative share in one parallel Window node; "
+        "the only deliberate single-partition pass is over the tiny "
+        "shard-totals relation."
+    ),
+    "semdedup_prune": (
+        "SemDeDup: centroid assignment is map-side; the quadratic cosine "
+        "stage is an equi-join ON CLUSTER ID so pairwise work is bounded "
+        "per cluster; the assigned relation persists once for both join "
+        "sides and the final projection."
+    ),
+    "duplicate_span_detect": (
+        "Stride-1 span dedup: md5 span hashes (not span text) shuffle to "
+        "a span-grouped count, join back, and the islands window is "
+        "partitioned BY DOC - every stage key-grouped, volume linear in "
+        "tokens."
+    ),
+    "winnowing_fingerprints": (
+        "Winnowing is map-ONLY: positional gram hashes, per-window "
+        "minima, and the distinct fingerprint set are all per-document "
+        "array expressions - zero Exchange nodes at any corpus size."
+    ),
+    "cms_frequency_bound": (
+        "Count-Min sketch built from the term-count relation: after the "
+        "word-count shuffle, everything is fixed-size (D*W cells, k*D "
+        "probe rows) and broadcast-joined."
+    ),
+    "incremental_neardup_batch": (
+        "Incremental dedup: the corpus participates only through its "
+        "band index; the batch hashes/bands map-side and probes via a "
+        "(band, bh) equi-join - cost proportional to the batch."
+    ),
 }
 
 
