@@ -1,12 +1,14 @@
 """Training-data-pipeline suite, part 3: corpus curation decisions.
 
-Round-4 additions covering the curation steps that sit BETWEEN the
-similarity primitives (dedup/, ann.py) and a training run: which n-grams
-are boilerplate, which chunks are corpus-duplicated, which near-dup doc
-survives its cluster, how link structure ranks nodes, and where the key
-skew is before you pick a join strategy. Every query is exact-oracle
-checked; every plan is a bounded number of key-grouped shuffles -
-nothing quadratic, nothing driver-side.
+The curation steps that sit BETWEEN the similarity primitives (dedup/,
+ann.py) and a training run: which n-grams are boilerplate, which
+chunks/spans are corpus-duplicated (fixed-stride `chunk_dedup` and the
+round-5 stride-1 `duplicate_span_detect` - the Lee et al. 2022
+exact-substring shape), which near-dup doc survives its cluster, how
+link structure ranks nodes, and where the key skew is before you pick
+a join strategy. Every query is exact-oracle checked; every plan is a
+bounded number of key-grouped shuffles - nothing quadratic, nothing
+driver-side.
 
 Determinism conventions (see driver_queries module docstring): float
 outputs are single divisions or integer-sum-then-divide (never a

@@ -163,6 +163,11 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         "{code} blocks and lorem ipsum placeholders.",
         "one. two! three? four.",
         None,  # NULL text: Spark legacy size(NULL)=-1 vs DuckDB NULL
+        # long docs with shared + internal 16-token spans so the span/
+        # chunk/winnowing dedup queries produce non-vacuous output
+        " ".join(f"tok{i}" for i in range(40)),
+        "prefix " + " ".join(f"tok{i}" for i in range(40)) + " suffix",
+        " ".join(f"rep{i % 8}" for i in range(48)),  # internal repeats
     ]
     docs = spark.createDataFrame(
         [
@@ -183,6 +188,15 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         "dsir_importance_weights",
         "ccnet_perplexity_buckets",
         "bpe_apply_merge",
+        # round-5 text-shaped queries through the same dirty inputs
+        "winnowing_fingerprints",
+        "duplicate_span_detect",
+        "chunk_dedup",
+        "cms_frequency_bound",
+        "vocab_coverage",
+        "mixture_temperature_weights",
+        "bpe_train_merges",
+        "bpe_encode_corpus",
     ):
         sdf = DQ.QUERIES[name](spark, d)
         srows = [tuple(r) for r in sdf.collect()]
@@ -190,6 +204,35 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         ocols = [c[0] for c in res.description]
         orows = res.fetchall()
         assert _rowset(sdf.columns, srows) == _rowset(ocols, orows), name
+
+
+def test_duplicate_span_semantics(spark, tmp_path):
+    """Island arithmetic on hand-built docs: two docs sharing a 40-token
+    passage -> every one of doc 0's 25 stride-1 spans is duplicated, so
+    the longest duplicated run is 25 spans = 40 tokens; the unique doc
+    has zero duplicated spans."""
+    shared = " ".join(f"tok{i}" for i in range(40))
+    texts = [
+        shared,
+        "prefix " + shared + " suffix",
+        " ".join(f"uniq{i}" for i in range(40)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "spans")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["duplicate_span_detect"](spark, d).collect()
+    }
+    # doc 0: 40 tokens -> 25 spans, ALL also inside doc 1 -> run 25,
+    # longest duplicated substring = 25 + 15 = 40 tokens (the passage)
+    assert rows[0]["n_spans"] == 25 and rows[0]["n_dup_spans"] == 25
+    assert rows[0]["max_dup_run"] == 25 and rows[0]["max_dup_tokens"] == 40
+    # doc 2: nothing shared
+    assert rows[2]["n_dup_spans"] == 0 and rows[2]["max_dup_tokens"] == 0
 
 
 def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
