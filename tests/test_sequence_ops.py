@@ -153,6 +153,99 @@ def test_forward_fill_carries_last_good(spark, sf_smoke, events):
             assert got[eid] == last_good
 
 
+def test_sharded_rank_equals_global_window_random(spark):
+    """Property: sharded_rank's pos/rank/total reproduce the single
+    global window EXACTLY - cumulative weight, row rank (with tiebreak),
+    and total - on random data with heavy value ties, for both the
+    keyed and the global (empty-keys) form. The operator is load-bearing
+    for vocab_coverage / quantile_bucketize / weighted_median /
+    epoch_shuffle, so the equivalence is pinned here once rather than
+    per call site."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        sequence as SEQ,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randrange(2),            # key (2 groups)
+            rng.randrange(8),             # value: heavy ties
+            f"t{rng.randrange(30)}_{i}",  # unique tiebreak
+            rng.randrange(1, 9),          # weight
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k int, v int, tb string, wt int")
+
+    # global form (keys=()): shard subdivides ties by tiebreak prefix
+    got = (
+        SEQ.sharded_rank(
+            df,
+            value="v",
+            shard_expr="named_struct('v', v, 'p', substring(tb, 1, 2))",
+            weight="wt",
+            order_extra=("tb",),
+            with_rank=True,
+            with_total=True,
+        )
+        .select("v", "tb", "pos", "rank", "total")
+        .collect()
+    )
+    w = Window.orderBy("v", "tb").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["v"], r["tb"]): (r["pos"], r["rank"], r["total"])
+        for r in df.select(
+            "v",
+            "tb",
+            F.sum("wt").over(w).alias("pos"),
+            F.sum(F.lit(1)).over(w).alias("rank"),
+            F.sum("wt").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("total"),
+        ).collect()
+    }
+    assert len(got) == 300
+    for r in got:
+        assert (r["pos"], r["rank"], r["total"]) == want[(r["v"], r["tb"])], r
+
+    # keyed form: per-key global ranks
+    gotk = (
+        SEQ.sharded_rank(
+            df,
+            value="v",
+            shard_expr="v div 3",
+            keys=("k",),
+            weight="wt",
+            order_extra=("tb",),
+            with_rank=True,
+        )
+        .select("k", "v", "tb", "pos", "rank")
+        .collect()
+    )
+    wk = Window.partitionBy("k").orderBy("v", "tb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wantk = {
+        (r["k"], r["v"], r["tb"]): (r["pos"], r["rank"])
+        for r in df.select(
+            "k",
+            "v",
+            "tb",
+            F.sum("wt").over(wk).alias("pos"),
+            F.sum(F.lit(1)).over(wk).alias("rank"),
+        ).collect()
+    }
+    for r in gotk:
+        assert (r["pos"], r["rank"]) == wantk[(r["k"], r["v"], r["tb"])], r
+
+
 def test_operator_output_collision_guard(spark):
     """The sequence operators refuse inputs whose columns they would
     silently clobber (withColumn on an existing name replaces it with
