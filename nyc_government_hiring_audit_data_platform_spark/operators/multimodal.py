@@ -16,8 +16,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
   raw bytes, for mixed-media plumbing runs (schema, batching,
   partitioning, UDF signatures are identical to the real path).
 - ``decoder="real"``: the Pillow/torchaudio/ffmpeg plug-point for
-  MP4/AV and bulk compressed data; raises NotImplementedError because
-  those libraries are unavailable in this container.
+  PIXEL decode of compressed codecs; raises NotImplementedError
+  because those libraries are unavailable in this container.
+
+MP4 CONTAINER parsing is real and dependency-free (``operators.mp4``:
+ISO/IEC 14496-12 box tree + full stts/stsc/stsz/stco/stss sample-table
+resolution): under ``decoder="codec"``, ``sample_frames`` emits TRUE
+MP4 samples at TRUE indices with TRUE keyframe flags, and
+``extract_features`` takes frame_count/dimensions from the demuxed
+track, not the duration heuristic. Only turning those codec-bitstream
+samples into rasters stays behind ``decoder="real"``.
 
 Scale notes: media rows are wide (MBs per row), so the operators
 repartition by byte budget rather than row count, keep Arrow batches
@@ -408,6 +416,24 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             return float(decode_image(bytes(payload), mime).mean())
         return float(_decode_fake(bytes(payload)).mean())
 
+    def _frames(payload: bytes, mime: str, duration_ms) -> int:
+        # real MP4 sample count via the stdlib demuxer under codec mode;
+        # duration heuristic for everything else (and corrupt containers)
+        if decoder in ("ppm", "codec") and mime == MP4_MIME and len(payload):
+            from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+                demux_mp4,
+            )
+
+            try:
+                tracks = demux_mp4(bytes(payload))
+                vid = next((t for t in tracks if t.handler == "vide"), None)
+                if vid is not None:
+                    return len(vid.samples)
+            except ValueError:
+                pass
+        d = int(duration_ms)
+        return max(1, d // 40) if d > 0 else 1
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":  # pragma: no cover - env-dependent
@@ -426,9 +452,16 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 "mean_byte": [
                     _mean(b, m) for b, m in zip(pdf["payload"], pdf["mime"])
                 ],
-                "frame_count": pdf["duration_ms"].map(
-                    lambda d: max(1, int(d) // 40) if int(d) > 0 else 1
-                ).astype("int32"),
+                "frame_count": pd.Series(
+                    [
+                        _frames(bytes(b), m, d)
+                        for b, m, d in zip(
+                            pdf["payload"], pdf["mime"], pdf["duration_ms"]
+                        )
+                    ],
+                    dtype="int32",
+                    index=pdf.index,
+                ),
             }
             yield pd.DataFrame(out)
 
@@ -443,6 +476,7 @@ _FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 # ---------------------------------------------------------------------------
 
 Y4M_MIME = "video/x-yuv4mpeg"
+MP4_MIME = "video/mp4"
 
 
 def encode_y4m(frames: np.ndarray, fps: int = 25, subsample: bool = False) -> bytes:
@@ -552,22 +586,71 @@ def make_y4m_media_fixture(spark, n_rows: int = 8) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_nth: int = 25, decoder: str = "fake") -> DataFrame:
+def make_mp4_media_fixture(spark, n_rows: int = 8) -> DataFrame:
+    """MEDIA_SCHEMA rows whose payloads are structurally REAL MP4
+    containers (operators.mp4.encode_mp4): valid box tree + full
+    sample tables around deterministic opaque sample payloads, with
+    every-4th-sample keyframes and varying chunking. The CONTAINER is
+    real; the sample bytes stand in for codec bitstream (see
+    operators/mp4.py docstring)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        encode_mp4,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        n_samples = 5 + i % 6
+        samples = [
+            hashlib.sha256(f"mp4-{i}-{s}".encode()).digest() * (2 + (s % 3))
+            for s in range(n_samples)
+        ]
+        w, h = 64 + (i % 2) * 32, 48 + (i % 3) * 16
+        payload = encode_mp4(
+            samples,
+            fps=25,
+            width=w,
+            height=h,
+            keyframes=list(range(0, n_samples, 4)),
+            samples_per_chunk=2 + i % 3,
+            force_co64=(i % 4 == 3),
+        )
+        rows.append(
+            (i, "video", MP4_MIME, bytearray(payload), w, h, n_samples * 40)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 25,
+    decoder: str = "fake",
+    keyframes_only: bool = False,
+) -> DataFrame:
     """Frame sampling as a one-to-many mapInPandas: each video row
     explodes into every_nth-spaced frames.
 
-    ``decoder="codec"`` REALLY decodes Y4M payloads and emits the
-    sampled frames as encoded PPM images (true rasters, true indices);
-    other mimes fall back to the fake slicer. ``"fake"`` slices the
-    payload deterministically (plumbing runs); ``"real"`` is the
-    ffmpeg plug-point for MP4/compressed video."""
+    ``decoder="codec"``: Y4M payloads are REALLY decoded and the
+    sampled frames re-encoded as PPM (true rasters, true indices);
+    MP4 payloads are REALLY demuxed (operators.mp4, the pure-stdlib
+    ISO BMFF sample-table resolver) and the TRUE codec-bitstream
+    samples emitted at their true indices - ``keyframes_only`` limits
+    sampling to stss sync samples, the decode-at-keyframes strategy a
+    production sampler uses. Corrupt MP4 payloads are SKIPPED (the
+    production drop-corrupt-media behavior), never fake-sliced. Pixel
+    decode of those samples is ``decoder="real"`` (ffmpeg plug-point).
+    ``"fake"`` slices the payload deterministically (plumbing runs)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+            demux_mp4,
+        )
+
         for pdf in batches:
             if decoder == "real":  # pragma: no cover
                 raise NotImplementedError(
-                    "compressed-video decode (ffmpeg) unavailable here; "
-                    "decoder='codec' samples real frames from Y4M payloads"
+                    "compressed-video PIXEL decode (ffmpeg) unavailable here; "
+                    "decoder='codec' samples real frames from Y4M payloads and "
+                    "real demuxed samples from MP4 containers"
                 )
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
@@ -580,6 +663,27 @@ def sample_frames(df: DataFrame, every_nth: int = 25, decoder: str = "fake") -> 
                         ids.append(row["media_id"])
                         idxs.append(fi)
                         frames.append(encode_ppm(rasters[fi]))
+                    continue
+                if decoder in ("ppm", "codec") and row["mime"] == MP4_MIME:
+                    try:
+                        tracks = demux_mp4(payload)
+                    except ValueError:
+                        continue  # corrupt container: drop, never fake
+                    vid = next(
+                        (t for t in tracks if t.handler == "vide"), None
+                    )
+                    if vid is None:
+                        continue
+                    pool = (
+                        vid.keyframe_indices
+                        if keyframes_only
+                        else list(range(len(vid.samples)))
+                    )
+                    for fi in pool[::every_nth]:
+                        s = vid.samples[fi]
+                        ids.append(row["media_id"])
+                        idxs.append(fi)
+                        frames.append(payload[s.offset : s.offset + s.size])
                     continue
                 n_frames = max(1, int(row["duration_ms"]) // 40)
                 for fi in range(0, n_frames, every_nth):

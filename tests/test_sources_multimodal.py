@@ -243,6 +243,67 @@ def test_real_decoder_raises(spark):
         MM.extract_features(media, decoder="real").collect()
 
 
+# -- real MP4 container demux path -------------------------------------------
+
+
+def test_mp4_sample_frames_true_samples(spark):
+    """sample_frames(decoder='codec') on real MP4 containers emits the
+    TRUE demuxed sample bytes at true indices - byte-identical to
+    re-demuxing the payload locally - and keyframes_only restricts to
+    the stss sync set."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        demux_mp4,
+        extract_samples,
+    )
+
+    media = MM.make_mp4_media_fixture(spark, 6)
+    local = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    got = MM.sample_frames(media, every_nth=2, decoder="codec").collect()
+    assert got, "no frames emitted"
+    by_media: dict = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for mid, frames in by_media.items():
+        (track,) = demux_mp4(local[mid])
+        want_idx = list(range(len(track.samples)))[::2]
+        assert sorted(frames) == want_idx
+        want = extract_samples(local[mid], track, want_idx)
+        assert [frames[i] for i in want_idx] == want
+
+    kf = MM.sample_frames(
+        media, every_nth=1, decoder="codec", keyframes_only=True
+    ).collect()
+    for r in kf:
+        (track,) = demux_mp4(local[r["media_id"]])
+        assert r["frame_idx"] in track.keyframe_indices
+
+
+def test_mp4_extract_features_real_frame_count(spark):
+    """extract_features(decoder='codec') takes frame_count from the
+    demuxed sample table, not the duration heuristic; corrupt MP4
+    payloads fall back to the heuristic instead of failing the batch."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        demux_mp4,
+    )
+
+    media = MM.make_mp4_media_fixture(spark, 5)
+    local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    feats = {
+        r["media_id"]: r
+        for r in MM.extract_features(media, decoder="codec").collect()
+    }
+    for mid, payload in local.items():
+        (track,) = demux_mp4(payload)
+        assert feats[mid]["frame_count"] == len(track.samples)
+    # corrupt payloads: skipped by the sampler, heuristic in features
+    corrupt = MM.make_media_fixture(spark, 9).filter(F.col("kind") == "video")
+    assert MM.sample_frames(corrupt, decoder="codec").count() == 0
+    out = MM.extract_features(corrupt, decoder="codec").collect()
+    assert all(r["frame_count"] >= 1 for r in out)
+
+
 # -- real (pure-numpy PPM) decode path ---------------------------------------
 
 
