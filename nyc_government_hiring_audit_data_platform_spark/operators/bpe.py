@@ -107,20 +107,30 @@ def train_bpe(
             "ELSE CAST(array() AS ARRAY<STRING>) END"
         ).alias("syms")
     ).persist()
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
-            _pair_counts(syms)
+
+    def _winner(state: DataFrame):
+        return (
+            _pair_counts(state)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
-        if not top or top[0]["cnt"] < 2:
-            break  # nothing left worth merging
+
+    # One full-corpus action per round, not two: round r+1's pair-count
+    # job IS the action that materializes round r's persisted rewrite
+    # (only then is the parent state unpersisted), so the loop runs
+    # n_merges+1 corpus passes instead of 2*n_merges. Only the FINAL
+    # state needs a dedicated materializing count().
+    merges: list[tuple[str, str]] = []
+    top = _winner(syms)
+    while len(merges) < n_merges and top and top[0]["cnt"] >= 2:
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         nxt = _apply_merge(syms, a, b).persist()
-        nxt.count()  # materialize before dropping the parent state
+        if len(merges) < n_merges:
+            top = _winner(nxt)  # materializes nxt as a side effect
+        else:
+            nxt.count()  # last round: materialize before dropping parent
         syms.unpersist()
         syms = nxt
     return merges, syms
