@@ -235,6 +235,10 @@ def demux_mp4(data: bytes) -> list[Mp4Track]:
     moov = find_box(tree, b"moov")
     if moov is None:
         raise ValueError("no moov box")
+    return _tracks_from_buffer(data, moov)
+
+
+def _tracks_from_buffer(data: bytes, moov: Box) -> list[Mp4Track]:
     tracks: list[Mp4Track] = []
     for trak in (b for b in moov.children if b.type == b"trak"):
         tkhd = find_box(trak.children, b"tkhd")
@@ -303,6 +307,76 @@ def extract_samples(
         else [track.samples[i] for i in indices]
     )
     return [bytes(data[s.offset : s.offset + s.size]) for s in samples]
+
+
+# ---------------------------------------------------------------------------
+# metadata-only file scan: the parquet-footer pattern for video
+# ---------------------------------------------------------------------------
+
+
+def scan_mp4_file(src) -> list[Mp4Track]:
+    """Resolve a file's tracks reading ONLY top-level box headers plus
+    the ``moov`` body - the scan seeks PAST ``mdat``, so a multi-GB
+    video costs kilobytes of I/O (exactly how a parquet reader touches
+    only the footer). This is the metadata path a 100 TB video-corpus
+    inventory scan must use: per-file cost is the moov size, not the
+    media size. ``src`` is a path or a seekable binary file object."""
+    f = open(src, "rb") if isinstance(src, (str, bytes)) else src
+    try:
+        f.seek(0, 2)
+        end = f.tell()
+        pos = 0
+        seen_ftyp = False
+        moov_blob: bytes | None = None
+        while pos < end:
+            f.seek(pos)
+            hdr = f.read(16)
+            if len(hdr) < 8:
+                raise ValueError(f"truncated box header at {pos}")
+            size = int.from_bytes(hdr[0:4], "big")
+            btype = hdr[4:8]
+            header = 8
+            if size == 1:
+                size = int.from_bytes(hdr[8:16], "big")
+                header = 16
+            elif size == 0:
+                size = end - pos
+            if size < header or pos + size > end:
+                raise ValueError(f"box {btype!r} at {pos}: bad size {size}")
+            if btype == b"ftyp":
+                seen_ftyp = True
+            elif btype == b"moov":
+                f.seek(pos)
+                moov_blob = f.read(size)
+            pos += size  # mdat and friends: seek past, never read
+        if not seen_ftyp:
+            raise ValueError("not an ISO BMFF file (no ftyp)")
+        if moov_blob is None:
+            raise ValueError("no moov box")
+    finally:
+        if f is not src:
+            f.close()
+    moov = parse_boxes(moov_blob)[0]
+    # chunk offsets in stco/co64 are absolute file offsets, so the
+    # resolved sample index is directly usable for ranged reads
+    return _tracks_from_buffer(moov_blob, moov)
+
+
+def read_mp4_samples(src, track: Mp4Track, indices: list[int]) -> list[bytes]:
+    """Ranged sample reads via seek - pairs with scan_mp4_file for
+    targeted extraction (e.g. keyframes only) without touching the rest
+    of the media bytes."""
+    f = open(src, "rb") if isinstance(src, (str, bytes)) else src
+    try:
+        out = []
+        for i in indices:
+            s = track.samples[i]
+            f.seek(s.offset)
+            out.append(f.read(s.size))
+        return out
+    finally:
+        if f is not src:
+            f.close()
 
 
 # ---------------------------------------------------------------------------

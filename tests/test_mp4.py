@@ -83,6 +83,88 @@ def test_malformed_rejected():
         parse_boxes(b"\x00\x00\x00\x03xxxx")  # size < header
 
 
+class _CountingFile:
+    """Seekable binary wrapper counting bytes actually read."""
+
+    def __init__(self, data: bytes):
+        import io
+
+        self._f = io.BytesIO(data)
+        self.bytes_read = 0
+
+    def seek(self, *a):
+        return self._f.seek(*a)
+
+    def tell(self):
+        return self._f.tell()
+
+    def read(self, n=-1):
+        out = self._f.read(n)
+        self.bytes_read += len(out)
+        return out
+
+
+def test_scan_reads_moov_only():
+    """The metadata scan must seek PAST mdat: bytes read = box headers
+    + moov body, a tiny fraction of a file with a large mdat."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        scan_mp4_file,
+    )
+
+    pls = [bytes([i]) * 200_000 for i in range(8)]  # 1.6 MB of media
+    data = encode_mp4(pls, keyframes=[0, 4])
+    f = _CountingFile(data)
+    tracks = scan_mp4_file(f)
+    assert len(tracks) == 1 and len(tracks[0].samples) == 8
+    assert tracks[0].keyframe_indices == [0, 4]
+    # headers (3 boxes x 16) + moov (~600B) << 1.6 MB
+    assert f.bytes_read < 2_000, f.bytes_read
+    assert f.bytes_read < len(data) // 100
+
+
+def test_ranged_sample_reads(tmp_path):
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        read_mp4_samples,
+        scan_mp4_file,
+    )
+
+    pls = _payloads(6, base=50)
+    p = tmp_path / "v.mp4"
+    p.write_bytes(encode_mp4(pls, keyframes=[0, 3]))
+    (track,) = scan_mp4_file(str(p))
+    assert read_mp4_samples(str(p), track, [1, 4]) == [pls[1], pls[4]]
+    assert read_mp4_samples(str(p), track, track.keyframe_indices) == [
+        pls[0], pls[3],
+    ]
+
+
+def test_mp4_metadata_datasource(spark, tmp_path):
+    """spark.read.format('mp4_metadata'): one row per track with the
+    resolved summary; corrupt files become quarantine rows."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.mp4_source import (
+        read_mp4_metadata,
+    )
+
+    for i in range(3):
+        pls = _payloads(4 + i)
+        (tmp_path / f"v{i}.mp4").write_bytes(
+            encode_mp4(pls, width=100 + i, height=50, keyframes=[0])
+        )
+    (tmp_path / "bad.mp4").write_bytes(b"not an mp4 at all----")
+    df = read_mp4_metadata(spark, str(tmp_path / "*.mp4"))
+    rows = {r["path"].rsplit("/", 1)[-1]: r.asDict() for r in df.collect()}
+    assert len(rows) == 4
+    for i in range(3):
+        r = rows[f"v{i}.mp4"]
+        assert r["error"] is None
+        assert r["codec"] == "avc1" and r["handler"] == "vide"
+        assert r["width"] == 100 + i and r["n_samples"] == 4 + i
+        assert r["n_keyframes"] == 1
+        assert r["total_sample_bytes"] == sum(len(p) for p in _payloads(4 + i))
+    assert rows["bad.mp4"]["error"] is not None
+    assert rows["bad.mp4"]["track_id"] == -1
+
+
 def test_largesize_box_parses():
     data = encode_mp4(_payloads(2))
     # rewrite mdat as a largesize box: size=1 + 64-bit size after type
