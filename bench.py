@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "mixture_temperature_weights",
     "cms_frequency_bound",
     "duplicate_span_detect",
+    "distinct_ngram_diversity",
 ]
 
 

@@ -694,6 +694,117 @@ def q_stratified_sample(spark, sf_dir):
     return docs.filter(_hex1(F.col("doc_id")) <= frac).select("doc_id", "source")
 
 
+_QUOTA_K = 20  # per-source document cap
+
+
+@query(
+    "per_source_quota_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_QUOTA_K}
+    """,
+)
+def q_per_source_quota_sample(spark, sf_dir):
+    """Per-domain quota cap - the FineWeb/RefinedWeb curation rule
+    "at most K documents per domain", with the kept set chosen by
+    deterministic hash order (md5 of the id: reproducible across runs
+    and engines, uncorrelated with ingest order, and immune to the
+    head-of-source bias a plain ORDER BY doc_id cap has). The rank <= K
+    pattern compiles to WindowGroupLimit, so only K rows per source
+    survive the map side - at 100 TB the shuffle carries K*n_domains
+    rows, not the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= _QUOTA_K)
+    )
+
+
+@query(
+    "distinct_ngram_diversity",
+    """
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT source, unnest(tk) AS g FROM toks
+    ),
+    bi AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS g
+      FROM toks
+    ),
+    u AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+          FROM uni GROUP BY source),
+    b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n2,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+          FROM bi GROUP BY source)
+    SELECT u.source, n1, d1, d1 * 1000 // n1 AS distinct1_milli,
+           n2, d2, d2 * 1000 // n2 AS distinct2_milli
+    FROM u JOIN b ON u.source = b.source
+    """,
+)
+def q_distinct_ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity (Li et al. 2016): per source, the ratio of
+    DISTINCT unigrams/bigrams to total - the standard lexical-diversity
+    screen for template-heavy or bot-generated slices (low distinct-2
+    = repetitive source). Exact integer milli-ratios. Plan: two
+    explode passes with partial-agg distinct counting keyed by
+    (source, gram) - Spark rewrites COUNT(DISTINCT) into a two-level
+    aggregate, so the gram-keyed shuffle collapses map-side and only
+    per-source rows reach the final stage; nothing quadratic at any
+    corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    toks = docs.select("source", tk.alias("tk"))
+    uni = toks.select("source", F.explode("tk").alias("g"))
+    bi = toks.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(tk[i - 1], ' ', tk[i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"), F.countDistinct("g").alias("d1")
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n2"), F.countDistinct("g").alias("d2")
+    )
+    return u.join(b, "source").select(
+        "source",
+        "n1",
+        "d1",
+        F.expr("d1 * 1000 DIV n1").alias("distinct1_milli"),
+        "n2",
+        "d2",
+        F.expr("d2 * 1000 DIV n2").alias("distinct2_milli"),
+    )
+
+
 @query(
     "train_val_test_split",
     f"""

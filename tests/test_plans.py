@@ -430,6 +430,12 @@ def test_pagerank_iteration_bounded_shuffles(spark, sf_dir):
     assert PI.shuffle_count(df) <= 5
 
 
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    """Per-domain quota caps must take only K rows per source off the
+    map side (WindowGroupLimit), never rank the whole corpus."""
+    assert PI.uses_window_group_limit(QUERIES["per_source_quota_sample"](spark, sf_dir))
+
+
 def test_skew_profile_top20_avoids_full_sort(spark, sf_dir):
     """The top-20 keys come off per-partition heaps
     (TakeOrderedAndProject), not a global sort of all keys."""
