@@ -368,6 +368,65 @@ def test_kernel_queries_run_real_pandas_udf(spark, sf_dir):
         assert "ArrowEvalPython" in plan, f"{name} lost its pandas-UDF kernel"
 
 
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """At cluster scale a hot key turns one sort-merge partition into a
+    straggler; AQE's OptimizeSkewedJoin must split it at runtime. Local
+    testdata is under every default threshold, so thresholds are pinned
+    tiny to force the cluster-shaped decision, and the executed plan
+    must carry the skew=true marker on the join. (The engine's OTHER
+    answer to skew - explicit salting - is the salted_skew_join query;
+    this gate covers the AQE path users get without rewriting.)"""
+    pins = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "100",
+    }
+    saved = {}
+    for k, v in pins.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # a quarter of each side collapses onto key 249 (hot partition);
+        # df1 additionally folds its top quarter onto an unmatched key so
+        # both sides stay |1000| but one reduce partition dominates
+        df1 = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 250, 249)
+            .when(F.col("id") >= 750, 1000)
+            .otherwise(F.col("id"))
+            .alias("key1"),
+            F.col("id").alias("value1"),
+        )
+        df2 = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 250, 249).otherwise(F.col("id")).alias("key2"),
+            F.col("id").alias("value2"),
+        )
+        # count() via agg keeps the driver-side result tiny while still
+        # executing THIS DataFrame's QueryExecution (a noop write would
+        # run a separate one and leave this plan un-finalized)
+        j = df1.join(df2, F.col("key1") == F.col("key2")).groupBy().count()
+        assert j.collect()[0]["count"] == 63_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, (
+            "AQE did not split the skewed partitions:\n" + final[:2000]
+        )
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """At cluster scale neither join side broadcasts; Spark's runtime
     bloom filter (InjectRuntimeFilter) must then build a bloom sketch on
