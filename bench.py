@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "cms_frequency_bound",
     "duplicate_span_detect",
     "distinct_ngram_diversity",
+    "stupid_backoff_score",
 ]
 
 

@@ -18,6 +18,11 @@ re-expressed as pure Column-expression chains:
   language head/middle/tail slices at discrete perplexity tertiles.
 - ``hybrid_rrf_retrieval`` - reciprocal rank fusion (Cormack et al.
   2009) of the BM25 and cosine lanes in exact integer micro-units.
+- ``stupid_backoff_score`` - Stupid Backoff (Brants et al. 2007), the
+  count-based LM designed for distributed backends: bigram score with
+  0.4-weighted unigram backoff, trained on a half-corpus slice so the
+  held-out half exercises the backoff path; per-position FLOOR
+  micro-nats, exact integer aggregation.
 
 The rule filters extend the heuristic scoring already in
 ``quality_scores`` (length/punct/stopword blend) with the exact
@@ -639,3 +644,134 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
         )
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff LM scoring (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+_SB_SCALE = 1_000_000  # micro-nats
+_SB_ALPHA = "0.4"      # the paper's backoff constant, as shared literal text
+
+
+@query(
+    "stupid_backoff_score",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    lm_src AS (SELECT tk FROM src JOIN documents USING (doc_id)
+               WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(tk) AS w FROM lm_src)
+      GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+          FROM lm_src)
+      ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+    pos AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        FROM src)
+    ),
+    scored AS (
+      SELECT pos.doc_id,
+             CASE WHEN b.c12 IS NOT NULL THEN
+               CAST(FLOOR(ln(b.c12 * 1.0 / u1.c) * {_SB_SCALE}) AS BIGINT)
+             ELSE
+               CAST(FLOOR(ln({_SB_ALPHA} * GREATEST(COALESCE(u2.c, 0), 1)
+                             / tot.t) * {_SB_SCALE}) AS BIGINT)
+             END AS lp_micro,
+             CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS backoff
+      FROM pos
+      LEFT JOIN big b ON pos.w1 = b.w1 AND pos.w2 = b.w2
+      LEFT JOIN uni u1 ON pos.w1 = u1.w
+      LEFT JOIN uni u2 ON pos.w2 = u2.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(lp_micro) AS BIGINT) // COUNT(*) AS avg_logp_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_stupid_backoff_score(spark, sf_dir):
+    """Stupid Backoff LM scoring (Brants et al. 2007, "Large Language
+    Models in Machine Translation" - the count-based LM built FOR
+    distributed backends): train bigram/unigram tables on the even-id
+    half of the corpus, score EVERY document's bigrams with
+    S(w2|w1) = c(w1 w2)/c(w1), backing off to alpha * c(w2)/T (alpha =
+    0.4 per the paper; unseen words floor at count 1) - held-out
+    odd-id docs genuinely exercise the backoff path (n_backoff > 0).
+
+    Determinism: each position's log-prob is FLOOR-integerized to
+    micro-nats BEFORE any aggregation (the module's floor-integer
+    convention - the ln argument is a single int/int division, so the
+    double is bit-identical across engines and FLOOR has no .5
+    boundary), making the per-doc SUM exact BIGINT arithmetic in any
+    partition order.
+
+    Plan at 100 TB: LM tables are word/bigram-count shuffles with
+    map-side combine (vocabulary-bounded); scoring is three equi-joins
+    keyed by the position's words plus a broadcast scalar total - the
+    published system's distributed-serving shape, where the LM shards
+    by key and each scoring batch probes it."""
+    docs = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    src = docs.select("doc_id", tk.alias("tk"))
+    lm_src = src.filter(F.col("doc_id") % 2 == 0)
+    pairs_expr = F.expr(
+        "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+        "i -> struct(tk[i - 1] AS w1, tk[i] AS w2)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+    )
+    uni = (
+        lm_src.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        lm_src.select(F.explode(pairs_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot = uni.agg(F.sum("c").alias("t"))
+    pos = src.select("doc_id", F.explode(pairs_expr).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pos.join(big, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN c12 IS NOT NULL THEN "
+                f"CAST(FLOOR(ln(c12 * 1.0 / c1) * {_SB_SCALE}) AS BIGINT) "
+                f"ELSE CAST(FLOOR(ln({_SB_ALPHA} * "
+                f"GREATEST(COALESCE(c2, 0), 1) / t) * {_SB_SCALE}) AS BIGINT) "
+                f"END"
+            ).alias("lp_micro"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("backoff"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("backoff").alias("n_backoff"),
+        F.expr("SUM(lp_micro) DIV COUNT(*)").alias("avg_logp_micro"),
+    )

@@ -235,6 +235,47 @@ def test_duplicate_span_semantics(spark, tmp_path):
     assert rows[2]["n_dup_spans"] == 0 and rows[2]["max_dup_tokens"] == 0
 
 
+def test_stupid_backoff_semantics(spark, tmp_path):
+    """Hand-built corpus where the backoff path MUST fire: the LM
+    trains on even doc_ids only, and odd docs contain bigrams (and one
+    word) absent from the training slice. Scores follow the published
+    formula exactly (seen: ln(c12/c1); unseen: ln(0.4*c2/T), unseen
+    word floors at count 1)."""
+    import math
+
+    texts = [
+        "a b a b c",      # doc 0 (train)
+        "a b zz a",       # doc 1 (held out: 'b zz', 'zz a' unseen; zz OOV)
+        "c a b",          # doc 2 (train)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sb")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["stupid_backoff_score"](spark, d).collect()
+    }
+    # train slice = docs 0,2: unigrams a:3 b:3 c:2 (T=8);
+    # bigrams: ab:3, ba:1, bc:1, ca:1
+    T, c = 8, {"a": 3, "b": 3, "c": 2}
+    big = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+    def lp(w1, w2):
+        if (w1, w2) in big:
+            return math.floor(math.log(big[(w1, w2)] / c[w1]) * 1_000_000)
+        return math.floor(math.log(0.4 * max(c.get(w2, 0), 1) / T) * 1_000_000)
+
+    # doc 1: bigrams (a,b) seen, (b,zz) backoff+OOV, (zz,a) backoff
+    want = [lp("a", "b"), lp("b", "zz"), lp("zz", "a")]
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["n_backoff"] == 2
+    assert rows[1]["avg_logp_micro"] == sum(want) // 3
+    # doc 0: all four bigrams seen in training
+    assert rows[0]["n_backoff"] == 0
+
+
 def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
     """The fused score IS the RRF formula over the emitted ranks
     (integer micro-units), rows come out in (rrf desc, doc_id) order,

@@ -1,0 +1,80 @@
+"""WARC/WET source tests: byte-exact round trips through the stdlib
+writer + parser, the Common Crawl gzip-member form, malformed handling,
+and the Spark DataSource end to end."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_government_hiring_audit_data_platform_spark.sources.warc_source import (
+    encode_warc,
+    parse_warc,
+    read_warc,
+    read_warc_file,
+)
+
+_RECS = [
+    ("warcinfo", "", b"software: test\r\n"),
+    ("response", "http://example.com/a", b"<html>alpha</html>"),
+    ("conversion", "http://example.com/a", "alpha text éé".encode()),
+    ("conversion", "http://example.com/b", b"beta text with\r\nnewlines\r\n"),
+]
+
+
+def test_roundtrip_plain():
+    recs = parse_warc(encode_warc(_RECS))
+    assert [(r.record_type, r.target_uri, r.payload) for r in recs] == _RECS
+
+
+@pytest.mark.parametrize("per_member", [True, False])
+def test_roundtrip_gzip(tmp_path, per_member):
+    p = tmp_path / "f.warc.gz"
+    p.write_bytes(encode_warc(_RECS, compress=True, per_record_members=per_member))
+    recs = read_warc_file(str(p))
+    assert [(r.record_type, r.target_uri, r.payload) for r in recs] == _RECS
+
+
+def test_payload_delimits_by_content_length_not_markers():
+    """A payload CONTAINING 'WARC/1.0' and CRLFCRLF must not split the
+    stream - Content-Length is the only delimiter."""
+    tricky = b"embedded\r\n\r\nWARC/1.0\r\nfake: header\r\n\r\nmore"
+    recs = parse_warc(encode_warc([("response", "u", tricky), ("conversion", "v", b"x")]))
+    assert len(recs) == 2
+    assert recs[0].payload == tricky and recs[1].payload == b"x"
+
+
+def test_malformed_rejected():
+    good = encode_warc(_RECS)
+    with pytest.raises(ValueError):
+        parse_warc(good[:-6])  # truncated payload/separator
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")  # not WARC
+    bad = good.replace(b"Content-Length: 18", b"Content-Leng: 18", 1)
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+
+
+def test_warc_datasource_and_wet_filter(spark, tmp_path):
+    for i in range(2):
+        (tmp_path / f"part{i}.warc.gz").write_bytes(
+            encode_warc(_RECS, compress=True)
+        )
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8bgarbage-not-gzip")
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    rows = df.collect()
+    clean = [r for r in rows if r["error"] is None]
+    assert len(clean) == 2 * len(_RECS)
+    by_key = {(r["path"].rsplit("/", 1)[-1], r["record_index"]): r for r in clean}
+    r = by_key[("part0.warc.gz", 2)]
+    assert r["record_type"] == "conversion"
+    assert r["target_uri"] == "http://example.com/a"
+    assert r["content"] == "alpha text éé"
+    assert r["content_length"] == len("alpha text éé".encode())
+    assert r["warc_date"] == "2024-01-01T00:00:00Z"
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["path"].endswith("bad.warc.gz")
+
+    # WET ingestion: conversion records only
+    wet = read_warc(spark, str(tmp_path / "part*.warc.gz"), "conversion")
+    got = wet.collect()
+    assert len(got) == 4 and all(r["record_type"] == "conversion" for r in got)
