@@ -1,0 +1,52 @@
+"""WET -> documents ingestion: the Common Crawl front door.
+
+Connects the WARC/WET source (sources/warc_source.py) to the curation
+stack: conversion records become rows in the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) that every curation / dedup /
+quality query in the suite consumes - so a user can point the engine at
+a WET glob and run the exact oracle-verified pipeline
+(gopher/c4/dedup/lang filters) downstream.
+
+Per-row derivations are all map-side expressions: doc_id is a
+deterministic 64-bit hash of (file, record index) - stable across
+re-runs and executor retries, unlike monotonically_increasing_id;
+source is the URI host (``parse_url``); lang is the engine's n-gram
+heuristic (functions/textstats.py:lang_id). The scan itself is the
+WARC DataSource's one-task-per-file partitioning, so the whole ingest
+is scan -> project -> (optional) write: linear at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.functions.textstats import lang_id
+from nyc_government_hiring_audit_data_platform_spark.sources.warc_source import (
+    read_warc,
+)
+
+
+def wet_to_documents(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET conversion records -> the ``documents`` table shape."""
+    raw = read_warc(spark, path_glob, "conversion")
+    return raw.filter(F.col("error").isNull()).select(
+        F.xxhash64("path", "record_index").alias("doc_id"),
+        F.col("content").alias("text"),
+        lang_id(F.col("content")).alias("lang"),
+        F.coalesce(
+            F.parse_url("target_uri", F.lit("HOST")), F.lit("unknown")
+        ).alias("source"),
+        F.length("content").cast("long").alias("n_chars"),
+    )
+
+
+def ingest_wet(
+    spark: SparkSession, path_glob: str, out_dir: str
+) -> DataFrame:
+    """Materialize a WET glob as a ``documents.parquet`` the query
+    suite reads directly (every ``queries()`` callable takes the
+    directory as its sf_dir)."""
+    docs = wet_to_documents(spark, path_glob)
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return docs
