@@ -101,6 +101,11 @@ def time_panel(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = time.perf_counter() - t0
+        # bench.py's lesson applied here too: queries that persist
+        # multi-consumer subtrees cannot unpersist them, and leaked
+        # blocks GC-thrash LATER panel entries (measured: a 79 s
+        # x10 reading for a query that runs in 6 s isolated)
+        spark.catalog.clearCache()
     return out
 
 
