@@ -41,6 +41,41 @@ def wet_to_documents(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def canonical_url(col) -> "F.Column":
+    """URL canonicalization for crawl dedup (the C4/CCNet first-stage
+    rule: one document per canonical URL before any text dedup):
+    lowercase scheme+host, drop the fragment, drop common tracking
+    query parameters (utm_*, fbclid, gclid), strip a trailing slash on
+    the path, and collapse an empty query's dangling '?'. Pure column
+    expressions - canonicalization is map-side at any crawl size."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    # scheme://host is case-insensitive per RFC 3986; the path is not
+    scheme_host = F.lower(F.regexp_extract(c, r"^([a-zA-Z]+://[^/?#]*)", 1))
+    rest = F.regexp_extract(c, r"^[a-zA-Z]+://[^/?#]*([^#]*)", 1)
+    # drop tracking params; one regexp pass skips the char it consumed,
+    # so ADJACENT tracking params need another pass - three passes
+    # cover runs of up to 7 (documented bound; real URLs carry 1-3)
+    track = r"(?i)([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+    for _ in range(3):
+        rest = F.regexp_replace(rest, track, "$1")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")  # dangling ? or &
+    rest = F.regexp_replace(rest, r"^(/.+?)/+(\?|$)", "$1$2")  # trailing /
+    return F.when(scheme_host == "", c).otherwise(F.concat(scheme_host, rest))
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """One survivor per canonical URL (min id wins - deterministic):
+    the crawl-level dedup that runs BEFORE text dedup, removing
+    protocol/tracking-parameter twins of the same page. One hash
+    shuffle on the canonical key."""
+    canon = df.withColumn("_curl", canonical_url(url_col))
+    keep = canon.groupBy("_curl").agg(F.min(id_col).alias(id_col))
+    return (
+        canon.join(keep, [id_col, "_curl"], "leftsemi").drop("_curl")
+    )
+
+
 def ingest_wet(
     spark: SparkSession, path_glob: str, out_dir: str
 ) -> DataFrame:

@@ -170,6 +170,42 @@ def test_wet_ingest_feeds_curation_stack(spark, tmp_path):
             assert f["flag_words"] == 0  # 2 words: too short
 
 
+def test_canonical_url_and_url_dedup(spark):
+    """URL canonicalization collapses protocol-case / fragment /
+    tracking-param / trailing-slash twins of one page, leaves distinct
+    pages alone, and url_dedup keeps the min-id survivor per canonical
+    form."""
+    from pyspark.sql import functions as F
+
+    from nyc_government_hiring_audit_data_platform_spark.pipelines.corpus_ingest import (
+        canonical_url,
+        url_dedup,
+    )
+
+    urls = [
+        (0, "http://Example.COM/a/b?x=1"),
+        (1, "HTTP://example.com/a/b/?x=1#frag"),           # twin of 0
+        (2, "http://example.com/a/b?utm_source=t&x=1"),    # twin of 0
+        (3, "http://example.com/a/b?x=1&utm_a=1&utm_b=2"), # twin of 0
+        (4, "http://example.com/a/b?x=2"),                 # distinct query
+        (5, "http://example.com/A/b?x=1"),                 # path is case-sensitive
+        (6, "http://example.com/?utm_source=o"),           # root, params only
+        (7, "not a url"),                                  # passthrough
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("url").alias("c")).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == "http://example.com/a/b?x=1"
+    assert got[4] == "http://example.com/a/b?x=2"
+    assert got[5] == "http://example.com/A/b?x=1"
+    assert got[6] == "http://example.com/"
+    assert got[7] == "not a url"
+    kept = sorted(r["id"] for r in url_dedup(df, "url", "id").collect())
+    assert kept == [0, 4, 5, 6, 7]
+
+
 def test_warc_datasource_and_wet_filter(spark, tmp_path):
     for i in range(2):
         (tmp_path / f"part{i}.warc.gz").write_bytes(
