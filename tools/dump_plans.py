@@ -197,6 +197,21 @@ SHOWCASE = {
         "band index; the batch hashes/bands map-side and probes via a "
         "(band, bh) equi-join - cost proportional to the batch."
     ),
+    "stupid_backoff_score": (
+        "Distributed LM scoring: the vocabulary-bounded unigram/bigram "
+        "tables join the corpus positions by key (broadcast when they "
+        "fit, keyed shuffle otherwise); per-position FLOOR micro-nats "
+        "make the doc sums exact integers in any partition order."
+    ),
+    "per_source_quota_sample": (
+        "Per-domain cap: rank<=K in md5-hash order compiles to "
+        "WindowGroupLimit - only K rows per source leave the map side."
+    ),
+    "distinct_ngram_diversity": (
+        "COUNT(DISTINCT) rewritten two-level: the (source, gram) "
+        "shuffle collapses map-side and only per-source rows reach the "
+        "final aggregate."
+    ),
 }
 
 
