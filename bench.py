@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "duplicate_span_detect",
     "distinct_ngram_diversity",
     "stupid_backoff_score",
+    "tokenizer_fertility",
+    "source_vocab_overlap",
 ]
 
 

@@ -971,3 +971,131 @@ def q_normalized_exact_dedup(spark, sf_dir):
     return clusters.groupBy(F.col("n_docs").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (tokens-per-word, the tokenizer-evaluation metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(SUM({TS.whitespace_token_count_sql('text')}) AS BIGINT)
+               AS ws_tokens,
+             CAST(SUM({TS.bpe_ish_token_count_sql('text')}) AS BIGINT)
+               AS bpe_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, ws_tokens, bpe_tokens,
+           bpe_tokens * 1000 // GREATEST(ws_tokens, 1) AS fertility_milli
+    FROM per
+    """,
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word - the standard tokenizer-evaluation metric (a fertility of
+    ~1300 milli means 1.3 subword tokens per word; high-fertility
+    languages cost proportionally more context window, the number a
+    multilingual data-mix planner needs next to the token counts).
+    Exact integer milli-ratio over two map-side counting expressions;
+    one partial-agg shuffle on lang - the 100 TB plan is the sf0.01
+    plan."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(TS.whitespace_token_count("text")).cast("long").alias("ws_tokens"),
+        F.sum(TS.bpe_ish_token_count("text")).cast("long").alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.expr("bpe_tokens * 1000 DIV GREATEST(ws_tokens, 1)").alias(
+            "fertility_milli"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source vocabulary overlap (corpus-comparison matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_vocab_overlap",
+    """
+    WITH ts AS (
+      SELECT DISTINCT source, term FROM (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                      t -> t <> '')) AS term
+        FROM documents)
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ts
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           na.n + nb.n - n_common AS n_union,
+           n_common * 1000 // (na.n + nb.n - n_common) AS jaccard_milli
+    FROM inter
+    JOIN sizes na ON inter.src_a = na.source
+    JOIN sizes nb ON inter.src_b = nb.source
+    """,
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources - the corpus
+    comparison matrix a mix planner reads before weighting domains
+    (near-duplicate vocabularies = redundant sources; disjoint ones =
+    diversity). Exact integer milli-Jaccard.
+
+    Plan at 100 TB: the distinct (source, term) incidence is one
+    combiner-collapsed shuffle; the pair counts come from a TERM-keyed
+    self-join of that incidence - per-term work is C(k_t, 2) where k_t
+    is bounded by the DOMAIN count (not the corpus), so the whole
+    matrix costs vocab x domains^2 at worst, never corpus x corpus.
+    Source pairs sharing zero vocabulary are absent (consistent on
+    both engines)."""
+    docs = table(spark, sf_dir, "documents")
+    ts = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = ts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ts.select(F.col("source").alias("src_a"), "term")
+    b = ts.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias("n_union"),
+            F.expr("n_common * 1000 DIV (na + nb - n_common)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )
