@@ -101,15 +101,23 @@ def q_boilerplate_ngram_flags(spark, sf_dir):
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # hoist the token array into a COLUMN before any per-element lambda
+    # references it: Catalyst does not CSE inside higher-order-function
+    # lambdas, so slicing an inline tokenize EXPRESSION re-splits the
+    # text once per gram - O(len^2) per doc (measured 43x on a
+    # 20k-token doc). An attribute reference is evaluated once per row.
+    tk = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )
     # two consumers (df counts + join-back): persist or the
     # tokenize+gram+explode subtree executes once per consumer (the
     # tfidf/minhash precedent). Note for benchmarking: Spark's
     # CacheManager matches this canonicalized plan across repeated
     # invocations in one session, so repeat laps measure warm-cache
     # steady state - consistent with bench.py's stated methodology.
-    ex = docs.select(
-        "doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g")
+    ex = tk.select(
+        "doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         ex.groupBy("g")
@@ -185,11 +193,18 @@ def q_chunk_dedup(spark, sf_dir):
     so the oracle predicate is readable. The ratio is int/int - exact
     in both engines."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # token array hoisted to a column: lambdas referencing an inline
+    # tokenize expression re-split the text PER CHUNK (no CSE inside
+    # HOF lambdas - measured 43x on long docs)
+    tk = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )
+    toks = F.col("_tk")
     starts = F.when(
         F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK))
     ).otherwise(F.array().cast("array<int>"))
-    ch = docs.select(
+    ch = tk.select(
         "doc_id",
         F.explode(
             F.transform(starts, lambda i: F.array_join(F.slice(toks, i, _CHUNK), " "))
@@ -282,7 +297,13 @@ def q_duplicate_span_detect(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # hoisted token column (no CSE inside HOF lambdas: an inline
+    # tokenize expression would re-split the text per SPAN - O(len^2))
+    tk = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )
+    toks = F.col("_tk")
     spans = F.when(
         F.size(toks) >= _SPAN,
         F.transform(
@@ -294,7 +315,7 @@ def q_duplicate_span_detect(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    sp = docs.select("doc_id", F.explode(spans).alias("e")).select(
+    sp = tk.select("doc_id", F.explode(spans).alias("e")).select(
         "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
     )
     freq = sp.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
@@ -787,11 +808,15 @@ def q_dedup_funnel(spark, sf_dir):
     n_norm = docs.agg(
         F.countDistinct(F.md5(normalize_text("text").cast("binary"))).alias("n")
     )
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tkf = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )
+    toks = F.col("_tk")  # hoisted: no CSE inside HOF lambdas
     starts = F.when(
         F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK))
     ).otherwise(F.array().cast("array<int>"))
-    ch = docs.select(
+    ch = tkf.select(
         "doc_id",
         F.explode(
             F.transform(starts, lambda i: F.array_join(F.slice(toks, i, _CHUNK), " "))
@@ -1006,9 +1031,12 @@ def q_curation_keep_decisions(spark, sf_dir):
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    ex = docs.select(
-        "doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g")
+    tk = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )  # hoisted: no CSE inside HOF lambdas
+    ex = tk.select(
+        "doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         ex.groupBy("g")

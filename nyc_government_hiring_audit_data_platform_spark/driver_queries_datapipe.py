@@ -153,17 +153,24 @@ def q_winnowing_fingerprints(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    s = normalize_text(F.col("text"))
+    # O(len^2) traps engineered out (see char_shingles): the normalized
+    # text is hoisted to a CHAR-ARRAY column (no CSE inside HOF
+    # lambdas; substring(s, i, n)'s UTF-8 position scan is O(len) per
+    # call - array slicing is O(n))
+    nd = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), "").alias("_ch")
+    )
+    ch = F.col("_ch")
     n = TS.SHINGLE_N
     hs = F.when(
-        F.length(s) < n, F.array().cast("array<bigint>")
+        F.size(ch) < n, F.array().cast("array<bigint>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.length(s) - (n - 1)),
-            lambda i: DD.base_hash(F.substring(s, i, n)),
+            F.sequence(F.lit(1), F.size(ch) - (n - 1)),
+            lambda i: DD.base_hash(F.array_join(F.slice(ch, i, n), "")),
         )
     )
-    h = docs.select("doc_id", hs.alias("hs"))
+    h = nd.select("doc_id", hs.alias("hs"))
     wins = (
         F.when(
             F.size("hs") >= _WIN_W,

@@ -662,8 +662,7 @@ _SB_ALPHA = "0.4"      # the paper's backoff constant, as shared literal text
              list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
       FROM documents
     ),
-    lm_src AS (SELECT tk FROM src JOIN documents USING (doc_id)
-               WHERE doc_id % 2 = 0),
+    lm_src AS (SELECT tk FROM src WHERE doc_id % 2 = 0),
     uni AS (
       SELECT w, COUNT(*) AS c FROM (SELECT unnest(tk) AS w FROM lm_src)
       GROUP BY w

@@ -239,6 +239,19 @@ def demux_mp4(data: bytes) -> list[Mp4Track]:
 
 
 def _tracks_from_buffer(data: bytes, moov: Box) -> list[Mp4Track]:
+    # Every malformed-structure failure must surface as ValueError so
+    # the corrupt-file quarantine contract holds (sources/mp4_source.py
+    # and the multimodal samplers promise corrupt payloads become error
+    # rows / skipped rows, never task-killing exceptions): a bit-flipped
+    # stsz count raises struct.error, a trak missing mdhd raises
+    # AttributeError on None - both are structure errors, not bugs.
+    try:
+        return _tracks_from_buffer_unsafe(data, moov)
+    except (struct.error, AttributeError, IndexError, KeyError) as e:
+        raise ValueError(f"malformed MP4 structure: {type(e).__name__}: {e}") from e
+
+
+def _tracks_from_buffer_unsafe(data: bytes, moov: Box) -> list[Mp4Track]:
     tracks: list[Mp4Track] = []
     for trak in (b for b in moov.children if b.type == b"trak"):
         tkhd = find_box(trak.children, b"tkhd")
@@ -248,7 +261,10 @@ def _tracks_from_buffer(data: bytes, moov: Box) -> list[Mp4Track]:
         p = tkhd.start + tkhd.header
         version = data[p]
         p += 4  # version+flags
-        p += (8 * 3 + 4) if version == 1 else (4 * 3 + 4)  # times, id, reserved
+        # v1 widens the two TIMES to 64-bit; track_ID and reserved stay
+        # 32-bit (8+8+4+4 = 24, NOT 8*3+4 - a v1 file parsed with the
+        # wrong skip reads height where width belongs)
+        p += (8 * 2 + 4 + 4) if version == 1 else (4 * 2 + 4 + 4)
         # skip duration + reserved(8) + layer/alt(4) + volume/reserved(4)
         p += (8 if version == 1 else 4) + 8 + 4 + 4 + 36  # + matrix
         width = struct.unpack_from(">I", data, p)[0] >> 16
@@ -402,6 +418,7 @@ def encode_mp4(
     samples_per_chunk: int = 2,
     codec: bytes = b"avc1",
     force_co64: bool = False,
+    tkhd_version: int = 0,
 ) -> bytes:
     """Write a single-video-track MP4 around opaque sample payloads.
 
@@ -512,10 +529,15 @@ def encode_mp4(
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    if tkhd_version == 1:
+        # 64-bit creation/modification times and duration; track_ID and
+        # the reserved word stay 32-bit (the long-video header form)
+        tkhd_head = struct.pack(">QQII", 0, 0, 1, 0) + struct.pack(">Q", duration)
+    else:
+        tkhd_head = struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
     tkhd = _fbox(
-        b"tkhd", 0, 3,
-        struct.pack(">IIII", 0, 0, 1, 0)        # times, track_id, reserved
-        + struct.pack(">I", duration)
+        b"tkhd", tkhd_version, 3,
+        tkhd_head
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)      # layer/alt/volume/reserved
         + matrix

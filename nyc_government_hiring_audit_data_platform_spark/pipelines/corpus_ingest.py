@@ -60,7 +60,11 @@ def canonical_url(col) -> "F.Column":
         rest = F.regexp_replace(rest, track, "$1")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")  # dangling ? or &
-    rest = F.regexp_replace(rest, r"^(/.+?)/+(\?|$)", "$1$2")  # trailing /
+    # trailing slash, INCLUDING the bare root: http://a.com/ and
+    # http://a.com are the single most common URL-twin pair - `.*?`
+    # (not `.+?`) lets the captured path be empty so both collapse
+    rest = F.regexp_replace(rest, r"^(/.*?)/*(\?|$)", "$1$2")
+    rest = F.regexp_replace(rest, r"^/(\?|$)", "$1")
     return F.when(scheme_host == "", c).otherwise(F.concat(scheme_host, rest))
 
 

@@ -165,6 +165,37 @@ def test_mp4_metadata_datasource(spark, tmp_path):
     assert rows["bad.mp4"]["track_id"] == -1
 
 
+def test_v1_tkhd_dimensions():
+    """Version-1 tkhd (64-bit times, common on long videos) widens the
+    TIMES but not track_ID/reserved - a wrong skip reads height where
+    width belongs (pre-fix: 640x480 parsed as 480x0)."""
+    data = encode_mp4(_payloads(3), width=640, height=480, tkhd_version=1)
+    (track,) = demux_mp4(data)
+    assert (track.width, track.height) == (640, 480)
+    assert track.track_id == 1
+    assert extract_samples(data, track) == _payloads(3)
+
+
+def test_corrupt_sample_table_raises_valueerror(spark, tmp_path):
+    """Structure corruption inside the sample tables must surface as
+    ValueError (the quarantine contract), never struct.error - a
+    bit-flipped stsz count pre-fix killed the whole scan task."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.mp4_source import (
+        read_mp4_metadata,
+    )
+
+    data = bytearray(encode_mp4(_payloads(4)))
+    # stsz payload: verflags(4) + sample_size(4) + sample_count(4)
+    i = bytes(data).index(b"stsz") + 4 + 4 + 4
+    data[i : i + 4] = (1_000_000).to_bytes(4, "big")  # absurd count
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(data))
+    # and through the DataSource it becomes a quarantine row
+    (tmp_path / "corrupt.mp4").write_bytes(bytes(data))
+    rows = read_mp4_metadata(spark, str(tmp_path / "*.mp4")).collect()
+    assert len(rows) == 1 and rows[0]["error"] is not None
+
+
 def test_largesize_box_parses():
     data = encode_mp4(_payloads(2))
     # rewrite mdat as a largesize box: size=1 + 64-bit size after type

@@ -191,6 +191,8 @@ def test_canonical_url_and_url_dedup(spark):
         (5, "http://example.com/A/b?x=1"),                 # path is case-sensitive
         (6, "http://example.com/?utm_source=o"),           # root, params only
         (7, "not a url"),                                  # passthrough
+        (8, "http://example.com"),                         # twin of 6 (bare root)
+        (9, "http://Example.com/"),                        # twin of 6 too
     ]
     df = spark.createDataFrame(urls, "id long, url string")
     got = {
@@ -200,7 +202,8 @@ def test_canonical_url_and_url_dedup(spark):
     assert got[0] == got[1] == got[2] == got[3] == "http://example.com/a/b?x=1"
     assert got[4] == "http://example.com/a/b?x=2"
     assert got[5] == "http://example.com/A/b?x=1"
-    assert got[6] == "http://example.com/"
+    # the most common twin pair of all: host, host/, host/?tracking
+    assert got[6] == got[8] == got[9] == "http://example.com"
     assert got[7] == "not a url"
     kept = sorted(r["id"] for r in url_dedup(df, "url", "id").collect())
     assert kept == [0, 4, 5, 6, 7]
