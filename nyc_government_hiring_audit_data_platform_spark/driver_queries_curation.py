@@ -47,6 +47,20 @@ def _word_grams(toks_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _token_df(docs):
+    """doc_id plus the space-split token array AS A COLUMN (``_tk``),
+    hoisted once per row: Catalyst does no common-subexpression
+    elimination inside higher-order-function lambdas, so any lambda
+    slicing an INLINE tokenize expression re-splits the text once per
+    element - O(len^2) per document (measured 43x on a 20k-token doc).
+    Every gram/chunk/span query in this module derives from this one
+    hoist so the tokenization cannot silently diverge between them."""
+    return docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )
+
+
 def _word_grams_sql(toks_expr: str, n: int) -> str:
     return (
         f"list_transform(range(1, len({toks_expr}) - {n - 2}), "
@@ -101,15 +115,7 @@ def q_boilerplate_ngram_flags(spark, sf_dir):
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    # hoist the token array into a COLUMN before any per-element lambda
-    # references it: Catalyst does not CSE inside higher-order-function
-    # lambdas, so slicing an inline tokenize EXPRESSION re-splits the
-    # text once per gram - O(len^2) per doc (measured 43x on a
-    # 20k-token doc). An attribute reference is evaluated once per row.
-    tk = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
-    )
+    tk = _token_df(docs)
     # two consumers (df counts + join-back): persist or the
     # tokenize+gram+explode subtree executes once per consumer (the
     # tfidf/minhash precedent). Note for benchmarking: Spark's
@@ -193,13 +199,7 @@ def q_chunk_dedup(spark, sf_dir):
     so the oracle predicate is readable. The ratio is int/int - exact
     in both engines."""
     docs = table(spark, sf_dir, "documents")
-    # token array hoisted to a column: lambdas referencing an inline
-    # tokenize expression re-split the text PER CHUNK (no CSE inside
-    # HOF lambdas - measured 43x on long docs)
-    tk = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
-    )
+    tk = _token_df(docs)
     toks = F.col("_tk")
     starts = F.when(
         F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK))
@@ -297,12 +297,7 @@ def q_duplicate_span_detect(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # hoisted token column (no CSE inside HOF lambdas: an inline
-    # tokenize expression would re-split the text per SPAN - O(len^2))
-    tk = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
-    )
+    tk = _token_df(docs)
     toks = F.col("_tk")
     spans = F.when(
         F.size(toks) >= _SPAN,
@@ -808,11 +803,8 @@ def q_dedup_funnel(spark, sf_dir):
     n_norm = docs.agg(
         F.countDistinct(F.md5(normalize_text("text").cast("binary"))).alias("n")
     )
-    tkf = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
-    )
-    toks = F.col("_tk")  # hoisted: no CSE inside HOF lambdas
+    tkf = _token_df(docs)
+    toks = F.col("_tk")
     starts = F.when(
         F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK))
     ).otherwise(F.array().cast("array<int>"))
@@ -1031,10 +1023,7 @@ def q_curation_keep_decisions(spark, sf_dir):
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
-    )  # hoisted: no CSE inside HOF lambdas
+    tk = _token_df(docs)
     ex = tk.select(
         "doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g")
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -60,12 +60,18 @@ class Box:
         return self.start + self.header, self.size - self.header
 
 
-def parse_boxes(data: bytes, start: int = 0, end: int | None = None) -> list[Box]:
+def parse_boxes(
+    data: bytes, start: int = 0, end: int | None = None, _depth: int = 0
+) -> list[Box]:
     """Parse a (possibly nested) sequence of ISO BMFF boxes.
 
     Handles size==1 (64-bit largesize) and size==0 (box extends to the
     end of the enclosing scope). Raises ValueError on truncated or
-    malformed headers rather than guessing."""
+    malformed headers rather than guessing; nesting deeper than 32
+    container levels (real files use ~6) is rejected as malformed
+    rather than risking RecursionError from a crafted file."""
+    if _depth > 32:
+        raise ValueError("box nesting deeper than 32 levels")
     if end is None:
         end = len(data)
     out: list[Box] = []
@@ -87,7 +93,7 @@ def parse_boxes(data: bytes, start: int = 0, end: int | None = None) -> list[Box
             raise ValueError(f"box {btype!r} at {pos}: bad size {size}")
         box = Box(btype, pos, size, header)
         if btype in _CONTAINERS:
-            box.children = parse_boxes(data, pos + header, pos + size)
+            box.children = parse_boxes(data, pos + header, pos + size, _depth + 1)
         out.append(box)
         pos += size
     return out
@@ -149,9 +155,20 @@ def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
         raise ValueError("stbl missing stsz")
     p = _fullbox(data, stsz)
     fixed_size, count = struct.unpack_from(">II", data, p)
+    # bound counts against the byte-backed evidence BEFORE allocating:
+    # a bit-flipped count must become a ValueError quarantine row, not
+    # a multi-GB allocation that OOM-kills the task
+    _, stsz_len = stsz.body
     if fixed_size:
+        if fixed_size * count > len(data):
+            raise ValueError(
+                f"stsz claims {count} x {fixed_size}B samples in a "
+                f"{len(data)}B buffer"
+            )
         sizes = [fixed_size] * count
     else:
+        if 12 + count * 4 > stsz_len:
+            raise ValueError(f"stsz count {count} exceeds box size {stsz_len}")
         sizes = list(struct.unpack_from(f">{count}I", data, p + 8))
 
     # stco / co64: chunk offsets
@@ -159,10 +176,14 @@ def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
     if stco is not None:
         p = _fullbox(data, stco)
         n = struct.unpack_from(">I", data, p)[0]
+        if 8 + n * 4 > stco.body[1]:
+            raise ValueError(f"stco count {n} exceeds box size")
         chunk_offsets = list(struct.unpack_from(f">{n}I", data, p + 4))
     elif co64 is not None:
         p = _fullbox(data, co64)
         n = struct.unpack_from(">I", data, p)[0]
+        if 8 + n * 8 > co64.body[1]:
+            raise ValueError(f"co64 count {n} exceeds box size")
         chunk_offsets = list(struct.unpack_from(f">{n}Q", data, p + 4))
     else:
         raise ValueError("stbl missing stco/co64")
@@ -173,6 +194,8 @@ def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
         raise ValueError("stbl missing stsc")
     p = _fullbox(data, stsc)
     n_runs = struct.unpack_from(">I", data, p)[0]
+    if 8 + n_runs * 12 > stsc.body[1]:
+        raise ValueError(f"stsc run count {n_runs} exceeds box size")
     runs = [
         struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(n_runs)
     ]
@@ -187,10 +210,17 @@ def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
         raise ValueError("stbl missing stts")
     p = _fullbox(data, stts)
     n_runs = struct.unpack_from(">I", data, p)[0]
+    if 8 + n_runs * 8 > stts.body[1]:
+        raise ValueError(f"stts run count {n_runs} exceeds box size")
     dts: list[int] = []
     t = 0
     for i in range(n_runs):
         cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
+        # sample timing entries can never exceed the sized sample count
+        if len(dts) + cnt > len(sizes):
+            raise ValueError(
+                f"stts describes more samples than stsz sized ({len(sizes)})"
+            )
         for _ in range(cnt):
             dts.append(t)
             t += delta
@@ -202,6 +232,8 @@ def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
     else:
         p = _fullbox(data, stss)
         n = struct.unpack_from(">I", data, p)[0]
+        if 8 + n * 4 > stss.body[1]:
+            raise ValueError(f"stss count {n} exceeds box size")
         keyframes = set(struct.unpack_from(f">{n}I", data, p + 4))
 
     samples: list[Mp4Sample] = []

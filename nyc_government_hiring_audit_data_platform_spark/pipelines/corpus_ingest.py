@@ -46,7 +46,10 @@ def canonical_url(col) -> "F.Column":
     rule: one document per canonical URL before any text dedup):
     lowercase scheme+host, drop the fragment, drop common tracking
     query parameters (utm_*, fbclid, gclid), strip a trailing slash on
-    the path, and collapse an empty query's dangling '?'. Pure column
+    the PATH (including the bare root, so host, host/ and host/?utm=..
+    collapse), and drop an empty query's dangling '?'. A '/' at the end
+    of a QUERY VALUE is deliberately preserved - '?x=1/' and '?x=1' are
+    different query strings per RFC 3986, not slash twins. Pure column
     expressions - canonicalization is map-side at any crawl size."""
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     # scheme://host is case-insensitive per RFC 3986; the path is not

@@ -47,8 +47,14 @@ def build_curation_model(spark: SparkSession, docs: DataFrame) -> dict:
     "band": (lo, hi)} - all vocabulary-sized; the three collects pull
     back the gram set, the term-weight table and two doubles, never
     document rows."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    ex = docs.select("doc_id", F.explode(_word_grams(toks, _BP_N)).alias("g"))
+    # token array hoisted to a column first: Catalyst has no CSE inside
+    # HOF lambdas, so _word_grams over an inline tokenize expression
+    # re-splits the text per gram - O(len^2) per doc
+    tk = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+    )
+    ex = tk.select("doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g"))
     boiler = [
         r["g"]
         for r in ex.groupBy("g")
@@ -103,9 +109,17 @@ def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
     boilerplate ratio via array_intersect-style membership against the
     literal gram set, surprisal via a literal term->weight map fold.
     Stateless map -> valid in append mode with no watermark."""
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    ltoks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-    grams = _word_grams(toks, _BP_N)
+    # hoist both token arrays into columns before any lambda touches
+    # them (no CSE inside HOF lambdas - O(len^2) otherwise); the scratch
+    # columns never leave this function (the final select drops them)
+    docs = docs.withColumns(
+        {
+            "_tk": F.filter(F.split("text", " "), lambda t: t != ""),
+            "_ltk": F.filter(F.split(F.lower("text"), " "), lambda t: t != ""),
+        }
+    )
+    ltoks = F.col("_ltk")
+    grams = _word_grams(F.col("_tk"), _BP_N)
 
     # gram membership as an O(1) map lookup per gram, not an O(|set|)
     # array scan

@@ -196,6 +196,32 @@ def test_corrupt_sample_table_raises_valueerror(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["error"] is not None
 
 
+def test_resource_exhaustion_bounded():
+    """Corrupt counts must raise ValueError BEFORE allocating (a
+    bit-flipped fixed-size stsz would otherwise allocate count-sized
+    lists / loop billions of dts iterations), and crafted deep box
+    nesting is rejected instead of recursing to RecursionError."""
+    # fixed-size stsz claiming ~2^48 bytes of samples in a tiny file
+    data = bytearray(encode_mp4([b"x" * 32] * 2))
+    i = bytes(data).index(b"stsz") + 4 + 4
+    data[i : i + 4] = (0xFFFFFF).to_bytes(4, "big")      # fixed_size
+    data[i + 4 : i + 8] = (0xFFFFFF).to_bytes(4, "big")  # count
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(data))
+    # stts run describing billions of samples
+    data2 = bytearray(encode_mp4([b"x" * 32] * 2))
+    j = bytes(data2).index(b"stts") + 4 + 4 + 4  # verflags + entry_count
+    data2[j : j + 4] = (2_000_000_000).to_bytes(4, "big")  # run sample_count
+    with pytest.raises(ValueError):
+        demux_mp4(bytes(data2))
+    # 40 nested containers (> the 32-level bound)
+    blob = b"\x00" * 0
+    for _ in range(40):
+        blob = (8 + len(blob)).to_bytes(4, "big") + b"moov" + blob
+    with pytest.raises(ValueError):
+        parse_boxes(blob)
+
+
 def test_largesize_box_parses():
     data = encode_mp4(_payloads(2))
     # rewrite mdat as a largesize box: size=1 + 64-bit size after type

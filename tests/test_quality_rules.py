@@ -168,6 +168,9 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         " ".join(f"tok{i}" for i in range(40)),
         "prefix " + " ".join(f"tok{i}" for i in range(40)) + " suffix",
         " ".join(f"rep{i % 8}" for i in range(48)),  # internal repeats
+        # 5k-token doc: the O(len^2) HOF-lambda canary - pre-hoist this
+        # single doc cost minutes through the span/shingle queries
+        " ".join(f"w{i % 211}" for i in range(5000)),
     ]
     docs = spark.createDataFrame(
         [

@@ -193,6 +193,7 @@ def test_canonical_url_and_url_dedup(spark):
         (7, "not a url"),                                  # passthrough
         (8, "http://example.com"),                         # twin of 6 (bare root)
         (9, "http://Example.com/"),                        # twin of 6 too
+        (10, "http://example.com/p?x=1/"),                 # slash in QUERY VALUE
     ]
     df = spark.createDataFrame(urls, "id long, url string")
     got = {
@@ -205,8 +206,11 @@ def test_canonical_url_and_url_dedup(spark):
     # the most common twin pair of all: host, host/, host/?tracking
     assert got[6] == got[8] == got[9] == "http://example.com"
     assert got[7] == "not a url"
+    # a '/' ending a QUERY VALUE is part of the value (RFC 3986), not a
+    # slash twin - it must survive canonicalization
+    assert got[10] == "http://example.com/p?x=1/"
     kept = sorted(r["id"] for r in url_dedup(df, "url", "id").collect())
-    assert kept == [0, 4, 5, 6, 7]
+    assert kept == [0, 4, 5, 6, 7, 10]
 
 
 def test_warc_datasource_and_wet_filter(spark, tmp_path):
