@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "stupid_backoff_score",
     "tokenizer_fertility",
     "source_vocab_overlap",
+    "duplicate_span_removal",
 ]
 
 

@@ -341,6 +341,158 @@ def q_duplicate_span_detect(spark, sf_dir):
     )
 
 
+@query(
+    "duplicate_span_removal",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, e.pos AS pos, e.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {_SPAN - 2}),
+                      i -> struct_pack(pos := i,
+                           h := md5(array_to_string(toks[i:i + {_SPAN - 1}],
+                                                    ' '))))) AS e
+        FROM src
+      )
+    ),
+    agg AS (
+      SELECT h, COUNT(*) AS cnt,
+             MIN(struct_pack(d := doc_id, p := pos)) AS canon
+      FROM sp GROUP BY h
+    ),
+    dup AS (
+      SELECT sp.doc_id, sp.pos
+      FROM sp JOIN agg ON sp.h = agg.h
+      WHERE agg.cnt > 1
+        AND NOT (sp.doc_id = agg.canon.d AND sp.pos = agg.canon.p)
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {_SPAN})) AS ti
+      FROM dup
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ti
+      FROM src
+    ),
+    kept AS (
+      SELECT t.doc_id,
+             string_agg(t.tok, ' ' ORDER BY t.ti) AS cleaned
+      FROM tokpos t
+      LEFT JOIN rm ON t.doc_id = rm.doc_id AND t.ti = rm.ti
+      WHERE rm.ti IS NULL
+      GROUP BY t.doc_id
+    ),
+    rmcnt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM rm
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.toks) AS BIGINT) AS n_tokens,
+           COALESCE(r.n_removed, 0) AS n_removed,
+           md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+    FROM src s
+    LEFT JOIN rmcnt r ON s.doc_id = r.doc_id
+    LEFT JOIN kept k ON s.doc_id = k.doc_id
+    """,
+)
+def q_duplicate_span_removal(spark, sf_dir):
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022):
+    every 16-token span occurring more than once corpus-wide keeps only
+    its canonical (lexicographically first (doc_id, pos)) occurrence;
+    every token covered by a non-canonical duplicate span is struck,
+    and the cleaned document is re-joined in token order (emitted as
+    its md5 - the driver hasher wants bounded cells, and the hash pins
+    the exact byte content). Internal repeats within one document are
+    struck too, exactly as published.
+
+    Plan at 100 TB: span hashes (never span text) shuffle to one
+    span-grouped aggregate carrying (count, canonical occurrence); the
+    strike set is a doc-keyed explode of covered positions; the token
+    re-join is a doc-keyed sort of struck-filtered positions - every
+    stage is keyed by span hash or doc_id, volume linear in tokens.
+    (duplicate_span_detect is the DETECTION report on the same spans;
+    this query ships the cleaned corpus.)"""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tk = _token_df(docs)
+    toks = F.col("_tk")
+    spans = F.when(
+        F.size(toks) >= _SPAN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SPAN - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i, _SPAN), " ").cast("binary"))
+                .alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    sp = tk.select("doc_id", F.explode(spans).alias("e")).select(
+        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    )
+    agg = sp.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+            "canon"
+        ),
+    )
+    dup = (
+        sp.join(agg, "h")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("canon.d"))
+                & (F.col("pos") == F.col("canon.p"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    rm = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN - 1))).alias("ti"),
+    ).distinct()
+    tokpos = tk.select(
+        "doc_id", F.posexplode("_tk").alias("ti0", "tok")
+    ).select("doc_id", (F.col("ti0") + 1).alias("ti"), "tok")
+    kept = (
+        tokpos.join(rm, ["doc_id", "ti"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ti"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("cleaned")
+        )
+    )
+    rmcnt = rm.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    base = tk.select("doc_id", F.size("_tk").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(rmcnt, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias(
+                "n_removed"
+            ),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup keep-list: the curation DECISION on top of duplicate clusters
 # ---------------------------------------------------------------------------

@@ -279,6 +279,45 @@ def test_stupid_backoff_semantics(spark, tmp_path):
     assert rows[0]["n_backoff"] == 0
 
 
+def test_duplicate_span_removal_semantics(spark, tmp_path):
+    """The published removal rule: only the canonical (first (doc,pos))
+    occurrence of a duplicated span survives. Two docs share a 40-token
+    passage: doc 0 keeps it whole; doc 1 loses exactly the shared
+    tokens and keeps its unique prefix/suffix; a unique doc is
+    untouched."""
+    import hashlib
+
+    shared = " ".join(f"tok{i}" for i in range(40))
+    texts = [
+        shared,
+        "prefix " + shared + " suffix",
+        " ".join(f"uniq{i}" for i in range(40)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "spanrm")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["duplicate_span_removal"](spark, d).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 0 is canonical for every shared span: nothing removed
+    assert rows[0]["n_removed"] == 0 and rows[0]["cleaned_md5"] == h(shared)
+    # doc 1: all 40 shared tokens struck (its spans are non-canonical),
+    # the unique prefix/suffix survive in order
+    assert rows[1]["n_removed"] == 40
+    assert rows[1]["cleaned_md5"] == h("prefix suffix")
+    # doc 2: no duplicated spans anywhere
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["cleaned_md5"] == h(texts[2])
+
+
 def test_hybrid_rrf_fusion_arithmetic(spark, sf_dir):
     """The fused score IS the RRF formula over the emitted ranks
     (integer micro-units), rows come out in (rrf desc, doc_id) order,
