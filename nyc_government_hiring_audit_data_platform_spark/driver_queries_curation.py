@@ -54,10 +54,16 @@ def _token_df(docs):
     slicing an INLINE tokenize expression re-splits the text once per
     element - O(len^2) per document (measured 43x on a 20k-token doc).
     Every gram/chunk/span query in this module derives from this one
-    hoist so the tokenization cannot silently diverge between them."""
+    hoist so the tokenization cannot silently diverge between them.
+    COALESCE guard per the corpus convention: NULL text must tokenize
+    to [] (Spark's legacy size(NULL) = -1 vs DuckDB len(NULL) = NULL
+    otherwise leaks into any query that projects a token count)."""
     return docs.select(
         "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("_tk"),
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda t: t != "",
+        ).alias("_tk"),
     )
 
 
@@ -345,7 +351,9 @@ def q_duplicate_span_detect(spark, sf_dir):
     "duplicate_span_removal",
     f"""
     WITH src AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      SELECT doc_id,
+             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
+               AS toks
       FROM documents
     ),
     sp AS (

@@ -104,16 +104,22 @@ _WIN_W = 4  # winnowing window (consecutive k-gram hashes per window)
 
 @query(
     "winnowing_fingerprints",
+    # oracle mirrors the Spark side's char-array formulation (split
+    # once, slice per position): DuckDB's substring is also O(pos) per
+    # call, so the naive per-position form made the oracle O(len^2)
     f"""
-    WITH h AS (
+    WITH ch AS (
+      SELECT doc_id, string_split({normalize_text_sql('text')}, '') AS cs
+      FROM documents
+    ),
+    h AS (
       SELECT doc_id,
              list_transform(
-               generate_series(1, greatest(length({normalize_text_sql('text')})
-                                           - {TS.SHINGLE_N - 1}, 0)),
+               generate_series(1, greatest(len(cs) - {TS.SHINGLE_N - 1}, 0)),
                i -> {DD.base_hash_sql(
-                   f"substring({normalize_text_sql('text')}, i, {TS.SHINGLE_N})")})
+                   f"array_to_string(cs[i:i + {TS.SHINGLE_N - 1}], '')")})
                AS hs
-      FROM documents
+      FROM ch
     ),
     w AS (
       SELECT doc_id, hs,

@@ -194,6 +194,7 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         # round-5 text-shaped queries through the same dirty inputs
         "winnowing_fingerprints",
         "duplicate_span_detect",
+        "duplicate_span_removal",
         "chunk_dedup",
         "cms_frequency_bound",
         "vocab_coverage",
