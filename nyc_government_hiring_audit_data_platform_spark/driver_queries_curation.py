@@ -235,12 +235,13 @@ def q_chunk_dedup(spark, sf_dir):
 
 _SPAN = 16  # tokens per span (stride 1)
 
-
-@query(
-    "duplicate_span_detect",
-    f"""
-    WITH src AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+# Shared stride-1 span machinery for detect + removal - ONE definition
+# of tokenization (the _token_df COALESCE convention) and span hashing
+# on each engine, so the two queries cannot silently diverge.
+_SPAN_PRELUDE_SQL = f"""src AS (
+      SELECT doc_id,
+             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
+               AS toks
       FROM documents
     ),
     sp AS (
@@ -253,7 +254,33 @@ _SPAN = 16  # tokens per span (stride 1)
                                                     ' '))))) AS e
         FROM src
       )
-    ),
+    )"""
+
+
+def _span_df(tk):
+    """(doc_id, pos, h) stride-1 span hashes from a _token_df frame
+    (md5 of the space-joined 16-token window at every position)."""
+    toks = F.col("_tk")
+    spans = F.when(
+        F.size(toks) >= _SPAN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SPAN - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i, _SPAN), " ").cast("binary"))
+                .alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    return tk.select("doc_id", F.explode(spans).alias("e")).select(
+        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    )
+
+
+@query(
+    "duplicate_span_detect",
+    f"""
+    WITH {_SPAN_PRELUDE_SQL},
     freq AS (SELECT h, COUNT(*) AS cnt FROM sp GROUP BY h),
     j AS (SELECT sp.doc_id, sp.pos, f.cnt FROM sp JOIN freq f ON sp.h = f.h),
     d AS (SELECT doc_id, pos FROM j WHERE cnt > 1),
@@ -303,22 +330,7 @@ def q_duplicate_span_detect(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tk = _token_df(docs)
-    toks = F.col("_tk")
-    spans = F.when(
-        F.size(toks) >= _SPAN,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SPAN - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i, _SPAN), " ").cast("binary"))
-                .alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    sp = tk.select("doc_id", F.explode(spans).alias("e")).select(
-        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
-    )
+    sp = _span_df(_token_df(docs))
     freq = sp.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     j = sp.join(freq, "h").select("doc_id", "pos", "cnt").persist()
     from pyspark.sql import Window as W
@@ -350,23 +362,7 @@ def q_duplicate_span_detect(spark, sf_dir):
 @query(
     "duplicate_span_removal",
     f"""
-    WITH src AS (
-      SELECT doc_id,
-             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
-               AS toks
-      FROM documents
-    ),
-    sp AS (
-      SELECT doc_id, e.pos AS pos, e.h AS h
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - {_SPAN - 2}),
-                      i -> struct_pack(pos := i,
-                           h := md5(array_to_string(toks[i:i + {_SPAN - 1}],
-                                                    ' '))))) AS e
-        FROM src
-      )
-    ),
+    WITH {_SPAN_PRELUDE_SQL},
     agg AS (
       SELECT h, COUNT(*) AS cnt,
              MIN(struct_pack(d := doc_id, p := pos)) AS canon
@@ -428,22 +424,13 @@ def q_duplicate_span_removal(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    tk = _token_df(docs)
-    toks = F.col("_tk")
-    spans = F.when(
-        F.size(toks) >= _SPAN,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_SPAN - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i, _SPAN), " ").cast("binary"))
-                .alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    sp = tk.select("doc_id", F.explode(spans).alias("e")).select(
-        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
-    )
+    from pyspark import StorageLevel
+
+    # tk feeds three consumers (spans, token positions, the per-doc
+    # base) and sp two (agg, dup): persist both or the tokenize and
+    # span-md5 subtrees re-execute per consumer (module precedent)
+    tk = _token_df(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sp = _span_df(tk).persist(StorageLevel.MEMORY_AND_DISK)
     agg = sp.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(

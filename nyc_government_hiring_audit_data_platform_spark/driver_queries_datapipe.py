@@ -228,16 +228,26 @@ def q_incremental_neardup_batch(spark, sf_dir):
     )
 
 
-_LSH_RECALL_SRC = "(SELECT * FROM documents WHERE doc_id % 10 = 0)"
+# Sample for the recall gate: 1/10 of docs, EXCLUDING docs whose
+# normalized text is shorter than one shingle - empty shingle sets get
+# identical all-sentinel minhash signatures and pair up in the LSH lane
+# (the un==0 -> jaccard=1 convention) while the shingle-BLOCKED exact
+# lane can never emit them (no shared shingle to block on), which would
+# make "false positives" structurally nonzero for degenerate docs
+# rather than zero. Recall is only meaningful where the measure is.
+_LSH_RECALL_SRC = (
+    "(SELECT * FROM documents WHERE doc_id % 10 = 0 "
+    f"AND length({normalize_text_sql('text')}) >= {TS.SHINGLE_N})"
+)
 _LSH_RECALL_TAU = 0.25
 
 
 @query(
     "minhash_lsh_recall",
     f"""
-    WITH e AS ({DD.ngram_jaccard_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
+    WITH e AS MATERIALIZED ({DD.ngram_jaccard_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
                                            _LSH_RECALL_TAU)}),
-    l AS ({DD.minhash_lsh_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
+    l AS MATERIALIZED ({DD.minhash_lsh_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
                                     _LSH_RECALL_TAU)}),
     hits AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n
@@ -257,9 +267,12 @@ def q_minhash_lsh_recall(spark, sf_dir):
     run the EXACT shingle-blocked Jaccard join (ground truth) and the
     MinHash+LSH banded join over the SAME 1/10 document sample at the
     same threshold, and measure in-query how much of the truth the
-    banding recovered. Because the LSH chain verifies candidates with
-    the exact Jaccard, false positives are structurally zero
-    (n_false_pos asserts it); recall < 1000 milli can only come from
+    banding recovered. The sample excludes docs shorter than one
+    shingle (an empty shingle set pairs in the LSH lane via the
+    empty-vs-empty jaccard=1 convention but can never surface in the
+    shingle-BLOCKED exact lane); with that degeneracy out, the LSH
+    chain's exact-Jaccard verify makes false positives structurally
+    zero (n_false_pos asserts it) and recall < 1000 milli can only come from
     banding misses - the b/r S-curve this row makes visible. At this
     deliberately low threshold the measured recall (~69 milli at
     sf0.1) IS the theory: with r=3 rows/band, b=4 bands, a pair at
@@ -269,12 +282,22 @@ def q_minhash_lsh_recall(spark, sf_dir):
     the bottom of the S-curve exactly where it should. The exact lane
     is the documented quadratic (sampled, like ann_cosine_topk's role
     as ground truth); the LSH lane is the 100 TB path being graded."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    e = DD.ngram_jaccard_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU).select(
-        "id_a", "id_b"
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10 == 0)
+        & (F.length(normalize_text(F.col("text"))) >= TS.SHINGLE_N)
     )
-    l = DD.minhash_lsh_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU).select(
-        "id_a", "id_b"
+    # both lanes referenced twice (count + hits join): persist, or the
+    # quadratic exact join and the LSH chain each run ~2x (the module's
+    # multi-consumer precedent)
+    e = (
+        DD.ngram_jaccard_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    l = (
+        DD.minhash_lsh_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_exact = e.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = l.agg(F.count(F.lit(1)).alias("n_lsh"))

@@ -201,6 +201,9 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         "mixture_temperature_weights",
         "bpe_train_merges",
         "bpe_encode_corpus",
+        # the recall gate's degenerate-doc exclusion (empty/tiny texts
+        # would otherwise be LSH-lane-only "false positives")
+        "minhash_lsh_recall",
     ):
         sdf = DQ.QUERIES[name](spark, d)
         srows = [tuple(r) for r in sdf.collect()]
