@@ -27,9 +27,9 @@ from nyc_government_hiring_audit_data_platform_spark.sources.warc_source import 
 )
 
 
-def wet_to_documents(spark: SparkSession, path_glob: str) -> DataFrame:
-    """WET conversion records -> the ``documents`` table shape."""
-    raw = read_warc(spark, path_glob, "conversion")
+def _documents_projection(raw: DataFrame) -> DataFrame:
+    """WARC conversion-record relation -> the ``documents`` shape
+    (shared by the batch ingest and the streaming curation tail)."""
     return raw.filter(F.col("error").isNull()).select(
         F.xxhash64("path", "record_index").alias("doc_id"),
         F.col("content").alias("text"),
@@ -39,6 +39,11 @@ def wet_to_documents(spark: SparkSession, path_glob: str) -> DataFrame:
         ).alias("source"),
         F.length("content").cast("long").alias("n_chars"),
     )
+
+
+def wet_to_documents(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET conversion records -> the ``documents`` table shape."""
+    return _documents_projection(read_warc(spark, path_glob, "conversion"))
 
 
 def canonical_url(col) -> "F.Column":
@@ -92,3 +97,50 @@ def ingest_wet(
     docs = wet_to_documents(spark, path_glob)
     docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     return docs
+
+
+def run_wet_curation_stream(
+    spark: SparkSession,
+    path_glob: str,
+    model: dict,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The full STREAMING ingest+curation flow, end to end: tail the
+    crawl directory (the WARC source's name-watermark stream), project
+    WET conversion records into the documents shape, apply the
+    batch-trained curation filter stack as stateless expressions
+    (streaming/curation.py:streaming_keep_decisions - valid in append
+    mode, no watermark needed), and land per-document keep/drop
+    decisions exactly-once in a checkpointed parquet sink.
+
+    This is the production topology: the model (gram set, surprisal
+    weights, band) trains on a reference corpus in batch and ships into
+    the stream as literal expressions; every newly-landed crawl file is
+    scored once - restart from the checkpoint resumes at the committed
+    file watermark. One availableNow pass per invocation (drains
+    whatever has landed, then stops - cron-friendly; a continuous
+    trigger is the one-line variant)."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.warc_source import (
+        register,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.streaming.curation import (
+        streaming_keep_decisions,
+    )
+
+    register(spark)
+    raw = (
+        spark.readStream.format("warc")
+        .option("path", path_glob)
+        .option("record_types", "conversion")
+        .load()
+    )
+    decisions = streaming_keep_decisions(_documents_projection(raw), model)
+    q = (
+        decisions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

@@ -93,6 +93,67 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path):
     assert rows[0]["n_fps"] == len(fa) and rows[1]["n_fps"] == len(fb)
 
 
+def test_duplicate_span_removal_matches_python_reference(spark, tmp_path):
+    """Random corpora with engineered cross-doc and internal span
+    repeats: the distributed removal matches an independent Python
+    implementation of the canonical-survivor rule exactly (token
+    counts, removed counts, and the md5 of the cleaned text)."""
+    from collections import defaultdict
+
+    SPAN = 16
+    rng = random.Random(31)
+    vocab = [f"v{i}" for i in range(50)]
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 60)))
+        for _ in range(12)
+    ]
+    # splice shared passages across docs + an internal repeat
+    passage = " ".join(rng.choice(vocab) for _ in range(24))
+    texts = base + [
+        passage,
+        "lead " + passage + " tail",
+        passage + " middle " + passage,  # internal repeat too
+        "",  # empty doc
+    ]
+
+    def ref(texts):
+        toks = {
+            i: [t for t in t_.split(" ") if t] for i, t_ in enumerate(texts)
+        }
+        info = {}
+        occ = []
+        for d in sorted(toks):
+            tk = toks[d]
+            for p in range(1, len(tk) - SPAN + 2):
+                k = " ".join(tk[p - 1 : p - 1 + SPAN])
+                occ.append((d, p, k))
+                cnt_canon = info.setdefault(k, [0, (d, p)])
+                cnt_canon[0] += 1
+                if (d, p) < cnt_canon[1]:
+                    cnt_canon[1] = (d, p)
+        removed = defaultdict(set)
+        for d, p, k in occ:
+            cnt, canon = info[k]
+            if cnt > 1 and (d, p) != canon:
+                removed[d].update(range(p, p + SPAN))
+        out = {}
+        for d, tk in toks.items():
+            kept = [t for i, t in enumerate(tk, 1) if i not in removed[d]]
+            out[d] = (len(tk), len(removed[d]), " ".join(kept))
+        return out
+
+    want = ref(texts)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in _run_docs(spark, tmp_path, "duplicate_span_removal", texts, "rm")
+    }
+    assert sorted(rows) == sorted(want)
+    for d, (n_tok, n_rm, cleaned) in want.items():
+        assert rows[d]["n_tokens"] == n_tok, d
+        assert rows[d]["n_removed"] == n_rm, d
+        assert rows[d]["cleaned_md5"] == hashlib.md5(cleaned.encode()).hexdigest(), d
+
+
 def test_cms_one_sided_bound_and_reference(spark, tmp_path):
     """Count-Min property: est >= exact for every probed term, and the
     estimates equal an independent Python CMS with the same hashes."""

@@ -121,6 +121,68 @@ def test_warc_streaming_tail(spark, tmp_path):
     assert all(r[0].endswith("part-00001.warc.gz") for r in replay)
 
 
+def test_wet_curation_stream_end_to_end(spark, tmp_path):
+    """The full streaming topology: batch-train the curation model on a
+    reference corpus, tail a crawl directory of WET files, and land
+    keep/drop decisions exactly-once - row-for-row equal to applying
+    the same model in batch, across a restart that picks up only the
+    newly-landed file."""
+    from nyc_government_hiring_audit_data_platform_spark.pipelines.corpus_ingest import (
+        run_wet_curation_stream,
+        wet_to_documents,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.streaming.curation import (
+        build_curation_model,
+        streaming_keep_decisions,
+    )
+
+    # reference corpus for the model: repeated grams = boilerplate
+    ref_docs = spark.createDataFrame(
+        [
+            (i, "common header gram set here " + f"body{i} " * 10, "en", "s", 1)
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    model = build_curation_model(spark, ref_docs)
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+
+    def wet_file(seed, n):
+        recs = [
+            (
+                "conversion",
+                f"http://s{seed}.example.com/p{i}",
+                (f"common header gram set here unique{seed}_{i} " * 3).encode(),
+            )
+            for i in range(n)
+        ]
+        return encode_warc(recs, compress=True)
+
+    (crawl / "part-00000.warc.gz").write_bytes(wet_file(0, 3))
+    glob = str(crawl / "part-*.warc.gz")
+    out, ckpt = str(tmp_path / "decisions"), str(tmp_path / "ckpt")
+    run_wet_curation_stream(spark, glob, model, out, ckpt)
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 3
+    # a second crawl file lands; restart drains exactly the new one
+    (crawl / "part-00001.warc.gz").write_bytes(wet_file(1, 2))
+    run_wet_curation_stream(spark, glob, model, out, ckpt)
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == 5
+    # row-for-row equal to the BATCH application of the same model
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in streaming_keep_decisions(
+            wet_to_documents(spark, glob), model
+        ).collect()
+    }
+    assert len(batch) == 5
+    for r in got2:
+        assert r.asDict() == batch[r["doc_id"]], r["doc_id"]
+
+
 def test_wet_ingest_feeds_curation_stack(spark, tmp_path):
     """End to end: WET glob -> documents shape -> an oracle-verified
     curation query runs on the materialized table unchanged. doc_ids
