@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from nyc_government_hiring_audit_data_platform_spark.functions.textstats import lang_id
 from nyc_government_hiring_audit_data_platform_spark.sources.warc_source import (
     read_warc,
+    register,
+)
+from nyc_government_hiring_audit_data_platform_spark.streaming.curation import (
+    streaming_keep_decisions,
 )
 
 
@@ -119,23 +123,25 @@ def run_wet_curation_stream(
     the stream as literal expressions; every newly-landed crawl file is
     scored once - restart from the checkpoint resumes at the committed
     file watermark. One availableNow pass per invocation (drains
-    whatever has landed, then stops - cron-friendly; a continuous
-    trigger is the one-line variant)."""
-    from nyc_government_hiring_audit_data_platform_spark.sources.warc_source import (
-        register,
-    )
-    from nyc_government_hiring_audit_data_platform_spark.streaming.curation import (
-        streaming_keep_decisions,
-    )
+    whatever has landed fully, then stops - cron-friendly; a continuous
+    trigger is the one-line variant).
 
+    CORRUPT crawl files cannot vanish: the projection drops quarantine
+    rows from the decisions lane, but a second stream (own checkpoint,
+    same watermark contract) tees every error row to
+    ``<out_dir>_quarantine`` - without it, the committed watermark
+    would advance past a truncated file leaving zero trace anywhere."""
     register(spark)
-    raw = (
-        spark.readStream.format("warc")
-        .option("path", path_glob)
-        .option("record_types", "conversion")
-        .load()
-    )
-    decisions = streaming_keep_decisions(_documents_projection(raw), model)
+
+    def _tail():
+        return (
+            spark.readStream.format("warc")
+            .option("path", path_glob)
+            .option("record_types", "conversion")
+            .load()
+        )
+
+    decisions = streaming_keep_decisions(_documents_projection(_tail()), model)
     q = (
         decisions.writeStream.format("parquet")
         .option("path", out_dir)
@@ -143,4 +149,18 @@ def run_wet_curation_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    quarantine = _tail().filter(F.col("error").isNotNull()).select(
+        "path", "error", "record_index"
+    )
+    q2 = (
+        quarantine.writeStream.format("parquet")
+        .option("path", f"{out_dir}_quarantine")
+        .option("checkpointLocation", f"{checkpoint_dir}_quarantine")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # untimed: a drain slower than any fixed timeout must BLOCK, not
+    # silently return with the query still running (the next cron
+    # invocation would then start() against a live checkpoint)
+    q.awaitTermination()
+    q2.awaitTermination()

@@ -166,11 +166,18 @@ def test_wet_curation_stream_end_to_end(spark, tmp_path):
     run_wet_curation_stream(spark, glob, model, out, ckpt)
     got1 = spark.read.parquet(out).collect()
     assert len(got1) == 3
-    # a second crawl file lands; restart drains exactly the new one
+    # a second crawl file lands (plus a CORRUPT one); restart drains
+    # exactly the new files - the corrupt file must not vanish: zero
+    # decisions but a quarantine row recording it
     (crawl / "part-00001.warc.gz").write_bytes(wet_file(1, 2))
+    (crawl / "part-00002.warc.gz").write_bytes(b"\x1f\x8bnot-really-gzip")
     run_wet_curation_stream(spark, glob, model, out, ckpt)
     got2 = spark.read.parquet(out).collect()
     assert len(got2) == 5
+    quarantined = spark.read.parquet(out + "_quarantine").collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]["path"].endswith("part-00002.warc.gz")
+    assert quarantined[0]["error"] is not None
     # row-for-row equal to the BATCH application of the same model
     batch = {
         r["doc_id"]: r.asDict()
