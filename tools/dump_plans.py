@@ -212,6 +212,17 @@ SHOWCASE = {
         "shuffle collapses map-side and only per-source rows reach the "
         "final aggregate."
     ),
+    "duplicate_span_removal": (
+        "Exact-substring removal: span hashes (not text) shuffle to one "
+        "(count, canonical-occurrence) aggregate; the strike set and the "
+        "token re-join are doc-keyed - the cleaned corpus ships without "
+        "anything quadratic."
+    ),
+    "minhash_lsh_recall": (
+        "Quality gate: the exact lane is the sampled ground-truth "
+        "quadratic, the LSH lane the linear banded chain; both persist "
+        "once and the verdict is two counts + one equi-join."
+    ),
 }
 
 
