@@ -79,11 +79,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the driver's per-round verification budget lands on queries with the
     weakest prior signal (see _driver_history)."""
     hist = _driver_history()
+    # Pinned ahead of everything: queries whose CODE was rewritten after
+    # their latest driver hash, so the green on file predates the
+    # implementation (VERDICT r5 residual #1: vocab_coverage was
+    # rewritten on sharded_rank in r5 but last driver-hashed in r4).
+    rewritten = {"vocab_coverage"}
     # Named in VERDICT r1's done-criteria; there are more never-checked
     # queries than budget slots, so pin these at the head of their tier.
     must_check = {"neardup_components"}
 
     def prio(name: str) -> tuple[int, int]:
+        if name in rewritten:
+            return (-1, 0)  # stale-green rewrite: driver-hash first
         if name in hist and not hist[name][0]:
             return (0, hist[name][1])  # failed last check: re-verify first
         if name not in hist:

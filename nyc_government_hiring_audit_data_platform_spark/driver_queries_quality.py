@@ -686,9 +686,11 @@ _SB_ALPHA = "0.4"      # the paper's backoff constant, as shared literal text
     scored AS (
       SELECT pos.doc_id,
              CASE WHEN b.c12 IS NOT NULL THEN
-               CAST(FLOOR(ln(b.c12 * 1.0 / u1.c) * {_SB_SCALE}) AS BIGINT)
+               CAST(FLOOR(ln(CAST(b.c12 AS DOUBLE) / u1.c)
+                          * {_SB_SCALE}) AS BIGINT)
              ELSE
-               CAST(FLOOR(ln({_SB_ALPHA} * GREATEST(COALESCE(u2.c, 0), 1)
+               CAST(FLOOR(ln(CAST({_SB_ALPHA} AS DOUBLE)
+                             * GREATEST(COALESCE(u2.c, 0), 1)
                              / tot.t) * {_SB_SCALE}) AS BIGINT)
              END AS lp_micro,
              CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS backoff
@@ -716,10 +718,14 @@ def q_stupid_backoff_score(spark, sf_dir):
 
     Determinism: each position's log-prob is FLOOR-integerized to
     micro-nats BEFORE any aggregation (the module's floor-integer
-    convention - the ln argument is a single int/int division, so the
-    double is bit-identical across engines and FLOOR has no .5
-    boundary), making the per-doc SUM exact BIGINT arithmetic in any
-    partition order.
+    convention), making the per-doc SUM exact BIGINT arithmetic in any
+    partition order. Both branches are explicitly CAST to pure-double
+    arithmetic on BOTH engines - without the casts, bare literals like
+    0.4 parse as DECIMAL in Spark, whose scale-rounded decimal division
+    differs from DuckDB's single IEEE double division by an ulp, enough
+    to flip FLOOR at a micro-nat boundary. With identical-double ln
+    arguments the cross-engine match is empirical (libm ln is not
+    correctly rounded), verified by the parity suite at both SFs.
 
     Plan at 100 TB: LM tables are word/bigram-count shuffles with
     map-side combine (vocabulary-bounded); scoring is three equi-joins
@@ -761,8 +767,9 @@ def q_stupid_backoff_score(spark, sf_dir):
             "doc_id",
             F.expr(
                 f"CASE WHEN c12 IS NOT NULL THEN "
-                f"CAST(FLOOR(ln(c12 * 1.0 / c1) * {_SB_SCALE}) AS BIGINT) "
-                f"ELSE CAST(FLOOR(ln({_SB_ALPHA} * "
+                f"CAST(FLOOR(ln(CAST(c12 AS DOUBLE) / c1) * {_SB_SCALE}) "
+                f"AS BIGINT) "
+                f"ELSE CAST(FLOOR(ln(CAST({_SB_ALPHA} AS DOUBLE) * "
                 f"GREATEST(COALESCE(c2, 0), 1) / t) * {_SB_SCALE}) AS BIGINT) "
                 f"END"
             ).alias("lp_micro"),

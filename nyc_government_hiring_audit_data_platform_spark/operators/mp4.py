@@ -147,8 +147,19 @@ def _fullbox(data: bytes, box: Box) -> int:
     return box.start + box.header + 4
 
 
-def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
-    """Flatten stts/stsc/stsz/stco|co64/stss into per-sample records."""
+def _resolve_samples(
+    data: bytes, stbl: Box, file_size: int | None = None
+) -> list[Mp4Sample]:
+    """Flatten stts/stsc/stsz/stco|co64/stss into per-sample records.
+
+    ``file_size`` is the size of the WHOLE media file the sample offsets
+    point into. When the caller only has the moov blob (the metadata-only
+    scan path), ``len(data)`` is the moov size, NOT the media size - a
+    fixed-size stsz (legal per ISO 14496-12 §8.7.3.2, common for
+    PCM/CBR audio) must be bounded against the file, not the blob, or
+    every valid constant-sample-size track is falsely quarantined."""
+    if file_size is None:
+        file_size = len(data)
     # stsz: sizes
     stsz = find_box(stbl.children, b"stsz")
     if stsz is None:
@@ -160,10 +171,10 @@ def _resolve_samples(data: bytes, stbl: Box) -> list[Mp4Sample]:
     # a multi-GB allocation that OOM-kills the task
     _, stsz_len = stsz.body
     if fixed_size:
-        if fixed_size * count > len(data):
+        if fixed_size * count > file_size:
             raise ValueError(
                 f"stsz claims {count} x {fixed_size}B samples in a "
-                f"{len(data)}B buffer"
+                f"{file_size}B file"
             )
         sizes = [fixed_size] * count
     else:
@@ -270,7 +281,9 @@ def demux_mp4(data: bytes) -> list[Mp4Track]:
     return _tracks_from_buffer(data, moov)
 
 
-def _tracks_from_buffer(data: bytes, moov: Box) -> list[Mp4Track]:
+def _tracks_from_buffer(
+    data: bytes, moov: Box, file_size: int | None = None
+) -> list[Mp4Track]:
     # Every malformed-structure failure must surface as ValueError so
     # the corrupt-file quarantine contract holds (sources/mp4_source.py
     # and the multimodal samplers promise corrupt payloads become error
@@ -278,12 +291,14 @@ def _tracks_from_buffer(data: bytes, moov: Box) -> list[Mp4Track]:
     # stsz count raises struct.error, a trak missing mdhd raises
     # AttributeError on None - both are structure errors, not bugs.
     try:
-        return _tracks_from_buffer_unsafe(data, moov)
+        return _tracks_from_buffer_unsafe(data, moov, file_size)
     except (struct.error, AttributeError, IndexError, KeyError) as e:
         raise ValueError(f"malformed MP4 structure: {type(e).__name__}: {e}") from e
 
 
-def _tracks_from_buffer_unsafe(data: bytes, moov: Box) -> list[Mp4Track]:
+def _tracks_from_buffer_unsafe(
+    data: bytes, moov: Box, file_size: int | None = None
+) -> list[Mp4Track]:
     tracks: list[Mp4Track] = []
     for trak in (b for b in moov.children if b.type == b"trak"):
         tkhd = find_box(trak.children, b"tkhd")
@@ -339,7 +354,7 @@ def _tracks_from_buffer_unsafe(data: bytes, moov: Box) -> list[Mp4Track]:
                 height=height,
                 timescale=timescale,
                 duration=duration,
-                samples=_resolve_samples(data, stbl),
+                samples=_resolve_samples(data, stbl, file_size=file_size),
             )
         )
     return tracks
@@ -406,8 +421,9 @@ def scan_mp4_file(src) -> list[Mp4Track]:
             f.close()
     moov = parse_boxes(moov_blob)[0]
     # chunk offsets in stco/co64 are absolute file offsets, so the
-    # resolved sample index is directly usable for ranged reads
-    return _tracks_from_buffer(moov_blob, moov)
+    # resolved sample index is directly usable for ranged reads; the
+    # stsz sanity bound must see the FILE size (end), not the moov size
+    return _tracks_from_buffer(moov_blob, moov, file_size=end)
 
 
 def read_mp4_samples(src, track: Mp4Track, indices: list[int]) -> list[bytes]:
@@ -451,6 +467,7 @@ def encode_mp4(
     codec: bytes = b"avc1",
     force_co64: bool = False,
     tkhd_version: int = 0,
+    fixed_stsz: bool = False,
 ) -> bytes:
     """Write a single-video-track MP4 around opaque sample payloads.
 
@@ -496,13 +513,24 @@ def encode_mp4(
         struct.pack(">I", len(stsc_runs))
         + b"".join(struct.pack(">III", *r) for r in stsc_runs),
     )
-    stsz = _fbox(
-        b"stsz",
-        0,
-        0,
-        struct.pack(">II", 0, len(samples))
-        + b"".join(struct.pack(">I", len(s)) for s in samples),
-    )
+    if fixed_stsz:
+        # constant-sample-size form (ISO 14496-12 §8.7.3.2: sample_size
+        # != 0 means ALL samples share that size and no table follows) -
+        # legal and common for PCM/CBR audio; requires uniform payloads
+        sizes = {len(s) for s in samples}
+        if len(sizes) != 1:
+            raise ValueError("fixed_stsz requires uniform sample sizes")
+        stsz = _fbox(
+            b"stsz", 0, 0, struct.pack(">II", sizes.pop(), len(samples))
+        )
+    else:
+        stsz = _fbox(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, len(samples))
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
     if force_co64:
         stco = _fbox(
             b"co64",

@@ -122,6 +122,36 @@ def test_scan_reads_moov_only():
     assert f.bytes_read < len(data) // 100
 
 
+def test_fixed_size_stsz_scan_roundtrip(tmp_path):
+    """A constant-sample-size stsz (ISO 14496-12 §8.7.3.2, common for
+    PCM/CBR audio) must survive the metadata-only scan: pre-fix the
+    fixed_size*count sanity bound compared against the MOOV blob size
+    instead of the file size, so every valid fixed-stsz track whose
+    media outweighed its moov was falsely quarantined."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        scan_mp4_file,
+    )
+
+    pls = [bytes([i]) * 512 for i in range(64)]  # 32 KB media >> moov
+    data = encode_mp4(pls, fixed_stsz=True, keyframes=[0, 8])
+    # both paths agree, and sizes come from the fixed form
+    (track,) = demux_mp4(data)
+    assert [s.size for s in track.samples] == [512] * 64
+    p = tmp_path / "cbr.mp4"
+    p.write_bytes(data)
+    (scanned,) = scan_mp4_file(str(p))
+    assert len(scanned.samples) == 64
+    assert [s.size for s in scanned.samples] == [512] * 64
+    assert scanned.keyframe_indices == [0, 8]
+    assert extract_samples(data, scanned) == pls
+    # the allocation bound still trips on an absurd fixed size
+    bad = bytearray(data)
+    i = bytes(bad).index(b"stsz") + 4 + 4
+    bad[i : i + 4] = (0xFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        scan_mp4_file(__import__("io").BytesIO(bytes(bad)))
+
+
 def test_ranged_sample_reads(tmp_path):
     from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
         read_mp4_samples,

@@ -178,7 +178,13 @@ def run_duckdb(sql: str, sf_dir: str):
 def test_oracle_parity(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    try:
+        srows = [tuple(r) for r in sdf.collect()]
+    finally:
+        # queries may persist() multi-consumer intermediates; the
+        # caller-must-clearCache contract (driver_queries docstring)
+        # keeps a long-lived suite run from accumulating leaked blocks
+        spark.catalog.clearCache()
     ocols, orows, otypes = run_duckdb(ORACLE[name], sf_dir)
 
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols), (
@@ -212,7 +218,10 @@ def test_oracle_parity(spark, sf_dir, name):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_smoke(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
-    n = sdf.count()
+    try:
+        n = sdf.count()
+    finally:
+        spark.catalog.clearCache()
     assert n >= 0
     assert len(sdf.columns) > 0
 
