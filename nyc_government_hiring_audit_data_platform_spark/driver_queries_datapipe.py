@@ -1201,3 +1201,85 @@ def q_source_vocab_overlap(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-corpus membership gate
+# ---------------------------------------------------------------------------
+
+
+def _bloom_gate_oracle() -> str:
+    from nyc_government_hiring_audit_data_platform_spark.operators import bloom as BL
+
+    build = BL.bloom_build_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0", "text"
+    )
+    hit = BL.bloom_hit_sql("p.h")
+    return f"""
+    WITH {build.strip()},
+    probes AS (
+      SELECT doc_id, md5(text) AS fp, {BL.base_hash_sql('text')} AS h
+      FROM documents
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT p.doc_id,
+           (c.fp IS NOT NULL) AS exact_member,
+           {hit} AS bloom_hit,
+           ((c.fp IS NOT NULL) AND NOT {hit}) AS false_negative
+    FROM probes p
+    CROSS JOIN bloom_filt
+    LEFT JOIN corpus_fp c ON p.fp = c.fp
+    """
+
+
+@query("bloom_membership_gate", _bloom_gate_oracle())
+def q_bloom_membership_gate(spark, sf_dir):
+    """Cross-corpus membership at CONSTANT memory (Bloom 1970): pack the
+    "previous crawls'" (even doc_id half) content fingerprints into an
+    M=65536-bit filter (8 KB as 2048 packed BIGINT words) and probe
+    EVERY document map-side. The dedup-safe direction is structural:
+    zero false negatives (``false_negative`` is provably all-false - a
+    member's bits are all set by construction), so dropping bloom
+    misses before the band index (operators/dedup.py:build_band_index)
+    can never change the survivor set; false positives merely cost a
+    redundant index probe, bounded by (1 - e^(-K*n/M))^K ~ 4e-4 at
+    n=2500, K=4.
+
+    Determinism: the K bit positions reuse the md5 base hash + minhash
+    coefficient pairs (operators/bloom.py), so the DuckDB oracle
+    rebuilds the IDENTICAL filter and the driver hash checks exact
+    per-document outcomes - unlike Spark's built-in bloom_filter_agg,
+    whose xxhash64 layout no other engine can replay. ``exact_member``
+    is full-md5 equality (not the 31-bit probe hash), so the comparison
+    column is collision-free.
+
+    Plan at 100 TB: build = map-side hash -> K-bit explode -> distinct
+    (partial agg state bounded by M) -> M/32-row word fold -> ONE
+    broadcast row; probe = crossJoin(broadcast) + forall over K array
+    elements, adding ZERO shuffles to the probe side. The exact-member
+    join here exists only to certify the filter against ground truth -
+    production keeps just the bloom column."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import bloom as BL
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    filt = BL.bloom_build(corpus.select("text"), "text")
+    probed = BL.bloom_probe(docs.select("doc_id", "text"), "text", filt)
+    fp = F.md5(F.col("text").cast("binary"))
+    corpus_fp = corpus.select(fp.alias("fp")).distinct().withColumn(
+        "m", F.lit(1)
+    )
+    return (
+        probed.withColumn("fp", fp)
+        .join(corpus_fp, "fp", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNotNull().alias("exact_member"),
+            "bloom_hit",
+            (F.col("m").isNotNull() & ~F.col("bloom_hit")).alias(
+                "false_negative"
+            ),
+        )
+    )

@@ -560,6 +560,25 @@ def build_band_index(
     return band_rows(sigs).select("id", "band", "bh", "hs")
 
 
+def band_bloom_gate(band_index: DataFrame) -> DataFrame:
+    """ONE-row Bloom filter over the corpus index's ``(band, bh)`` keys
+    - the constant-memory "seen in ANY previous crawl?" prefilter for
+    :func:`incremental_neardup`. A new doc's band row whose key misses
+    the filter PROVABLY has no bucket partner in the index (Bloom gives
+    zero false negatives), so it can be dropped before the index join
+    without changing the survivor set; at recrawl scale that rejects
+    the bulk of an unseen batch with an 8 KB broadcast instead of an
+    index probe. See operators/bloom.py for the determinism contract."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.bloom import (
+        bloom_build,
+    )
+
+    keys = band_index.select(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("bh")).alias("k")
+    )
+    return bloom_build(keys, "k")
+
+
 def incremental_neardup(
     new_df: DataFrame,
     band_index: DataFrame,
@@ -567,6 +586,7 @@ def incremental_neardup(
     id_col: str,
     jaccard_threshold: float = 0.5,
     n: int = SHINGLE_N,
+    bloom_gate: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against an existing corpus's
     band index: (new_id, corpus_id, jaccard). Cost is proportional to
@@ -574,8 +594,30 @@ def incremental_neardup(
     (band, bh) space, verify only in-bucket candidates) - the corpus is
     touched only through index lookups, which a (band, bh)-bucketed
     layout serves without a full shuffle. Batch-internal duplicates are
-    the ordinary minhash_lsh_pairs call; this covers batch-vs-corpus."""
+    the ordinary minhash_lsh_pairs call; this covers batch-vs-corpus.
+
+    ``bloom_gate`` (from :func:`band_bloom_gate` over the SAME index)
+    prefilters the batch's band rows map-side before the index join;
+    zero-false-negative Bloom semantics make the survivor set provably
+    identical with or without it."""
     new_idx = build_band_index(new_df, text_col, id_col, n)
+    if bloom_gate is not None:
+        from nyc_government_hiring_audit_data_platform_spark.operators.bloom import (
+            bloom_probe,
+        )
+
+        new_idx = (
+            bloom_probe(
+                new_idx.withColumn(
+                    "__k",
+                    F.concat_ws(":", F.col("band").cast("string"), F.col("bh")),
+                ),
+                "__k",
+                bloom_gate,
+            )
+            .filter(F.col("bloom_hit"))
+            .drop("__k", "bloom_hit")
+        )
     cand = (
         new_idx.alias("n")
         .join(
