@@ -74,22 +74,25 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
     return hist
 
 
+# Pinned ahead of everything in the rotation: queries whose CODE was
+# rewritten after their latest driver hash, so the green on file
+# predates the implementation (VERDICT r5 residual #1: vocab_coverage
+# was rewritten on sharded_rank in r5 but last driver-hashed in r4).
+# Remove an entry once a NEWER CORRECTNESS round has re-hashed it.
+REWRITTEN = {"vocab_coverage"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's per-round verification budget lands on queries with the
     weakest prior signal (see _driver_history)."""
     hist = _driver_history()
-    # Pinned ahead of everything: queries whose CODE was rewritten after
-    # their latest driver hash, so the green on file predates the
-    # implementation (VERDICT r5 residual #1: vocab_coverage was
-    # rewritten on sharded_rank in r5 but last driver-hashed in r4).
-    rewritten = {"vocab_coverage"}
     # Named in VERDICT r1's done-criteria; there are more never-checked
     # queries than budget slots, so pin these at the head of their tier.
     must_check = {"neardup_components"}
 
     def prio(name: str) -> tuple[int, int]:
-        if name in rewritten:
+        if name in REWRITTEN:
             return (-1, 0)  # stale-green rewrite: driver-hash first
         if name in hist and not hist[name][0]:
             return (0, hist[name][1])  # failed last check: re-verify first

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "duplicate_span_removal",
     # round-6 additions
     "bloom_membership_gate",
+    "corpus_mix_plan",
     # minhash_lsh_recall and bpe_encode_corpus stay OUT: the recall
     # gate's ground-truth lane is the documented quadratic exact join
     # (same policy as ann_cosine_topk), and encode re-runs the train

@@ -1088,3 +1088,6 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_quality as _quality,
 )
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_ingest as _ingest,
+)

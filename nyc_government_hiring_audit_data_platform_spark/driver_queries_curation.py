@@ -1640,3 +1640,399 @@ def q_key_skew_profile(spark, sf_dir):
         .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# capstone: crawl-to-training-mix, the WHOLE funnel in one query
+# ---------------------------------------------------------------------------
+
+_MIX_QUOTA_K = 20  # per-source doc cap at the quota stage (FineWeb rule)
+
+
+def _corpus_mix_plan_oracle() -> str:
+    """Six-stage funnel in one DuckDB WITH-chain. Each stage's CTE body
+    reuses the TEXT of the already-green per-stage oracle (exact_dedup
+    grouping, curation_keep_decisions flags, duplicate_span_removal
+    spans, per_source_quota_sample rank, mixture_temperature_weights
+    scaling) so the composed query cannot drift from the stage
+    definitions the driver has individually hash-verified."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, COALESCE(text, '') AS text FROM documents
+    ),
+    fpd AS (SELECT doc_id, source, text, md5(text) AS fp FROM base),
+    canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM fpd GROUP BY fp),
+    dd AS (
+      SELECT f.doc_id, f.source, f.text
+      FROM fpd f JOIN canon c ON f.fp = c.fp AND f.doc_id = c.keep_id
+    ),
+    src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM dd
+    ),
+    ex AS (
+      SELECT doc_id, unnest({_word_grams_sql('toks', _BP_N)}) AS g FROM src
+    ),
+    boiler AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
+    ),
+    bp AS (
+      SELECT e.doc_id,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               AS br
+      FROM ex e LEFT JOIN boiler b ON e.g = b.g GROUP BY e.doc_id
+    ),
+    ltoks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS term
+      FROM dd
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ltoks GROUP BY doc_id, term),
+    cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    surp AS (
+      SELECT term, CAST(ROUND(ln(total * 1.0 / c) * {_SURP_SCALE}) AS BIGINT) AS s
+      FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+      SELECT tf.doc_id, SUM(tf.tf) AS n_tok,
+             SUM(tf.tf * surp.s) * 1.0 / SUM(tf.tf) / {_SURP_SCALE} AS avg_s
+      FROM tf JOIN surp USING (term) GROUP BY tf.doc_id
+    ),
+    band AS (
+      SELECT quantile_disc(avg_s, 0.05) AS lo, quantile_disc(avg_s, 0.95) AS hi
+      FROM per
+    ),
+    cur AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM dd d
+      LEFT JOIN bp ON d.doc_id = bp.doc_id
+      LEFT JOIN per p ON d.doc_id = p.doc_id
+      CROSS JOIN band b
+      WHERE COALESCE(bp.br, 0) < {_BP_DROP}
+        AND p.avg_s IS NOT NULL AND p.avg_s >= b.lo AND p.avg_s <= b.hi
+        AND COALESCE(p.n_tok, 0) >= {_LEN_MIN}
+        AND COALESCE(p.n_tok, 0) <= {_LEN_MAX}
+    ),
+    csrc AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM cur
+    ),
+    sp AS (
+      SELECT doc_id, e.pos AS pos, e.h AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {_SPAN - 2}),
+                      i -> struct_pack(pos := i,
+                           h := md5(array_to_string(toks[i:i + {_SPAN - 1}],
+                                                    ' '))))) AS e
+        FROM csrc
+      )
+    ),
+    agg AS (
+      SELECT h, COUNT(*) AS cnt2,
+             MIN(struct_pack(d := doc_id, p := pos)) AS canon2
+      FROM sp GROUP BY h
+    ),
+    dup AS (
+      SELECT sp.doc_id, sp.pos
+      FROM sp JOIN agg ON sp.h = agg.h
+      WHERE agg.cnt2 > 1
+        AND NOT (sp.doc_id = agg.canon2.d AND sp.pos = agg.canon2.p)
+    ),
+    rm AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {_SPAN})) AS ti
+      FROM dup
+    ),
+    rmcnt AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id),
+    spanned AS (
+      SELECT c.doc_id, c.source,
+             CAST(len(c.toks) - COALESCE(r.n_removed, 0) AS BIGINT)
+               AS final_tokens
+      FROM csrc c LEFT JOIN rmcnt r ON c.doc_id = r.doc_id
+      WHERE len(c.toks) - COALESCE(r.n_removed, 0) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, final_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM spanned
+    ),
+    quota AS (
+      SELECT doc_id, source, final_tokens FROM ranked
+      WHERE rk <= {_MIX_QUOTA_K}
+    ),
+    s_ing AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ingested
+      FROM base GROUP BY source
+    ),
+    s_dd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+      FROM dd GROUP BY source
+    ),
+    s_cur AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_curation
+      FROM cur GROUP BY source
+    ),
+    s_span AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_span
+      FROM spanned GROUP BY source
+    ),
+    s_q AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_quota,
+             CAST(SUM(final_tokens) AS BIGINT) AS tokens_final
+      FROM quota GROUP BY source
+    ),
+    plan_ AS (
+      SELECT i.source, i.n_ingested,
+             CAST(COALESCE(d.n_after_dedup, 0) AS BIGINT) AS n_after_dedup,
+             CAST(COALESCE(c.n_after_curation, 0) AS BIGINT) AS n_after_curation,
+             CAST(COALESCE(s.n_after_span, 0) AS BIGINT) AS n_after_span,
+             CAST(COALESCE(q.n_after_quota, 0) AS BIGINT) AS n_after_quota,
+             CAST(COALESCE(q.tokens_final, 0) AS BIGINT) AS tokens_final
+      FROM s_ing i
+      LEFT JOIN s_dd d USING (source)
+      LEFT JOIN s_cur c USING (source)
+      LEFT JOIN s_span s USING (source)
+      LEFT JOIN s_q q USING (source)
+    ),
+    scaled AS (
+      SELECT *, CAST(FLOOR(sqrt(CAST(tokens_final AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS sqrt_micro
+      FROM plan_
+    ),
+    wtot AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS wt FROM scaled)
+    SELECT source, n_ingested, n_after_dedup, n_after_curation, n_after_span,
+           n_after_quota, tokens_final,
+           sqrt_micro * 1000000 // wt AS weight_micro
+    FROM scaled CROSS JOIN wtot
+    """
+
+
+@query("corpus_mix_plan", _corpus_mix_plan_oracle())
+def q_corpus_mix_plan(spark, sf_dir):
+    """THE capstone: the whole crawl-to-training-mix funnel composed in
+    ONE query, per-source funnel counts at every stage - the artifact a
+    data team actually reviews before launching a training run. Stages,
+    each computed over the PREVIOUS stage's survivors (the composition
+    semantics the per-stage driver rows cannot check):
+
+      1 ingest    - the documents relation (what WET ingestion emits,
+                    pipelines/corpus_ingest.py)
+      2 dedup     - exact content dedup, canonical = min doc_id per md5
+      3 curation  - the curation_keep_decisions flag stack (boilerplate
+                    DF and surprisal band computed over DEDUP SURVIVORS,
+                    not the raw crawl - stage ordering matters)
+      4 span rm   - Lee et al. 2022 duplicate-span removal over curated
+                    docs; final_tokens = tokens - struck; docs stripped
+                    to zero tokens leave the funnel here
+      5 quota     - <= K docs per source in deterministic md5 order
+                    (FineWeb per-domain cap)
+      6 weights   - n^(1/2) temperature mixture over FINAL token counts
+                    (IEEE-sqrt exact integer micro-units)
+
+    Output: one row per source with n_ingested / n_after_dedup /
+    n_after_curation / n_after_span / n_after_quota / tokens_final /
+    weight_micro - double-counting or stage-order bugs surface as
+    funnel counts that don't monotonically decrease or weights that
+    don't sum to ~1e6.
+
+    Plan at 100 TB: every stage is the already-audited per-stage plan
+    (hash/span/doc/source-keyed shuffles, domain-bounded aggregates,
+    broadcast one-row totals); composition adds only source-keyed
+    left joins over the <= n_domains plan relation. Multi-consumer
+    frames (dd, cur, tokens, spans) are persisted once - callers run
+    under the module's clearCache contract."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par)
+
+    # stage 1-2: ingest + exact dedup (md5 canonical = min doc_id)
+    base = docs.select(
+        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    fpd = base.withColumn("fp", F.md5(F.col("text").cast("binary")))
+    canon = fpd.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    dd = (
+        fpd.join(canon, "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 3: curation flags over dedup survivors
+    tk = _token_df(dd)
+    ex = tk.select(
+        "doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    boiler = (
+        ex.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .select(F.col("g").alias("bg"))
+    )
+    bp = (
+        ex.join(boiler, ex["g"] == F.col("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("br")
+        )
+    )
+    lterms = dd.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = lterms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    surp = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("total") * 1.0 / F.col("c")) * _SURP_SCALE)
+        .cast("long")
+        .alias("s"),
+    )
+    per = (
+        tf.join(surp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            (
+                F.sum(F.col("tf") * F.col("s")) * 1.0 / F.sum("tf") / _SURP_SCALE
+            ).alias("avg_s"),
+        )
+    )
+    band = per.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY avg_s)").alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY avg_s)").alias("hi"),
+    )
+    cur = (
+        dd.join(bp, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .crossJoin(F.broadcast(band))
+        .filter(
+            (F.coalesce(F.col("br"), F.lit(0.0)) < _BP_DROP)
+            & F.col("avg_s").isNotNull()
+            & (F.col("avg_s") >= F.col("lo"))
+            & (F.col("avg_s") <= F.col("hi"))
+            & (F.coalesce(F.col("n_tok"), F.lit(0)) >= _LEN_MIN)
+            & (F.coalesce(F.col("n_tok"), F.lit(0)) <= _LEN_MAX)
+        )
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 4: duplicate-span removal over curated docs
+    ctk = _token_df(cur).persist(StorageLevel.MEMORY_AND_DISK)
+    sp = _span_df(ctk).persist(StorageLevel.MEMORY_AND_DISK)
+    agg = sp.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt2"),
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+        ).alias("canon2"),
+    )
+    dup = (
+        sp.join(agg, "h")
+        .filter(
+            (F.col("cnt2") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("canon2.d"))
+                & (F.col("pos") == F.col("canon2.p"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    rm = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN - 1))).alias(
+            "ti"
+        ),
+    ).distinct()
+    rmcnt = rm.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    csrc = ctk.join(cur.select("doc_id", "source"), "doc_id")
+    spanned = (
+        csrc.join(rmcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.size("_tk") - F.coalesce(F.col("n_removed"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("final_tokens"),
+        )
+        .filter(F.col("final_tokens") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 5: per-source quota in deterministic hash order
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    quota = (
+        spanned.select(
+            "doc_id", "source", "final_tokens", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= _MIX_QUOTA_K)
+        .drop("rk")
+    )
+
+    # stage 6: per-source funnel + temperature weights
+    s_ing = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_ingested"))
+    s_dd = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    s_cur = cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_curation")
+    )
+    s_span = spanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_span")
+    )
+    s_q = quota.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_quota"),
+        F.sum("final_tokens").alias("tokens_final"),
+    )
+    zero = F.lit(0).cast("bigint")
+    plan = (
+        s_ing.join(s_dd, "source", "left")
+        .join(s_cur, "source", "left")
+        .join(s_span, "source", "left")
+        .join(s_q, "source", "left")
+        .select(
+            "source",
+            "n_ingested",
+            F.coalesce(F.col("n_after_dedup"), zero).alias("n_after_dedup"),
+            F.coalesce(F.col("n_after_curation"), zero).alias("n_after_curation"),
+            F.coalesce(F.col("n_after_span"), zero).alias("n_after_span"),
+            F.coalesce(F.col("n_after_quota"), zero).alias("n_after_quota"),
+            F.coalesce(F.col("tokens_final"), zero).alias("tokens_final"),
+        )
+    )
+    scaled = plan.withColumn(
+        "sqrt_micro",
+        F.floor(F.sqrt(F.col("tokens_final").cast("double")) * 1000000).cast(
+            "long"
+        ),
+    )
+    wtot = scaled.agg(F.sum("sqrt_micro").alias("wt"))
+    return (
+        scaled.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "n_ingested",
+            "n_after_dedup",
+            "n_after_curation",
+            "n_after_span",
+            "n_after_quota",
+            "tokens_final",
+            F.expr("sqrt_micro * 1000000L DIV wt").alias("weight_micro"),
+        )
+    )

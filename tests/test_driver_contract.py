@@ -48,6 +48,8 @@ def test_queries_orders_weakest_signal_first():
     names = list(E.queries())
 
     def tier(n):
+        if n in E.REWRITTEN:
+            return -1  # stale-green rewrite pin (see __spark_entry__)
         if n in hist and not hist[n][0]:
             return 0
         if n not in hist:
@@ -58,3 +60,36 @@ def test_queries_orders_weakest_signal_first():
     assert tiers == sorted(tiers), "rotation tiers out of order"
     # sanity: the dict covers every registered query exactly once
     assert len(names) == len(set(names)) == len(E.oracle_sql())
+
+
+def test_bench_accounts_for_every_query():
+    """BENCH.md's no-slot registry + bench.py's slot list must jointly
+    cover the whole query registry, with no overlap and no stale rows -
+    a new query cannot silently skip benchmarking without a written
+    reason (BENCH.md policy)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bench import BENCH_QUERIES
+
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        QUERIES,
+    )
+
+    md = open(os.path.join(repo, "BENCH.md")).read()
+    table = md.split("## No-slot registry", 1)[1]
+    registry = set(re.findall(r"^\| ([a-z0-9_]+) \|", table, re.M)) - {"query"}
+    slots = set(BENCH_QUERIES)
+    declared = set(QUERIES)
+
+    assert slots <= declared, f"bench slots not in registry: {slots - declared}"
+    overlap = slots & registry
+    assert not overlap, f"both slot and no-slot row: {sorted(overlap)}"
+    missing = declared - slots - registry
+    assert not missing, (
+        f"queries with neither a bench slot nor a BENCH.md reason: "
+        f"{sorted(missing)}"
+    )
+    stale = registry - declared
+    assert not stale, f"BENCH.md rows for unknown queries: {sorted(stale)}"
