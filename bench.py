@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "bloom_membership_gate",
     "corpus_mix_plan",
+    "ann_pq_adc_topk",
+    "content_defined_chunks",
     # minhash_lsh_recall and bpe_encode_corpus stay OUT: the recall
     # gate's ground-truth lane is the documented quadratic exact join
     # (same policy as ann_cosine_topk), and encode re-runs the train

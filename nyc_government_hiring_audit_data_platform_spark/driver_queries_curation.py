@@ -230,6 +230,117 @@ def q_chunk_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# content-defined chunking (LBFS/rsync-style rolling-window boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4  # boundary-decision window (tokens)
+_CDC_D = 8  # boundary divisor -> expected chunk length ~_CDC_D tokens
+
+
+@query(
+    "content_defined_chunks",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
+               AS toks
+      FROM documents
+    ),
+    cu AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, greatest(len(toks) - {_CDC_W - 1}, 1) + 1),
+                    i -> i = 1 OR
+                         (('0x' || substr(md5(array_to_string(
+                             toks[i:i + {_CDC_W - 1}], ' ')), 1, 15))::BIGINT)
+                           % {_CDC_D} = 0) AS cuts
+      FROM src WHERE len(toks) >= 1
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(cuts) + 1),
+                    j -> array_to_string(toks[cuts[j] :
+                         CASE WHEN j < len(cuts) THEN cuts[j + 1] - 1
+                              ELSE len(toks) END], ' '))) AS chunk
+      FROM cu
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS cnt FROM ch GROUP BY chunk)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_ratio
+    FROM ch c JOIN freq f ON c.chunk = f.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def q_content_defined_chunks(spark, sf_dir):
+    """Content-defined chunking (the LBFS/rsync boundary rule that
+    storage dedup and long-doc pipelines use instead of fixed strides):
+    a chunk starts at position i when the rolling {_CDC_W}-token window
+    hash at i is 0 mod {_CDC_D}, so boundaries are determined by LOCAL
+    content - inserting or deleting a token early in a document shifts
+    every fixed-stride chunk after it (chunk_dedup finds nothing) but
+    leaves all CDC boundaries outside the edited window intact, so
+    shared material still dedups. Plan shape is chunk_dedup's (map-side
+    boundary scan + explode, chunk-grouped count with partial agg,
+    equi-join back, doc rollup); the boundary scan is O(tokens x W) md5
+    calls over the hoisted _token_df column. The hash is the corpus-wide
+    md5-prefix idiom (operators/dedup.py:19), bit-identical on both
+    engines; position 1 is always a cut so every non-empty doc chunks."""
+    docs = table(spark, sf_dir, "documents")
+    tk = _token_df(docs).filter(F.size("_tk") >= 1)
+    toks = F.col("_tk")
+    gram_hash = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(toks, i, _CDC_W), " ").cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_CDC_W - 1), F.lit(1))),
+        lambda i: (i == 1) | (gram_hash(i) % _CDC_D == 0),
+    )
+    tk = tk.select("doc_id", toks.alias("_tk"), cuts.alias("_cuts"))
+    cts = F.col("_cuts")
+    n = F.size(F.col("_tk"))
+    ch = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(cts)),
+                lambda j: F.array_join(
+                    F.slice(
+                        F.col("_tk"),
+                        F.element_at(cts, j),
+                        F.when(j < F.size(cts), F.element_at(cts, j + 1))
+                        .otherwise(n + 1)
+                        - F.element_at(cts, j),
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup * 1.0 / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # stride-1 duplicate spans (the exact-substring dedup shape)
 # ---------------------------------------------------------------------------
 

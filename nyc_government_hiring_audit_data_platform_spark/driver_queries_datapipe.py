@@ -342,13 +342,21 @@ _SD_NORMS = [
 ]
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(sub_bits: int = 0) -> str:
     dots = ANN._centroid_dots_sql("embedding")
     selfdot = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
         "list_transform((v::DOUBLE[]), x -> x * x)), (acc, x) -> acc + x)"
     )
     norms = "[" + ", ".join(f"{n}::DOUBLE" for n in _SD_NORMS) + "]"
+    if sub_bits:
+        sub = " + ".join(
+            f"(CASE WHEN v[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(sub_bits)
+        )
+        fine = f"(cluster * {1 << sub_bits} + ({sub}))"
+    else:
+        fine = "cluster"
     return f"""
     WITH b0 AS MATERIALIZED (
       SELECT vec_id, embedding AS v, {dots} AS ds FROM embeddings
@@ -359,7 +367,7 @@ def _semdedup_oracle() -> str:
       FROM b0
     ),
     b2 AS MATERIALIZED (
-      SELECT vec_id, v, cluster,
+      SELECT vec_id, v, {fine} AS cluster,
              ds[cluster + 1] / (nv * ({norms})[cluster + 1]) AS cent
       FROM b1
     ),
@@ -401,7 +409,18 @@ def q_semdedup_prune(spark, sf_dir):
     here it is the fixed 16-centroid quantizer shared with the oracle).
     The assigned relation persists once and feeds both join sides and
     the final projection; centroid norms are shared Python literals, so
-    every double on both engines is bit-identical before the ROUND."""
+    every double on both engines is bit-identical before the ROUND.
+    ``semdedup_prune_scaled`` is the k-scales-with-corpus variant."""
+    return _semdedup_plan(spark, sf_dir, sub_bits=0)
+
+
+def _semdedup_plan(spark, sf_dir, sub_bits: int):
+    """Shared SemDeDup plan; ``sub_bits`` refines the 16-centroid coarse
+    quantizer with the sign pattern of the first ``sub_bits`` dims -
+    k_eff = 16 * 2^sub_bits clusters, a geometric (data-valid) finer
+    quantizer, the paper's k-free parameter made scalable without
+    re-learning centroids. The keep rule stays distance-from-COARSE-
+    centroid (the oracle's pinned literals)."""
     emb = table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
     v = ANN._vec_sql("v")
@@ -422,15 +441,26 @@ def q_semdedup_prune(spark, sf_dir):
         F.expr(f"sqrt({selfdot})").alias("nv"),
         ANN._probe_list(F.col("ds"), 1)[0].alias("cluster"),
     )
+    if sub_bits:
+        sub = sum(
+            (
+                F.when(F.element_at("v", b + 1) >= 0, F.lit(1 << b)).otherwise(0)
+                for b in range(sub_bits)
+            ),
+            F.lit(0),
+        )
+        fine = F.col("cluster") * (1 << sub_bits) + sub
+    else:
+        fine = F.col("cluster")
     b2 = b1.select(
         "vec_id",
         "v",
-        "cluster",
+        fine.alias("_fcl"),
         (
             F.element_at("ds", F.col("cluster") + 1)
             / (F.col("nv") * F.element_at(F.expr(norms), F.col("cluster") + 1))
         ).alias("cent"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).withColumnRenamed("_fcl", "cluster").persist(StorageLevel.MEMORY_AND_DISK)
     a = b2.select(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
@@ -461,6 +491,21 @@ def q_semdedup_prune(spark, sf_dir):
         norm_round(F.col("cent"), 6).alias("cent_sim"),
         F.when(F.col("_d").isNotNull(), 0).otherwise(1).alias("keep"),
     )
+
+
+@query("semdedup_prune_scaled", _semdedup_oracle(sub_bits=2))
+def q_semdedup_prune_scaled(spark, sf_dir):
+    """SemDeDup with the quantizer SCALED (sub_bits=2 -> 64 effective
+    clusters): the paper's k grows with the corpus; a fixed k makes the
+    in-cluster pairwise stage quadratic per decade (measured alpha ~2
+    per decade at fixed 16). This row pins the scalable shape the probe
+    measures at x100 (tools/scale_probe.py picks sub_bits from the
+    corpus size so expected cluster cardinality stays constant): the
+    coarse assignment is refined by the sign pattern of the first
+    sub_bits dims - a geometric finer quantizer needing no re-learned
+    centroids, map-side, oracle-exact (float sign compares identically
+    on both engines). Keep rule and tau unchanged."""
+    return _semdedup_plan(spark, sf_dir, sub_bits=2)
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +554,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ANN.ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
         "vec_id", "embedding", 5, nprobe=4,
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    ANN.pq_topk_sql("embeddings", "vec_id", "embedding", "vec_id < 20", 5),
+)
+def q_ann_pq_adc_topk(spark, sf_dir):
+    """Approximate top-5 by product quantization with asymmetric
+    distance (Jegou et al. 2011): the corpus is encoded map-side to 8
+    4-bit codes (argmin per subspace against pinned codebooks) and the
+    raw 64-float vectors are DROPPED before the scoring join - only
+    (id, codes) moves, a 64x narrower scan than brute force at 100 TB;
+    each query broadcasts its 8x16 LUT of subvector-to-codebook squared
+    distances and candidates cost 8 array lookups each. All distance
+    folds are sequential left folds of single IEEE ops on float32-exact
+    doubles vs 6-dp literal codebooks, so codes, LUTs and ADC sums are
+    bit-identical to the DuckDB oracle; ties rank by neighbor_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.pq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5,
     )
 
 

@@ -481,3 +481,179 @@ def embedding_neardup_pairs_sql(
     FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
     WHERE ROUND({sim}, 6) >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# product quantization (Jegou, Douze & Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search") — the billion-scale compressed-domain
+# search technique: vectors are stored as PQ_M small codes (here 8 x
+# 4-bit = 4 bytes instead of 256 bytes of float32), and queries score
+# candidates with an asymmetric-distance lookup table (ADC) instead of
+# touching the raw vectors. At 100 TB the corpus scan reads ONLY the
+# code columns (a 64x I/O reduction with parquet column pruning) and
+# per-candidate cost is PQ_M array lookups instead of EMBED_DIM
+# multiplies.
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 16  # codes per subspace (4-bit codes)
+_pqrng = random.Random(47)
+# Deterministic codebooks (literals shared with the oracle SQL), one
+# K x SUBDIM table per subspace. A production build would train these
+# with k-means per subspace (kmeans_update is the building block); the
+# encode/ADC plan shape is identical either way.
+PQ_CODEBOOKS: list[list[list[float]]] = [
+    [
+        [round(_pqrng.gauss(0.0, 1.0), 6) for _ in range(PQ_SUBDIM)]
+        for _ in range(PQ_K)
+    ]
+    for _ in range(PQ_M)
+]
+
+
+def _sqdist_spark_sql(vec_expr: str, entry: list[float]) -> str:
+    """Spark-SQL squared L2 distance of an array expression to a literal
+    codebook entry (sequential left fold; (a-b), (a-b)^2 and each +=
+    are single IEEE ops, so the result is bit-identical to the DuckDB
+    twin)."""
+    lits = ", ".join(f"{x!r}D" for x in entry)
+    return (
+        f"aggregate(zip_with({vec_expr}, array({lits}), (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sqdist_sql(vec_expr: str, entry: list[float]) -> str:
+    """DuckDB twin of :func:`_sqdist_spark_sql`."""
+    lits = "[" + ", ".join(f"{x}::DOUBLE" for x in entry) + "]"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({vec_expr}, {lits}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_dists(sub_col: str, m: int) -> Column:
+    """Array of squared distances of a (hoisted) subvector COLUMN to
+    every entry of subspace ``m``'s codebook. Takes a column name: the
+    K x SUBDIM literals inline into one Spark-SQL string (see
+    _dot_spark_sql for the Py4J-round-trip rationale)."""
+    return F.expr(
+        "array("
+        + ", ".join(_sqdist_spark_sql(f"`{sub_col}`", e) for e in PQ_CODEBOOKS[m])
+        + ")"
+    )
+
+
+def _argmin(dists: Column, n: int) -> Column:
+    """Index of the smallest element (ties -> lowest index): natural
+    ascending struct sort on (d, i) - identical lexicographic struct
+    ordering in Spark and DuckDB."""
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.array_sort(pairs)[0]["i"]
+
+
+def _pq_subvectors(vec: Column) -> list[Column]:
+    v = vec.cast("array<double>")
+    return [
+        F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"_s{m}") for m in range(PQ_M)
+    ]
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): the corpus is
+    encoded map-side to PQ_M argmin codes and the raw vectors are
+    DROPPED before the join - only (id, codes) moves; each query
+    broadcasts its PQ_M x PQ_K lookup table (the squared distances of
+    its subvectors to every codebook entry), and the per-candidate
+    score is the sum of PQ_M table lookups. Smaller distance = nearer;
+    approximation error is the quantization error of the codebooks."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (
+        corpus.select(
+            _c(corpus_id).alias("neighbor_id"), *_pq_subvectors(_c(corpus_vec))
+        )
+        .repartition(par)  # parallelize the M x K distance folds
+        .select(
+            "neighbor_id",
+            F.array(
+                *[_argmin(_pq_dists(f"_s{m}", m), PQ_K) for m in range(PQ_M)]
+            ).alias("codes"),
+        )
+    )
+    q = queries.select(
+        _c(query_id).alias("query_id"), *_pq_subvectors(_c(query_vec))
+    ).select(
+        "query_id",
+        F.array(*[_pq_dists(f"_s{m}", m) for m in range(PQ_M)]).alias("lut"),
+    )
+    adist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.element_at("lut", m + 1), F.element_at("codes", m + 1) + 1
+        )
+        adist = term if adist is None else adist + term
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", norm_round("adist", 6).alias("adist"), "rank")
+    )
+
+
+def pq_topk_sql(
+    table: str, id_col: str, vec_col: str, query_pred: str, k: int
+) -> str:
+    """DuckDB twin: the per-vector distance lists double as the corpus
+    argmin input AND the query LUT, so encode and ADC provably share
+    one distance definition."""
+    dcols = ", ".join(
+        "list_value("
+        + ", ".join(
+            _sqdist_sql(f"v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", e)
+            for e in PQ_CODEBOOKS[m]
+        )
+        + f") AS d{m}"
+        for m in range(PQ_M)
+    )
+    argmins = ", ".join(
+        f"list_sort(list_transform(range(1, {PQ_K + 1}), "
+        f"i -> {{'d': d{m}[i], 'i': i - 1}}))[1].i"
+        for m in range(PQ_M)
+    )
+    luts = ", ".join(f"d{m}" for m in range(PQ_M))
+    adist = " + ".join(
+        f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(PQ_M)
+    )
+    return f"""
+    WITH cb AS (SELECT {id_col}, ({vec_col}::DOUBLE[]) AS v FROM {table}),
+    d AS (SELECT {id_col}, {dcols} FROM cb),
+    c AS (SELECT {id_col} AS neighbor_id, [{argmins}] AS codes FROM d),
+    q AS (SELECT {id_col} AS query_id, [{luts}] AS lut FROM d WHERE {query_pred}),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {adist} AS adist
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(adist, 6) + 0 AS adist, rank
+    FROM ranked WHERE rank <= {k}
+    """

@@ -64,39 +64,118 @@ PANEL = [
 _DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def build_replica(spark, out_dir: str, mult: int) -> None:
-    """Key-shifted replication of the sf0.1 fact tables; dims copied."""
+def build_replica(
+    spark, out_dir: str, mult: int, fresh_docs: bool = False
+) -> None:
+    """Key-shifted replication of the sf0.1 fact tables; dims copied.
+
+    ``fresh_docs`` builds the NON-degenerate document/embedding replica
+    a two-decade text-family probe needs: the x10 tail-salt recipe
+    leaves every cross-replica copy a near-duplicate of its original
+    (jaccard ~1), so at x100 every base dup-cluster becomes a 100-way
+    near-dup clique and every in-bucket quadratic stage measures the
+    clique blowup, not the plan. Instead:
+
+    - documents: every token is remapped to md5(token#rep)[:6] - a
+      per-replica VOCABULARY. Within a replica, exact-dup docs stay
+      exact dups and token-overlap structure (grams, spans, shingles,
+      tf) is an isomorphic image of the base corpus; across replicas
+      there is no shared token, span, gram, or shingle - the way 100
+      fresh crawls share duplication STRUCTURE, not content.
+    - embeddings: a per-replica affine permutation of the 64 dims
+      (odd multiplier -> bijective mod 64). Permutation is an isometry,
+      so all within-replica cosine geometry is preserved EXACTLY;
+      cross-replica cosine decorrelates to ~random, so IVF clusters and
+      near-dup sets stay per-replica-sized."""
     os.makedirs(out_dir, exist_ok=True)
     for t in _DIMS:
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
 
-    def replicate(name: str, shifts: dict[str, int], salt_text: bool = False):
+    def replicate(
+        name: str,
+        shifts: dict[str, int],
+        salt_text: bool = False,
+        hash_tokens: bool = False,
+        permute_dims: bool = False,
+    ):
         src = spark.read.parquet(f"{BASE}/{name}.parquet")
         reps = spark.range(mult).select(F.col("id").alias("_rep"))
         df = src.crossJoin(F.broadcast(reps))
         for col, step in shifts.items():
             df = df.withColumn(col, F.col(col) + F.col("_rep") * F.lit(step))
-        if salt_text:
+        if hash_tokens:
+            df = df.withColumn(
+                "text",
+                F.expr(
+                    "array_join(transform("
+                    "  filter(split(coalesce(text, ''), ' '), t -> t != ''),"
+                    "  t -> substring(md5(concat(t, '#', CAST(_rep AS STRING))), 1, 6)"
+                    "), ' ')"
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        elif salt_text:
             # keep duplicate/near-dup relationships per-replica-realistic
             # instead of every doc gaining mult-1 exact twins
             df = df.withColumn(
                 "text", F.concat_ws(" ", F.col("text"), F.concat(F.lit("r"), F.col("_rep")))
             ).withColumn("n_chars", F.length("text"))
+        if permute_dims:
+            df = df.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(sequence(0, 63), i -> element_at(embedding, "
+                    "CAST((i * ((2 * (_rep % 32) + 1)) + (3 * _rep)) % 64 AS INT)"
+                    " + 1))"
+                ),
+            )
         df.drop("_rep").write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
     replicate("lineitem", {"l_orderkey": 10_000_000})
     replicate("orders", {"o_orderkey": 10_000_000})
     replicate("events", {"event_id": 1_000_000_000, "user_id": 1_000_000})
-    replicate("documents", {"doc_id": 1_000_000_000}, salt_text=True)
-    replicate("embeddings", {"vec_id": 1_000_000_000})
+    replicate(
+        "documents",
+        {"doc_id": 1_000_000_000},
+        salt_text=not fresh_docs,
+        hash_tokens=fresh_docs,
+    )
+    replicate(
+        "embeddings", {"vec_id": 1_000_000_000}, permute_dims=fresh_docs
+    )
+
+
+def _semdedup_scaled_auto(spark, sf_dir):
+    """SemDeDup with sub_bits picked so expected cluster cardinality
+    stays ~constant as the corpus grows (the paper's k ∝ n): base
+    sf0.1 is 5000 vectors / 16 clusters ~ 312 each; every decade of
+    growth adds ~3.3 sign bits. This is the plan the fixed-16-centroid
+    driver row (`semdedup_prune`) cannot show at x100 - at fixed k the
+    in-cluster pairwise stage is quadratic per decade BY DESIGN of the
+    fixture, not a flaw in the join shape."""
+    import math as _m
+
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_datapipe import (
+        _semdedup_plan,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    sub_bits = max(0, round(_m.log2(max(n, 1) / (16 * 312))))
+    return _semdedup_plan(spark, sf_dir, sub_bits=sub_bits)
+
+
+# probe-only plan variants (no oracle row needed here: the sub_bits=2
+# instance is hash-checked as the semdedup_prune_scaled driver query)
+PROBE_VARIANTS = {
+    "semdedup_scaled_auto": _semdedup_scaled_auto,
+}
 
 
 def time_panel(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in PANEL:
-        fn = DQ.QUERIES[name]
+        fn = PROBE_VARIANTS.get(name) or DQ.QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -125,6 +204,13 @@ def main() -> None:
         "queries are degenerate at 100 exact copies per row)",
     )
     ap.add_argument(
+        "--fresh-docs",
+        action="store_true",
+        help="build the NON-degenerate doc/embedding replica (per-replica "
+        "hashed vocabulary + per-replica dim permutation) - required for "
+        "the text/dedup family at x100; replica dir gets a -fresh suffix",
+    )
+    ap.add_argument(
         "--big-only",
         action="store_true",
         help="time only the replica (print JSON; skip sf0.01/sf0.1 and "
@@ -136,13 +222,15 @@ def main() -> None:
         global PANEL
         PANEL = [q.strip() for q in args.panel.split(",") if q.strip()]
 
-    big_dir = f"/tmp/spark_graft_scale_x{args.mult}"
+    big_dir = f"/tmp/spark_graft_scale_x{args.mult}" + (
+        "-fresh" if args.fresh_docs else ""
+    )
     spark = get_spark(app_name="scale_probe")
     if args.rebuild and os.path.isdir(big_dir):
         shutil.rmtree(big_dir)
     if not os.path.isdir(os.path.join(big_dir, "lineitem.parquet")):
         print(f"building {args.mult}x replica in {big_dir} ...", file=sys.stderr)
-        build_replica(spark, big_dir, args.mult)
+        build_replica(spark, big_dir, args.mult, fresh_docs=args.fresh_docs)
 
     if args.big_only:
         import json
