@@ -1,0 +1,112 @@
+"""Semantic tests for the round-6 additions the parity harness can't
+see (parity only proves Spark==DuckDB, not that both compute the
+intended thing):
+
+- content_defined_chunks: boundary SHIFT-ROBUSTNESS - the whole reason
+  CDC exists over fixed-stride chunking - plus an independent pure-
+  Python re-derivation of the boundary rule on a known doc.
+- ann_pq_adc_topk / operators.ann.pq_topk: encode correctness (a
+  vector assembled from codebook entries must encode to exactly those
+  codes and score ADC distance 0 to an identical corpus vector).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+from nyc_government_hiring_audit_data_platform_spark.driver_queries_curation import (
+    _CDC_D,
+    _CDC_W,
+)
+from nyc_government_hiring_audit_data_platform_spark.operators import ann
+
+
+def _write_docs(spark, tmp_path, texts):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "cdc_sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def _py_cuts(tokens: list[str]) -> list[int]:
+    """Independent pure-Python re-derivation of the CDC boundary rule
+    (1-based positions, matching the query's convention)."""
+    n = len(tokens)
+    cuts = []
+    for i in range(1, max(n - _CDC_W + 1, 1) + 1):
+        gram = " ".join(tokens[i - 1 : i - 1 + _CDC_W])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        if i == 1 or h % _CDC_D == 0:
+            cuts.append(i)
+    return cuts
+
+
+def test_cdc_matches_pure_python_boundaries(spark, tmp_path):
+    tokens = [f"t{i}" for i in range(80)]
+    d = _write_docs(spark, tmp_path, [" ".join(tokens)])
+    out = DQ.QUERIES["content_defined_chunks"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_chunks"] == len(_py_cuts(tokens))
+
+
+def test_cdc_boundaries_survive_an_insertion(spark, tmp_path):
+    """The CDC contract: inserting a token at the FRONT of a document
+    shifts every fixed-stride chunk (chunk_dedup finds zero shared
+    chunks on distinct-token docs) but leaves all content-defined
+    chunks outside the edited window intact, so the two versions still
+    dedup against each other."""
+    tokens = [f"w{i}" for i in range(200)]
+    doc_a = " ".join(tokens)
+    doc_b = " ".join(["INSERTED"] + tokens)
+    d = _write_docs(spark, tmp_path, [doc_a, doc_b])
+
+    cdc = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["content_defined_chunks"](spark, d).collect()
+    }
+    # every chunk except the (edited) first one is shared between A and B
+    for did in (0, 1):
+        assert cdc[did]["n_chunks"] >= 5  # enough chunks for the claim to bite
+        assert cdc[did]["n_dup_chunks"] >= cdc[did]["n_chunks"] - 1
+
+    fixed = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["chunk_dedup"](spark, d).collect()
+    }
+    # the fixed-stride baseline finds NOTHING on the same pair
+    assert fixed[0]["n_dup_chunks"] == 0 and fixed[1]["n_dup_chunks"] == 0
+
+
+def test_cdc_empty_and_short_docs(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, ["", "a b"])
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in DQ.QUERIES["content_defined_chunks"](spark, d).collect()
+    }
+    assert 0 not in rows  # empty doc emits no chunks (chunk_dedup convention)
+    assert rows[1]["n_chunks"] == 1  # shorter than the window -> one chunk
+
+
+def test_pq_encode_and_adc_zero_on_codebook_vector(spark):
+    """A vector assembled from one entry per subspace must encode to
+    exactly those code indices, and an identical corpus vector must
+    score ADC distance 0.0 and rank first."""
+    picks = [3, 7, 0, 15, 9, 1, 12, 5]
+    vec = [x for m, k in enumerate(picks) for x in ann.PQ_CODEBOOKS[m][k]]
+    other = [x for m, _ in enumerate(picks) for x in ann.PQ_CODEBOOKS[m][(picks[m] + 8) % ann.PQ_K]]
+    df = spark.createDataFrame(
+        [(0, vec), (1, other), (100, vec)], "vec_id long, embedding array<double>"
+    )
+    out = ann.pq_topk(
+        df.filter(F.col("vec_id") == 100), df.filter(F.col("vec_id") < 100),
+        "vec_id", "embedding", "vec_id", "embedding", 2,
+    ).collect()
+    by_rank = {r["rank"]: r for r in out if r["query_id"] == 100}
+    assert by_rank[1]["neighbor_id"] == 0 and by_rank[1]["adist"] == 0.0
+    assert by_rank[2]["neighbor_id"] == 1 and by_rank[2]["adist"] > 0.0
