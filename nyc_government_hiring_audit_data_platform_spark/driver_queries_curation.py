@@ -346,16 +346,16 @@ def q_content_defined_chunks(spark, sf_dir):
 
 _SPAN = 16  # tokens per span (stride 1)
 
-# Shared stride-1 span machinery for detect + removal - ONE definition
-# of tokenization (the _token_df COALESCE convention) and span hashing
-# on each engine, so the two queries cannot silently diverge.
-_SPAN_PRELUDE_SQL = f"""src AS (
-      SELECT doc_id,
-             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
-               AS toks
-      FROM documents
-    ),
-    sp AS (
+# Shared stride-1 span machinery for detect + removal + the
+# corpus_mix_plan capstone - ONE definition of tokenization (the
+# _token_df COALESCE convention) and span hashing on each engine, so
+# the consuming queries cannot silently diverge. _span_cte_sql is
+# parameterized by the (doc_id, toks) relation it reads, because the
+# capstone spans CURATED tokens, not raw documents.
+
+
+def _span_cte_sql(src_rel: str) -> str:
+    return f"""sp AS (
       SELECT doc_id, e.pos AS pos, e.h AS h
       FROM (
         SELECT doc_id,
@@ -363,9 +363,18 @@ _SPAN_PRELUDE_SQL = f"""src AS (
                       i -> struct_pack(pos := i,
                            h := md5(array_to_string(toks[i:i + {_SPAN - 1}],
                                                     ' '))))) AS e
-        FROM src
+        FROM {src_rel}
       )
     )"""
+
+
+_SPAN_PRELUDE_SQL = f"""src AS (
+      SELECT doc_id,
+             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
+               AS toks
+      FROM documents
+    ),
+    {_span_cte_sql("src")}"""
 
 
 def _span_df(tk):
@@ -1207,15 +1216,15 @@ def q_epoch_shuffle(spark, sf_dir):
 _LEN_MIN, _LEN_MAX = 10, 1000  # token-count band
 
 
-@query(
-    "curation_keep_decisions",
-    f"""
-    WITH src AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-      FROM documents
-    ),
-    ex AS (
-      SELECT doc_id, unnest({_word_grams_sql('toks', _BP_N)}) AS g FROM src
+def _curation_ctes_sql(doc_rel: str, src_rel: str) -> str:
+    """The curation rule-stack CTE chain (boilerplate document-frequency
+    ratio + unigram-surprisal band inputs), parameterized by the doc
+    relation (needs doc_id, text) and the tokenized relation (needs
+    doc_id, toks). ONE definition shared by curation_keep_decisions and
+    the corpus_mix_plan capstone, so a stage fix propagates to the
+    composed funnel instead of drifting in a hand-edited copy."""
+    return f"""ex AS (
+      SELECT doc_id, unnest({_word_grams_sql('toks', _BP_N)}) AS g FROM {src_rel}
     ),
     boiler AS (
       SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
@@ -1230,7 +1239,7 @@ _LEN_MIN, _LEN_MAX = 10, 1000  # token-count band
       SELECT doc_id,
              unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
                AS term
-      FROM documents
+      FROM {doc_rel}
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ltoks GROUP BY doc_id, term),
     cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
@@ -1247,7 +1256,17 @@ _LEN_MIN, _LEN_MAX = 10, 1000  # token-count band
     band AS (
       SELECT quantile_disc(avg_s, 0.05) AS lo, quantile_disc(avg_s, 0.95) AS hi
       FROM per
+    )"""
+
+
+@query(
+    "curation_keep_decisions",
+    f"""
+    WITH src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
     ),
+    {_curation_ctes_sql("documents", "src")},
     flags AS (
       SELECT d.doc_id,
              CASE WHEN COALESCE(bp.br, 0) >= {_BP_DROP} THEN 1 ELSE 0 END
@@ -1761,12 +1780,14 @@ _MIX_QUOTA_K = 20  # per-source doc cap at the quota stage (FineWeb rule)
 
 
 def _corpus_mix_plan_oracle() -> str:
-    """Six-stage funnel in one DuckDB WITH-chain. Each stage's CTE body
-    reuses the TEXT of the already-green per-stage oracle (exact_dedup
-    grouping, curation_keep_decisions flags, duplicate_span_removal
-    spans, per_source_quota_sample rank, mixture_temperature_weights
-    scaling) so the composed query cannot drift from the stage
-    definitions the driver has individually hash-verified."""
+    """Six-stage funnel in one DuckDB WITH-chain. The curation rule
+    stack and the stride-1 span CTE are generated by the SAME helper
+    functions the per-stage oracles use (_curation_ctes_sql,
+    _span_cte_sql, parameterized by source relation), so a stage fix
+    propagates here mechanically; the remaining stage text (exact_dedup
+    grouping, the keep WHERE clause mirroring the flags CTE, quota
+    rank, temperature scaling) is short enough to eyeball against its
+    per-stage twin."""
     return f"""
     WITH base AS (
       SELECT doc_id, source, COALESCE(text, '') AS text FROM documents
@@ -1781,40 +1802,7 @@ def _corpus_mix_plan_oracle() -> str:
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       FROM dd
     ),
-    ex AS (
-      SELECT doc_id, unnest({_word_grams_sql('toks', _BP_N)}) AS g FROM src
-    ),
-    boiler AS (
-      SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {_BP_DF}
-    ),
-    bp AS (
-      SELECT e.doc_id,
-             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
-               AS br
-      FROM ex e LEFT JOIN boiler b ON e.g = b.g GROUP BY e.doc_id
-    ),
-    ltoks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
-               AS term
-      FROM dd
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ltoks GROUP BY doc_id, term),
-    cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
-    tot AS (SELECT SUM(c) AS total FROM cnt),
-    surp AS (
-      SELECT term, CAST(ROUND(ln(total * 1.0 / c) * {_SURP_SCALE}) AS BIGINT) AS s
-      FROM cnt CROSS JOIN tot
-    ),
-    per AS (
-      SELECT tf.doc_id, SUM(tf.tf) AS n_tok,
-             SUM(tf.tf * surp.s) * 1.0 / SUM(tf.tf) / {_SURP_SCALE} AS avg_s
-      FROM tf JOIN surp USING (term) GROUP BY tf.doc_id
-    ),
-    band AS (
-      SELECT quantile_disc(avg_s, 0.05) AS lo, quantile_disc(avg_s, 0.95) AS hi
-      FROM per
-    ),
+    {_curation_ctes_sql("dd", "src")},
     cur AS (
       SELECT d.doc_id, d.source, d.text
       FROM dd d
@@ -1831,17 +1819,7 @@ def _corpus_mix_plan_oracle() -> str:
              list_filter(string_split(text, ' '), t -> t <> '') AS toks
       FROM cur
     ),
-    sp AS (
-      SELECT doc_id, e.pos AS pos, e.h AS h
-      FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(toks) - {_SPAN - 2}),
-                      i -> struct_pack(pos := i,
-                           h := md5(array_to_string(toks[i:i + {_SPAN - 1}],
-                                                    ' '))))) AS e
-        FROM csrc
-      )
-    ),
+    {_span_cte_sql("csrc")},
     agg AS (
       SELECT h, COUNT(*) AS cnt2,
              MIN(struct_pack(d := doc_id, p := pos)) AS canon2

@@ -349,14 +349,20 @@ def _semdedup_oracle(sub_bits: int = 0) -> str:
         "list_transform((v::DOUBLE[]), x -> x * x)), (acc, x) -> acc + x)"
     )
     norms = "[" + ", ".join(f"{n}::DOUBLE" for n in _SD_NORMS) + "]"
+    # b1.cluster is qualified everywhere in b2: the same SELECT aliases
+    # the refined id as 'cluster', and only DuckDB's column-over-lateral-
+    # alias precedence keeps a bare 'cluster' bound to b1's COARSE id
+    # (the keep rule's distance and the ds/norms indexing are
+    # coarse-centroid by definition; the fine id would index past the
+    # 16-element arrays)
     if sub_bits:
         sub = " + ".join(
             f"(CASE WHEN v[{b + 1}] >= 0 THEN {1 << b} ELSE 0 END)"
             for b in range(sub_bits)
         )
-        fine = f"(cluster * {1 << sub_bits} + ({sub}))"
+        fine = f"(b1.cluster * {1 << sub_bits} + ({sub}))"
     else:
-        fine = "cluster"
+        fine = "b1.cluster"
     return f"""
     WITH b0 AS MATERIALIZED (
       SELECT vec_id, embedding AS v, {dots} AS ds FROM embeddings
@@ -368,7 +374,7 @@ def _semdedup_oracle(sub_bits: int = 0) -> str:
     ),
     b2 AS MATERIALIZED (
       SELECT vec_id, v, {fine} AS cluster,
-             ds[cluster + 1] / (nv * ({norms})[cluster + 1]) AS cent
+             ds[b1.cluster + 1] / (nv * ({norms})[b1.cluster + 1]) AS cent
       FROM b1
     ),
     dup AS (

@@ -520,6 +520,11 @@ def encode_mp4(
         sizes = {len(s) for s in samples}
         if len(sizes) != 1:
             raise ValueError("fixed_stsz requires uniform sample sizes")
+        if sizes == {0}:
+            # sample_size 0 IS the variable-size marker (§8.7.3.2) - a
+            # fixed-form box claiming size 0 with no table would be
+            # (correctly) rejected by _resolve_samples as malformed
+            raise ValueError("fixed_stsz requires a nonzero sample size")
         stsz = _fbox(
             b"stsz", 0, 0, struct.pack(">II", sizes.pop(), len(samples))
         )

@@ -65,11 +65,11 @@ def test_filter_is_fixed_size_one_row(spark):
     assert popcount == B.BLOOM_K
 
 
-def test_incremental_prefilter_preserves_survivors_and_cuts_probes(spark):
+def test_incremental_prefilter_preserves_survivors_and_cuts_probes(spark, sf_smoke):
     """bloom-gated incremental_neardup: identical match set, fewer band
     rows reaching the index join (unseen batch rows drop map-side)."""
     corpus = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
         .select("doc_id", "text")
         .limit(40)
     )

@@ -152,6 +152,14 @@ def test_fixed_size_stsz_scan_roundtrip(tmp_path):
         scan_mp4_file(__import__("io").BytesIO(bytes(bad)))
 
 
+def test_fixed_stsz_rejects_zero_size_samples():
+    """sample_size 0 IS the spec's variable-size marker: a fixed-form
+    stsz claiming size 0 with no table would be emitted 'valid' but
+    quarantined by every parser (including ours) as malformed."""
+    with pytest.raises(ValueError, match="nonzero"):
+        encode_mp4([b""] * 4, fixed_stsz=True)
+
+
 def test_ranged_sample_reads(tmp_path):
     from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
         read_mp4_samples,

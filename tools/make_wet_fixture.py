@@ -103,7 +103,12 @@ def main() -> None:
             continue
         expected["rec"].append(i)
         expected["text"].append(body)
-        expected["source"].append(urlsplit(uri).netloc or "unknown")
+        # hostname, not netloc: the engine derives source via Spark's
+        # parse_url(..., 'HOST') (driver_queries_ingest.py), which strips
+        # userinfo and port - netloc keeps both, so a fixture URI like
+        # https://h:8443/x would bake in an expectation the query can
+        # never produce (permanent wet_documents red on regeneration)
+        expected["source"].append(urlsplit(uri).hostname or "unknown")
         expected["n_chars"].append(len(body))
     table = pa.table(
         {
