@@ -128,7 +128,9 @@ BENCH_QUERIES = [
     "bloom_membership_gate",
     "corpus_mix_plan",
     "ann_pq_adc_topk",
+    "ann_pq_recall_bound",
     "content_defined_chunks",
+    "containment_neardup",
     # minhash_lsh_recall and bpe_encode_corpus stay OUT: the recall
     # gate's ground-truth lane is the documented quadratic exact join
     # (same policy as ann_cosine_topk), and encode re-runs the train

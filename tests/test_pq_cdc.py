@@ -93,11 +93,28 @@ def test_cdc_empty_and_short_docs(spark, tmp_path):
     assert rows[1]["n_chunks"] == 1  # shorter than the window -> one chunk
 
 
+def test_containment_detects_subsumption_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a much longer one: containment
+    A-in-B ~1 (detected, directional), while B-in-A is far below
+    threshold (absent) - the case symmetric Jaccard scores low."""
+    quote = [f"q{i}" for i in range(20)]
+    host = [f"h{i}" for i in range(200)] + quote  # quote embedded at the end
+    other = [f"z{i}" for i in range(50)]
+    d = _write_docs(
+        spark, tmp_path, [" ".join(quote), " ".join(host), " ".join(other)]
+    )
+    rows = DQ.QUERIES["containment_neardup"](spark, d).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)]["containment"] == 1.0
+    assert (1, 0) not in pairs  # directional: host is NOT inside the quote
+    assert all(2 not in p for p in pairs)  # unrelated doc never matches
+
+
 def test_pq_encode_and_adc_zero_on_codebook_vector(spark):
     """A vector assembled from one entry per subspace must encode to
     exactly those code indices, and an identical corpus vector must
     score ADC distance 0.0 and rank first."""
-    picks = [3, 7, 0, 15, 9, 1, 12, 5]
+    picks = [(3 * m + 1) % ann.PQ_K for m in range(ann.PQ_M)]
     vec = [x for m, k in enumerate(picks) for x in ann.PQ_CODEBOOKS[m][k]]
     other = [x for m, _ in enumerate(picks) for x in ann.PQ_CODEBOOKS[m][(picks[m] + 8) % ann.PQ_K]]
     df = spark.createDataFrame(
