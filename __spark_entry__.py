@@ -77,9 +77,11 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # Pinned ahead of everything in the rotation: queries whose CODE was
 # rewritten after their latest driver hash, so the green on file
 # predates the implementation (VERDICT r5 residual #1: vocab_coverage
-# was rewritten on sharded_rank in r5 but last driver-hashed in r4).
+# was rewritten on sharded_rank in r5 but last driver-hashed in r4;
+# minhash_lsh_recall's exact lane was panel-bounded in r6 after the
+# unpaneled lane spilled out of disk at the x100 scale probe).
 # Remove an entry once a NEWER CORRECTNESS round has re-hashed it.
-REWRITTEN = {"vocab_coverage"}
+REWRITTEN = {"vocab_coverage", "minhash_lsh_recall"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -240,15 +240,29 @@ _LSH_RECALL_SRC = (
     f"AND length({normalize_text_sql('text')}) >= {TS.SHINGLE_N})"
 )
 _LSH_RECALL_TAU = 0.25
+# Fixed probe panel for the exact ground-truth lane: pairs must touch a
+# doc with id < PANEL. Covers EVERY doc at the driver SFs (max doc_id
+# 4999 at sf0.1, so the gate's output there is identical to an
+# unpaneled run), while at any larger corpus the exact lane's cost is
+# |panel| x posting-length instead of corpus x corpus - the x100 fresh
+# replica probe measured the unpaneled lane spilling past 26 GB of
+# local disk before dying, the classic unbounded-ground-truth failure.
+# With canonical id_a < id_b ordering, "touches the panel" is exactly
+# id_a < PANEL (the smaller endpoint of a touching pair is in-panel).
+_LSH_RECALL_PANEL = 10_000
 
 
 @query(
     "minhash_lsh_recall",
     f"""
-    WITH e AS MATERIALIZED ({DD.ngram_jaccard_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
-                                           _LSH_RECALL_TAU)}),
-    l AS MATERIALIZED ({DD.minhash_lsh_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
-                                    _LSH_RECALL_TAU)}),
+    WITH e AS MATERIALIZED (
+      SELECT * FROM ({DD.ngram_jaccard_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
+                                           _LSH_RECALL_TAU)})
+      WHERE id_a < {_LSH_RECALL_PANEL}),
+    l AS MATERIALIZED (
+      SELECT * FROM ({DD.minhash_lsh_pairs_sql(_LSH_RECALL_SRC, 'text', 'doc_id',
+                                    _LSH_RECALL_TAU)})
+      WHERE id_a < {_LSH_RECALL_PANEL}),
     hits AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n
       FROM e JOIN l ON e.id_a = l.id_a AND e.id_b = l.id_b
@@ -273,7 +287,14 @@ def q_minhash_lsh_recall(spark, sf_dir):
     shingle-BLOCKED exact lane); with that degeneracy out, the LSH
     chain's exact-Jaccard verify makes false positives structurally
     zero (n_false_pos asserts it) and recall < 1000 milli can only come from
-    banding misses - the b/r S-curve this row makes visible. At this
+    banding misses - the b/r S-curve this row makes visible. Both
+    lanes are restricted to pairs touching a FIXED probe panel
+    (id < _LSH_RECALL_PANEL - every doc at the driver SFs, so the
+    numbers are unchanged there): the exact lane probes only the
+    panel's shingle postings against the corpus, so the ground-truth
+    cost is |panel| x postings at ANY corpus size instead of the
+    corpus x corpus candidate join that spilled out of disk at the
+    x100 scale probe. At this
     deliberately low threshold the measured recall (~69 milli at
     sf0.1) IS the theory: with r=3 rows/band, b=4 bands, a pair at
     j=0.25 is a candidate with probability 1-(1-0.25^3)^4 ~ 6.1% -
@@ -290,12 +311,16 @@ def q_minhash_lsh_recall(spark, sf_dir):
     # quadratic exact join and the LSH chain each run ~2x (the module's
     # multi-consumer precedent)
     e = (
-        DD.ngram_jaccard_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU)
+        DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", _LSH_RECALL_TAU,
+            probe=F.col("id") < _LSH_RECALL_PANEL,
+        )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l = (
         DD.minhash_lsh_pairs(docs, "text", "doc_id", _LSH_RECALL_TAU)
+        .filter(F.col("id_a") < _LSH_RECALL_PANEL)
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -347,11 +347,23 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float,
     n: int = SHINGLE_N,
+    probe: Column | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join, blocked on shared shingles:
     a pair is only scored if it shares >= 1 shingle (necessary condition
     for jaccard > 0), so candidate generation is an equi-join on the
-    shingle - never a dense cross product."""
+    shingle - never a dense cross product.
+
+    ``probe``: optional boolean expression over the aliased ``id``
+    column. When given, only pairs with >= 1 probe-side endpoint are
+    emitted, and candidate generation joins the PROBE subset's shingle
+    postings against the corpus instead of corpus x corpus - the exact
+    lane's cost becomes |probe| x posting-length at ANY corpus size
+    (the fixed-panel shape a ground-truth/recall harness needs at
+    100 TB, where even a linear-in-corpus all-pairs lane spills the
+    cluster: every candidate pair ships both full shingle arrays).
+    If the probe covers every id the output is identical to the
+    unprobed call."""
     par = df.sparkSession.sparkContext.defaultParallelism
     docs = (
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
@@ -361,11 +373,24 @@ def ngram_jaccard_pairs(
     )
     ex = docs.select("id", F.explode(F.col("hs")).alias("h"))
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    if probe is None:
+        cand = (
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        # probe postings vs corpus postings; both-probe pairs arrive in
+        # both orders, so canonicalize to (least, greatest) then distinct
+        pex = ex.filter(probe).alias("a")
+        cand = (
+            pex.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")))
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .distinct()
+        )
     da = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(da, "id_a").join(db, "id_b")

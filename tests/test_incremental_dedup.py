@@ -141,3 +141,68 @@ def test_streaming_dedup_ingest_loop(spark, tmp_path):
         r["doc_id"] for r in SC.read_ingested_corpus(spark, corpus_dir).collect()
     )
     assert again == [1, 2, 13]
+
+
+def test_ngram_jaccard_probe_equivalence_and_restriction(spark):
+    """The probed exact lane must (a) equal the unprobed join when the
+    probe covers every id, and (b) emit exactly the unprobed pairs that
+    TOUCH the probe set otherwise - the lossless-panel property the
+    minhash_lsh_recall gate's ground truth relies on at scale."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base + " one"),
+        (1, base + " two"),
+        (20_000, base + " three"),
+        (20_001, base + " four"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.25).collect()
+    }
+    assert len(full) == 6  # all pairs share the long common prefix
+
+    all_probe = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 0.25, probe=F.lit(True)
+        ).collect()
+    }
+    assert all_probe == full
+
+    paneled = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 0.25, probe=F.col("id") < 10_000
+        ).collect()
+    }
+    want = {p: j for p, j in full.items() if p[0] < 10_000}
+    assert paneled == want
+    assert (20_000, 20_001) not in paneled  # pair not touching the panel
+
+
+def test_lsh_recall_gate_panel_bounds_both_lanes(spark, tmp_path):
+    """Query-level panel semantics: a true near-dup pair living entirely
+    ABOVE the panel threshold is excluded from n_exact, n_lsh and hits,
+    while an in-panel pair is counted - and the gate still reports zero
+    false positives."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "entirely different material about spark shuffles and parquet footers"
+    rows = [
+        (0, a), (10, a),              # in-panel identical pair
+        (20_000, b), (20_010, b),     # above-panel identical pair
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "panel_sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = DQ.QUERIES["minhash_lsh_recall"](spark, d).collect()[0]
+    spark.catalog.clearCache()
+    assert row["n_exact"] == 1      # (0,10) only; (20000,20010) excluded
+    assert row["n_hits"] == 1       # identical docs always share buckets
+    assert row["n_false_pos"] == 0
+    assert row["recall_milli"] == 1000
