@@ -131,10 +131,14 @@ BENCH_QUERIES = [
     "ann_pq_recall_bound",
     "content_defined_chunks",
     "containment_neardup",
-    # minhash_lsh_recall and bpe_encode_corpus stay OUT: the recall
-    # gate's ground-truth lane is the documented quadratic exact join
-    # (same policy as ann_cosine_topk), and encode re-runs the train
-    # loop bpe_train_merges already times before its map-only encode.
+    "ann_ivfadc_topk",
+    "kmv_source_similarity",
+    # minhash_lsh_recall earned a slot once its exact lane was
+    # panel-bounded (r6): both lanes now linear-in-corpus, so the slot
+    # times the production gate shape rather than a quadratic harness.
+    "minhash_lsh_recall",
+    # bpe_encode_corpus stays OUT: encode re-runs the train loop
+    # bpe_train_merges already times before its map-only encode.
 ]
 
 

@@ -729,6 +729,35 @@ def q_ann_pq_adc_topk(spark, sf_dir):
 
 
 @query(
+    "ann_ivfadc_topk",
+    ANN.ivfadc_topk_sql(
+        "embeddings", "vec_id", "embedding", "vec_id < 20", 5, nprobe=4
+    ),
+)
+def q_ann_ivfadc_topk(spark, sf_dir):
+    """IVFADC - the COMPOSED index Jegou et al. 2011 §V deploys, and
+    the shape billion-vector search actually ships: the IVF coarse
+    quantizer cuts candidates to ~nprobe/16 of the corpus (cluster-id
+    equi-join; each query probes its 4 nearest of 16 clusters) and PQ
+    asymmetric distance scores those candidates in the compressed
+    domain (8-byte codes, raw vectors dropped map-side). The two
+    savings MULTIPLY at 100 TB: a 4x candidate cut on top of a 32x
+    narrower shuffle row. Codes are computed on raw vectors, not
+    residuals - the pinned sigma-1.0 centroids vs sigma-0.125 corpus
+    would make residual quantization the measured ~0.05-recall failure
+    (rationale in ann.ivfadc_topk); with nprobe=16 the operator is
+    provably identical to ann_pq_adc_topk (asserted in
+    tests/test_pq_cdc.py). Determinism as in the component queries:
+    every fold is a sequential chain of single IEEE ops against 6-dp
+    literals, struct-sort ties, rank ties by neighbor_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.ivfadc_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, nprobe=4,
+    )
+
+
+@query(
     "ann_pq_recall_bound",
     """
     SELECT COUNT(*) AS n_queries, TRUE AS mean_recall_ok
@@ -1476,6 +1505,205 @@ def q_source_vocab_overlap(spark, sf_dir):
             F.expr("n_common * 1000 DIV (na + nb - n_common)").alias(
                 "jaccard_milli"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch corpus similarity (fixed-memory twin of source_vocab_overlap)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64  # sketch size; KMV std-err ~ sqrt(J(1-J)/k) <= 1/(2*sqrt(k))
+_KMV_BOUND_MILLI = 188  # 3 * 1000/(2*sqrt(64)) = 187.5, ceil'd
+_KMV_N = 8  # tokens per shingle - the sketched element universe
+
+
+@query(
+    "kmv_source_similarity",
+    f"""
+    WITH src AS (
+      SELECT source,
+             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
+               AS toks
+      FROM documents
+    ),
+    ts AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(toks) - {_KMV_N - 2}),
+                    i -> md5(array_to_string(toks[i:i + {_KMV_N - 1}], ' '))))
+               AS h
+      FROM src
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM ts)
+      WHERE rk <= {_KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    u AS (
+      SELECT src_a, src_b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN sk s ON s.source = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN sk s ON s.source = p.src_b)
+      GROUP BY 1, 2, 3
+    ),
+    topu AS (
+      SELECT src_a, src_b, ia, ib FROM (
+        SELECT src_a, src_b, ia, ib,
+               ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+        FROM u)
+      WHERE rk <= {_KMV_K}
+    ),
+    est AS (
+      SELECT src_a, src_b,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(SUM(ia * ib) AS BIGINT) AS n_shared
+      FROM topu GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ts
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ts a JOIN ts b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT src_a, src_b,
+             n_common * 1000 // (na.n + nb.n - n_common) AS exact_milli
+      FROM inter
+      JOIN sizes na ON inter.src_a = na.source
+      JOIN sizes nb ON inter.src_b = nb.source
+    )
+    SELECT est.src_a, est.src_b, k_used, n_shared,
+           n_shared * 1000 // k_used AS kmv_est_milli,
+           COALESCE(exact_milli, 0) AS exact_milli,
+           ABS(n_shared * 1000 // k_used - COALESCE(exact_milli, 0))
+             AS err_milli,
+           ABS(n_shared * 1000 // k_used - COALESCE(exact_milli, 0))
+             <= {_KMV_BOUND_MILLI} AS within_bound
+    FROM est LEFT JOIN exact
+      ON est.src_a = exact.src_a AND est.src_b = exact.src_b
+    """,
+)
+def q_kmv_source_similarity(spark, sf_dir):
+    """Pairwise source CONTENT Jaccard (over 8-token-gram shingle
+    sets, the dedup family's element universe - per-source vocabulary
+    would be degenerate: ~31 words, smaller than the sketch) from
+    K-MINIMUM-VALUES sketches (Beyer et al. 2007; the bottom-k variant
+    of MinHash) - the FIXED-MEMORY corpus-comparison matrix: per
+    source the sketch is the K smallest shingle md5s, a mergeable
+    constant-size summary, so at 100 TB the corpus contributes one
+    combiner-collapsed pass (per-source bottom-K = WindowGroupLimit
+    partial top-k, never a full sort) and ALL pairwise comparison runs
+    on domains^2 x K sketch rows - the corpus itself is never joined.
+    Estimator: J_est = |kmin_K(A u B) n A_sketch n B_sketch| / K, with
+    k_used < K exact when the union universe is smaller than K.
+
+    The exact lane (same term-keyed incidence join as
+    source_vocab_overlap) rides along as the VALIDATION harness, the
+    recall-gate pattern: err_milli is the measured estimator error and
+    ``within_bound`` asserts the 3-sigma KMV bound 3/(2*sqrt(K)) -
+    the quality monitor that would catch a broken sketch merge in
+    production, where only the sketches are kept and the exact lane is
+    run on a sampled audit slice. Everything is integer or md5-hex
+    (lexicographic order = identical both engines); divisions are
+    integer DIV; no float hazards."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.col("_tk")
+    tk = docs.select(
+        "source",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != ""
+        ).alias("_tk"),
+    )
+    grams = F.when(
+        F.size(toks) >= _KMV_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_KMV_N - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, _KMV_N), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ts = (
+        tk.select("source", F.explode(grams).alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # sketch + exact lanes
+    )
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        ts.withColumn("rk", F.row_number().over(wsk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both pair sides
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("src_b"))),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    ua = pairs.join(
+        sk.withColumnRenamed("source", "src_a"), "src_a"
+    ).select("src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    ub = pairs.join(
+        sk.withColumnRenamed("source", "src_b"), "src_b"
+    ).select("src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        u.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_shared"),
+        )
+    )
+    sizes = ts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ts.select(F.col("source").alias("src_a"), "h")
+    b = ts.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("n_common * 1000 DIV (na + nb - n_common)").alias("exact_milli"),
+        )
+    )
+    em = F.expr("n_shared * 1000 DIV k_used")
+    ex = F.coalesce(F.col("exact_milli"), F.lit(0).cast("long"))
+    return (
+        est.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "k_used",
+            "n_shared",
+            em.alias("kmv_est_milli"),
+            ex.alias("exact_milli"),
+            F.abs(em - ex).alias("err_milli"),
+            (F.abs(em - ex) <= _KMV_BOUND_MILLI).alias("within_bound"),
         )
     )
 

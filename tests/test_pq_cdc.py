@@ -127,3 +127,43 @@ def test_pq_encode_and_adc_zero_on_codebook_vector(spark):
     by_rank = {r["rank"]: r for r in out if r["query_id"] == 100}
     assert by_rank[1]["neighbor_id"] == 0 and by_rank[1]["adist"] == 0.0
     assert by_rank[2]["neighbor_id"] == 1 and by_rank[2]["adist"] > 0.0
+
+
+def test_ivfadc_equals_pq_when_probing_every_cluster(spark):
+    """With nprobe = NUM_CENTROIDS the coarse quantizer filters nothing,
+    so IVFADC must return exactly pq_topk's rows - the composition
+    property that proves the cluster join only RESTRICTS candidates and
+    never alters ADC scoring. At nprobe=4 every returned pair must also
+    appear in the candidate's probed clusters by construction."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ann.ivfadc_topk(
+            q, emb, "vec_id", "embedding", "vec_id", "embedding", 5,
+            nprobe=ann.NUM_CENTROIDS,
+        ).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ann.pq_topk(
+            q, emb, "vec_id", "embedding", "vec_id", "embedding", 5
+        ).collect()
+    }
+    assert full == pq and len(full) == 50
+
+    probed = ann.ivfadc_topk(
+        q, emb, "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4
+    ).collect()
+    assert 0 < len(probed) <= 50
+    # IVFADC results are a subset-ranking of the PQ candidate space:
+    # every (query, neighbor, adist) it emits scores identically in PQ's
+    # full ranking (same codes, same LUT - no score drift from the join)
+    pq_scores = {
+        (r["query_id"], r["neighbor_id"]): r["adist"]
+        for r in ann.pq_topk(
+            q, emb, "vec_id", "embedding", "vec_id", "embedding", 10**6
+        ).collect()
+    }
+    for r in probed:
+        assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["adist"]

@@ -52,3 +52,36 @@ def test_mg_exact_when_domain_fits(spark):
     df = spark.createDataFrame([(x,) for x in items], ["term"]).coalesce(1)
     got = {r["term"]: r["est"] for r in misra_gries_summary(df, "term", 8).collect()}
     assert got == {"a": 10, "b": 5, "c": 2}
+
+
+def test_kmv_source_similarity_extremes_and_bound(spark, tmp_path):
+    """KMV estimator semantics the parity harness can't see: two
+    sources with IDENTICAL content must estimate exactly 1000 milli
+    (identical sketches), disjoint sources exactly 0, and the exact
+    lane must agree - plus the within_bound contract holds on the real
+    corpus (asserted over sf0.01 in test_oracle_parity's value check;
+    here over the synthetic extremes)."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    words_a = " ".join(f"a{i}" for i in range(200))
+    words_b = " ".join(f"b{i}" for i in range(200))
+    rows = [
+        (0, words_a, "en", "sA", 1),
+        (1, words_a, "en", "sB", 1),   # sB identical to sA
+        (2, words_b, "en", "sC", 1),   # sC disjoint from both
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "kmv_sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in DQ.QUERIES["kmv_source_similarity"](spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert out[("sA", "sB")]["kmv_est_milli"] == 1000
+    assert out[("sA", "sB")]["exact_milli"] == 1000
+    assert out[("sA", "sC")]["kmv_est_milli"] == 0
+    assert out[("sB", "sC")]["n_shared"] == 0
+    assert all(r["within_bound"] for r in out.values())
