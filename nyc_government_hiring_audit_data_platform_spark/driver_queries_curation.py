@@ -1893,7 +1893,8 @@ def _corpus_mix_plan_oracle() -> str:
                      AS BIGINT) AS sqrt_micro
       FROM plan_
     ),
-    wtot AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS wt FROM scaled)
+    wtot AS (SELECT GREATEST(CAST(SUM(sqrt_micro) AS BIGINT), 1) AS wt
+             FROM scaled)
     SELECT source, n_ingested, n_after_dedup, n_after_curation, n_after_span,
            n_after_quota, tokens_final,
            sqrt_micro * 1000000 // wt AS weight_micro
@@ -2111,7 +2112,10 @@ def q_corpus_mix_plan(spark, sf_dir):
             "long"
         ),
     )
-    wtot = scaled.agg(F.sum("sqrt_micro").alias("wt"))
+    # GREATEST(wt, 1): a fully-emptied funnel (every doc filtered) must
+    # give every source weight 0 on BOTH engines, not Spark NULL vs a
+    # DuckDB division-by-zero error (the q_minhash_lsh_recall pattern)
+    wtot = scaled.agg(F.greatest(F.sum("sqrt_micro"), F.lit(1)).alias("wt"))
     return (
         scaled.crossJoin(F.broadcast(wtot))
         .select(

@@ -355,28 +355,71 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+# --- shared 8-token-gram shingle universe ----------------------------------
+
+# ONE definition of the dedup family's element universe (8-token-gram
+# md5 shingles over whitespace tokens), shared by containment_neardup
+# and kmv_source_similarity on BOTH engines — a tokenization or hash
+# tweak applied to one consumer cannot silently desynchronize the
+# other (the _token_df/_span_df convention).
+_SHINGLE_N = 8
+
+
+def _shingle_incidence(docs, key_col: str, cross_row: bool = False):
+    """Distinct ``(key_col, h)`` shingle-incidence relation: per row,
+    the 8-token-gram md5s of its whitespace tokens (within-row
+    array_distinct BEFORE the explode keeps any downstream shuffle
+    small). ``cross_row=True`` adds the global ``distinct`` a key
+    spanning rows (source) needs; row-unique keys (doc_id) skip the
+    redundant shuffle."""
+    toks = F.col("_tk")
+    tk = docs.select(
+        key_col,
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != ""
+        ).alias("_tk"),
+    )
+    grams = F.when(
+        F.size(toks) >= _SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SHINGLE_N - 1)),
+            lambda i: F.md5(
+                F.array_join(F.slice(toks, i, _SHINGLE_N), " ").cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = tk.select(key_col, F.explode(F.array_distinct(grams)).alias("h"))
+    return out.distinct() if cross_row else out
+
+
+def _shingle_incidence_sql(key_col: str, cte: str) -> str:
+    """DuckDB twin: CTE pair ``src_{cte}, {cte}`` with the identical
+    distinct ``({key_col}, h)`` relation."""
+    return f"""
+    src_{cte} AS (
+      SELECT {key_col},
+             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
+               AS toks
+      FROM documents
+    ),
+    {cte} AS (
+      SELECT DISTINCT {key_col},
+             unnest(list_transform(range(1, len(toks) - {_SHINGLE_N - 2}),
+                    i -> md5(array_to_string(toks[i:i + {_SHINGLE_N - 1}], ' '))))
+               AS h
+      FROM src_{cte}
+    )"""
+
+
 # --- containment near-dup: one-way overlap Jaccard misses ------------------
 
-_CONT_N = 8  # tokens per shingle
 _CONT_NUM, _CONT_DEN = 9, 10  # containment threshold 9/10 (integer-exact)
 
 
 @query(
     "containment_neardup",
     f"""
-    WITH src AS (
-      SELECT doc_id,
-             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
-               AS toks
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(toks) - {_CONT_N - 2}),
-                    i -> md5(array_to_string(toks[i:i + {_CONT_N - 1}], ' '))))
-               AS h
-      FROM src
-    ),
+    WITH {_shingle_incidence_sql("doc_id", "sh").strip()},
     na AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -413,24 +456,7 @@ def q_containment_neardup(spark, sf_dir):
     The shingle relation persists once for its four consumers (caller
     clears cache between queries per the bench contract)."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.col("_tk")
-    tk = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != ""
-        ).alias("_tk"),
-    )
-    grams = F.when(
-        F.size(toks) >= _CONT_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_CONT_N - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, _CONT_N), " ").cast("binary")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        tk.select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = _shingle_incidence(docs, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     na = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
@@ -1515,25 +1541,10 @@ def q_source_vocab_overlap(spark, sf_dir):
 
 _KMV_K = 64  # sketch size; KMV std-err ~ sqrt(J(1-J)/k) <= 1/(2*sqrt(k))
 _KMV_BOUND_MILLI = 188  # 3 * 1000/(2*sqrt(64)) = 187.5, ceil'd
-_KMV_N = 8  # tokens per shingle - the sketched element universe
-
-
 @query(
     "kmv_source_similarity",
     f"""
-    WITH src AS (
-      SELECT source,
-             list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')
-               AS toks
-      FROM documents
-    ),
-    ts AS (
-      SELECT DISTINCT source,
-             unnest(list_transform(range(1, len(toks) - {_KMV_N - 2}),
-                    i -> md5(array_to_string(toks[i:i + {_KMV_N - 1}], ' '))))
-               AS h
-      FROM src
-    ),
+    WITH {_shingle_incidence_sql("source", "ts").strip()},
     sk AS (
       SELECT source, h FROM (
         SELECT source, h,
@@ -1618,24 +1629,8 @@ def q_kmv_source_similarity(spark, sf_dir):
     (lexicographic order = identical both engines); divisions are
     integer DIV; no float hazards."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.col("_tk")
-    tk = docs.select(
-        "source",
-        F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda t: t != ""
-        ).alias("_tk"),
-    )
-    grams = F.when(
-        F.size(toks) >= _KMV_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (_KMV_N - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, _KMV_N), " ").cast("binary")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ts = (
-        tk.select("source", F.explode(grams).alias("h"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)  # sketch + exact lanes
+    ts = _shingle_incidence(docs, "source", cross_row=True).persist(
+        StorageLevel.MEMORY_AND_DISK  # sketch + exact lanes
     )
     wsk = Window.partitionBy("source").orderBy("h")
     sk = (
@@ -1717,17 +1712,20 @@ def _bloom_gate_oracle() -> str:
     from nyc_government_hiring_audit_data_platform_spark.operators import bloom as BL
 
     build = BL.bloom_build_sql(
-        "SELECT text FROM documents WHERE doc_id % 2 = 0", "text"
+        "SELECT COALESCE(text, '') AS text FROM documents WHERE doc_id % 2 = 0",
+        "text",
     )
     hit = BL.bloom_hit_sql("p.h")
     return f"""
     WITH {build.strip()},
     probes AS (
-      SELECT doc_id, md5(text) AS fp, {BL.base_hash_sql('text')} AS h
+      SELECT doc_id, md5(COALESCE(text, '')) AS fp,
+             {BL.base_hash_sql("COALESCE(text, '')")} AS h
       FROM documents
     ),
     corpus_fp AS (
-      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+      SELECT DISTINCT md5(COALESCE(text, '')) AS fp
+      FROM documents WHERE doc_id % 2 = 0
     )
     SELECT p.doc_id,
            (c.fp IS NOT NULL) AS exact_member,
@@ -1768,7 +1766,11 @@ def q_bloom_membership_gate(spark, sf_dir):
     production keeps just the bloom column."""
     from nyc_government_hiring_audit_data_platform_spark.operators import bloom as BL
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").withColumn(
+        # module convention: text coalesces to '' (Spark's legacy
+        # size(NULL) and NULL md5/hash lanes diverge from DuckDB)
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     filt = BL.bloom_build(corpus.select("text"), "text")
     probed = BL.bloom_probe(docs.select("doc_id", "text"), "text", filt)

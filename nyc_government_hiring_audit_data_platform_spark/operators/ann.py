@@ -486,11 +486,11 @@ def embedding_neardup_pairs_sql(
 # --------------------------------------------------------------------------
 # product quantization (Jegou, Douze & Schmid 2011, "Product Quantization
 # for Nearest Neighbor Search") — the billion-scale compressed-domain
-# search technique: vectors are stored as PQ_M small codes (here 8 x
-# 4-bit = 4 bytes instead of 256 bytes of float32), and queries score
+# search technique: vectors are stored as PQ_M small codes (here 16 x
+# 4-bit = 8 bytes instead of 256 bytes of float32), and queries score
 # candidates with an asymmetric-distance lookup table (ADC) instead of
 # touching the raw vectors. At 100 TB the corpus scan reads ONLY the
-# code columns (a 64x I/O reduction with parquet column pruning) and
+# code columns (a 32x I/O reduction with parquet column pruning) and
 # per-candidate cost is PQ_M array lookups instead of EMBED_DIM
 # multiplies.
 # --------------------------------------------------------------------------
@@ -568,6 +568,100 @@ def _pq_subvectors(vec: Column) -> list[Column]:
     ]
 
 
+# ONE definition each of the encode / LUT / ADC / rank conventions,
+# shared by pq_topk and ivfadc_topk AND (below) their SQL twins — a
+# tie-break or indexing tweak applied to one composed search cannot
+# silently desynchronize the other (the hand-edited-copy failure mode
+# the capstone oracle's shared CTE fragments exist to prevent).
+
+
+def _pq_codes() -> Column:
+    """PQ encode over hoisted ``_s{m}`` subvector columns: per-subspace
+    argmin codeword index, as one array<int> column."""
+    return F.array(*[_argmin(_pq_dists(f"_s{m}", m), PQ_K) for m in range(PQ_M)])
+
+
+def _pq_lut() -> Column:
+    """Query-side ADC lookup table over hoisted ``_s{m}`` columns:
+    PQ_M x PQ_K squared distances (the same distance definition the
+    encode argmin minimizes)."""
+    return F.array(*[_pq_dists(f"_s{m}", m) for m in range(PQ_M)])
+
+
+def _pq_adist() -> Column:
+    """Asymmetric distance: sum of PQ_M lut[m][codes[m]] lookups, in
+    fixed subspace order (a sequential IEEE fold, matching the SQL
+    twin's left-to-right + chain)."""
+    adist = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.element_at("lut", m + 1), F.element_at("codes", m + 1) + 1
+        )
+        adist = term if adist is None else adist + term
+    return adist
+
+
+def _pq_rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The shared tail: per-query rank by (adist, neighbor_id), keep k."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", norm_round("adist", 6).alias("adist"), "rank"
+        )
+    )
+
+
+def _pq_dcols_sql() -> str:
+    """DuckDB: per-subspace distance lists ``d0..d{M-1}`` over ``v``
+    (the corpus argmin input AND the query LUT — one distance
+    definition for both roles)."""
+    return ", ".join(
+        "list_value("
+        + ", ".join(
+            _sqdist_sql(f"v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", e)
+            for e in PQ_CODEBOOKS[m]
+        )
+        + f") AS d{m}"
+        for m in range(PQ_M)
+    )
+
+
+def _pq_argmins_sql() -> str:
+    """DuckDB: argmin codeword per subspace, (d, i) struct-sort
+    tie-break identical to :func:`_argmin`."""
+    return ", ".join(
+        f"list_sort(list_transform(range(1, {PQ_K + 1}), "
+        f"i -> {{'d': d{m}[i], 'i': i - 1}}))[1].i"
+        for m in range(PQ_M)
+    )
+
+
+def _pq_luts_sql() -> str:
+    return ", ".join(f"d{m}" for m in range(PQ_M))
+
+
+def _pq_adist_sql() -> str:
+    return " + ".join(
+        f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(PQ_M)
+    )
+
+
+def _pq_ranked_tail_sql(k: int) -> str:
+    """DuckDB: the shared ranked/top-k tail over a ``scored`` CTE."""
+    return f"""
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(adist, 6) + 0 AS adist, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -590,35 +684,15 @@ def pq_topk(
             _c(corpus_id).alias("neighbor_id"), *_pq_subvectors(_c(corpus_vec))
         )
         .repartition(par)  # parallelize the M x K distance folds
-        .select(
-            "neighbor_id",
-            F.array(
-                *[_argmin(_pq_dists(f"_s{m}", m), PQ_K) for m in range(PQ_M)]
-            ).alias("codes"),
-        )
+        .select("neighbor_id", _pq_codes().alias("codes"))
     )
     q = queries.select(
         _c(query_id).alias("query_id"), *_pq_subvectors(_c(query_vec))
-    ).select(
-        "query_id",
-        F.array(*[_pq_dists(f"_s{m}", m) for m in range(PQ_M)]).alias("lut"),
-    )
-    adist = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.element_at("lut", m + 1), F.element_at("codes", m + 1) + 1
-        )
-        adist = term if adist is None else adist + term
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adist.alias("adist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", norm_round("adist", 6).alias("adist"), "rank")
-    )
+    ).select("query_id", _pq_lut().alias("lut"))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", _pq_adist().alias("adist"))
+    return _pq_rank_topk(scored, k)
 
 
 def pq_topk_sql(
@@ -627,41 +701,17 @@ def pq_topk_sql(
     """DuckDB twin: the per-vector distance lists double as the corpus
     argmin input AND the query LUT, so encode and ADC provably share
     one distance definition."""
-    dcols = ", ".join(
-        "list_value("
-        + ", ".join(
-            _sqdist_sql(f"v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", e)
-            for e in PQ_CODEBOOKS[m]
-        )
-        + f") AS d{m}"
-        for m in range(PQ_M)
-    )
-    argmins = ", ".join(
-        f"list_sort(list_transform(range(1, {PQ_K + 1}), "
-        f"i -> {{'d': d{m}[i], 'i': i - 1}}))[1].i"
-        for m in range(PQ_M)
-    )
-    luts = ", ".join(f"d{m}" for m in range(PQ_M))
-    adist = " + ".join(
-        f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(PQ_M)
-    )
     return f"""
     WITH cb AS (SELECT {id_col}, ({vec_col}::DOUBLE[]) AS v FROM {table}),
-    d AS (SELECT {id_col}, {dcols} FROM cb),
-    c AS (SELECT {id_col} AS neighbor_id, [{argmins}] AS codes FROM d),
-    q AS (SELECT {id_col} AS query_id, [{luts}] AS lut FROM d WHERE {query_pred}),
+    d AS (SELECT {id_col}, {_pq_dcols_sql()} FROM cb),
+    c AS (SELECT {id_col} AS neighbor_id, [{_pq_argmins_sql()}] AS codes FROM d),
+    q AS (SELECT {id_col} AS query_id, [{_pq_luts_sql()}] AS lut
+          FROM d WHERE {query_pred}),
     scored AS (
-      SELECT q.query_id, c.neighbor_id, {adist} AS adist
+      SELECT q.query_id, c.neighbor_id, {_pq_adist_sql()} AS adist
       FROM q, c WHERE q.query_id <> c.neighbor_id
     ),
-    ranked AS (
-      SELECT query_id, neighbor_id, adist,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adist, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, ROUND(adist, 6) + 0 AS adist, rank
-    FROM ranked WHERE rank <= {k}
+    {_pq_ranked_tail_sql(k)}
     """
 
 
@@ -710,9 +760,7 @@ def ivfadc_topk(
         .select(
             "neighbor_id",
             _probe_list(_centroid_dots("cv"), 1)[0].alias("cluster"),
-            F.array(
-                *[_argmin(_pq_dists(f"_s{m}", m), PQ_K) for m in range(PQ_M)]
-            ).alias("codes"),
+            _pq_codes().alias("codes"),
         )
     )
     q = queries.select(
@@ -722,24 +770,13 @@ def ivfadc_topk(
     ).select(
         "query_id",
         F.explode(_probe_list(_centroid_dots("qv"), nprobe)).alias("cluster"),
-        F.array(*[_pq_dists(f"_s{m}", m) for m in range(PQ_M)]).alias("lut"),
+        _pq_lut().alias("lut"),
     )
-    adist = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.element_at("lut", m + 1), F.element_at("codes", m + 1) + 1
-        )
-        adist = term if adist is None else adist + term
     scored = c.join(
         F.broadcast(q),
         (q["cluster"] == c["cluster"]) & (F.col("query_id") != F.col("neighbor_id")),
-    ).select("query_id", "neighbor_id", adist.alias("adist"))
-    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", norm_round("adist", 6).alias("adist"), "rank")
-    )
+    ).select("query_id", "neighbor_id", _pq_adist().alias("adist"))
+    return _pq_rank_topk(scored, k)
 
 
 def ivfadc_topk_sql(
@@ -750,43 +787,19 @@ def ivfadc_topk_sql(
     distance definition, like pq_topk_sql), and the cluster columns
     reuse the ivf_topk_sql coarse-quantizer fragments."""
     dots = _centroid_dots_sql(vec_col)
-    dcols = ", ".join(
-        "list_value("
-        + ", ".join(
-            _sqdist_sql(f"v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", e)
-            for e in PQ_CODEBOOKS[m]
-        )
-        + f") AS d{m}"
-        for m in range(PQ_M)
-    )
-    argmins = ", ".join(
-        f"list_sort(list_transform(range(1, {PQ_K + 1}), "
-        f"i -> {{'d': d{m}[i], 'i': i - 1}}))[1].i"
-        for m in range(PQ_M)
-    )
-    luts = ", ".join(f"d{m}" for m in range(PQ_M))
-    adist = " + ".join(
-        f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(PQ_M)
-    )
     return f"""
     WITH cb AS (SELECT {id_col}, ({vec_col}::DOUBLE[]) AS v, {dots} AS ds
                 FROM {table}),
-    d AS (SELECT {id_col}, {_probe_list_sql('ds', 1)}[1] AS cluster, {dcols},
-                 ds FROM cb),
-    c AS (SELECT {id_col} AS neighbor_id, cluster, [{argmins}] AS codes FROM d),
+    d AS (SELECT {id_col}, {_probe_list_sql('ds', 1)}[1] AS cluster,
+                 {_pq_dcols_sql()}, ds FROM cb),
+    c AS (SELECT {id_col} AS neighbor_id, cluster,
+                 [{_pq_argmins_sql()}] AS codes FROM d),
     q AS (SELECT {id_col} AS query_id, unnest({_probe_list_sql('ds', nprobe)})
-             AS cluster, [{luts}] AS lut
+             AS cluster, [{_pq_luts_sql()}] AS lut
           FROM d WHERE {query_pred}),
     scored AS (
-      SELECT q.query_id, c.neighbor_id, {adist} AS adist
+      SELECT q.query_id, c.neighbor_id, {_pq_adist_sql()} AS adist
       FROM q JOIN c ON q.cluster = c.cluster AND q.query_id <> c.neighbor_id
     ),
-    ranked AS (
-      SELECT query_id, neighbor_id, adist,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adist, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, ROUND(adist, 6) + 0 AS adist, rank
-    FROM ranked WHERE rank <= {k}
+    {_pq_ranked_tail_sql(k)}
     """

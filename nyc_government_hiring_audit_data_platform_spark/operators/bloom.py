@@ -79,6 +79,11 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     over ``sequence(0, M/32 - 1)`` - absent words become 0."""
     bits = (
         keys.select(base_hash(F.col(key_col).cast("string")).alias("h"))
+        # NULL keys hash to NULL and insert nothing — the SQL twin's
+        # word-range LEFT JOIN drops the NULL bit group implicitly; the
+        # Spark fold must drop it EXPLICITLY or map_from_entries raises
+        # on the NULL map key
+        .filter(F.col("h").isNotNull())
         .select(F.explode(bloom_bits(F.col("h"))).alias("bit"))
         .distinct()
     )

@@ -34,6 +34,13 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+# Hard cap on the flattened per-sample table (4M samples ~= a day of
+# 48 fps video or ~0.5 GB of per-sample records). The variable-size
+# stsz form is byte-backed (4 B of box per sample) so it earns its
+# allocation; the fixed-size form spends 4 bytes total on `count` and
+# needs this cap to keep a metadata-only scan metadata-sized.
+_MAX_SAMPLES = 4_194_304
+
 
 # ---------------------------------------------------------------------------
 # box-tree parsing
@@ -175,6 +182,20 @@ def _resolve_samples(
             raise ValueError(
                 f"stsz claims {count} x {fixed_size}B samples in a "
                 f"{file_size}B file"
+            )
+        # the file-size bound alone still lets fixed_size=1 in a multi-GB
+        # file claim ~1e9 samples — byte-backed by nothing (the fixed
+        # form spends 4 bytes on `count` however large it is), yet the
+        # flattened per-sample record list would be tens of GB. Cap the
+        # MATERIALIZED representation: past this, a per-sample Python
+        # list is the wrong shape regardless of validity (the variable
+        # form would need a 16 MiB stsz box — real metadata bytes — to
+        # reach it).
+        if count > _MAX_SAMPLES:
+            raise ValueError(
+                f"stsz fixed-size sample count {count} exceeds the "
+                f"materialization cap ({_MAX_SAMPLES}); refusing to "
+                "flatten a per-sample table this large"
             )
         sizes = [fixed_size] * count
     else:

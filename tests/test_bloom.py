@@ -65,6 +65,25 @@ def test_filter_is_fixed_size_one_row(spark):
     assert popcount == B.BLOOM_K
 
 
+def test_null_keys_insert_nothing(spark):
+    """A NULL key hashes to NULL and must be SKIPPED on build — the
+    SQL twin's word-range LEFT JOIN drops the NULL bit group
+    implicitly, so the Spark fold crashing on a NULL map key
+    (map_from_entries) would be a build-crash-vs-oracle-success
+    divergence. A NULL-only build is the all-zero filter; mixed input
+    equals the filter over just the non-NULL keys."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    mixed = B.bloom_build(df, "k").collect()[0]["fb"]
+    clean = B.bloom_build(_keys_df(spark, ["a", "b"]), "k").collect()[0]["fb"]
+    assert mixed == clean
+    empty = B.bloom_build(
+        spark.createDataFrame([(None,)], "k string"), "k"
+    ).collect()[0]["fb"]
+    assert all(w == 0 for w in empty)
+
+
 def test_incremental_prefilter_preserves_survivors_and_cuts_probes(spark, sf_smoke):
     """bloom-gated incremental_neardup: identical match set, fewer band
     rows reaching the index join (unseen batch rows drop map-side)."""

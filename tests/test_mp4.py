@@ -152,6 +152,27 @@ def test_fixed_size_stsz_scan_roundtrip(tmp_path):
         scan_mp4_file(__import__("io").BytesIO(bytes(bad)))
 
 
+def test_fixed_stsz_materialization_cap():
+    """The file-size bound alone admits fixed_size=1 with count ~= the
+    file size (tiny samples in a big file) — byte-backed by nothing and
+    a multi-GB flattened list if materialized. The cap must trip FIRST,
+    before allocation, even when fixed_size*count fits the file."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        _MAX_SAMPLES,
+    )
+
+    data = bytearray(encode_mp4([b"x" * 32] * 2, fixed_stsz=True))
+    i = bytes(data).index(b"stsz") + 4 + 4
+    data[i : i + 4] = (1).to_bytes(4, "big")  # fixed_size = 1 byte
+    data[i + 4 : i + 8] = (_MAX_SAMPLES + 1).to_bytes(4, "big")
+    # pad with a trailing free box so fixed_size*count <= file size
+    # (the pre-existing bound passes; only the new cap can reject)
+    pad = _MAX_SAMPLES + 1 + 64 - len(data)
+    data += (pad + 8).to_bytes(4, "big") + b"free" + b"\x00" * pad
+    with pytest.raises(ValueError, match="materialization cap"):
+        demux_mp4(bytes(data))
+
+
 def test_fixed_stsz_rejects_zero_size_samples():
     """sample_size 0 IS the spec's variable-size marker: a fixed-form
     stsz claiming size 0 with no table would be emitted 'valid' but
