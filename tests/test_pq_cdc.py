@@ -129,13 +129,13 @@ def test_pq_encode_and_adc_zero_on_codebook_vector(spark):
     assert by_rank[2]["neighbor_id"] == 1 and by_rank[2]["adist"] > 0.0
 
 
-def test_ivfadc_equals_pq_when_probing_every_cluster(spark):
+def test_ivfadc_equals_pq_when_probing_every_cluster(spark, sf_smoke):
     """With nprobe = NUM_CENTROIDS the coarse quantizer filters nothing,
     so IVFADC must return exactly pq_topk's rows - the composition
     property that proves the cluster join only RESTRICTS candidates and
     never alters ADC scoring. At nprobe=4 every returned pair must also
     appear in the candidate's probed clusters by construction."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     full = {
         (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])

@@ -21,6 +21,19 @@ import os
 import sys
 from urllib.parse import urlsplit
 
+
+def _spark_host(uri: str) -> str | None:
+    """Case-preserving twin of Spark's ``parse_url(..., 'HOST')``
+    (java.net.URI.getHost): netloc minus userinfo and port.
+    ``urlsplit().hostname`` would LOWERCASE the host - Spark does not -
+    so a fixture URI with a mixed-case host would bake in an
+    expectation the engine can never produce (the same
+    fixture-vs-engine divergence class as netloc's port/userinfo)."""
+    host = urlsplit(uri).netloc.rpartition("@")[2]
+    if host.startswith("["):  # bracketed IPv6 literal keeps its brackets
+        return host[: host.index("]") + 1] or None
+    return host.split(":", 1)[0] or None
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -74,6 +87,13 @@ ROWS: list[tuple[str, str, str]] = [
     ),
     ("conversion", "https://mirror.example.com/empty", ""),
     (
+        # mixed-case host: Spark's parse_url HOST (java.net.URI) is
+        # case-PRESERVING, so the independent expectation must be too
+        "conversion",
+        "https://CDN.Example.COM/assets/readme",
+        "Mixed-case host row pins case-preserving source derivation.",
+    ),
+    (
         "conversion",
         "https://blog.example.io/posts/42",
         "日本語のテキストと emoji "
@@ -103,12 +123,7 @@ def main() -> None:
             continue
         expected["rec"].append(i)
         expected["text"].append(body)
-        # hostname, not netloc: the engine derives source via Spark's
-        # parse_url(..., 'HOST') (driver_queries_ingest.py), which strips
-        # userinfo and port - netloc keeps both, so a fixture URI like
-        # https://h:8443/x would bake in an expectation the query can
-        # never produce (permanent wet_documents red on regeneration)
-        expected["source"].append(urlsplit(uri).hostname or "unknown")
+        expected["source"].append(_spark_host(uri) or "unknown")
         expected["n_chars"].append(len(body))
     table = pa.table(
         {
