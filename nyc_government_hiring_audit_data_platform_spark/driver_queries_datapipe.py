@@ -1704,6 +1704,193 @@ def q_kmv_source_similarity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# KMV containment novelty (cross-corpus "how much is NEW" planner input)
+# ---------------------------------------------------------------------------
+
+# 3-sigma binomial bound on the tau-restricted containment sample:
+# floor(3000 / (2*sqrt(n_eff))) + 1 milli (n_eff = 64 -> 188, matching
+# _KMV_BOUND_MILLI). SQRT is IEEE-correctly-rounded on both engines;
+# the literals are CAST to DOUBLE (bare 3000.0 would parse DECIMAL in
+# Spark - the module's pow/decimal hazard conventions).
+_NOVELTY_BOUND_SQL = (
+    "CAST(FLOOR(CAST(3000 AS DOUBLE) / "
+    "(2 * SQRT(CAST(GREATEST(n_eff, 1) AS DOUBLE)))) AS BIGINT) + 1"
+)
+
+
+@query(
+    "kmv_source_novelty",
+    f"""
+    WITH {_shingle_incidence_sql("source", "ts").strip()},
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM ts)
+      WHERE rk <= {_KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    rest AS (
+      SELECT DISTINCT a.source AS src, s.h
+      FROM srcs a JOIN sk s ON s.source <> a.source
+    ),
+    mx AS (SELECT source, MAX(h) AS mxa FROM sk GROUP BY source),
+    tau AS (
+      SELECT m.source, LEAST(m.mxa, MIN(o.mxa)) AS tau
+      FROM mx m JOIN mx o ON o.source <> m.source
+      GROUP BY m.source, m.mxa
+    ),
+    eff AS (
+      SELECT sk.source,
+             CAST(COUNT(*) AS BIGINT) AS n_eff,
+             CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both
+      FROM sk
+      JOIN tau ON sk.source = tau.source AND sk.h <= tau.tau
+      LEFT JOIN rest r ON r.src = sk.source AND r.h = sk.h
+      GROUP BY sk.source
+    ),
+    hc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM ts GROUP BY h),
+    ex AS (
+      SELECT ts.source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN hc.cnt >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM ts JOIN hc ON ts.h = hc.h
+      GROUP BY ts.source
+    ),
+    joined AS (
+      SELECT srcs.source,
+             COALESCE(eff.n_eff, 0) AS n_eff,
+             COALESCE(eff.n_both, 0) AS n_both,
+             ex.n, ex.n_shared
+      FROM srcs
+      LEFT JOIN eff ON srcs.source = eff.source
+      JOIN ex ON srcs.source = ex.source
+    )
+    SELECT source, n_eff,
+           1000 - n_both * 1000 // GREATEST(n_eff, 1) AS novelty_est_milli,
+           1000 - n_shared * 1000 // GREATEST(n, 1) AS novelty_exact_milli,
+           ABS(n_shared * 1000 // GREATEST(n, 1)
+               - n_both * 1000 // GREATEST(n_eff, 1)) AS err_milli,
+           ABS(n_shared * 1000 // GREATEST(n, 1)
+               - n_both * 1000 // GREATEST(n_eff, 1))
+             <= {_NOVELTY_BOUND_SQL} AS within_bound
+    FROM joined
+    """,
+)
+def q_kmv_source_novelty(spark, sf_dir):
+    """Per-source CONTENT NOVELTY vs the rest of the corpus - the
+    cross-crawl planning metric ("how much does crawl N actually add?",
+    FineWeb's per-snapshot dedup decision input) - from the same KMV
+    sketches as ``kmv_source_similarity``, via the two-sketch
+    CONTAINMENT estimator: with
+    tau = min(max(sketch_A), MIN over other sources o of max(sketch_o)),
+    membership at or below tau is provably EXACT on both sides (any
+    h <= tau that belongs to a set is below that set's own sketch max,
+    hence in its bottom-K sketch), so n_both/n_eff over A's sketch
+    restricted to tau is an exact-membership prefix sample of
+    C(A in REST) = |A n REST|/|A|; novelty = 1000 - containment milli.
+    Taking the per-source MINIMUM of sketch maxes - rather than
+    re-sketching the rest-union to bottom-K, whose max shrinks ~(S-1)x
+    and starves the sample to n_eff ~ K/(S-1) (measured: 1-8 of 64) -
+    keeps n_eff near K for similar-sized sources. KMV sketches stay
+    mergeable per Beyer et al. 2007 §3, and the corpus-side state stays
+    K rows per source at 100 TB: per-source bottom-K is a
+    WindowGroupLimit partial top-k over the linear shingle scan, the
+    leave-one-out probe touches only sources^2 x K sketch rows, and the
+    corpus is never joined against itself.
+
+    The exact lane (h-keyed source-count join, linear and h-keyed like
+    source_vocab_overlap) rides along as the validation harness:
+    ``within_bound`` asserts the 3-sigma binomial bound
+    3/(2*sqrt(n_eff)) on the tau-restricted sample - in production only
+    the sketches are kept and this lane runs on an audit slice.
+    Integer/md5-lexicographic arithmetic throughout; the single
+    GREATEST(...,1) guards an empty tau-restriction (possible when the
+    rest-max falls below A's whole sketch), where est=0 reads as
+    novelty 1000 - the right answer for "nothing comparable seen"."""
+    docs = table(spark, sf_dir, "documents")
+    ts = _shingle_incidence(docs, "source", cross_row=True).persist(
+        StorageLevel.MEMORY_AND_DISK  # sketch + exact lanes
+    )
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        ts.withColumn("rk", F.row_number().over(wsk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # self + rest lanes
+    )
+    srcs = sk.select("source").distinct()
+    rest = (
+        srcs.select(F.col("source").alias("src"))
+        .join(F.broadcast(sk), F.col("src") != F.col("source"))
+        .select("src", "h")
+        .distinct()
+    )
+    mx = sk.groupBy("source").agg(F.max("h").alias("mxa"))
+    tau = (
+        mx.join(
+            F.broadcast(
+                mx.select(F.col("source").alias("osrc"), F.col("mxa").alias("omx"))
+            ),
+            F.col("source") != F.col("osrc"),
+        )
+        .groupBy("source", "mxa")
+        .agg(F.min("omx").alias("mnr"))
+        .select("source", F.least("mxa", "mnr").alias("tau"))
+    )
+    eff = (
+        sk.join(tau, "source")
+        .filter(F.col("h") <= F.col("tau"))
+        .join(
+            rest.select(F.col("src").alias("source"), "h").withColumn(
+                "hit", F.lit(1)
+            ),
+            ["source", "h"],
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_eff"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_both"),
+        )
+    )
+    hc = ts.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    ex = (
+        ts.join(hc, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    est_milli = F.expr("n_both * 1000 DIV GREATEST(n_eff, 1)")
+    exact_milli = F.expr("n_shared * 1000 DIV GREATEST(n, 1)")
+    bound = F.expr(
+        "CAST(FLOOR(CAST(3000 AS DOUBLE) / "
+        "(2 * SQRT(CAST(GREATEST(n_eff, 1) AS DOUBLE)))) AS BIGINT) + 1"
+    )
+    return (
+        srcs.join(eff, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_eff", F.lit(0).cast("long")).alias("n_eff"),
+            F.coalesce("n_both", F.lit(0).cast("long")).alias("n_both"),
+        )
+        .join(ex, "source")
+        .select(
+            "source",
+            "n_eff",
+            (F.lit(1000) - est_milli).cast("long").alias("novelty_est_milli"),
+            (F.lit(1000) - exact_milli).cast("long").alias("novelty_exact_milli"),
+            F.abs(exact_milli - est_milli).cast("long").alias("err_milli"),
+            (F.abs(exact_milli - est_milli) <= bound).alias("within_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter cross-corpus membership gate
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,34 @@ def test_kmv_source_similarity_extremes_and_bound(spark, tmp_path):
     assert out[("sA", "sC")]["kmv_est_milli"] == 0
     assert out[("sB", "sC")]["n_shared"] == 0
     assert all(r["within_bound"] for r in out.values())
+
+
+def test_kmv_source_novelty_extremes(spark, tmp_path):
+    """Containment-novelty semantics the parity harness can't see: a
+    source whose content is fully CONTAINED in another (a mirror) must
+    read novelty 0 on both lanes; a source sharing nothing with the
+    rest must read 1000 on both; and the estimator's tau restriction
+    must still leave a live sample (n_eff >= 1) with within_bound
+    everywhere."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    words_a = " ".join(f"a{i}" for i in range(200))
+    words_b = " ".join(f"b{i}" for i in range(200))
+    rows = [
+        (0, words_a, "en", "sA", 1),
+        (1, words_a, "en", "sMirror", 1),  # fully contained in sA
+        (2, words_b, "en", "sNew", 1),     # disjoint from everything
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "kmv_nov_sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in DQ.QUERIES["kmv_source_novelty"](spark, d).collect()}
+    spark.catalog.clearCache()
+    assert out["sMirror"]["novelty_est_milli"] == 0
+    assert out["sMirror"]["novelty_exact_milli"] == 0
+    assert out["sNew"]["novelty_est_milli"] == 1000
+    assert out["sNew"]["novelty_exact_milli"] == 1000
+    assert all(r["n_eff"] >= 1 for r in out.values())
+    assert all(r["within_bound"] for r in out.values())
