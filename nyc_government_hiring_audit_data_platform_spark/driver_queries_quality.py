@@ -23,6 +23,12 @@ re-expressed as pure Column-expression chains:
   0.4-weighted unigram backoff, trained on a half-corpus slice so the
   held-out half exercises the backoff path; per-position FLOOR
   micro-nats, exact integer aggregation.
+- ``quality_classifier_scores`` - the fastText-style (Joulin et al.
+  2017) PRETRAINED linear-classifier filter lane: a frozen 1024-bucket
+  hashed-bag-of-words weight relation broadcast onto doc x bucket term
+  frequencies, mean per-token logit in integer micro-units, keep =
+  logit >= 0. The apply-side topology of model-based filtering, as
+  distinct from DSIR's corpus-derived ratios.
 
 The rule filters extend the heuristic scoring already in
 ``quality_scores`` (length/punct/stopword blend) with the exact
@@ -780,4 +786,122 @@ def q_stupid_backoff_score(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("backoff").alias("n_backoff"),
         F.expr("SUM(lp_micro) DIV COUNT(*)").alias("avg_logp_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen linear quality classifier (fastText-style apply pass)
+# ---------------------------------------------------------------------------
+
+_LQC_B = 1024  # hashed-feature buckets (model size, corpus-independent)
+# Frozen "pretrained" per-bucket weights in integer micro-units: the
+# Knuth multiplicative constant spreads bucket ids over [-1000, 1000].
+# b < 1024 keeps b * 2654435761 < 2^42 - BIGINT-exact on both engines.
+_LQC_W = "(b * 2654435761) % 2001 - 1000"
+
+
+@query(
+    "quality_classifier_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '),
+                    t -> t <> '')) AS term
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(term), 1, 6) AS UBIGINT)
+                  % {_LQC_B} AS BIGINT) AS b
+      FROM toks
+    ),
+    tf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM feat GROUP BY doc_id, b),
+    w AS (SELECT CAST(r.b AS BIGINT) AS b,
+                 CAST({_LQC_W} AS BIGINT) AS w
+          FROM range({_LQC_B}) r(b)),
+    per AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+             CAST(SUM(tf.tf * w.w) AS BIGINT) AS ssum
+      FROM tf JOIN w USING (b) GROUP BY tf.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tok, 0) AS n_tok,
+           COALESCE(p.ssum, 0) // GREATEST(COALESCE(p.n_tok, 0), 1)
+             AS logit_micro,
+           CAST(CASE WHEN COALESCE(p.ssum, 0)
+                          // GREATEST(COALESCE(p.n_tok, 0), 1) >= 0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    """Frozen LINEAR quality classifier, apply pass - the fastText-
+    style (Joulin et al. 2017) model-based filter lane of CCNet/LLaMA/
+    FineWeb-Edu curation stacks, as distinct from the corpus-derived
+    statistics the suite already has: DSIR learns its log-ratios FROM
+    the corpus being scored; a production classifier filter applies a
+    PRETRAINED model unchanged. The model here is a fixed
+    1024-bucket hashed-bag-of-words weight relation (weights frozen by
+    a multiplicative-hash formula standing in for trained parameters -
+    the topology, sizes and dtypes are exactly those of a real
+    exported linear model), scored as mean per-token weight in integer
+    micro-units; keep = logit >= 0.
+
+    Plan at 100 TB: tokenize -> bucket-hash map-side; one doc x bucket
+    partial-aggregated shuffle (the only corpus-sized exchange);
+    the model is a BROADCAST 1024-row relation however big the corpus
+    is (the point of hashed features); per-doc rollup is doc-keyed.
+    Swapping in real trained weights = replacing the range()-derived
+    relation with a read of the exported model table - the plan is
+    unchanged, which is why the frozen stand-in exercises the real
+    deployment shape.
+
+    Determinism: bucket = md5-prefix mod B (the dsir convention), all
+    weights/aggregates BIGINT, the mean is one integer division whose
+    truncation-toward-zero agrees on both engines for negative
+    numerators (verified; the stupid_backoff avg uses the same), and
+    empty docs keep n_tok = 0 / logit 0 via COALESCE on the outer
+    join."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    feat = toks.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(term), 1, 6), 16, 10) as bigint) % {_LQC_B}"
+        ).alias("b"),
+    )
+    tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    w = spark.range(_LQC_B).select(
+        F.col("id").alias("b"), F.expr(f"({_LQC_W.replace('b', 'id')})").alias("w")
+    )
+    per = (
+        tf.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("w")).alias("ssum"),
+        )
+    )
+    logit = "COALESCE(ssum, 0) DIV GREATEST(COALESCE(n_tok, 0), 1)"
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+            F.expr(logit).alias("logit_micro"),
+            F.expr(
+                f"CAST(CASE WHEN {logit} >= 0 THEN 1 ELSE 0 END AS INT)"
+            ).alias("keep"),
+        )
     )

@@ -204,6 +204,11 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         # the recall gate's degenerate-doc exclusion (empty/tiny texts
         # would otherwise be LSH-lane-only "false positives")
         "minhash_lsh_recall",
+        # round-6 text-shaped queries
+        "quality_classifier_scores",
+        "containment_neardup",
+        "kmv_source_similarity",
+        "kmv_source_novelty",
     ):
         sdf = DQ.QUERIES[name](spark, d)
         srows = [tuple(r) for r in sdf.collect()]
