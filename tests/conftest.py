@@ -14,7 +14,10 @@ if REPO_DIR not in sys.path:
 from nyc_government_hiring_audit_data_platform_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# The oracle-parity SF; override to run the full battery at another
+# scale (the round-close ritual: SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1
+# python -m pytest tests/test_oracle_parity.py).
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

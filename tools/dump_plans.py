@@ -223,6 +223,39 @@ SHOWCASE = {
         "quadratic, the LSH lane the linear banded chain; both persist "
         "once and the verdict is two counts + one equi-join."
     ),
+    "bloom_membership_gate": (
+        "Constant-memory membership: the corpus folds map-side into ONE "
+        "2048-word bitmap row; the probe side is a map-only forall "
+        "against that single broadcast row - no shuffle grows with the "
+        "seen-corpus size."
+    ),
+    "corpus_mix_plan": (
+        "Capstone funnel: six curation stages composed in one plan - "
+        "every stage doc- or span-keyed, the final weight normalization "
+        "a one-row broadcast; the funnel counts ride the same pass."
+    ),
+    "ann_ivfadc_topk": (
+        "Composed index: IVF coarse probe restricts candidates BEFORE "
+        "the PQ-ADC compressed-domain scoring join; raw vectors are "
+        "dropped map-side (8-byte codes ship instead), queries broadcast."
+    ),
+    "containment_neardup": (
+        "Prefix filtering: only each doc's rarest-df prefix joins the "
+        "inverted index, so the candidate join is bounded by rare "
+        "postings; the exact intersect runs on candidates only - row "
+        "volumes measured exactly linear to x100 (SCALING.md)."
+    ),
+    "kmv_source_novelty": (
+        "Sketch-side novelty: corpus contributes one WindowGroupLimit "
+        "bottom-K pass; the leave-one-out containment runs on sources^2 "
+        "x K sketch rows with min-of-maxes tau - the corpus is never "
+        "self-joined (the exact lane is the audit harness)."
+    ),
+    "quality_classifier_scores": (
+        "Pretrained-model apply: one doc x bucket partial-agg shuffle; "
+        "the 1024-row weight relation broadcasts; swapping in real "
+        "trained weights changes the model source, not the plan."
+    ),
 }
 
 
