@@ -1541,17 +1541,38 @@ def q_source_vocab_overlap(spark, sf_dir):
 
 _KMV_K = 64  # sketch size; KMV std-err ~ sqrt(J(1-J)/k) <= 1/(2*sqrt(k))
 _KMV_BOUND_MILLI = 188  # 3 * 1000/(2*sqrt(64)) = 187.5, ceil'd
+
+
+def _kmv_sketch_sql(cte_in: str, cte_out: str) -> str:
+    """DuckDB CTE: per-source bottom-``_KMV_K`` KMV sketch over the
+    ``(source, h)`` incidence relation ``cte_in``. ONE definition shared
+    by similarity and novelty on both engines (with :func:`_kmv_sketch`)
+    so a K / ordering / tie-break tweak cannot desynchronize them."""
+    return f"""{cte_out} AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM {cte_in})
+      WHERE rk <= {_KMV_K}
+    )"""
+
+
+def _kmv_sketch(ts):
+    """Spark twin of :func:`_kmv_sketch_sql`: per-source bottom-K =
+    WindowGroupLimit partial top-k (never a full sort at scale)."""
+    wsk = Window.partitionBy("source").orderBy("h")
+    return (
+        ts.withColumn("rk", F.row_number().over(wsk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+    )
+
+
 @query(
     "kmv_source_similarity",
     f"""
     WITH {_shingle_incidence_sql("source", "ts").strip()},
-    sk AS (
-      SELECT source, h FROM (
-        SELECT source, h,
-               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
-        FROM ts)
-      WHERE rk <= {_KMV_K}
-    ),
+    {_kmv_sketch_sql("ts", "sk").strip()},
     srcs AS (SELECT DISTINCT source FROM sk),
     pairs AS (
       SELECT a.source AS src_a, b.source AS src_b
@@ -1632,13 +1653,7 @@ def q_kmv_source_similarity(spark, sf_dir):
     ts = _shingle_incidence(docs, "source", cross_row=True).persist(
         StorageLevel.MEMORY_AND_DISK  # sketch + exact lanes
     )
-    wsk = Window.partitionBy("source").orderBy("h")
-    sk = (
-        ts.withColumn("rk", F.row_number().over(wsk))
-        .filter(F.col("rk") <= _KMV_K)
-        .select("source", "h")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # both pair sides
-    )
+    sk = _kmv_sketch(ts).persist(StorageLevel.MEMORY_AND_DISK)  # both pair sides
     srcs = sk.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("src_a"))
@@ -1722,14 +1737,8 @@ _NOVELTY_BOUND_SQL = (
     "kmv_source_novelty",
     f"""
     WITH {_shingle_incidence_sql("source", "ts").strip()},
-    sk AS (
-      SELECT source, h FROM (
-        SELECT source, h,
-               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
-        FROM ts)
-      WHERE rk <= {_KMV_K}
-    ),
-    srcs AS (SELECT DISTINCT source FROM sk),
+    {_kmv_sketch_sql("ts", "sk").strip()},
+    srcs AS (SELECT DISTINCT source FROM documents),
     rest AS (
       SELECT DISTINCT a.source AS src, s.h
       FROM srcs a JOIN sk s ON s.source <> a.source
@@ -1763,10 +1772,11 @@ _NOVELTY_BOUND_SQL = (
       SELECT srcs.source,
              COALESCE(eff.n_eff, 0) AS n_eff,
              COALESCE(eff.n_both, 0) AS n_both,
-             ex.n, ex.n_shared
+             COALESCE(ex.n, 0) AS n,
+             COALESCE(ex.n_shared, 0) AS n_shared
       FROM srcs
       LEFT JOIN eff ON srcs.source = eff.source
-      JOIN ex ON srcs.source = ex.source
+      LEFT JOIN ex ON srcs.source = ex.source
     )
     SELECT source, n_eff,
            1000 - n_both * 1000 // GREATEST(n_eff, 1) AS novelty_est_milli,
@@ -1806,22 +1816,21 @@ def q_kmv_source_novelty(spark, sf_dir):
     ``within_bound`` asserts the 3-sigma binomial bound
     3/(2*sqrt(n_eff)) on the tau-restricted sample - in production only
     the sketches are kept and this lane runs on an audit slice.
-    Integer/md5-lexicographic arithmetic throughout; the single
+    Integer/md5-lexicographic arithmetic throughout; the
     GREATEST(...,1) guards an empty tau-restriction (possible when the
     rest-max falls below A's whole sketch), where est=0 reads as
-    novelty 1000 - the right answer for "nothing comparable seen"."""
+    novelty 1000 - the right answer for "nothing comparable seen".
+    The source domain is ALL of documents, not just sketchable
+    sources: a source whose every doc is under 8 tokens still gets an
+    explicit row (n_eff=0, novelty 1000 on both lanes) - a planner
+    reading the report must see "unsketchable source", never a silent
+    absence it could misread as "no data"."""
     docs = table(spark, sf_dir, "documents")
     ts = _shingle_incidence(docs, "source", cross_row=True).persist(
         StorageLevel.MEMORY_AND_DISK  # sketch + exact lanes
     )
-    wsk = Window.partitionBy("source").orderBy("h")
-    sk = (
-        ts.withColumn("rk", F.row_number().over(wsk))
-        .filter(F.col("rk") <= _KMV_K)
-        .select("source", "h")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # self + rest lanes
-    )
-    srcs = sk.select("source").distinct()
+    sk = _kmv_sketch(ts).persist(StorageLevel.MEMORY_AND_DISK)  # self + rest lanes
+    srcs = docs.select("source").distinct()
     rest = (
         srcs.select(F.col("source").alias("src"))
         .join(F.broadcast(sk), F.col("src") != F.col("source"))
@@ -1867,10 +1876,8 @@ def q_kmv_source_novelty(spark, sf_dir):
     )
     est_milli = F.expr("n_both * 1000 DIV GREATEST(n_eff, 1)")
     exact_milli = F.expr("n_shared * 1000 DIV GREATEST(n, 1)")
-    bound = F.expr(
-        "CAST(FLOOR(CAST(3000 AS DOUBLE) / "
-        "(2 * SQRT(CAST(GREATEST(n_eff, 1) AS DOUBLE)))) AS BIGINT) + 1"
-    )
+    # Spark DIV on BIGINT truncates toward zero exactly like DuckDB //
+    bound = F.expr(_NOVELTY_BOUND_SQL)  # ONE bound definition, both engines
     return (
         srcs.join(eff, "source", "left")
         .select(
@@ -1878,7 +1885,14 @@ def q_kmv_source_novelty(spark, sf_dir):
             F.coalesce("n_eff", F.lit(0).cast("long")).alias("n_eff"),
             F.coalesce("n_both", F.lit(0).cast("long")).alias("n_both"),
         )
-        .join(ex, "source")
+        .join(ex, "source", "left")
+        .select(
+            "source",
+            "n_eff",
+            "n_both",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+        )
         .select(
             "source",
             "n_eff",

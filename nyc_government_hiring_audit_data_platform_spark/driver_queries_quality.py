@@ -832,6 +832,7 @@ _LQC_W = "(b * 2654435761) % 2001 - 1000"
              AS logit_micro,
            CAST(CASE WHEN COALESCE(p.ssum, 0)
                           // GREATEST(COALESCE(p.n_tok, 0), 1) >= 0
+                          AND COALESCE(p.n_tok, 0) >= 1
                      THEN 1 ELSE 0 END AS INT) AS keep
     FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     """,
@@ -861,9 +862,11 @@ def q_quality_classifier_scores(spark, sf_dir):
     Determinism: bucket = md5-prefix mod B (the dsir convention), all
     weights/aggregates BIGINT, the mean is one integer division whose
     truncation-toward-zero agrees on both engines for negative
-    numerators (verified; the stupid_backoff avg uses the same), and
-    empty docs keep n_tok = 0 / logit 0 via COALESCE on the outer
-    join."""
+    numerators (verified; the stupid_backoff avg uses the same).
+    Empty/whitespace-only/NULL docs report n_tok = 0 / logit 0 via
+    COALESCE on the outer join and are DROPPED (keep requires
+    n_tok >= 1) - a zero logit is "no evidence", and a quality filter
+    must not wave through exactly the junk it exists to catch."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -881,8 +884,13 @@ def q_quality_classifier_scores(spark, sf_dir):
         ).alias("b"),
     )
     tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
-    w = spark.range(_LQC_B).select(
-        F.col("id").alias("b"), F.expr(f"({_LQC_W.replace('b', 'id')})").alias("w")
+    # rename id -> b FIRST so _LQC_W applies verbatim on both engines
+    # (string-surgery on the formula would silently corrupt any future
+    # edit that introduces another 'b')
+    w = (
+        spark.range(_LQC_B)
+        .select(F.col("id").alias("b"))
+        .select("b", F.expr(_LQC_W).alias("w"))
     )
     per = (
         tf.join(F.broadcast(w), "b")
@@ -901,7 +909,8 @@ def q_quality_classifier_scores(spark, sf_dir):
             F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
             F.expr(logit).alias("logit_micro"),
             F.expr(
-                f"CAST(CASE WHEN {logit} >= 0 THEN 1 ELSE 0 END AS INT)"
+                f"CAST(CASE WHEN {logit} >= 0 "
+                f"AND COALESCE(n_tok, 0) >= 1 THEN 1 ELSE 0 END AS INT)"
             ).alias("keep"),
         )
     )

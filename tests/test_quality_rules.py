@@ -174,7 +174,18 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
     ]
     docs = spark.createDataFrame(
         [
-            (i, t, "en" if i % 2 else "fr", "srcX", len(t) if t else 0)
+            # TWO sources (split so each gets long docs with shared
+            # spans): a single-source fixture made the KMV queries
+            # vacuously green - similarity has no pairs, novelty one
+            # constant row - so no cross-engine sketch divergence
+            # could ever surface here
+            (
+                i,
+                t,
+                "en" if i % 2 else "fr",
+                "srcX" if i % 2 == 0 else "srcY",
+                len(t) if t else 0,
+            )
             for i, t in enumerate(texts)
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
