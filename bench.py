@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "kmv_source_similarity",
     "kmv_source_novelty",
     "quality_classifier_scores",
+    "domain_reputation_gate",
     # minhash_lsh_recall earned a slot once its exact lane was
     # panel-bounded (r6): both lanes now linear-in-corpus, so the slot
     # times the production gate shape rather than a quadratic harness.

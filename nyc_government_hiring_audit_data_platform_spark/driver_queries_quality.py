@@ -29,6 +29,10 @@ re-expressed as pure Column-expression chains:
   frequencies, mean per-token logit in integer micro-units, keep =
   logit >= 0. The apply-side topology of model-based filtering, as
   distinct from DSIR's corpus-derived ratios.
+- ``domain_reputation_gate`` - the RefinedWeb (Penedo et al. 2023)
+  URL/source-level lane: classifier evidence pooled per source
+  (token-weighted mean logit), median-thresholded over the tiny
+  source relation, broadcast back as a per-document gate.
 
 The rule filters extend the heuristic scoring already in
 ``quality_scores`` (length/punct/stopword blend) with the exact
@@ -800,10 +804,13 @@ _LQC_B = 1024  # hashed-feature buckets (model size, corpus-independent)
 _LQC_W = "(b * 2654435761) % 2001 - 1000"
 
 
-@query(
-    "quality_classifier_scores",
-    f"""
-    WITH toks AS (
+def _lqc_per_sql() -> str:
+    """DuckDB CTE chain ``toks, feat, tf, w, per``: per-doc classifier
+    evidence ``(doc_id, n_tok, ssum)``. ONE definition (with
+    :func:`_lqc_per`) shared by the doc-level scores and the
+    domain-reputation gate so a bucket/weight/tokenization tweak cannot
+    desynchronize them."""
+    return f"""toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '),
                     t -> t <> '')) AS term
@@ -825,7 +832,51 @@ _LQC_W = "(b * 2654435761) % 2001 - 1000"
              CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
              CAST(SUM(tf.tf * w.w) AS BIGINT) AS ssum
       FROM tf JOIN w USING (b) GROUP BY tf.doc_id
+    )"""
+
+
+def _lqc_per(spark, docs):
+    """Spark twin of :func:`_lqc_per_sql`: per-doc ``(doc_id, n_tok,
+    ssum)``. Tokenize + bucket-hash map-side, ONE doc x bucket
+    partial-agg shuffle, 1024-row weight relation broadcast."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+                lambda t: t != "",
+            )
+        ).alias("term"),
     )
+    feat = toks.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(term), 1, 6), 16, 10) as bigint) % {_LQC_B}"
+        ).alias("b"),
+    )
+    tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    # rename id -> b FIRST so _LQC_W applies verbatim on both engines
+    # (string-surgery on the formula would silently corrupt any future
+    # edit that introduces another 'b')
+    w = (
+        spark.range(_LQC_B)
+        .select(F.col("id").alias("b"))
+        .select("b", F.expr(_LQC_W).alias("w"))
+    )
+    return (
+        tf.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("w")).alias("ssum"),
+        )
+    )
+
+
+@query(
+    "quality_classifier_scores",
+    f"""
+    WITH {_lqc_per_sql().strip()}
     SELECT d.doc_id,
            COALESCE(p.n_tok, 0) AS n_tok,
            COALESCE(p.ssum, 0) // GREATEST(COALESCE(p.n_tok, 0), 1)
@@ -868,38 +919,7 @@ def q_quality_classifier_scores(spark, sf_dir):
     n_tok >= 1) - a zero logit is "no evidence", and a quality filter
     must not wave through exactly the junk it exists to catch."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-                lambda t: t != "",
-            )
-        ).alias("term"),
-    )
-    feat = toks.select(
-        "doc_id",
-        F.expr(
-            f"cast(conv(substr(md5(term), 1, 6), 16, 10) as bigint) % {_LQC_B}"
-        ).alias("b"),
-    )
-    tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
-    # rename id -> b FIRST so _LQC_W applies verbatim on both engines
-    # (string-surgery on the formula would silently corrupt any future
-    # edit that introduces another 'b')
-    w = (
-        spark.range(_LQC_B)
-        .select(F.col("id").alias("b"))
-        .select("b", F.expr(_LQC_W).alias("w"))
-    )
-    per = (
-        tf.join(F.broadcast(w), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_tok"),
-            F.sum(F.col("tf") * F.col("w")).alias("ssum"),
-        )
-    )
+    per = _lqc_per(spark, docs)
     logit = "COALESCE(ssum, 0) DIV GREATEST(COALESCE(n_tok, 0), 1)"
     return (
         docs.select("doc_id")
@@ -911,6 +931,101 @@ def q_quality_classifier_scores(spark, sf_dir):
             F.expr(
                 f"CAST(CASE WHEN {logit} >= 0 "
                 f"AND COALESCE(n_tok, 0) >= 1 THEN 1 ELSE 0 END AS INT)"
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level reputation gate (URL/source-level filtering lane)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_reputation_gate",
+    f"""
+    WITH {_lqc_per_sql().strip()},
+    bysrc AS (
+      SELECT d.source,
+             CAST(SUM(COALESCE(p.ssum, 0)) AS BIGINT) AS ssum,
+             CAST(SUM(COALESCE(p.n_tok, 0)) AS BIGINT) AS n_tok
+      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      GROUP BY d.source
+    ),
+    rep AS (
+      SELECT source, n_tok,
+             ssum // GREATEST(n_tok, 1) AS src_logit_micro
+      FROM bysrc
+    ),
+    med AS (SELECT quantile_disc(src_logit_micro, 0.5) AS m FROM rep)
+    SELECT d.doc_id, d.source, r.src_logit_micro,
+           CAST(CASE WHEN r.src_logit_micro >= med.m AND r.n_tok >= 1
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d
+    JOIN rep r ON d.source = r.source
+    CROSS JOIN med
+    """,
+)
+def q_domain_reputation_gate(spark, sf_dir):
+    """DOMAIN-level reputation filtering - the URL/source-level lane of
+    RefinedWeb (Penedo et al. 2023) and FineWeb curation: instead of
+    judging each document alone, pool the classifier's evidence per
+    SOURCE (token-weighted mean logit = SUM(ssum)/SUM(n_tok), one
+    integer division so low-evidence docs can't swamp the mean), keep
+    sources at or above the corpus median reputation, and gate every
+    document by its source's verdict. Catches the case doc-level
+    filtering misses: a borderline page from a consistently-junk
+    domain (and vice versa) - the two gates compose, they don't
+    substitute.
+
+    Plan at 100 TB: per-doc evidence reuses the classifier chain (ONE
+    doc x bucket shuffle, broadcast model - `_lqc_per`, the single
+    shared definition); the source rollup is a source-keyed agg over
+    doc-level rows; the median is over the SOURCE relation (domains,
+    not docs - tiny) and broadcasts back as one row; the final gate is
+    a broadcast-able source-keyed join onto the scan. No stage is
+    quadratic and nothing but the two keyed aggs touches corpus-sized
+    data.
+
+    Determinism: all-BIGINT sums (CAST both engines; DuckDB bare SUM
+    widens to HUGEINT), integer truncating division, and a DISCRETE
+    median (an actual value of the integer source-logit relation, the
+    dsir convention) compared in integer space. Sources whose docs are
+    all unsketchable (n_tok = 0) carry logit 0 into the median and are
+    themselves dropped (keep requires n_tok >= 1)."""
+    docs = table(spark, sf_dir, "documents")
+    per = _lqc_per(spark, docs)
+    zero = F.lit(0).cast("long")
+    bysrc = (
+        docs.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.coalesce("ssum", zero)).alias("ssum"),
+            F.sum(F.coalesce("n_tok", zero)).alias("n_tok"),
+        )
+    )
+    rep = bysrc.select(
+        "source",
+        "n_tok",
+        F.expr("ssum DIV GREATEST(n_tok, 1)").alias("src_logit_micro"),
+    )
+    med = rep.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY src_logit_micro)"
+        ).alias("m")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(rep, "source")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "source",
+            "src_logit_micro",
+            F.expr(
+                "CAST(CASE WHEN src_logit_micro >= m AND n_tok >= 1 "
+                "THEN 1 ELSE 0 END AS INT)"
             ).alias("keep"),
         )
     )

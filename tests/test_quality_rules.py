@@ -217,6 +217,7 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
         "minhash_lsh_recall",
         # round-6 text-shaped queries
         "quality_classifier_scores",
+        "domain_reputation_gate",
         "containment_neardup",
         "kmv_source_similarity",
         "kmv_source_novelty",
