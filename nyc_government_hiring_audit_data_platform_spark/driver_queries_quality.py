@@ -945,11 +945,12 @@ def q_quality_classifier_scores(spark, sf_dir):
     "domain_reputation_gate",
     f"""
     WITH {_lqc_per_sql().strip()},
+    d2 AS (SELECT doc_id, COALESCE(source, '') AS source FROM documents),
     bysrc AS (
       SELECT d.source,
              CAST(SUM(COALESCE(p.ssum, 0)) AS BIGINT) AS ssum,
              CAST(SUM(COALESCE(p.n_tok, 0)) AS BIGINT) AS n_tok
-      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      FROM d2 d LEFT JOIN per p ON d.doc_id = p.doc_id
       GROUP BY d.source
     ),
     rep AS (
@@ -961,7 +962,7 @@ def q_quality_classifier_scores(spark, sf_dir):
     SELECT d.doc_id, d.source, r.src_logit_micro,
            CAST(CASE WHEN r.src_logit_micro >= med.m AND r.n_tok >= 1
                      THEN 1 ELSE 0 END AS INT) AS keep
-    FROM documents d
+    FROM d2 d
     JOIN rep r ON d.source = r.source
     CROSS JOIN med
     """,
@@ -992,8 +993,14 @@ def q_domain_reputation_gate(spark, sf_dir):
     median (an actual value of the integer source-logit relation, the
     dsir convention) compared in integer space. Sources whose docs are
     all unsketchable (n_tok = 0) carry logit 0 into the median and are
-    themselves dropped (keep requires n_tok >= 1)."""
-    docs = table(spark, sf_dir, "documents")
+    themselves dropped (keep requires n_tok >= 1). NULL source
+    coalesces to '' BEFORE grouping/joining, so the gate is TOTAL: a
+    NULL-source doc gets an explicit verdict under the '' reputation
+    group instead of vanishing from the accounting (NULL never equals
+    NULL in the join) while still shifting the median."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("source", F.lit("")).alias("source"), "text"
+    )
     per = _lqc_per(spark, docs)
     zero = F.lit(0).cast("long")
     bysrc = (

@@ -174,11 +174,11 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
     ]
     docs = spark.createDataFrame(
         [
-            # TWO sources (split so each gets long docs with shared
-            # spans): a single-source fixture made the KMV queries
-            # vacuously green - similarity has no pairs, novelty one
-            # constant row - so no cross-engine sketch divergence
-            # could ever surface here
+            # TWO content sources (split so each gets long docs with
+            # shared spans): a single-source fixture made the KMV
+            # queries vacuously green - similarity has no pairs,
+            # novelty one constant row - so no cross-engine sketch
+            # divergence could ever surface here
             (
                 i,
                 t,
@@ -187,6 +187,17 @@ def test_rule_filters_cross_engine_on_adversarial_docs(spark, tmp_path):
                 len(t) if t else 0,
             )
             for i, t in enumerate(texts)
+        ]
+        + [
+            # a THIRD all-junk source (NULL + whitespace-only text):
+            # with only two sources the lower-of-two median made the
+            # reputation gate's drop branches unreachable (the KMV
+            # vacuity class again); srcJunk has n_tok = 0, so the
+            # n_tok >= 1 drop fires, a 3-source median makes the
+            # below-median drop observable, and the novelty query's
+            # unsketchable-source row (n_eff = 0 -> 1000) is exercised
+            (100, None, "en", "srcJunk", 0),
+            (101, "   ", "fr", "srcJunk", 3),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
