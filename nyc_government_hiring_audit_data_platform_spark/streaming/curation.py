@@ -258,3 +258,68 @@ def read_ingested_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
     """All documents accepted by ``run_dedup_ingest`` (union of the
     per-batch subdirectories)."""
     return spark.read.parquet(f"{corpus_dir}/b*")
+
+def streaming_classifier_scores(docs: DataFrame) -> DataFrame:
+    """Apply the frozen linear quality classifier
+    (``driver_queries_quality.q_quality_classifier_scores``) to a
+    (streaming or batch) document relation as ONE stateless expression
+    chain - the stream-serve twin of the batch apply pass.
+
+    The batch query scores via an explode -> doc x bucket agg ->
+    broadcast-model join; on a stream that shape would need a stateful
+    aggregation. Because the model is hashed-bucket-keyed, the
+    equivalent per-row fold needs no shuffle at all: map tokens to
+    buckets with ``transform``, then fold the weight formula inside an
+    ``aggregate`` lambda whose variable is literally named ``b`` - so
+    the shared ``_LQC_W`` text applies VERBATIM (no string surgery,
+    the pass-4 lesson), and integer adds commute so fold order vs the
+    batch SUM is irrelevant. Append mode, no watermark, no state. For
+    a REAL trained model the formula becomes a literal bucket->weight
+    map (1024 entries, far under the literal-map sizes the rule scorer
+    above already carries) or a broadcast inside mapInPandas; the
+    stateless contract is unchanged.
+
+    Row-for-row equal to the batch query on the same corpus
+    (asserted by test_streaming_classifier_matches_batch)."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_quality import (
+        _LQC_B,
+        _LQC_W,
+    )
+
+    # hoist the token then bucket arrays into columns (no CSE inside
+    # HOF lambdas); per-token lambda work is O(1) - the variable is the
+    # token itself, never a re-slice of the text
+    folded = docs.withColumns(
+        {
+            "_tk": F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+                lambda t: t != "",
+            ),
+        }
+    ).withColumns(
+        {
+            "_bk": F.expr(
+                f"transform(_tk, t -> "
+                f"cast(conv(substr(md5(t), 1, 6), 16, 10) as bigint) "
+                f"% {_LQC_B})"
+            ),
+        }
+    ).withColumns(
+        {
+            "_n_tok": F.expr("cast(size(_tk) as bigint)"),
+            "_ssum": F.expr(
+                f"aggregate(_bk, cast(0 as bigint), "
+                f"(acc, b) -> acc + ({_LQC_W}))"
+            ),
+        }
+    )
+    logit = "_ssum DIV GREATEST(_n_tok, 1)"
+    return folded.select(
+        "doc_id",
+        F.col("_n_tok").alias("n_tok"),
+        F.expr(logit).alias("logit_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {logit} >= 0 AND _n_tok >= 1 "
+            f"THEN 1 ELSE 0 END AS INT)"
+        ).alias("keep"),
+    )

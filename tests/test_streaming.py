@@ -653,3 +653,35 @@ def test_heavy_hitters_state_survives_batches():
     snap = dict(zip(out2[0]["term"], out2[0]["est"]))
     # x: exact 10 over n=16, k=2 -> est >= 10 - 16/3 > 4
     assert "x" in snap and 4 <= snap["x"] <= 10
+
+
+def test_streaming_classifier_matches_batch(spark, tmp_path):
+    """The classifier's stream-serve twin (stateless transform+fold,
+    lambda variable named `b` so _LQC_W applies verbatim) must
+    reproduce the batch query (explode -> doc x bucket agg ->
+    broadcast-model join) row-for-row - integer adds commute, so the
+    fold-vs-SUM order difference can never show."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+        QUERIES,
+        table,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.streaming import (
+        curation as SC,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "d.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    scored = SC.streaming_classifier_scores(stream)
+    assert scored.isStreaming  # stateless: append mode, no watermark
+    SJ.run_to_memory(scored, "stream_classifier", output_mode="append")
+    got = sorted(map(tuple, spark.table("stream_classifier").collect()))
+
+    want = sorted(
+        map(tuple, QUERIES["quality_classifier_scores"](spark, sf).collect())
+    )
+    assert got == want
