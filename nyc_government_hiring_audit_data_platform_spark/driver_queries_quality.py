@@ -803,6 +803,24 @@ _LQC_B = 1024  # hashed-feature buckets (model size, corpus-independent)
 # b < 1024 keeps b * 2654435761 < 2^42 - BIGINT-exact on both engines.
 _LQC_W = "(b * 2654435761) % 2001 - 1000"
 
+# Bucket-hash SQL fragment (Spark dialect), parameterized on the token
+# expression name - ONE definition shared by the batch scorer and the
+# streaming twin so a hash tweak cannot desynchronize them (same
+# discipline as _LQC_W's verbatim-`b` convention).
+_LQC_BUCKET = (
+    "cast(conv(substr(md5({t}), 1, 6), 16, 10) as bigint) % " + str(_LQC_B)
+)
+
+
+def _lqc_tokens():
+    """Classifier token-array Column (lowercased, NULL-safe, empties
+    dropped) - the single Spark-side tokenizer definition for the
+    batch scorer and the streaming twin."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+        lambda t: t != "",
+    )
+
 
 def _lqc_per_sql() -> str:
     """DuckDB CTE chain ``toks, feat, tf, w, per``: per-doc classifier
@@ -839,20 +857,9 @@ def _lqc_per(spark, docs):
     """Spark twin of :func:`_lqc_per_sql`: per-doc ``(doc_id, n_tok,
     ssum)``. Tokenize + bucket-hash map-side, ONE doc x bucket
     partial-agg shuffle, 1024-row weight relation broadcast."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-                lambda t: t != "",
-            )
-        ).alias("term"),
-    )
+    toks = docs.select("doc_id", F.explode(_lqc_tokens()).alias("term"))
     feat = toks.select(
-        "doc_id",
-        F.expr(
-            f"cast(conv(substr(md5(term), 1, 6), 16, 10) as bigint) % {_LQC_B}"
-        ).alias("b"),
+        "doc_id", F.expr(_LQC_BUCKET.format(t="term")).alias("b")
     )
     tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
     # rename id -> b FIRST so _LQC_W applies verbatim on both engines

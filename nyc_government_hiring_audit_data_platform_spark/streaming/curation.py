@@ -282,27 +282,23 @@ def streaming_classifier_scores(docs: DataFrame) -> DataFrame:
     Row-for-row equal to the batch query on the same corpus
     (asserted by test_streaming_classifier_matches_batch)."""
     from nyc_government_hiring_audit_data_platform_spark.driver_queries_quality import (
-        _LQC_B,
+        _LQC_BUCKET,
         _LQC_W,
+        _lqc_tokens,
     )
 
     # hoist the token then bucket arrays into columns (no CSE inside
     # HOF lambdas); per-token lambda work is O(1) - the variable is the
-    # token itself, never a re-slice of the text
+    # token itself, never a re-slice of the text. Tokenizer and bucket
+    # hash are the SHARED definitions (_lqc_tokens / _LQC_BUCKET), so
+    # they cannot drift from the batch scorer's.
     folded = docs.withColumns(
         {
-            "_tk": F.filter(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-                lambda t: t != "",
-            ),
+            "_tk": _lqc_tokens(),
         }
     ).withColumns(
         {
-            "_bk": F.expr(
-                f"transform(_tk, t -> "
-                f"cast(conv(substr(md5(t), 1, 6), 16, 10) as bigint) "
-                f"% {_LQC_B})"
-            ),
+            "_bk": F.expr(f"transform(_tk, t -> {_LQC_BUCKET.format(t='t')})"),
         }
     ).withColumns(
         {
