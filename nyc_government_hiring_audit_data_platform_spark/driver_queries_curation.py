@@ -1787,7 +1787,13 @@ def _corpus_mix_plan_oracle() -> str:
     propagates here mechanically; the remaining stage text (exact_dedup
     grouping, the keep WHERE clause mirroring the flags CTE, quota
     rank, temperature scaling) is short enough to eyeball against its
-    per-stage twin."""
+    per-stage twin. The domain-reputation stage is the shared
+    `_domain_rep_sql` chain, `q`-prefixed (the bare chain binds `per`,
+    which the curation CTEs already use)."""
+    from nyc_government_hiring_audit_data_platform_spark.functions.classifier import (
+        _domain_rep_sql,
+    )
+
     return f"""
     WITH base AS (
       SELECT doc_id, source, COALESCE(text, '') AS text FROM documents
@@ -1798,14 +1804,22 @@ def _corpus_mix_plan_oracle() -> str:
       SELECT f.doc_id, f.source, f.text
       FROM fpd f JOIN canon c ON f.fp = c.fp AND f.doc_id = c.keep_id
     ),
-    src AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-      FROM dd
-    ),
-    {_curation_ctes_sql("dd", "src")},
-    cur AS (
+    {_domain_rep_sql("dd", "q")},
+    dgate AS (
       SELECT d.doc_id, d.source, d.text
       FROM dd d
+      JOIN qrep r ON COALESCE(d.source, '') = r.source
+      CROSS JOIN qmed
+      WHERE r.src_logit_micro >= qmed.m AND r.n_tok >= 1
+    ),
+    src AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM dgate
+    ),
+    {_curation_ctes_sql("dgate", "src")},
+    cur AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM dgate d
       LEFT JOIN bp ON d.doc_id = bp.doc_id
       LEFT JOIN per p ON d.doc_id = p.doc_id
       CROSS JOIN band b
@@ -1862,6 +1876,10 @@ def _corpus_mix_plan_oracle() -> str:
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_dedup
       FROM dd GROUP BY source
     ),
+    s_dom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_domain
+      FROM dgate GROUP BY source
+    ),
     s_cur AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_curation
       FROM cur GROUP BY source
@@ -1878,12 +1896,14 @@ def _corpus_mix_plan_oracle() -> str:
     plan_ AS (
       SELECT i.source, i.n_ingested,
              CAST(COALESCE(d.n_after_dedup, 0) AS BIGINT) AS n_after_dedup,
+             CAST(COALESCE(g.n_after_domain, 0) AS BIGINT) AS n_after_domain,
              CAST(COALESCE(c.n_after_curation, 0) AS BIGINT) AS n_after_curation,
              CAST(COALESCE(s.n_after_span, 0) AS BIGINT) AS n_after_span,
              CAST(COALESCE(q.n_after_quota, 0) AS BIGINT) AS n_after_quota,
              CAST(COALESCE(q.tokens_final, 0) AS BIGINT) AS tokens_final
       FROM s_ing i
       LEFT JOIN s_dd d USING (source)
+      LEFT JOIN s_dom g USING (source)
       LEFT JOIN s_cur c USING (source)
       LEFT JOIN s_span s USING (source)
       LEFT JOIN s_q q USING (source)
@@ -1895,7 +1915,8 @@ def _corpus_mix_plan_oracle() -> str:
     ),
     wtot AS (SELECT GREATEST(CAST(SUM(sqrt_micro) AS BIGINT), 1) AS wt
              FROM scaled)
-    SELECT source, n_ingested, n_after_dedup, n_after_curation, n_after_span,
+    SELECT source, n_ingested, n_after_dedup, n_after_domain,
+           n_after_curation, n_after_span,
            n_after_quota, tokens_final,
            sqrt_micro * 1000000 // wt AS weight_micro
     FROM scaled CROSS JOIN wtot
@@ -1913,22 +1934,26 @@ def q_corpus_mix_plan(spark, sf_dir):
       1 ingest    - the documents relation (what WET ingestion emits,
                     pipelines/corpus_ingest.py)
       2 dedup     - exact content dedup, canonical = min doc_id per md5
-      3 curation  - the curation_keep_decisions flag stack (boilerplate
-                    DF and surprisal band computed over DEDUP SURVIVORS,
-                    not the raw crawl - stage ordering matters)
-      4 span rm   - Lee et al. 2022 duplicate-span removal over curated
+      3 domain    - the domain_reputation_gate stage (classifier
+                    evidence pooled per source over DEDUP SURVIVORS,
+                    median-thresholded) - the RefinedWeb order: source-
+                    level filtering before doc-level curation
+      4 curation  - the curation_keep_decisions flag stack (boilerplate
+                    DF and surprisal band computed over DOMAIN-GATE
+                    SURVIVORS - stage ordering matters)
+      5 span rm   - Lee et al. 2022 duplicate-span removal over curated
                     docs; final_tokens = tokens - struck; docs stripped
                     to zero tokens leave the funnel here
-      5 quota     - <= K docs per source in deterministic md5 order
+      6 quota     - <= K docs per source in deterministic md5 order
                     (FineWeb per-domain cap)
-      6 weights   - n^(1/2) temperature mixture over FINAL token counts
+      7 weights   - n^(1/2) temperature mixture over FINAL token counts
                     (IEEE-sqrt exact integer micro-units)
 
     Output: one row per source with n_ingested / n_after_dedup /
-    n_after_curation / n_after_span / n_after_quota / tokens_final /
-    weight_micro - double-counting or stage-order bugs surface as
-    funnel counts that don't monotonically decrease or weights that
-    don't sum to ~1e6.
+    n_after_domain / n_after_curation / n_after_span / n_after_quota /
+    tokens_final / weight_micro - double-counting or stage-order bugs
+    surface as funnel counts that don't monotonically decrease or
+    weights that don't sum to ~1e6.
 
     Plan at 100 TB: every stage is the already-audited per-stage plan
     (hash/span/doc/source-keyed shuffles, domain-bounded aggregates,
@@ -1955,8 +1980,54 @@ def q_corpus_mix_plan(spark, sf_dir):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # stage 3: curation flags over dedup survivors
-    tk = _token_df(dd)
+    # stage 3: domain reputation gate over dedup survivors (the shared
+    # _domain_rep stage; reputation keyed on NULL-coalesced source, the
+    # verdict joined back on the same key). The median is a collected
+    # ONE-ROW model (the sanctioned driver-synced scalar pattern) and
+    # the gate one broadcast SEMI-join: embedding med as a broadcast
+    # subtree would nest the whole classifier chain in the plan twice
+    # (med = agg(rep) re-embeds rep), and every downstream persisted
+    # subtree inherits it - measured 4x driver-side plan-matching
+    # overhead on re-execution with retained cache entries.
+    from nyc_government_hiring_audit_data_platform_spark.functions.classifier import (
+        _domain_rep,
+    )
+
+    rep, med = _domain_rep(
+        spark,
+        dd.select(
+            "doc_id", F.coalesce("source", F.lit("")).alias("source"), "text"
+        ),
+    )
+    rep = rep.persist(StorageLevel.MEMORY_AND_DISK)  # median + semi-join
+    m = med.collect()[0]["m"]
+    # localCheckpoint truncates the tiny keep-list's LINEAGE: without
+    # it the classifier chain rides inside dgate's subtree, and the
+    # funnel's fan-out (every downstream stage re-references dgate)
+    # re-embeds that subtree per reference - measured 11.4k-node
+    # analyzed tree and ~20 s of flat driver-side planning/codegen per
+    # action. The materialized state is just the <= n_domains source
+    # list (the reputation table a production pipeline persists as a
+    # real table between phases anyway).
+    keep_src = (
+        rep.filter(
+            (F.col("src_logit_micro") >= F.lit(m)) & (F.col("n_tok") >= 1)
+        )
+        .select(F.col("source").alias("_rsrc"))
+        .localCheckpoint(eager=True)
+    )
+    dgate = (
+        dd.join(
+            F.broadcast(keep_src),
+            F.coalesce(F.col("source"), F.lit("")) == F.col("_rsrc"),
+            "leftsemi",
+        )
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 4: curation flags over domain-gate survivors
+    tk = _token_df(dgate)
     ex = tk.select(
         "doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1977,7 +2048,7 @@ def q_corpus_mix_plan(spark, sf_dir):
             ).alias("br")
         )
     )
-    lterms = dd.select(
+    lterms = dgate.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
@@ -2007,7 +2078,7 @@ def q_corpus_mix_plan(spark, sf_dir):
         F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY avg_s)").alias("hi"),
     )
     cur = (
-        dd.join(bp, "doc_id", "left")
+        dgate.join(bp, "doc_id", "left")
         .join(per, "doc_id", "left")
         .crossJoin(F.broadcast(band))
         .filter(
@@ -2080,6 +2151,9 @@ def q_corpus_mix_plan(spark, sf_dir):
     # stage 6: per-source funnel + temperature weights
     s_ing = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_ingested"))
     s_dd = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    s_dom = dgate.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after_domain")
+    )
     s_cur = cur.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_after_curation")
     )
@@ -2093,6 +2167,7 @@ def q_corpus_mix_plan(spark, sf_dir):
     zero = F.lit(0).cast("bigint")
     plan = (
         s_ing.join(s_dd, "source", "left")
+        .join(s_dom, "source", "left")
         .join(s_cur, "source", "left")
         .join(s_span, "source", "left")
         .join(s_q, "source", "left")
@@ -2100,6 +2175,7 @@ def q_corpus_mix_plan(spark, sf_dir):
             "source",
             "n_ingested",
             F.coalesce(F.col("n_after_dedup"), zero).alias("n_after_dedup"),
+            F.coalesce(F.col("n_after_domain"), zero).alias("n_after_domain"),
             F.coalesce(F.col("n_after_curation"), zero).alias("n_after_curation"),
             F.coalesce(F.col("n_after_span"), zero).alias("n_after_span"),
             F.coalesce(F.col("n_after_quota"), zero).alias("n_after_quota"),
@@ -2122,6 +2198,7 @@ def q_corpus_mix_plan(spark, sf_dir):
             "source",
             "n_ingested",
             "n_after_dedup",
+            "n_after_domain",
             "n_after_curation",
             "n_after_span",
             "n_after_quota",

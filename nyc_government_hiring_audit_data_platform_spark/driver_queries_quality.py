@@ -797,87 +797,16 @@ def q_stupid_backoff_score(spark, sf_dir):
 # Frozen linear quality classifier (fastText-style apply pass)
 # ---------------------------------------------------------------------------
 
-_LQC_B = 1024  # hashed-feature buckets (model size, corpus-independent)
-# Frozen "pretrained" per-bucket weights in integer micro-units: the
-# Knuth multiplicative constant spreads bucket ids over [-1000, 1000].
-# b < 1024 keeps b * 2654435761 < 2^42 - BIGINT-exact on both engines.
-_LQC_W = "(b * 2654435761) % 2001 - 1000"
-
-# Bucket-hash SQL fragment (Spark dialect), parameterized on the token
-# expression name - ONE definition shared by the batch scorer and the
-# streaming twin so a hash tweak cannot desynchronize them (same
-# discipline as _LQC_W's verbatim-`b` convention).
-_LQC_BUCKET = (
-    "cast(conv(substr(md5({t}), 1, 6), 16, 10) as bigint) % " + str(_LQC_B)
+from nyc_government_hiring_audit_data_platform_spark.functions.classifier import (  # noqa: E402,F401 - shared single definitions (capstone + streaming twin import from functions.classifier too)
+    _LQC_B,
+    _LQC_BUCKET,
+    _LQC_W,
+    _domain_rep,
+    _domain_rep_sql,
+    _lqc_per,
+    _lqc_per_sql,
+    _lqc_tokens,
 )
-
-
-def _lqc_tokens():
-    """Classifier token-array Column (lowercased, NULL-safe, empties
-    dropped) - the single Spark-side tokenizer definition for the
-    batch scorer and the streaming twin."""
-    return F.filter(
-        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
-        lambda t: t != "",
-    )
-
-
-def _lqc_per_sql() -> str:
-    """DuckDB CTE chain ``toks, feat, tf, w, per``: per-doc classifier
-    evidence ``(doc_id, n_tok, ssum)``. ONE definition (with
-    :func:`_lqc_per`) shared by the doc-level scores and the
-    domain-reputation gate so a bucket/weight/tokenization tweak cannot
-    desynchronize them."""
-    return f"""toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split(lower(COALESCE(text, '')), ' '),
-                    t -> t <> '')) AS term
-      FROM documents
-    ),
-    feat AS (
-      SELECT doc_id,
-             CAST(CAST('0x' || substr(md5(term), 1, 6) AS UBIGINT)
-                  % {_LQC_B} AS BIGINT) AS b
-      FROM toks
-    ),
-    tf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM feat GROUP BY doc_id, b),
-    w AS (SELECT CAST(r.b AS BIGINT) AS b,
-                 CAST({_LQC_W} AS BIGINT) AS w
-          FROM range({_LQC_B}) r(b)),
-    per AS (
-      SELECT tf.doc_id,
-             CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
-             CAST(SUM(tf.tf * w.w) AS BIGINT) AS ssum
-      FROM tf JOIN w USING (b) GROUP BY tf.doc_id
-    )"""
-
-
-def _lqc_per(spark, docs):
-    """Spark twin of :func:`_lqc_per_sql`: per-doc ``(doc_id, n_tok,
-    ssum)``. Tokenize + bucket-hash map-side, ONE doc x bucket
-    partial-agg shuffle, 1024-row weight relation broadcast."""
-    toks = docs.select("doc_id", F.explode(_lqc_tokens()).alias("term"))
-    feat = toks.select(
-        "doc_id", F.expr(_LQC_BUCKET.format(t="term")).alias("b")
-    )
-    tf = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
-    # rename id -> b FIRST so _LQC_W applies verbatim on both engines
-    # (string-surgery on the formula would silently corrupt any future
-    # edit that introduces another 'b')
-    w = (
-        spark.range(_LQC_B)
-        .select(F.col("id").alias("b"))
-        .select("b", F.expr(_LQC_W).alias("w"))
-    )
-    return (
-        tf.join(F.broadcast(w), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_tok"),
-            F.sum(F.col("tf") * F.col("w")).alias("ssum"),
-        )
-    )
 
 
 @query(
@@ -951,21 +880,7 @@ def q_quality_classifier_scores(spark, sf_dir):
 @query(
     "domain_reputation_gate",
     f"""
-    WITH {_lqc_per_sql().strip()},
-    d2 AS (SELECT doc_id, COALESCE(source, '') AS source FROM documents),
-    bysrc AS (
-      SELECT d.source,
-             CAST(SUM(COALESCE(p.ssum, 0)) AS BIGINT) AS ssum,
-             CAST(SUM(COALESCE(p.n_tok, 0)) AS BIGINT) AS n_tok
-      FROM d2 d LEFT JOIN per p ON d.doc_id = p.doc_id
-      GROUP BY d.source
-    ),
-    rep AS (
-      SELECT source, n_tok,
-             ssum // GREATEST(n_tok, 1) AS src_logit_micro
-      FROM bysrc
-    ),
-    med AS (SELECT quantile_disc(src_logit_micro, 0.5) AS m FROM rep)
+    WITH {_domain_rep_sql("documents").strip()}
     SELECT d.doc_id, d.source, r.src_logit_micro,
            CAST(CASE WHEN r.src_logit_micro >= med.m AND r.n_tok >= 1
                      THEN 1 ELSE 0 END AS INT) AS keep
@@ -1008,27 +923,7 @@ def q_domain_reputation_gate(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("source", F.lit("")).alias("source"), "text"
     )
-    per = _lqc_per(spark, docs)
-    zero = F.lit(0).cast("long")
-    bysrc = (
-        docs.select("doc_id", "source")
-        .join(per, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.sum(F.coalesce("ssum", zero)).alias("ssum"),
-            F.sum(F.coalesce("n_tok", zero)).alias("n_tok"),
-        )
-    )
-    rep = bysrc.select(
-        "source",
-        "n_tok",
-        F.expr("ssum DIV GREATEST(n_tok, 1)").alias("src_logit_micro"),
-    )
-    med = rep.agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY src_logit_micro)"
-        ).alias("m")
-    )
+    rep, med = _domain_rep(spark, docs)
     return (
         docs.select("doc_id", "source")
         .join(rep, "source")

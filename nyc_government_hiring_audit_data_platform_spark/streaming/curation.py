@@ -281,7 +281,7 @@ def streaming_classifier_scores(docs: DataFrame) -> DataFrame:
 
     Row-for-row equal to the batch query on the same corpus
     (asserted by test_streaming_classifier_matches_batch)."""
-    from nyc_government_hiring_audit_data_platform_spark.driver_queries_quality import (
+    from nyc_government_hiring_audit_data_platform_spark.functions.classifier import (
         _LQC_BUCKET,
         _LQC_W,
         _lqc_tokens,
