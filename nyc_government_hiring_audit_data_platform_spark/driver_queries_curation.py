@@ -1780,7 +1780,7 @@ _MIX_QUOTA_K = 20  # per-source doc cap at the quota stage (FineWeb rule)
 
 
 def _corpus_mix_plan_oracle() -> str:
-    """Six-stage funnel in one DuckDB WITH-chain. The curation rule
+    """Seven-stage funnel in one DuckDB WITH-chain. The curation rule
     stack and the stride-1 span CTE are generated by the SAME helper
     functions the per-stage oracles use (_curation_ctes_sql,
     _span_cte_sql, parameterized by source relation), so a stage fix
@@ -1959,7 +1959,7 @@ def q_corpus_mix_plan(spark, sf_dir):
     (hash/span/doc/source-keyed shuffles, domain-bounded aggregates,
     broadcast one-row totals); composition adds only source-keyed
     left joins over the <= n_domains plan relation. Multi-consumer
-    frames (dd, cur, tokens, spans) are persisted once - callers run
+    frames (dd, rep, dgate, cur, tokens, spans) are persisted once - callers run
     under the module's clearCache contract."""
     from pyspark import StorageLevel
     from pyspark.sql import Window as W
@@ -1999,22 +1999,30 @@ def q_corpus_mix_plan(spark, sf_dir):
             "doc_id", F.coalesce("source", F.lit("")).alias("source"), "text"
         ),
     )
-    rep = rep.persist(StorageLevel.MEMORY_AND_DISK)  # median + semi-join
+    rep = rep.persist(StorageLevel.MEMORY_AND_DISK)  # median + keep-list
     m = med.collect()[0]["m"]
-    # localCheckpoint truncates the tiny keep-list's LINEAGE: without
-    # it the classifier chain rides inside dgate's subtree, and the
-    # funnel's fan-out (every downstream stage re-references dgate)
-    # re-embeds that subtree per reference - measured 11.4k-node
-    # analyzed tree and ~20 s of flat driver-side planning/codegen per
-    # action. The materialized state is just the <= n_domains source
-    # list (the reputation table a production pipeline persists as a
-    # real table between phases anyway).
-    keep_src = (
-        rep.filter(
+    # The keep-list is COLLECTED and rebuilt as a literal relation (the
+    # driver-synced vocabulary-sized-model pattern, like the streaming
+    # curation model): without lineage truncation the classifier chain
+    # rides inside dgate's subtree and the funnel's fan-out (every
+    # downstream stage re-references dgate) re-embeds it per reference
+    # - measured 11.4k-node analyzed tree and ~20 s of flat driver-side
+    # planning/codegen per action. A collected literal (unlike
+    # localCheckpoint) stays recomputable after executor loss and
+    # leaves no unfreeable blocks behind. Volume = kept domains only;
+    # at web scale a production pipeline materializes the reputation
+    # relation as a real table between phases and reads it back - the
+    # same leaf-node plan shape.
+    kept = [
+        r["source"]
+        for r in rep.filter(
             (F.col("src_logit_micro") >= F.lit(m)) & (F.col("n_tok") >= 1)
         )
-        .select(F.col("source").alias("_rsrc"))
-        .localCheckpoint(eager=True)
+        .select("source")
+        .collect()
+    ]
+    keep_src = spark.createDataFrame(
+        [(s,) for s in kept], "_rsrc string"
     )
     dgate = (
         dd.join(
@@ -2093,7 +2101,7 @@ def q_corpus_mix_plan(spark, sf_dir):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # stage 4: duplicate-span removal over curated docs
+    # stage 5: duplicate-span removal over curated docs
     ctk = _token_df(cur).persist(StorageLevel.MEMORY_AND_DISK)
     sp = _span_df(ctk).persist(StorageLevel.MEMORY_AND_DISK)
     agg = sp.groupBy("h").agg(
@@ -2136,7 +2144,7 @@ def q_corpus_mix_plan(spark, sf_dir):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # stage 5: per-source quota in deterministic hash order
+    # stage 6: per-source quota in deterministic hash order
     w = W.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -2148,7 +2156,7 @@ def q_corpus_mix_plan(spark, sf_dir):
         .drop("rk")
     )
 
-    # stage 6: per-source funnel + temperature weights
+    # stage 7: per-source funnel + temperature weights
     s_ing = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_ingested"))
     s_dd = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
     s_dom = dgate.groupBy("source").agg(

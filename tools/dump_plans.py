@@ -230,9 +230,11 @@ SHOWCASE = {
         "seen-corpus size."
     ),
     "corpus_mix_plan": (
-        "Capstone funnel: six curation stages composed in one plan - "
-        "every stage doc- or span-keyed, the final weight normalization "
-        "a one-row broadcast; the funnel counts ride the same pass."
+        "Capstone funnel: seven stages composed in one plan (incl. the "
+        "domain reputation gate as a broadcast semi-join against a "
+        "driver-synced keep-list) - every stage doc- or span-keyed, the "
+        "final weight normalization a one-row broadcast; the funnel "
+        "counts ride the same pass."
     ),
     "ann_ivfadc_topk": (
         "Composed index: IVF coarse probe restricts candidates BEFORE "
