@@ -76,12 +76,25 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 
 # Pinned ahead of everything in the rotation: queries whose CODE was
 # rewritten after their latest driver hash, so the green on file
-# predates the implementation (VERDICT r5 residual #1: vocab_coverage
-# was rewritten on sharded_rank in r5 but last driver-hashed in r4;
-# minhash_lsh_recall's exact lane was panel-bounded in r6 after the
-# unpaneled lane spilled out of disk at the x100 scale probe).
+# predates the implementation. Membership is now computed mechanically:
+# ``python tools/stale_audit.py compare <last-round-close-rev>`` hashes
+# each query's transitive source closure (Spark body + every package
+# helper it references + oracle SQL string) on both revs and joins with
+# the CORRECTNESS_r*.json ledger; every STALE line goes here. Round-7
+# audit vs effcbb3 (r6 base): the r6 dedup.py probe/bloom-gate params
+# reached incremental_neardup_batch and ngram_jaccard_neardup, the
+# keep-list literal fix (886e508) reached curation_keep_decisions, and
+# c0a7340 rewrote stupid_backoff_score and semdedup_prune's shared
+# fragments after their r5 hashes. (vocab_coverage/minhash_lsh_recall
+# were re-hashed green in r6 and leave the set.)
 # Remove an entry once a NEWER CORRECTNESS round has re-hashed it.
-REWRITTEN = {"vocab_coverage", "minhash_lsh_recall"}
+REWRITTEN = {
+    "curation_keep_decisions",
+    "incremental_neardup_batch",
+    "ngram_jaccard_neardup",
+    "semdedup_prune",
+    "stupid_backoff_score",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
