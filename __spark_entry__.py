@@ -94,6 +94,10 @@ REWRITTEN = {
     "ngram_jaccard_neardup",
     "semdedup_prune",
     "stupid_backoff_score",
+    # r7 edits after their r6 hash (ADVICE fixes): NULL-source coalesce
+    # in the capstone's stage-1 base; bloom_hit NULL->False coalesce.
+    "corpus_mix_plan",
+    "bloom_membership_gate",
 }
 
 

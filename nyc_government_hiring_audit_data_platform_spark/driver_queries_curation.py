@@ -1796,7 +1796,11 @@ def _corpus_mix_plan_oracle() -> str:
 
     return f"""
     WITH base AS (
-      SELECT doc_id, source, COALESCE(text, '') AS text FROM documents
+      -- source NULL-coalesced ONCE so every downstream funnel join key
+      -- is NULL-free (equi-joins never match NULL; see Spark twin)
+      SELECT doc_id, COALESCE(source, '') AS source,
+             COALESCE(text, '') AS text
+      FROM documents
     ),
     fpd AS (SELECT doc_id, source, text, md5(text) AS fp FROM base),
     canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM fpd GROUP BY fp),
@@ -1808,7 +1812,7 @@ def _corpus_mix_plan_oracle() -> str:
     dgate AS (
       SELECT d.doc_id, d.source, d.text
       FROM dd d
-      JOIN qrep r ON COALESCE(d.source, '') = r.source
+      JOIN qrep r ON d.source = r.source
       CROSS JOIN qmed
       WHERE r.src_logit_micro >= qmed.m AND r.n_tok >= 1
     ),
@@ -1967,9 +1971,18 @@ def q_corpus_mix_plan(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents").repartition(par)
 
-    # stage 1-2: ingest + exact dedup (md5 canonical = min doc_id)
+    # stage 1-2: ingest + exact dedup (md5 canonical = min doc_id).
+    # Source is NULL-coalesced ONCE here so every downstream group/join
+    # key in the funnel is NULL-free: the accounting joins (s_ing LEFT
+    # JOIN s_dd/...) are plain equi-joins that would never match a NULL
+    # source on EITHER engine, silently zeroing a NULL-source group's
+    # post-ingest stages and dropping its quota tokens from the weight
+    # normalization - the same total-accounting contract the domain
+    # gate already kept (ADVICE r6).
     base = docs.select(
-        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
     fpd = base.withColumn("fp", F.md5(F.col("text").cast("binary")))
     canon = fpd.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
@@ -1993,12 +2006,7 @@ def q_corpus_mix_plan(spark, sf_dir):
         _domain_rep,
     )
 
-    rep, med = _domain_rep(
-        spark,
-        dd.select(
-            "doc_id", F.coalesce("source", F.lit("")).alias("source"), "text"
-        ),
-    )
+    rep, med = _domain_rep(spark, dd.select("doc_id", "source", "text"))
     rep = rep.persist(StorageLevel.MEMORY_AND_DISK)  # median + keep-list
     m = med.collect()[0]["m"]
     # The keep-list is COLLECTED and rebuilt as a literal relation (the
@@ -2025,11 +2033,7 @@ def q_corpus_mix_plan(spark, sf_dir):
         [(s,) for s in kept], "_rsrc string"
     )
     dgate = (
-        dd.join(
-            F.broadcast(keep_src),
-            F.coalesce(F.col("source"), F.lit("")) == F.col("_rsrc"),
-            "leftsemi",
-        )
+        dd.join(F.broadcast(keep_src), F.col("source") == F.col("_rsrc"), "leftsemi")
         .select("doc_id", "source", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -117,13 +117,23 @@ def bloom_hit_expr(bits_col: str = "bits", fb_col: str = "fb") -> str:
 
 def bloom_probe(df: DataFrame, key_col: str, filt: DataFrame) -> DataFrame:
     """``df`` + boolean ``bloom_hit``: False PROVES the key was never
-    inserted (zero false negatives); True means inserted-or-collision."""
+    inserted (zero false negatives); True means inserted-or-collision.
+
+    A NULL key hashes to NULL bits; without care ``bloom_hit`` would be
+    NULL, not False, and a consumer filtering ``~bloom_hit`` would
+    silently DROP NULL-key rows instead of keeping them as provable
+    non-members (ADVICE r6). NULL keys never set bits at build time
+    (their exploded bit rows vanish), so coalescing the hit to False is
+    exactly the zero-false-negative contract, for every key."""
     hashed = df.withColumn(
         "__bits", bloom_bits(base_hash(F.col(key_col).cast("string")))
     )
     return (
         hashed.crossJoin(F.broadcast(filt))
-        .withColumn("bloom_hit", F.expr(bloom_hit_expr("__bits", "fb")))
+        .withColumn(
+            "bloom_hit",
+            F.coalesce(F.expr(bloom_hit_expr("__bits", "fb")), F.lit(False)),
+        )
         .drop("__bits", "fb")
     )
 
@@ -156,10 +166,12 @@ def bloom_build_sql(keys_sql: str, key_expr: str) -> str:
 
 
 def bloom_hit_sql(h_expr: str, fb_expr: str = "fb") -> str:
-    """DuckDB boolean twin of :func:`bloom_hit_expr` over a base hash."""
+    """DuckDB boolean twin of :func:`bloom_hit_expr` over a base hash;
+    NULL-coalesced to FALSE like :func:`bloom_probe` (NULL keys are
+    provable non-members - they never set bits at build time)."""
     checks = " AND ".join(
         f"(({fb_expr}[CAST(({e}) // {BLOOM_WORD} AS INT) + 1] & "
         f"(CAST(1 AS BIGINT) << CAST(({e}) % {BLOOM_WORD} AS INT))) <> 0)"
         for e in bloom_bit_exprs(h_expr)
     )
-    return f"({checks})"
+    return f"COALESCE({checks}, FALSE)"

@@ -132,3 +132,31 @@ def test_incremental_prefilter_preserves_survivors_and_cuts_probes(spark, sf_smo
             assert match_ids <= kept
     finally:
         index.unpersist()
+
+
+def test_null_key_probe_is_false_not_null(spark):
+    """The zero-false-negative contract must hold for NULL keys too: a
+    NULL key never sets bits at build, so probing it must yield
+    bloom_hit = False - not NULL, which a ``~bloom_hit`` consumer would
+    silently drop (ADVICE r6). Both engine twins."""
+    filt = B.bloom_build(_keys_df(spark, ["a", "b"]), "k")
+    got = {
+        r["k"]: r["bloom_hit"]
+        for r in B.bloom_probe(
+            _keys_df(spark, ["a", None]), "k", filt
+        ).collect()
+    }
+    assert got["a"] is True
+    assert got[None] is False  # False, not None
+
+    con = duckdb.connect()
+    build = B.bloom_build_sql("SELECT 'a' AS k UNION ALL SELECT 'b'", "k")
+    sql = f"""
+    WITH {build.strip()},
+    probes AS (
+      SELECT k, {B.base_hash_sql('k')} AS h FROM (
+        SELECT 'a' AS k UNION ALL SELECT NULL)
+    )
+    SELECT k, {B.bloom_hit_sql('h')} FROM probes CROSS JOIN bloom_filt
+    """
+    assert dict(con.execute(sql).fetchall()) == {"a": True, None: False}

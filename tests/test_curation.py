@@ -321,3 +321,54 @@ def test_dedup_funnel_monotone(spark, sf_dir):
     counts = [r["n_docs"] for r in rows]
     assert counts[1] <= counts[0] and counts[2] <= counts[1]
     assert counts[3] <= counts[0]
+
+
+def test_corpus_mix_plan_accounts_null_source_totally(spark, tmp_path):
+    """Total accounting contract (ADVICE r6): a NULL-source document
+    group must keep real post-ingest funnel counts, on BOTH engines.
+    Pre-fix, stage-1 kept raw NULL sources and every downstream
+    source-keyed equi-join silently zeroed the group (NULL never
+    equals NULL), dropping its quota tokens from the weight
+    normalization - and both engines agreed, so oracle parity could
+    never catch it. Source is now coalesced to '' ONCE in stage 1."""
+    import duckdb
+
+    rows = [
+        (0, "unique text zero alpha beta", "en", "src0", 27),
+        (1, "unique text one gamma delta", "en", "src0", 27),
+        (2, "orphan text two epsilon zeta", "en", None, 28),
+        (3, "orphan text three eta theta", "en", None, 27),
+        (3000, "orphan text two epsilon zeta", "en", None, 28),  # exact dup
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "nullsrc_sf")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["source"]: r.asDict()
+        for r in DQ.QUERIES["corpus_mix_plan"](spark, d).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(got) == {"src0", ""}
+    null_grp = got[""]
+    assert null_grp["n_ingested"] == 3
+    assert null_grp["n_after_dedup"] == 2  # the exact dup collapses
+    # weight accounting is total: micro-weights of ALL emitted rows sum
+    # to ~1e6 only if no group's tokens silently left the denominator
+    tot_w = sum(r["weight_micro"] for r in got.values())
+    if any(r["tokens_final"] > 0 for r in got.values()):
+        assert 1_000_000 - len(got) <= tot_w <= 1_000_000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(DQ.ORACLE["corpus_mix_plan"]).fetchall()
+    }
+    assert set(oracle) == {"src0", ""}
+    assert oracle[""][1] == 3 and oracle[""][2] == 2
