@@ -98,6 +98,12 @@ REWRITTEN = {
     # in the capstone's stage-1 base; bloom_hit NULL->False coalesce.
     "corpus_mix_plan",
     "bloom_membership_gate",
+    # r7: pq_topk/ivfadc_topk encode moved fully map-side (the internal
+    # raw-vector repartition was a 17-column full-corpus shuffle);
+    # fan-out now at the driver-query input edge.
+    "ann_pq_adc_topk",
+    "ann_ivfadc_topk",
+    "ann_pq_recall_bound",
 }
 
 

@@ -746,10 +746,18 @@ def q_ann_pq_adc_topk(spark, sf_dir):
     folds are sequential left folds of single IEEE ops on float32-exact
     doubles vs 6-dp literal codebooks, so codes, LUTs and ADC sums are
     bit-identical to the DuckDB oracle; ties rank by neighbor_id.
-    Quality gate: ``ann_pq_recall_bound`` (shortlist + exact rerank)."""
+    Quality gate: ``ann_pq_recall_bound`` (shortlist + exact rerank).
+
+    The corpus input is fanned out HERE, not in the operator: the local
+    fixture is one 0.8 MB row group (one scan partition), so encode
+    needs an explicit spread; a production corpus scan is already
+    thousands of splits and pq_topk itself adds no exchange (the gate
+    in tests/test_plans.py pins both shapes)."""
     emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    corpus = emb.select("vec_id", "embedding").repartition(par)
     return ANN.pq_topk(
-        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 20), corpus, "vec_id", "embedding",
         "vec_id", "embedding", 5,
     )
 
@@ -775,10 +783,14 @@ def q_ann_ivfadc_topk(spark, sf_dir):
     provably identical to ann_pq_adc_topk (asserted in
     tests/test_pq_cdc.py). Determinism as in the component queries:
     every fold is a sequential chain of single IEEE ops against 6-dp
-    literals, struct-sort ties, rank ties by neighbor_id."""
+    literals, struct-sort ties, rank ties by neighbor_id. Corpus input
+    fanned out here (single-row-group local fixture), never in the
+    operator - see q_ann_pq_adc_topk."""
     emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    corpus = emb.select("vec_id", "embedding").repartition(par)
     return ANN.ivfadc_topk(
-        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 20), corpus, "vec_id", "embedding",
         "vec_id", "embedding", 5, nprobe=4,
     )
 
@@ -830,7 +842,10 @@ def q_ann_pq_recall_bound(spark, sf_dir):
         F.col("rank") <= 10
     )
     shortlist = ANN.pq_topk(
-        q, c, "vec_id", "embedding", "vec_id", "embedding", 100
+        # corpus fan-out at the edge (single-row-group local fixture;
+        # pq_topk itself adds no exchange - see q_ann_pq_adc_topk)
+        q, c.select("vec_id", "embedding").repartition(par),
+        "vec_id", "embedding", "vec_id", "embedding", 100,
     )
     e = exact.groupBy("query_id").agg(F.collect_set("neighbor_id").alias("es"))
     a = shortlist.groupBy("query_id").agg(F.collect_set("neighbor_id").alias("as_"))

@@ -677,15 +677,20 @@ def pq_topk(
     broadcasts its PQ_M x PQ_K lookup table (the squared distances of
     its subvectors to every codebook entry), and the per-candidate
     score is the sum of PQ_M table lookups. Smaller distance = nearer;
-    approximation error is the quantization error of the codebooks."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
-        corpus.select(
-            _c(corpus_id).alias("neighbor_id"), *_pq_subvectors(_c(corpus_vec))
-        )
-        .repartition(par)  # parallelize the M x K distance folds
-        .select("neighbor_id", _pq_codes().alias("codes"))
-    )
+    approximation error is the quantization error of the codebooks.
+
+    Encoding runs IN the corpus's scan partitions - deliberately no
+    repartition here: a fan-out before encode would shuffle the raw
+    vectors (measured: a 17-column Exchange of every subvector slice,
+    the exact full-corpus vector movement this operator exists to
+    avoid; at 100 TB the scan is already thousands of splits and the
+    shuffle is pure loss). A caller feeding a single-file local
+    fixture can pre-repartition the corpus input if encode needs the
+    cores; tests/test_plans.py gates that no Exchange in this
+    operator's plan carries a vector column."""
+    c = corpus.select(
+        _c(corpus_id).alias("neighbor_id"), *_pq_subvectors(_c(corpus_vec))
+    ).select("neighbor_id", _pq_codes().alias("codes"))
     q = queries.select(
         _c(query_id).alias("query_id"), *_pq_subvectors(_c(query_vec))
     ).select("query_id", _pq_lut().alias("lut"))
@@ -748,20 +753,19 @@ def ivfadc_topk(
 
     With nprobe = NUM_CENTROIDS this is exactly ``pq_topk`` (probing
     every cluster = no coarse filter) - the composition property the
-    test suite asserts."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
-        corpus.select(
-            _c(corpus_id).alias("neighbor_id"),
-            _c(corpus_vec).alias("cv"),
-            *_pq_subvectors(_c(corpus_vec)),
-        )
-        .repartition(par)  # parallelize the centroid + M x K folds
-        .select(
-            "neighbor_id",
-            _probe_list(_centroid_dots("cv"), 1)[0].alias("cluster"),
-            _pq_codes().alias("codes"),
-        )
+    test suite asserts.
+
+    Like :func:`pq_topk`, cluster assignment + encoding run IN the
+    corpus's scan partitions (no repartition): anything else would
+    shuffle raw vectors, defeating the 8-byte-code design."""
+    c = corpus.select(
+        _c(corpus_id).alias("neighbor_id"),
+        _c(corpus_vec).alias("cv"),
+        *_pq_subvectors(_c(corpus_vec)),
+    ).select(
+        "neighbor_id",
+        _probe_list(_centroid_dots("cv"), 1)[0].alias("cluster"),
+        _pq_codes().alias("codes"),
     )
     q = queries.select(
         _c(query_id).alias("query_id"),

@@ -129,3 +129,31 @@ def shuffle_count(df: DataFrame) -> int:
     # each operator appears once in the tree and once in the detail
     # section; count tree entries only ("(n) Exchange")
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def exchange_blocks(df: DataFrame) -> list[str]:
+    """One string per shuffle Exchange in the plan: the node header plus
+    its ``Input``/``Arguments`` detail lines. Lets tests assert WHAT a
+    shuffle moves (e.g. 8-byte PQ codes, never raw embedding vectors),
+    not just how many shuffles there are."""
+    import re
+
+    plan = physical_plan(df)
+    return [
+        m.group(0)
+        for m in re.finditer(
+            r"\(\d+\) Exchange[^\n]*\n(?:(?:Input|Output|Arguments)[^\n]*\n?)+",
+            plan,
+        )
+    ]
+
+
+def analyzed_tree_lines(df: DataFrame) -> int:
+    """Node-line count of the ANALYZED logical plan. A deep composed
+    query whose large mid-pipeline subtree is re-referenced downstream
+    gets that subtree duplicated into every consumer's analyzed tree -
+    the round-6 capstone hit 11.4k nodes and ~20s of flat driver-side
+    planning/codegen per action at EVERY scale. Kept bounded by
+    truncating the lineage of tiny mid-pipeline relations (collected
+    literal relations), and gated by tests so the fix can't regress."""
+    return df._jdf.queryExecution().analyzed().treeString().count("\n")

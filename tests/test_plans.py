@@ -694,3 +694,110 @@ def test_referential_audit_no_cartesian(spark, sf_dir):
     plan = PI.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-6 family plan gates (VERDICT r6 ask #2) -------------------------
+
+_VEC_RE = r"_s\d+#|embedding#|\bcv#|\bqv#"
+
+
+def _vector_exchanges(df):
+    import re
+
+    return [b for b in PI.exchange_blocks(df) if re.search(_VEC_RE, b)]
+
+
+def test_pq_encode_is_map_side_operator_adds_no_vector_exchange(spark, sf_dir):
+    """pq_topk given a plain corpus scan: NO Exchange anywhere in its
+    plan carries a vector column - encoding runs in the scan partitions
+    and only (id, 8-byte codes) ever moves. The one allowed shuffle is
+    the top-k window's (query_id, neighbor_id, adist)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = ANN.pq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5,
+    )
+    assert _vector_exchanges(df) == []
+    assert "CartesianProduct" not in PI.physical_plan(df)
+
+
+def test_ivfadc_operator_no_vector_exchange_cluster_equijoin(spark, sf_dir):
+    """ivfadc_topk given a plain corpus scan: zero vector-carrying
+    exchanges (cluster assignment + PQ encode are map-side), and the
+    candidate cut is a real hash equi-join on cluster - never a nested
+    loop over the corpus."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = ANN.ivfadc_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, nprobe=4,
+    )
+    assert _vector_exchanges(df) == []
+    plan = PI.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_driver_queries_single_documented_input_fanout(spark, sf_dir):
+    """The driver queries fan the single-row-group local fixture out
+    ONCE at the input edge (a 2-column REPARTITION_BY_NUM of (id, vec));
+    every other exchange moves codes/distances only. A second vector
+    exchange means encode stopped being map-side."""
+    for name, allowed in [
+        ("ann_pq_adc_topk", 1),
+        ("ann_ivfadc_topk", 1),
+        ("ann_pq_recall_bound", 2),  # + the exact lane's panel fan-out
+    ]:
+        vex = _vector_exchanges(QUERIES[name](spark, sf_dir))
+        assert len(vex) == allowed, f"{name}: {len(vex)} vector exchanges\n{vex}"
+        for b in vex:
+            assert "REPARTITION_BY_NUM" in b, f"{name}: non-fanout vector move\n{b}"
+
+
+def test_bloom_probe_adds_zero_probe_side_exchanges(spark, sf_dir):
+    """bloom_probe is a map-only gate on the probe side: the probed
+    plan's shuffle count equals the filter-build subtree's own, and the
+    ONE-row filter arrives by broadcast."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import bloom as B
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    filt = B.bloom_build(docs.limit(100), "text")
+    probed = B.bloom_probe(docs, "text", filt)
+    assert PI.shuffle_count(probed) == PI.shuffle_count(filt)
+    assert "BroadcastExchange" in PI.physical_plan(probed)
+
+
+def test_containment_probe_side_is_rare_prefix_subset(spark, sf_dir):
+    """The containment candidate join probes the RARE-PREFIX subset
+    (row_number over df-ordered shingles, pigeonhole-filtered) against
+    the full index - never shingles x shingles: the plan stays
+    equi-join-only with a bounded shuffle budget, and the prefix rank's
+    Window sits upstream of the candidate join."""
+    df = QUERIES["containment_neardup"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # prefix rank window + its pigeonhole filter exist
+    assert "row_number" in plan
+    # stage budget: shingle agg x2, window, candidate + verify joins -
+    # a fixed-constant shuffle count, not one that grows with data
+    assert PI.shuffle_count(df) <= 14
+    spark.catalog.clearCache()
+
+
+def test_corpus_mix_plan_tree_bounded(spark, sf_dir):
+    """Regression gate for the round-6 analyzed-tree blowup: the
+    capstone's keep-list lineage truncation keeps the analyzed plan
+    ~4k nodes; without it the re-referenced classifier subtree
+    multiplies to 11.4k+ and adds ~20s of flat planning per action."""
+    df = QUERIES["corpus_mix_plan"](spark, sf_dir)
+    lines = PI.analyzed_tree_lines(df)
+    assert lines < 5000, f"analyzed tree blew up: {lines} node lines"
+    spark.catalog.clearCache()
