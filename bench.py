@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     # panel-bounded (r6): both lanes now linear-in-corpus, so the slot
     # times the production gate shape rather than a quadratic harness.
     "minhash_lsh_recall",
+    # round-7 additions
+    "corpus_mix_plan_staged",
     # bpe_encode_corpus stays OUT: encode re-runs the train loop
     # bpe_train_merges already times before its map-only encode.
 ]

@@ -1966,32 +1966,12 @@ def q_corpus_mix_plan(spark, sf_dir):
     frames (dd, rep, dgate, cur, tokens, spans) are persisted once - callers run
     under the module's clearCache contract."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window as W
 
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents").repartition(par)
 
-    # stage 1-2: ingest + exact dedup (md5 canonical = min doc_id).
-    # Source is NULL-coalesced ONCE here so every downstream group/join
-    # key in the funnel is NULL-free: the accounting joins (s_ing LEFT
-    # JOIN s_dd/...) are plain equi-joins that would never match a NULL
-    # source on EITHER engine, silently zeroing a NULL-source group's
-    # post-ingest stages and dropping its quota tokens from the weight
-    # normalization - the same total-accounting contract the domain
-    # gate already kept (ADVICE r6).
-    base = docs.select(
-        "doc_id",
-        F.coalesce(F.col("source"), F.lit("")).alias("source"),
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
-    )
-    fpd = base.withColumn("fp", F.md5(F.col("text").cast("binary")))
-    canon = fpd.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    dd = (
-        fpd.join(canon, "fp")
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "source", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    base, dd = _mix_ingest_dedup(docs)
+    dd = dd.persist(StorageLevel.MEMORY_AND_DISK)
 
     # stage 3: domain reputation gate over dedup survivors (the shared
     # _domain_rep stage; reputation keyed on NULL-coalesced source, the
@@ -2037,6 +2017,23 @@ def q_corpus_mix_plan(spark, sf_dir):
         .select("doc_id", "source", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    return _mix_funnel_tail(spark, base, dd, dgate)
+
+
+def _mix_funnel_tail(spark, base, dd, dgate):
+    """Stages 4-7 of the corpus-mix funnel (curation flags, duplicate-
+    span removal, per-source quota, temperature weights + per-source
+    funnel accounting), shared VERBATIM by ``corpus_mix_plan`` (single
+    composed plan) and ``corpus_mix_plan_staged`` (phase-materialized
+    leaves) - one definition, so the two driver rows being hash-equal
+    proves the staging is a pure plan transformation.
+
+    Inputs: ``base`` (stage-1 ingest relation, NULL-free source),
+    ``dd`` (exact-dedup survivors), ``dgate`` (domain-gate survivors);
+    each (doc_id, source, text)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
 
     # stage 4: curation flags over domain-gate survivors
     tk = _token_df(dgate)
@@ -2218,3 +2215,107 @@ def q_corpus_mix_plan(spark, sf_dir):
             F.expr("sqrt_micro * 1000000L DIV wt").alias("weight_micro"),
         )
     )
+
+
+
+def _mix_ingest_dedup(docs):
+    """Stages 1-2 of the corpus-mix funnel, shared by both capstone
+    variants: returns ``(base, dd)`` - the ingest relation and the
+    (unpersisted) exact-dedup survivors (md5 canonical = min doc_id).
+
+    Source is NULL-coalesced ONCE here so every downstream group/join
+    key in the funnel is NULL-free: the accounting joins (s_ing LEFT
+    JOIN s_dd/...) are plain equi-joins that would never match a NULL
+    source on EITHER engine, silently zeroing a NULL-source group's
+    post-ingest stages and dropping its quota tokens from the weight
+    normalization - the same total-accounting contract the domain gate
+    already kept (ADVICE r6)."""
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    fpd = base.withColumn("fp", F.md5(F.col("text").cast("binary")))
+    canon = fpd.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    dd = (
+        fpd.join(canon, "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text")
+    )
+    return base, dd
+
+
+@query("corpus_mix_plan_staged", _corpus_mix_plan_oracle())
+def q_corpus_mix_plan_staged(spark, sf_dir):
+    """The capstone in its PRODUCTION shape (the one the
+    ``corpus_mix_plan`` docstring promises): the two relations every
+    downstream stage re-references - the dedup survivors and the
+    per-source reputation - are MATERIALIZED as real parquet tables
+    between phases and read back as leaf nodes. Three things fall out:
+
+    - the analyzed tree stays shallow BY CONSTRUCTION (each consumer
+      re-references a leaf scan, not the whole upstream classifier
+      chain - the round-6 11.4k-node blowup cannot occur), replacing
+      corpus_mix_plan's collected-literal keep-list workaround;
+    - no driver round-trip at all: the domain keep-list is a broadcast
+      subtree over the reputation LEAF (median via one-row cross join),
+      so the plan is a pure dataflow graph end to end;
+    - the funnel is RESTARTABLE at phase granularity - exactly how a
+      100 TB pipeline runs (each phase a table write, re-runs resume
+      from the last good table; a crash mid-curation does not recompute
+      ingestion+dedup+classifier over the crawl).
+
+    Stage semantics are shared VERBATIM with corpus_mix_plan
+    (_mix_ingest_dedup + _mix_funnel_tail, same oracle SQL) - the two
+    driver rows hashing equal proves staging is a pure plan transform.
+    Staging tables land under a per-sf temp dir (overwritten per run;
+    runs are sequential under the bench/test harness contract)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from nyc_government_hiring_audit_data_platform_spark.functions.classifier import (
+        _domain_rep,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    stage_root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_staged",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+
+    docs = table(spark, sf_dir, "documents").repartition(par)
+    base, dd0 = _mix_ingest_dedup(docs)
+
+    # phase boundary 1: dedup survivors -> real table -> leaf node
+    dd0.write.mode("overwrite").parquet(f"{stage_root}/dd.parquet")
+    dd = spark.read.parquet(f"{stage_root}/dd.parquet")
+
+    # phase boundary 2: per-source reputation -> real table -> leaf node
+    rep0, _ = _domain_rep(spark, dd)
+    rep0.write.mode("overwrite").parquet(f"{stage_root}/rep.parquet")
+    rep = spark.read.parquet(f"{stage_root}/rep.parquet")
+
+    # keep-list as a broadcast subtree over the LEAF: med is a one-row
+    # aggregate of the staged table (same discrete-median definition as
+    # _domain_rep's med), so embedding it does NOT nest the classifier
+    # chain - the reason corpus_mix_plan had to collect instead.
+    med = rep.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY src_logit_micro)"
+        ).alias("m")
+    )
+    keep_src = (
+        rep.crossJoin(F.broadcast(med))
+        .filter((F.col("src_logit_micro") >= F.col("m")) & (F.col("n_tok") >= 1))
+        .select(F.col("source").alias("_rsrc"))
+    )
+    dgate = (
+        dd.join(F.broadcast(keep_src), F.col("source") == F.col("_rsrc"), "leftsemi")
+        .select("doc_id", "source", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _mix_funnel_tail(spark, base, dd, dgate)
