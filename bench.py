@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "minhash_lsh_recall",
     # round-7 additions
     "corpus_mix_plan_staged",
+    "ann_ivfadc_residual_topk",
+    "ann_ivfadc_residual_recall",
     # bpe_encode_corpus stays OUT: encode re-runs the train loop
     # bpe_train_merges already times before its map-only encode.
 ]

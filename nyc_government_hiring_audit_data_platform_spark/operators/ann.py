@@ -613,14 +613,15 @@ def _pq_rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _pq_dcols_sql() -> str:
-    """DuckDB: per-subspace distance lists ``d0..d{M-1}`` over ``v``
+def _pq_dcols_sql(vec: str = "v") -> str:
+    """DuckDB: per-subspace distance lists ``d0..d{M-1}`` over ``vec``
     (the corpus argmin input AND the query LUT — one distance
-    definition for both roles)."""
+    definition for both roles; the residual variant passes its
+    residual list instead of the raw vector)."""
     return ", ".join(
         "list_value("
         + ", ".join(
-            _sqdist_sql(f"v[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", e)
+            _sqdist_sql(f"{vec}[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}]", e)
             for e in PQ_CODEBOOKS[m]
         )
         + f") AS d{m}"
@@ -801,6 +802,283 @@ def ivfadc_topk_sql(
     q AS (SELECT {id_col} AS query_id, unnest({_probe_list_sql('ds', nprobe)})
              AS cluster, [{_pq_luts_sql()}] AS lut
           FROM d WHERE {query_pred}),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, {_pq_adist_sql()} AS adist
+      FROM q JOIN c ON q.cluster = c.cluster AND q.query_id <> c.neighbor_id
+    ),
+    {_pq_ranked_tail_sql(k)}
+    """
+
+
+# --------------------------------------------------------------------------
+# Trained coarse quantizer + residual IVFADC (Jegou et al. 2011 §V, the
+# paper's deployed form: PQ codes quantize the RESIDUAL v - centroid)
+# --------------------------------------------------------------------------
+
+KM_ITERS = 2  # Lloyd iterations for the coarse quantizer (unrolled in
+# both engines; 2 is enough to center residuals on this corpus - the
+# within-cluster residual energy drop is asserted in tests)
+
+
+def _sqdist_cols(v: Column, cv: Column) -> Column:
+    """Squared L2 between two array COLUMNS - the same op sequence as
+    the literal-codebook fold ``_sqdist_spark_sql`` ((a-b), square,
+    sequential left-fold add: all single IEEE ops), so the value is
+    bit-identical to the DuckDB twin ``_sqdist_cols_sql``."""
+    diff = F.zip_with(v, cv, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def _sqdist_cols_sql(v: str, cv: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({v}, {cv}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, x) -> acc + x)"
+    )
+
+
+def _cent_arr(cents: DataFrame) -> DataFrame:
+    """ONE-row relation: the (cluster, cv) centroid rows packed into a
+    cluster-sorted array<struct> - broadcast to make cluster assignment
+    a map-side fold (arr[cluster + 1] is exact because every cluster id
+    0..NUM_CENTROIDS-1 is always present: empty clusters keep their
+    previous centroid in the Lloyd update)."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("arr")
+    )
+
+
+def _arr_dists(v: str, arr: str) -> Column:
+    """Array of squared distances of column ``v`` to every centroid in
+    the packed ``arr`` column (fold per element, each evaluated once)."""
+    return F.transform(F.col(arr), lambda s: _sqdist_cols(F.col(v), s["cv"]))
+
+
+def _probe_list_l2(dists: Column, nprobe: int) -> Column:
+    """Ids of the nprobe SMALLEST-distance centroids, nearest first
+    ((d, i) struct sort - ascending lexicographic, ties by id, same as
+    the DuckDB twin's ORDER BY d, cluster)."""
+    idx = F.sequence(F.lit(0), F.lit(NUM_CENTROIDS - 1))
+    pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda x: x["i"])
+
+
+def kmeans_train(corpus: DataFrame, vec_col: str, iters: int = KM_ITERS) -> DataFrame:
+    """Train the coarse quantizer: ``iters`` unrolled Lloyd updates from
+    the pinned CENTROIDS seed, entirely relational (no driver sync) -
+    assignment is a map-side argmin fold against the ONE-row broadcast
+    centroid array, the update is one (cluster, dim)-keyed partial agg
+    per iteration: at 100 TB each pass reduces the corpus to
+    NUM_CENTROIDS x EMBED_DIM rows, the distributed k-means shape.
+
+    Cross-engine exactness: members are float32 components widened to
+    double, which sum EXACTLY in double at any realistic cluster size
+    (24-bit mantissas in a bounded exponent range), so AVG is
+    order-independent; assignment comparisons are folds of single IEEE
+    ops; empty clusters keep their previous centroid (COALESCE on both
+    engines). Returns the (cluster, cv) relation."""
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, CENTROIDS[i]) for i in range(NUM_CENTROIDS)],
+        "cluster int, cv array<double>",
+    )
+    v = corpus.select(_c(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assigned = (
+            v.crossJoin(F.broadcast(_cent_arr(cent)))
+            .select("v", _arr_dists("v", "arr").alias("ds"))
+            .select("v", _argmin(F.col("ds"), NUM_CENTROIDS).alias("cluster"))
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("ncv")
+            )
+        )
+        cent = cent.join(upd, "cluster", "left").select(
+            "cluster", F.coalesce("ncv", "cv").alias("cv")
+        )
+    return cent
+
+
+def kmeans_train_ctes_sql(
+    table: str, vec_col: str, iters: int = KM_ITERS, p: str = "km"
+) -> str:
+    """DuckDB twin of :func:`kmeans_train` as a CTE chain (no WITH):
+    binds ``{p}v`` (id, v) and ``{p}cent{iters}`` (cluster, cv).
+    Assignment = MIN over the (d, cluster) struct per id (exact float
+    comparisons, ties by cluster - same as the Spark argmin's (d, i)
+    struct sort); update = AVG per (cluster, dim) with COALESCE
+    carry-forward for empty clusters."""
+    cent0 = ", ".join(
+        f"({i}, [{', '.join(repr(x) + '::DOUBLE' for x in CENTROIDS[i])}])"
+        for i in range(NUM_CENTROIDS)
+    )
+    ctes = [
+        f"{p}cent0(cluster, cv) AS (VALUES {cent0})",
+        f"{p}v AS (SELECT ROW_NUMBER() OVER (ORDER BY ALL) AS _kid,"
+        f" ({vec_col}::DOUBLE[]) AS v FROM {table})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"{p}cent{it - 1}"
+        d = _sqdist_cols_sql("b.v", "c.cv")
+        ctes += [
+            f"""{p}asg{it} AS (
+      SELECT b._kid, ANY_VALUE(b.v) AS v,
+             MIN(struct_pack(d := {d}, c := c.cluster)).c AS cluster
+      FROM {p}v b CROSS JOIN {prev} c GROUP BY b._kid
+    )""",
+            f"""{p}upd{it} AS (
+      SELECT cluster, i AS dim, AVG(v[i]) AS val
+      FROM {p}asg{it} CROSS JOIN range(1, {EMBED_DIM + 1}) t(i)
+      GROUP BY cluster, i
+    )""",
+            f"""{p}ncv{it} AS (
+      SELECT cluster, list(val ORDER BY dim) AS ncv
+      FROM {p}upd{it} GROUP BY cluster
+    )""",
+            f"""{p}cent{it} AS (
+      SELECT c.cluster, COALESCE(n.ncv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN {p}ncv{it} n USING (cluster)
+    )""",
+        ]
+    return ",\n    ".join(ctes)
+
+
+def ivfadc_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    nprobe: int = 4,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Residual-encoded IVFADC on a TRAINED coarse quantizer - exactly
+    the index Jegou et al. 2011 §V deploys: Lloyd-trained centroids
+    (see :func:`kmeans_train`), PQ codes over the residual
+    ``v - centroid[cluster]``, query LUT per probed cluster over
+    ``q - centroid[probe]`` (the asymmetric distance then approximates
+    TRUE L2, coarse offset removed - the reason the paper's recall
+    beats raw-vector encoding once the quantizer is trained; the
+    raw-vector deviation in :func:`ivfadc_topk` existed only because
+    its pinned sigma-1.0 centroids made residuals an 8x scale mismatch
+    with the codebooks).
+
+    Plan shape at 100 TB: training = iters x (map-side assign fold +
+    (cluster, dim)-keyed partial agg); index = map-side cluster + codes
+    in the corpus scan partitions (no vector shuffle - the plan gate);
+    search = broadcast (query x probe) LUT rows against the (id,
+    cluster, 8-byte codes) relation on a cluster equi-join. The coarse
+    quantizer here is min-L2 on both sides (train/search consistency),
+    vs the max-dot probe of the untrained variants."""
+    cents = kmeans_train(corpus.select(_c(corpus_vec).alias("v")), "v", iters)
+    arr = _cent_arr(cents)
+
+    def encode(side: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+        return (
+            side.select(
+                _c(id_col).alias(out_id),
+                _c(vec_col).cast("array<double>").alias("v"),
+            )
+            .crossJoin(F.broadcast(arr))
+            .select(out_id, "v", "arr", _arr_dists("v", "arr").alias("ds"))
+        )
+
+    c = (
+        encode(corpus, corpus_id, corpus_vec, "neighbor_id")
+        .select(
+            "neighbor_id", "v", "arr", _argmin(F.col("ds"), NUM_CENTROIDS).alias("cluster")
+        )
+        .select(
+            "neighbor_id",
+            "cluster",
+            F.zip_with(
+                "v",
+                F.element_at(F.col("arr"), F.col("cluster") + 1)["cv"],
+                lambda a, b: a - b,
+            ).alias("rv"),
+        )
+        .select("neighbor_id", "cluster", *_pq_subvectors(F.col("rv")))
+        .select("neighbor_id", "cluster", _pq_codes().alias("codes"))
+    )
+    q = (
+        encode(queries, query_id, query_vec, "query_id")
+        .select(
+            "query_id", "v", "arr",
+            F.explode(_probe_list_l2(F.col("ds"), nprobe)).alias("cluster"),
+        )
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with(
+                "v",
+                F.element_at(F.col("arr"), F.col("cluster") + 1)["cv"],
+                lambda a, b: a - b,
+            ).alias("rv"),
+        )
+        .select("query_id", "cluster", *_pq_subvectors(F.col("rv")))
+        .select("query_id", "cluster", _pq_lut().alias("lut"))
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (q["cluster"] == c["cluster"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", _pq_adist().alias("adist"))
+    return _pq_rank_topk(scored, k)
+
+
+def ivfadc_residual_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int,
+    nprobe: int = 4,
+    iters: int = KM_ITERS,
+) -> str:
+    """DuckDB twin of :func:`ivfadc_residual_topk`: the trained-centroid
+    CTE chain from :func:`kmeans_train_ctes_sql`, cluster/probe via
+    (d, cluster)-ordered window ranks over the corpus x centroid cross
+    join (exact float comparisons, same tie-break as the Spark struct
+    sorts), residual d-columns via ``_pq_dcols_sql(vec="rv")`` - the
+    same single definition of encode and LUT distances."""
+    d = _sqdist_cols_sql("b.v", "c.cv")
+    return f"""
+    WITH {kmeans_train_ctes_sql(table, vec_col, iters)},
+    cb AS (SELECT {id_col} AS _id, ({vec_col}::DOUBLE[]) AS v FROM {table}),
+    ranked_cent AS (
+      SELECT b._id, b.v, c.cluster, c.cv,
+             ROW_NUMBER() OVER (PARTITION BY b._id ORDER BY {d}, c.cluster)
+               AS _crk
+      FROM cb b CROSS JOIN kmcent{iters} c
+    ),
+    cres AS (
+      SELECT _id AS neighbor_id,
+             cluster,
+             list_transform(list_zip(v, cv), x -> x[1] - x[2]) AS rv
+      FROM ranked_cent WHERE _crk = 1
+    ),
+    cd AS (SELECT neighbor_id, cluster, {_pq_dcols_sql(vec="rv")} FROM cres),
+    c AS (SELECT neighbor_id, cluster, [{_pq_argmins_sql()}] AS codes FROM cd),
+    qres AS (
+      SELECT r._id AS query_id,
+             r.cluster,
+             list_transform(list_zip(r.v, r.cv), x -> x[1] - x[2]) AS rv
+      FROM ranked_cent r
+      JOIN cb b ON r._id = b._id
+      WHERE r._crk <= {nprobe} AND b._id IN (SELECT {id_col} FROM {table}
+                                             WHERE {query_pred})
+    ),
+    qd AS (SELECT query_id, cluster, {_pq_dcols_sql(vec="rv")} FROM qres),
+    q AS (SELECT query_id, cluster, [{_pq_luts_sql()}] AS lut FROM qd),
     scored AS (
       SELECT q.query_id, c.neighbor_id, {_pq_adist_sql()} AS adist
       FROM q JOIN c ON q.cluster = c.cluster AND q.query_id <> c.neighbor_id

@@ -753,6 +753,10 @@ def test_pq_driver_queries_single_documented_input_fanout(spark, sf_dir):
         ("ann_pq_adc_topk", 1),
         ("ann_ivfadc_topk", 1),
         ("ann_pq_recall_bound", 2),  # + the exact lane's panel fan-out
+        # trained-residual IVFADC: training's first agg spreads the
+        # work, so not even the input fan-out is needed
+        ("ann_ivfadc_residual_topk", 0),
+        ("ann_ivfadc_residual_recall", 3),  # exact + raw-twin fan-outs
     ]:
         vex = _vector_exchanges(QUERIES[name](spark, sf_dir))
         assert len(vex) == allowed, f"{name}: {len(vex)} vector exchanges\n{vex}"

@@ -167,3 +167,52 @@ def test_ivfadc_equals_pq_when_probing_every_cluster(spark, sf_smoke):
     }
     for r in probed:
         assert pq_scores[(r["query_id"], r["neighbor_id"])] == r["adist"]
+
+
+def test_kmeans_train_reduces_residual_energy(spark, sf_dir):
+    """The point of TRAINING the coarse quantizer: mean within-cluster
+    residual energy (squared L2 to the assigned centroid) must drop
+    strictly below the pinned-random-centroid assignment's - otherwise
+    residual encoding is the measured-recall-~0.05 scale-mismatch
+    failure the raw-vector variant existed to avoid."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def mean_energy(cents):
+        arr = ANN._cent_arr(cents)
+        d = (
+            emb.crossJoin(F.broadcast(arr))
+            .select(ANN._arr_dists("v", "arr").alias("ds"))
+            .select(F.array_min("ds").alias("d2"))
+        )
+        return d.agg(F.avg("d2")).collect()[0][0]
+
+    pinned = spark.createDataFrame(
+        [(i, ANN.CENTROIDS[i]) for i in range(ANN.NUM_CENTROIDS)],
+        "cluster int, cv array<double>",
+    )
+    trained = ANN.kmeans_train(emb, "v", ANN.KM_ITERS)
+    e_pinned, e_trained = mean_energy(pinned), mean_energy(trained)
+    # pinned centroids are sigma-1.0 vs the sigma-~0.125 corpus: nearly
+    # all their energy is the centroid itself; training must collapse it
+    assert e_trained < 0.5 * e_pinned, (e_pinned, e_trained)
+
+
+def test_ivfadc_residual_matches_exact_when_unquantized_neighbors_exist(
+    spark, sf_dir
+):
+    """Structural sanity: every (query, rank) row is unique, ranks are
+    1..k dense per query, and a query never returns itself."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import QUERIES
+
+    rows = QUERIES["ann_ivfadc_residual_topk"](spark, sf_dir).collect()
+    seen = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        seen.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in seen.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
