@@ -10,8 +10,9 @@ Scale notes (the 100 TB design):
   except one per (hash) group.
 - MinHash+LSH: per-doc signature is a map-side array fold (no shuffle);
   candidate pairs come from an equi-join on (band_id, band_hash) -
-  shuffle keys are uniform md5 prefixes, so no skew; the quadratic
-  verify runs only inside buckets.
+  shuffle KEYS are uniform md5 prefixes, so no hash skew; bucket
+  OCCUPANCY is a different matter - see the hot-bucket contract on
+  minhash_lsh_pairs.
 - SimHash: map-side signature, then self-join on signature for exact
   16-bit collisions (tight hamming ball could be added by joining on
   signature-with-one-bit-flipped expansions).
@@ -196,6 +197,22 @@ def minhash_lsh_pairs(
     join the per-doc shingle sets back in -> exact verify. The only
     quadratic work happens inside LSH buckets; everything else is
     linear and uniformly partitioned (band hashes are md5 prefixes).
+
+    HOT-BUCKET CONTRACT (ordering requirement): uniform band-hash KEYS
+    do not bound bucket OCCUPANCY - a template family of f
+    byte-identical docs has identical signatures, lands in ONE
+    (band, bh) bucket per band, and the in-bucket self-join emits
+    BANDS * f^2/2 candidate pairs (f=10k -> ~1e8 verify pairs: the
+    one-skewed-task failure). Callers MUST run exact dedup
+    (exact_dedup_groups / normalized variant) FIRST, as every pipeline
+    in this repo does (dedup_funnel, corpus_mix_plan stage 2 before
+    any near-dup stage): byte-identical families collapse to one
+    representative, and what remains in a bucket are genuinely
+    DISTINCT near-duplicates - for which pair output is the requested
+    result (a true near-dup clique is quadratic in any algorithm; a
+    keep-list consumer that only needs connected components can use
+    per-bucket star edges instead of all pairs). Enforced by
+    tests/test_incremental_dedup.py::test_hot_bucket_*.
     """
     # Repartition BEFORE the expensive per-doc hashing: a single-file
     # source otherwise computes every shingle hash in one task (and the

@@ -206,3 +206,74 @@ def test_lsh_recall_gate_panel_bounds_both_lanes(spark, tmp_path):
     assert row["n_hits"] == 1       # identical docs always share buckets
     assert row["n_false_pos"] == 0
     assert row["recall_milli"] == 1000
+
+
+def _template_corpus(spark, family: int, noise: int):
+    """`family` byte-identical template docs + `noise` distinct docs."""
+    tmpl = "breaking news template header " * 6
+    rows = [(i, tmpl) for i in range(family)] + [
+        (100_000 + j, f"unique document number {j} with tokens {j * 7} {j * 13}")
+        for j in range(noise)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _lsh_candidate_count(spark, docs) -> int:
+    """Candidate pairs the band join generates BEFORE verification -
+    the quantity that explodes in a hot bucket."""
+    d = docs.select(
+        "doc_id", D.hashed_shingles(F.col("text"), 8).alias("hs")
+    )
+    sigs = d.select(
+        F.col("doc_id").alias("id"),
+        D.minhash_signature_from_hashes(F.col("hs")).alias("sig"),
+    )
+    bands = D.band_rows(sigs).select("id", "band", "bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+
+
+def test_hot_bucket_without_exact_dedup_is_quadratic(spark):
+    """The hazard the contract exists for: a byte-identical template
+    family fed RAW into LSH puts all f docs in one bucket per band ->
+    f*(f-1)/2 distinct candidate pairs (uniform band-hash keys bound
+    nothing about occupancy). Kept small (f=120) because the point is
+    the growth law, not a stress test."""
+    f, noise = 120, 50
+    docs = _template_corpus(spark, f, noise)
+    cand = _lsh_candidate_count(spark, docs)
+    assert cand >= f * (f - 1) // 2, cand  # the template clique is all there
+
+
+def test_hot_bucket_exact_dedup_first_bounds_candidates(spark):
+    """The contract: exact dedup first collapses the family to ONE
+    representative, so the same corpus yields a candidate count bounded
+    by the DISTINCT-doc near-dup structure (here: zero template pairs
+    survive; only genuinely-near docs could pair). The full pipeline's
+    survivor set is also unchanged by the ordering (near-dup of
+    representatives == near-dup of family)."""
+    f, noise = 120, 50
+    docs = _template_corpus(spark, f, noise)
+    groups = D.exact_dedup_groups(docs, "text", "doc_id")
+    survivors = docs.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    )
+    assert survivors.count() == 1 + noise
+    cand = _lsh_candidate_count(spark, survivors)
+    # the bound is pairs among DISTINCT texts only (here <= C(51, 2) =
+    # 1275; measured 45 - noise docs sharing template chars can still
+    # band-collide, verification rejects them) - never the f^2/2 clique
+    # of the template family the raw corpus produced
+    assert cand <= (1 + noise) * noise // 2, cand
+    f_clique = f * (f - 1) // 2
+    assert cand < f_clique // 50, (cand, f_clique)
