@@ -241,6 +241,20 @@ SHOWCASE = {
         "the PQ-ADC compressed-domain scoring join; raw vectors are "
         "dropped map-side (8-byte codes ship instead), queries broadcast."
     ),
+    "ann_ivfadc_residual_topk": (
+        "The Jegou §V deployed form: two relational Lloyd passes train "
+        "the coarse quantizer (map-side argmin fold + (cluster, dim)-"
+        "keyed agg, no driver sync), PQ codes quantize residuals, per-"
+        "probe LUTs broadcast - ZERO vector-carrying exchanges anywhere."
+    ),
+    "corpus_mix_plan_staged": (
+        "The capstone in production shape: dedup survivors and source "
+        "reputation MATERIALIZE as parquet tables between phases and "
+        "read back as leaf nodes - shallow analyzed tree by "
+        "construction, keep-list as a broadcast subtree over the leaf, "
+        "restartable at phase granularity; hash-equal to the composed "
+        "twin at both SFs."
+    ),
     "containment_neardup": (
         "Prefix filtering: only each doc's rarest-df prefix joins the "
         "inverted index, so the candidate join is bounded by rare "

@@ -155,6 +155,46 @@ def build_replica(
     )
 
 
+def build_parts_replica(spark, out_dir: str, mult: int) -> None:
+    """Part-ONLY replica for the flagship fuzzy-chain probe (the chain
+    derives payroll/postings/lightcast deterministically from ``part``,
+    its only input table - VERDICT r6 ask #5). Non-degenerate growth:
+    p_partkey key-shifts per replica and every p_name token remaps to
+    md5(token#rep)[:6] - a per-replica TITLE VOCABULARY, so the
+    distinct-title domain (and with it the token/char-4-gram blocking
+    key space) actually grows x mult instead of every title gaining
+    mult-1 exact twins (which would grow every blocking bucket into a
+    mult-way clique and measure clique blowup, not the plan). Within a
+    replica the payroll-vs-posting match structure is an isomorphic
+    image of the base: the posting perturbations (token reorder, 1-char
+    truncation, constant suffix) are applied by the QUERY downstream of
+    the remap. Facts are not written - the chain never reads them."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in _DIMS:
+        if t == "part":
+            continue
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    src = spark.read.parquet(f"{BASE}/part.parquet")
+    reps = spark.range(mult).select(F.col("id").alias("_rep"))
+    (
+        src.crossJoin(F.broadcast(reps))
+        .withColumn("p_partkey", F.col("p_partkey") + F.col("_rep") * F.lit(10_000_000))
+        .withColumn(
+            "p_name",
+            F.expr(
+                "array_join(transform(split(p_name, ' '), "
+                "t -> substring(md5(concat(t, '#', CAST(_rep AS STRING))), 1, 6)"
+                "), ' ')"
+            ),
+        )
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/part.parquet")
+    )
+
+
 def _semdedup_scaled_auto(spark, sf_dir):
     """SemDeDup with sub_bits picked so expected cluster cardinality
     stays ~constant as the corpus grows (the paper's k ∝ n): base
@@ -227,6 +267,13 @@ def main() -> None:
         "the text/dedup family at x100; replica dir gets a -fresh suffix",
     )
     ap.add_argument(
+        "--fresh-parts",
+        action="store_true",
+        help="build the part-ONLY replica with per-replica hashed title "
+        "vocabulary (the fuzzy-chain probe; no facts written); replica "
+        "dir gets a -parts suffix",
+    )
+    ap.add_argument(
         "--big-only",
         action="store_true",
         help="time only the replica (print JSON; skip sf0.01/sf0.1 and "
@@ -239,14 +286,18 @@ def main() -> None:
         PANEL = [q.strip() for q in args.panel.split(",") if q.strip()]
 
     big_dir = f"/tmp/spark_graft_scale_x{args.mult}" + (
-        "-fresh" if args.fresh_docs else ""
+        "-fresh" if args.fresh_docs else ("-parts" if args.fresh_parts else "")
     )
     spark = get_spark(app_name="scale_probe")
     if args.rebuild and os.path.isdir(big_dir):
         shutil.rmtree(big_dir)
-    if not os.path.isdir(os.path.join(big_dir, "lineitem.parquet")):
+    probe_table = "part" if args.fresh_parts else "lineitem"
+    if not os.path.isdir(os.path.join(big_dir, f"{probe_table}.parquet")):
         print(f"building {args.mult}x replica in {big_dir} ...", file=sys.stderr)
-        build_replica(spark, big_dir, args.mult, fresh_docs=args.fresh_docs)
+        if args.fresh_parts:
+            build_parts_replica(spark, big_dir, args.mult)
+        else:
+            build_replica(spark, big_dir, args.mult, fresh_docs=args.fresh_docs)
 
     if args.big_only:
         import json
