@@ -133,7 +133,7 @@ def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
             F.array().cast("array<string>"), F.array().cast("array<int>")
         )
     n_grams = F.size(grams)
-    n_boiler = F.size(F.filter(grams, lambda g: boiler_map.getItem(g).isNotNull()))
+    n_boiler = F.size(F.filter(grams, lambda g: boiler_map[g].isNotNull()))
     br = n_boiler * 1.0 / F.greatest(n_grams, F.lit(1))
 
     if model["surp"]:
@@ -146,10 +146,10 @@ def streaming_keep_decisions(docs: DataFrame, model: dict) -> DataFrame:
         surp_map = F.map_from_arrays(
             F.array().cast("array<string>"), F.array().cast("array<bigint>")
         )
-    known = F.filter(ltoks, lambda t: surp_map.getItem(t).isNotNull())
+    known = F.filter(ltoks, lambda t: surp_map[t].isNotNull())
     n_tok = F.size(known)
     ssum = F.aggregate(
-        known, F.lit(0).cast("bigint"), lambda acc, t: acc + surp_map.getItem(t)
+        known, F.lit(0).cast("bigint"), lambda acc, t: acc + surp_map[t]
     )
     avg_s = ssum * 1.0 / F.greatest(n_tok, F.lit(1)) / _SURP_SCALE
     lo, hi = model["band"]
