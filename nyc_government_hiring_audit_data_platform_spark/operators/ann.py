@@ -904,7 +904,11 @@ def kmeans_train(corpus: DataFrame, vec_col: str, iters: int = KM_ITERS) -> Data
         cent = cent.join(upd, "cluster", "left").select(
             "cluster", F.coalesce("ncv", "cv").alias("cv")
         )
-    return cent
+    # 16 rows, but its lineage is `iters` full corpus passes and BOTH
+    # sides of a residual search broadcast it - persist so the training
+    # chain executes once, not once per consumer (callers run under the
+    # module clearCache contract; measured ~8% on the sf0.1 slot)
+    return cent.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def kmeans_train_ctes_sql(
