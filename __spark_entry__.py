@@ -105,6 +105,13 @@ REWRITTEN = {
     "ann_ivfadc_topk",
     "ann_pq_recall_bound",
 }
+# r7 close audit (`stale_audit.py compare e16219d --hashed-round 6`)
+# additionally flagged minhash_lsh_neardup / minhash_lsh_recall via the
+# r7 dedup.py edit. NOT pinned: that diff is provably docstring-only
+# (`git diff e16219d..HEAD -- .../operators/dedup.py` contains zero
+# non-comment source lines - the hot-bucket contract paragraphs), so
+# the r5/r6 hashes still attest the executing code; pinning would spend
+# two of the ~50 driver slots the r3-vintage rotation needs.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -131,12 +131,23 @@ def dump(repo_dir: str) -> dict[str, dict[str, str]]:
     from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
 
     skip = frozenset({id(DQ.QUERIES), id(DQ.ORACLE)})
+
+    def norm(text: str) -> str:
+        # fixture-backed queries embed the repo's ABSOLUTE path (e.g.
+        # the wet_documents expectation parquet); hash it as <REPO> so
+        # comparing a git-worktree dump against the live repo doesn't
+        # flag a pure path difference as a code change
+        return text.replace(repo_dir, "<REPO>")
+
     result: dict[str, dict[str, str]] = {}
     for name, fn in DQ.QUERIES.items():
-        spark_h = hashlib.sha256("\n".join(_closure_sources(fn, skip)).encode()).hexdigest()[:16]
+        closure = norm("\n".join(_closure_sources(fn, skip)))
+        spark_h = hashlib.sha256(closure.encode()).hexdigest()[:16]
         oracle = DQ.ORACLE.get(name)
         oracle_h = (
-            hashlib.sha256(" ".join(oracle.split()).encode()).hexdigest()[:16] if oracle else ""
+            hashlib.sha256(" ".join(norm(oracle).split()).encode()).hexdigest()[:16]
+            if oracle
+            else ""
         )
         result[name] = {"spark": spark_h, "oracle": oracle_h}
     return result
@@ -169,7 +180,14 @@ def _dump_subprocess(repo_dir: str) -> dict[str, dict[str, str]]:
     return json.loads(proc.stdout)
 
 
-def compare(old_rev: str, repo_dir: str) -> int:
+def compare(old_rev: str, repo_dir: str, hashed_round: int | None = None) -> int:
+    """``hashed_round``: the CORRECTNESS round whose hashes were taken
+    from code AT ``old_rev``. When comparing against a ROUND-CLOSE rev
+    (the code the driver actually hashed), pass that round: every query
+    changed since is stale regardless of being checked that round.
+    When omitted, uses the base-of-round heuristic (checked >= latest
+    round counts as fresh) - correct only if ``old_rev`` PRECEDES the
+    changes the latest round's driver run already saw."""
     wt = f"/tmp/stale_audit_{old_rev[:12]}"
     if not os.path.isdir(wt):
         subprocess.run(
@@ -186,6 +204,7 @@ def compare(old_rev: str, repo_dir: str) -> int:
         )
     last = _last_checked(repo_dir)
     cur_round = max(last.values(), default=0)
+    fresh_floor = (hashed_round + 1) if hashed_round is not None else cur_round
     stale, fresh, added = [], [], []
     for name, h in sorted(new.items()):
         if name not in old:
@@ -195,8 +214,9 @@ def compare(old_rev: str, repo_dir: str) -> int:
         if not what:
             continue
         checked = last.get(name, 0)
-        (fresh if checked >= cur_round else stale).append((name, "+".join(what), checked))
-    print(f"# closure diff vs {old_rev}; latest driver round = r{cur_round}")
+        (fresh if checked >= fresh_floor else stale).append((name, "+".join(what), checked))
+    print(f"# closure diff vs {old_rev}; latest driver round = r{cur_round}"
+          + (f"; rev hashed as r{hashed_round}" if hashed_round is not None else ""))
     print(f"# {len(added)} added, {len(fresh)} changed+freshly-hashed, {len(stale)} STALE-GREEN")
     for name in added:
         print(f"ADDED       {name}")
@@ -212,8 +232,15 @@ def main() -> int:
         print(json.dumps(dump(os.path.abspath(sys.argv[2])), indent=1, sort_keys=True))
         return 0
     if len(sys.argv) >= 3 and sys.argv[1] == "compare":
-        repo = sys.argv[4] if len(sys.argv) >= 5 and sys.argv[3] == "--repo" else "/root/repo"
-        return compare(sys.argv[2], repo)
+        rest = sys.argv[3:]
+        repo, hashed_round = "/root/repo", None
+        while rest:
+            if rest[0] == "--repo":
+                repo = rest[1]
+            elif rest[0] == "--hashed-round":
+                hashed_round = int(rest[1])
+            rest = rest[2:]
+        return compare(sys.argv[2], repo, hashed_round)
     print(__doc__)
     return 2
 
