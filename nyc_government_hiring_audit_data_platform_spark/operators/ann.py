@@ -883,12 +883,28 @@ def kmeans_train(corpus: DataFrame, vec_col: str, iters: int = KM_ITERS) -> Data
         "cluster int, cv array<double>",
     )
     v = corpus.select(_c(vec_col).cast("array<double>").alias("v"))
-    for _ in range(iters):
-        assigned = (
-            v.crossJoin(F.broadcast(_cent_arr(cent)))
-            .select("v", _arr_dists("v", "arr").alias("ds"))
-            .select("v", _argmin(F.col("ds"), NUM_CENTROIDS).alias("cluster"))
-        )
+    for it in range(iters):
+        if it == 0:
+            # iteration 1 assigns against the LITERAL seed, so the 16
+            # distance folds can inline as one whole-stage-codegen SQL
+            # string instead of interpreted per-element HOF lambdas
+            # (identical op sequence and identical doubles - the seed
+            # relation round-trips the same repr literals - so the
+            # assignment is bit-equal to the relational path)
+            lit_ds = F.expr(
+                "array("
+                + ", ".join(_sqdist_spark_sql("v", c) for c in CENTROIDS)
+                + ")"
+            )
+            assigned = v.select(
+                "v", _argmin(lit_ds, NUM_CENTROIDS).alias("cluster")
+            )
+        else:
+            assigned = (
+                v.crossJoin(F.broadcast(_cent_arr(cent)))
+                .select("v", _arr_dists("v", "arr").alias("ds"))
+                .select("v", _argmin(F.col("ds"), NUM_CENTROIDS).alias("cluster"))
+            )
         upd = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
