@@ -20,6 +20,17 @@ Scale notes (the 100 TB design):
 Portability trick used throughout: md5 hex strings are fixed-width, so
 lexicographic MIN equals numeric MIN - both engines agree without any
 hex->int conversion.
+
+Known residual (scheduled r8): several operators here still carry an
+internal ``repartition(par)`` of (id, text) before hashing. On the
+single-file local fixtures that fan-out is what spreads the per-doc
+fold across cores; on a production pre-split scan it is a redundant
+full-text shuffle - the right shape is the one the PQ/IVFADC family
+now has (operator shuffle-free, fan-out at the caller's input edge,
+plan-gated). Moving it is a mechanical sweep but re-pins every green
+query in these families in the driver-verification budget, so it is
+deferred to the next round's fresh budget rather than crammed into
+this one.
 """
 
 from __future__ import annotations
