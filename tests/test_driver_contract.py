@@ -93,3 +93,13 @@ def test_bench_accounts_for_every_query():
     )
     stale = registry - declared
     assert not stale, f"BENCH.md rows for unknown queries: {sorted(stale)}"
+
+
+def test_rewritten_pins_are_live_query_names():
+    """A REWRITTEN pin that no longer names a real query silently
+    wastes head-of-rotation budget slots forever (the prio function
+    only consults the set for names that exist, but a typo'd pin would
+    never be noticed) - assert the set stays a subset of the registry."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    assert E.REWRITTEN <= set(DQ.QUERIES), E.REWRITTEN - set(DQ.QUERIES)
