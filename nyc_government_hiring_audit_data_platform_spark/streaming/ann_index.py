@@ -1,0 +1,176 @@
+"""Incremental ANN indexing: the production ingestion shape for the
+residual-IVFADC index (operators/ann.py).
+
+At 100 TB you never re-encode the corpus when new vectors arrive: the
+coarse quantizer is TRAINED once (periodically, offline - see
+``ann.kmeans_train``), frozen, and every arriving batch is encoded
+map-side against it - (id, cluster, 8-byte codes) rows appended to a
+persisted index table. Search then probes the index alone; raw vectors
+are needed only at encode time and for an optional exact rerank.
+
+This is the ANN analog of ``dedup.incremental_neardup`` (batch probes a
+persisted band index): encode cost is proportional to the BATCH, search
+cost to the probed clusters - neither to corpus size.
+
+The frozen quantizer crosses the batch/stream boundary as a collected
+list of (cluster, cv) rows - the driver-synced vocabulary-sized-model
+pattern streaming/curation.py uses for its classifier weights: 16 rows
+of 64 doubles inline as literal fold expressions, so the streaming
+encode is a STATELESS map-only projection (no shuffle, no aggregation -
+legal in append mode at any trigger) and bit-identical to the batch
+encoder's output, which the tests assert row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.operators.ann import (
+    NUM_CENTROIDS,
+    _argmin,
+    _c,
+    _pq_codes,
+    _pq_lut,
+    _pq_rank_topk,
+    _pq_adist,
+    _pq_subvectors,
+    _probe_list_l2,
+    _sqdist_spark_sql,
+)
+
+
+def frozen_quantizer(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a trained (cluster, cv) relation into the frozen-model
+    form the encoders consume: cluster-ascending list of (cluster, cv).
+    16 x 64 doubles - the same size class as the streaming classifier's
+    weight vector; re-train offline and re-deploy to rotate it."""
+    rows = sorted((r["cluster"], list(r["cv"])) for r in cents.collect())
+    assert [c for c, _ in rows] == list(range(NUM_CENTROIDS))
+    return rows
+
+
+def _lit_dists(vec_sql: str, model: list[tuple[int, list[float]]]):
+    """Array of squared L2 distances to every frozen centroid - one
+    whole-stage-codegen literal fold per centroid, identical op order
+    (and therefore identical doubles) to the relational trainer's
+    assignment folds."""
+    return F.expr(
+        "array(" + ", ".join(_sqdist_spark_sql(vec_sql, cv) for _, cv in model) + ")"
+    )
+
+
+def _lit_centroid_array(model: list[tuple[int, list[float]]]):
+    """array<array<double>> literal of the frozen centroids, indexable
+    by ``cluster + 1`` (the model is cluster-ascending and total)."""
+    inner = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in cv) + ")" for _, cv in model
+    )
+    return F.expr(f"array({inner})")
+
+
+def encode_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    model: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """(id, cluster, codes) for every row - the residual-IVFADC index
+    entry, computed entirely map-side against the frozen quantizer
+    (assignment fold -> residual v - centroid[cluster] -> PQ argmin
+    codes). Stateless, so the same plan serves batch AND streaming
+    inputs unchanged."""
+    v = df.select(
+        _c(id_col).alias("id"), _c(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        v.select("id", "v", _argmin(_lit_dists("v", model), NUM_CENTROIDS).alias("cluster"))
+        .select(
+            "id",
+            "cluster",
+            F.zip_with(
+                "v",
+                F.element_at(_lit_centroid_array(model), F.col("cluster") + 1),
+                lambda a, b: a - b,
+            ).alias("rv"),
+        )
+        .select("id", "cluster", *_pq_subvectors(F.col("rv")))
+        .select("id", "cluster", _pq_codes().alias("codes"))
+    )
+
+
+def run_ann_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    model: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+):
+    """Tail a directory of arriving vector parquet files and append
+    their index entries exactly-once (checkpointed file-source progress;
+    AvailableNow drains what exists and stops - the incremental-ingest
+    recipe every other stream in this package uses). Encode is map-only,
+    so the stream needs no watermark and holds no state."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = (
+        spark.readStream.schema(schema).format("parquet").option("path", source_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    encoded = encode_batch(reader.load(), id_col, vec_col, model)
+    return (
+        encoded.writeStream.format("parquet")
+        .option("path", index_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def search_codes_index(
+    index: DataFrame,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    model: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Residual-ADC top-k over a prebuilt (id, cluster, codes) index:
+    each query broadcasts nprobe (cluster, LUT) rows computed against
+    the SAME frozen quantizer the index was encoded with; candidates
+    come from the cluster equi-join and cost 16 array lookups each. The
+    corpus is never touched - only the 8-byte-code index moves."""
+    q = (
+        queries.select(
+            _c(query_id).alias("query_id"),
+            _c(query_vec).cast("array<double>").alias("v"),
+        )
+        .select(
+            "query_id",
+            "v",
+            F.explode(_probe_list_l2(_lit_dists("v", model), nprobe)).alias("cluster"),
+        )
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with(
+                "v",
+                F.element_at(_lit_centroid_array(model), F.col("cluster") + 1),
+                lambda a, b: a - b,
+            ).alias("rv"),
+        )
+        .select("query_id", "cluster", *_pq_subvectors(F.col("rv")))
+        .select("query_id", "cluster", _pq_lut().alias("lut"))
+    )
+    c = index.select(F.col("id").alias("neighbor_id"), "cluster", "codes")
+    scored = c.join(
+        F.broadcast(q),
+        (q["cluster"] == c["cluster"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", _pq_adist().alias("adist"))
+    return _pq_rank_topk(scored, k)
