@@ -88,30 +88,30 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # fragments after their r5 hashes. (vocab_coverage/minhash_lsh_recall
 # were re-hashed green in r6 and leave the set.)
 # Remove an entry once a NEWER CORRECTNESS round has re-hashed it.
+# r8 edge fan-out sweep (`stale_audit.py compare 1568b28
+# --hashed-round 7` -> exactly these 15 STALE lines): the nine
+# operator-internal (id,text)/(id,vec) repartitions in dedup.py/ann.py
+# moved to the callers' input edges, touching every query in the
+# minhash/ngram/simhash/band-index + cosine/LSH/IVF/kmeans/neardup
+# families. (All ten r7 pins were re-hashed green in CORRECTNESS_r07
+# and leave the set.)
 REWRITTEN = {
-    "curation_keep_decisions",
+    "ann_cosine_topk",
+    "ann_ivf_recall_bound",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_neardup",
+    "hybrid_rrf_retrieval",
     "incremental_neardup_batch",
+    "kmeans_iteration",
+    "minhash_lsh_neardup",
+    "minhash_lsh_recall",
+    "neardup_components",
+    "neardup_keep_list",
     "ngram_jaccard_neardup",
-    "semdedup_prune",
-    "stupid_backoff_score",
-    # r7 edits after their r6 hash (ADVICE fixes): NULL-source coalesce
-    # in the capstone's stage-1 base; bloom_hit NULL->False coalesce.
-    "corpus_mix_plan",
-    "bloom_membership_gate",
-    # r7: pq_topk/ivfadc_topk encode moved fully map-side (the internal
-    # raw-vector repartition was a 17-column full-corpus shuffle);
-    # fan-out now at the driver-query input edge.
-    "ann_pq_adc_topk",
-    "ann_ivfadc_topk",
-    "ann_pq_recall_bound",
+    "simhash_collisions",
+    "simhash_signatures",
 }
-# r7 close audit (`stale_audit.py compare e16219d --hashed-round 6`)
-# additionally flagged minhash_lsh_neardup / minhash_lsh_recall via the
-# r7 dedup.py edit. NOT pinned: that diff is provably docstring-only
-# (`git diff e16219d..HEAD -- .../operators/dedup.py` contains zero
-# non-comment source lines - the hot-bucket contract paragraphs), so
-# the r5/r6 hashes still attest the executing code; pinning would spend
-# two of the ~50 driver slots the r3-vintage rotation needs.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -54,8 +54,16 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle -> 12 minhashes -> 4 bands ->
     bucket equi-join -> exact jaccard verify >= 0.25) on a 1/5 document
     sample (the synthetic corpus shares vocabulary so heavily that LSH
-    buckets collide broadly; the sample keeps the oracle tractable)."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    buckets collide broadly; the sample keeps the oracle tractable).
+    Input fanned out HERE (single-row-group local fixture) - the
+    operator itself shuffles no text (dedup.py input-edge contract)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(par)
+    )
     return DD.minhash_lsh_pairs(docs, "text", "doc_id", 0.25)
 
 
@@ -67,8 +75,15 @@ def q_minhash_lsh(spark, sf_dir):
 )
 def q_ngram_jaccard(spark, sf_dir):
     """Exact shingle-blocked n-gram Jaccard join on a 1/10th document
-    sample (the exact quadratic variant; MinHash LSH is the scale path)."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sample (the exact quadratic variant; MinHash LSH is the scale path).
+    Input fanned out here, not in the operator (dedup.py contract)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .repartition(par)
+    )
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", 0.25)
 
 
@@ -77,9 +92,12 @@ def q_ngram_jaccard(spark, sf_dir):
     f"SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM documents",
 )
 def q_simhash(spark, sf_dir):
-    """Per-document 16-bit SimHash signature (array fold, map-side,
-    pre-repartitioned so the fold parallelizes off a single file)."""
-    return DD.simhash_signatures_df(table(spark, sf_dir, "documents"), "text", "doc_id")
+    """Per-document 16-bit SimHash signature (array fold, map-side;
+    input fanned out here so the fold parallelizes off a single file -
+    the operator adds no exchange)."""
+    return DD.simhash_signatures_df(
+        _docs_par(spark, sf_dir, "doc_id", "text"), "text", "doc_id"
+    )
 
 
 @query(
@@ -93,9 +111,10 @@ def q_simhash(spark, sf_dir):
 def q_simhash_collisions(spark, sf_dir):
     """SimHash near-dup candidates: pairs with identical signatures
     (self equi-join on the persisted signature projection - the naive
-    plan evaluates the signature fold once per join side)."""
+    plan evaluates the signature fold once per join side). Input fanned
+    out here (dedup.py input-edge contract)."""
     return DD.simhash_collision_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id"
+        _docs_par(spark, sf_dir, "doc_id", "text"), "text", "doc_id"
     )
 
 
@@ -218,13 +237,17 @@ def q_incremental_neardup_batch(spark, sf_dir):
     touched only through index lookups, which a (band, bh)-bucketed
     index layout serves without a full corpus shuffle at 100 TB.
     Previously pytest-only (tests/test_incremental_dedup.py); this row
-    gives the operator a direct driver hash check."""
-    docs = table(spark, sf_dir, "documents")
+    gives the operator a direct driver hash check. Both slices fanned
+    out at this edge (single-file fixture; the operators shuffle no
+    text)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = DD.build_band_index(
-        docs.filter(F.col("doc_id") % 5 == 1), "text", "doc_id"
+        docs.filter(F.col("doc_id") % 5 == 1).repartition(par), "text", "doc_id"
     )
     return DD.incremental_neardup(
-        docs.filter(F.col("doc_id") % 5 == 0), idx, "text", "doc_id", 0.25
+        docs.filter(F.col("doc_id") % 5 == 0).repartition(par),
+        idx, "text", "doc_id", 0.25,
     )
 
 
@@ -303,9 +326,15 @@ def q_minhash_lsh_recall(spark, sf_dir):
     the bottom of the S-curve exactly where it should. The exact lane
     is the documented quadratic (sampled, like ann_cosine_topk's role
     as ground truth); the LSH lane is the 100 TB path being graded."""
-    docs = table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 10 == 0)
-        & (F.length(normalize_text(F.col("text"))) >= TS.SHINGLE_N)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 10 == 0)
+            & (F.length(normalize_text(F.col("text"))) >= TS.SHINGLE_N)
+        )
+        .select("doc_id", "text")
+        # ONE input-edge fan-out shared by both lanes (dedup.py contract)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # both lanes referenced twice (count + hits join): persist, or the
     # quadratic exact join and the LSH chain each run ~2x (the module's
@@ -349,9 +378,10 @@ def q_minhash_lsh_recall(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucket-blocked. Threshold
     0.3 because the synthetic embeddings have no true duplicates (max
-    same-bucket cosine ~0.45); production near-dup would use ~0.95."""
+    same-bucket cosine ~0.45); production near-dup would use ~0.95.
+    Input fanned out here, not in the operator."""
     return ANN.embedding_neardup_pairs(
-        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3
+        _emb_par(spark, sf_dir), "vec_id", "embedding", 0.3
     )
 
 
@@ -692,11 +722,12 @@ def q_semdedup_prune_scaled(spark, sf_dir):
 )
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline;
-    broadcast queries, corpus never moves)."""
+    broadcast queries, corpus never moves - fixture fan-out at this
+    edge only)."""
     emb = table(spark, sf_dir, "embeddings")
     return ANN.cosine_topk(
-        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
-        "vec_id", "embedding", 10,
+        emb.filter(F.col("vec_id") < 5), _emb_par(spark, sf_dir),
+        "vec_id", "embedding", "vec_id", "embedding", 10,
     )
 
 
@@ -706,11 +737,12 @@ def q_ann_cosine_topk(spark, sf_dir):
 )
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-5 via random-hyperplane LSH buckets (scale path:
-    equi-join on bucket id replaces the full scan)."""
+    equi-join on bucket id replaces the full scan). Fixture fan-out at
+    this edge only."""
     emb = table(spark, sf_dir, "embeddings")
     return ANN.lsh_topk(
-        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
-        "vec_id", "embedding", 5,
+        emb.filter(F.col("vec_id") < 20), _emb_par(spark, sf_dir),
+        "vec_id", "embedding", "vec_id", "embedding", 5,
     )
 
 
@@ -722,11 +754,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     """Approximate top-5 via an IVF coarse quantizer: corpus assigned to
     its nearest of 16 centroids map-side, each query probes its 4
     nearest clusters (equi-join on cluster id). The second scale path
-    besides LSH - candidate volume ~nprobe/16 of the corpus."""
+    besides LSH - candidate volume ~nprobe/16 of the corpus. Fixture
+    fan-out at this edge only."""
     emb = table(spark, sf_dir, "embeddings")
     return ANN.ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
-        "vec_id", "embedding", 5, nprobe=4,
+        emb.filter(F.col("vec_id") < 20), _emb_par(spark, sf_dir),
+        "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
     )
 
 
@@ -1016,8 +1049,9 @@ def q_kmeans_iteration(spark, sf_dir):
     """One distributed k-means (Lloyd) update: nearest-centroid
     assignment map-side, centroid means via a partial-aggregated
     groupBy(cluster, dim) - the iterative-algorithm building block for
-    learning the IVF coarse quantizer at scale."""
-    return ANN.kmeans_update(table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    learning the IVF coarse quantizer at scale. Fixture fan-out at this
+    edge only (the operator moves no vectors)."""
+    return ANN.kmeans_update(_emb_par(spark, sf_dir), "vec_id", "embedding")
 
 
 # ---------------------------------------------------------------------------
@@ -1030,6 +1064,20 @@ def _docs_par(spark, sf_dir, *cols):
     across cores instead of running in the single-file scan's one task."""
     par = spark.sparkContext.defaultParallelism
     return table(spark, sf_dir, "documents").select(*cols).repartition(par)
+
+
+def _emb_par(spark, sf_dir):
+    """(vec_id, embedding) corpus fanned out at the input edge: the
+    local fixture is ONE parquet row group (one scan partition), so the
+    per-vector folds need an explicit spread; a production corpus scan
+    is already thousands of splits and the ANN operators themselves add
+    no vector exchange (plan-gated in tests/test_plans.py)."""
+    par = spark.sparkContext.defaultParallelism
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(par)
+    )
 
 
 @query(
@@ -1476,7 +1524,9 @@ def q_ann_ivf_recall_bound(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
-    c = emb.filter(F.col("vec_id") % 50 != 0)
+    # corpus side fanned out once at this edge (both lanes consume it);
+    # the operators themselves move no vectors
+    c = _emb_par(spark, sf_dir).filter(F.col("vec_id") % 50 != 0)
     exact = ANN.cosine_topk(q, c, "vec_id", "embedding", "vec_id", "embedding", 10)
     approx = ANN.ivf_topk(
         q, c, "vec_id", "embedding", "vec_id", "embedding", 10, nprobe=4

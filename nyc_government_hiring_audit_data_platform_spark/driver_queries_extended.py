@@ -1005,9 +1005,14 @@ def q_neardup_components(spark, sf_dir):
     algorithm-independent definition of the same result."""
     from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
     from nyc_government_hiring_audit_data_platform_spark.operators import graph as G
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_datapipe import (
+        _emb_par,
+    )
 
-    emb = table(spark, sf_dir, "embeddings")
-    edges = ANN.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.3)
+    # fixture fan-out at the input edge; the operator moves no vectors
+    edges = ANN.embedding_neardup_pairs(
+        _emb_par(spark, sf_dir), "vec_id", "embedding", 0.3
+    )
     return G.connected_components(edges, "id_a", "id_b")
 
 

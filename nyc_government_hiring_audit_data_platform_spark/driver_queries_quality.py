@@ -627,10 +627,15 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
             (F.col("pos") + 1).cast("int").alias("rank_lex"),
         )
     )
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries_datapipe import (
+        _emb_par,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
+    # corpus fan-out at the input edge (operator moves no vectors)
     vec = cosine_topk(
-        emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding",
-        "vec_id", "embedding", _RRF_TOPK,
+        emb.filter(F.col("vec_id") == 0), _emb_par(spark, sf_dir),
+        "vec_id", "embedding", "vec_id", "embedding", _RRF_TOPK,
     ).select(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("rank_vec"),

@@ -142,14 +142,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: broadcast the (small) query set
     against the corpus, score every pair, keep the k best per query with
-    a deterministic tiebreaker."""
+    a deterministic tiebreaker. Scoring runs in the corpus's scan
+    partitions - the operator moves no vectors (module input-edge
+    contract: single-file fixtures fan out at the caller)."""
     q = queries.select(
         _c(query_id).alias("query_id"), _c(query_vec).alias("qv")
     )
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv")
-    ).repartition(par)  # spread the per-pair cosine folds across cores
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -206,10 +207,9 @@ def lsh_topk(
     q = queries.select(
         _c(query_id).alias("query_id"), _c(query_vec).alias("qv")
     ).select("query_id", "qv", lsh_bucket("qv").alias("bucket"))
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = (
         corpus.select(_c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv"))
-        .repartition(par)  # parallelize the bucket fold off a 1-file source
+        # bucket fold runs in the scan partitions; no vector shuffle here
         .select("neighbor_id", "cv", lsh_bucket("cv").alias("bucket"))
     )
     scored = c.join(
@@ -328,10 +328,9 @@ def ivf_topk(
     ~nprobe/NUM_CENTROIDS of the corpus. Recall < 1 by design; raise
     nprobe toward NUM_CENTROIDS to trade speed for recall (nprobe =
     NUM_CENTROIDS is exact brute force)."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv")
-    ).repartition(par).select(  # parallelize the 16-centroid fold
+    ).select(  # 16-centroid fold runs in the scan partitions
         "neighbor_id",
         "cv",
         _centroid_dots("cv").alias("dots"),
@@ -409,10 +408,9 @@ def kmeans_update(
     components are float32 widened to double, and doubles with 24-bit
     mantissas in [-2^8, 2^8] sum EXACTLY in double for any realistic
     group size, so the mean is order-independent and oracle-exact."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
     assigned = (
         corpus.select(_c(vec_col).cast("array<double>").alias("cv"))
-        .repartition(par)  # parallelize the 16-centroid fold
+        # assignment fold runs in the scan partitions (input-edge contract)
         .select("cv", _centroid_dots("cv").alias("dots"))
         .select("cv", _probe_list(F.col("dots"), 1)[0].alias("cluster"))
     )
@@ -449,10 +447,8 @@ def embedding_neardup_pairs(
     self-join (only same-bucket pairs are scored), cosine >= threshold.
     Near-identical vectors land in the same bucket with high
     probability; at 100 TB this is the only shape that avoids N^2."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(_c(id_col).alias("id"), _c(vec_col).alias("v"))
-        .repartition(par)
         .select("id", "v", lsh_bucket("v").alias("bucket"))
         # the self-join otherwise evaluates the 8-plane bucket fold once
         # per side, single-threaded off a one-file source (measured 5x)

@@ -21,16 +21,17 @@ Portability trick used throughout: md5 hex strings are fixed-width, so
 lexicographic MIN equals numeric MIN - both engines agree without any
 hex->int conversion.
 
-Known residual (scheduled r8): several operators here still carry an
-internal ``repartition(par)`` of (id, text) before hashing. On the
-single-file local fixtures that fan-out is what spreads the per-doc
-fold across cores; on a production pre-split scan it is a redundant
-full-text shuffle - the right shape is the one the PQ/IVFADC family
-now has (operator shuffle-free, fan-out at the caller's input edge,
-plan-gated). Moving it is a mechanical sweep but re-pins every green
-query in these families in the driver-verification budget, so it is
-deferred to the next round's fresh budget rather than crammed into
-this one.
+INPUT-EDGE CONTRACT (the 100 TB shape, same as the PQ/IVFADC family):
+no operator in this module shuffles raw document text - shingle
+hashing, signatures and banding all run IN the caller's scan
+partitions, and the only arrays that ever cross an exchange are the
+8-byte shingle-hash sets the verify step is DEFINED over. A caller
+feeding a single-file local fixture (one scan partition) should fan
+the narrow (id, text) input out ONCE at its own edge
+(``df.select(id, text).repartition(parallelism)``) so the per-doc
+folds parallelize; a production pre-split scan needs nothing.
+tests/test_plans.py gates that the operators themselves add zero
+text-carrying exchanges.
 """
 
 from __future__ import annotations
@@ -225,15 +226,11 @@ def minhash_lsh_pairs(
     per-bucket star edges instead of all pairs). Enforced by
     tests/test_incremental_dedup.py::test_hot_bucket_*.
     """
-    # Repartition BEFORE the expensive per-doc hashing: a single-file
-    # source otherwise computes every shingle hash in one task (and the
-    # broadcast subqueries each re-run it single-threaded). The exchange
-    # is narrow (id + text) and ReuseExchange shares it across the three
-    # consumers of `docs` below.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # Shingle hashing runs IN the caller's scan partitions - no text
+    # shuffle here (module input-edge contract; single-file fixtures
+    # fan out at the caller).
     docs = (
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
-        .repartition(par)
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
         # three consumers (bands + both verify sides); AQE does not
         # unify their exchanges, so without persist the shingle hashing
@@ -392,10 +389,8 @@ def ngram_jaccard_pairs(
     cluster: every candidate pair ships both full shingle arrays).
     If the probe covers every id the output is identical to the
     unprobed call."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     docs = (
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
-        .repartition(par)
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers, see minhash_lsh_pairs
     )
@@ -527,14 +522,12 @@ def simhash_sql(expr: str) -> str:
 
 
 def simhash_signatures_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) for every document, repartitioned BEFORE the
-    signature expression: a single-file parquet source otherwise puts
-    the whole per-doc fold in one task (measured 5x on local[8]; on a
-    cluster the skew would idle every other executor)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    """(id, simhash) for every document. The per-doc fold runs in the
+    caller's scan partitions (module input-edge contract): a caller on
+    a single-file fixture fans (id, text) out at its own edge, or the
+    whole fold lands in one task (measured 5x on local[8])."""
     return (
         df.select(_c(id_col).alias("doc_id"), _c(text_col).alias("txt"))
-        .repartition(par)
         .select("doc_id", simhash(F.col("txt")).alias("simhash"))
     )
 
@@ -601,10 +594,8 @@ def build_band_index(
     (band, bh) in production) and each new ingest batch probes it
     instead of re-deduping the whole corpus. Index size is
     BANDS rows/doc + one shingle-hash set/doc; growth is linear."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     docs = (
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
-        .repartition(par)
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
     )
     sigs = docs.select(

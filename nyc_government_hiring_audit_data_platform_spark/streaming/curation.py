@@ -209,7 +209,11 @@ def run_dedup_ingest(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("doc_id", "text").persist()
+        # input-edge fan-out (dedup.py contract): a micro-batch arrives
+        # in however few partitions the source produced; the dedup
+        # operators themselves never shuffle text
+        par = spark.sparkContext.defaultParallelism
+        batch = batch_df.select("doc_id", "text").repartition(par).persist()
         try:
             try:
                 index = spark.read.parquet(f"{index_dir}/b*").filter(

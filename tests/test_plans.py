@@ -699,12 +699,22 @@ def test_referential_audit_no_cartesian(spark, sf_dir):
 # --- round-6 family plan gates (VERDICT r6 ask #2) -------------------------
 
 _VEC_RE = r"_s\d+#|embedding#|\bcv#|\bqv#"
+# raw document text attributes (the r8 edge-fan-out sweep's gate); the
+# 8-byte shingle-hash sets (hs#) are the dedup family's DESIGNED
+# working representation and may shuffle for the verify join
+_TEXT_RE = r"\btxt#|\btext#"
 
 
 def _vector_exchanges(df):
     import re
 
     return [b for b in PI.exchange_blocks(df) if re.search(_VEC_RE, b)]
+
+
+def _text_exchanges(df):
+    import re
+
+    return [b for b in PI.exchange_blocks(df) if re.search(_TEXT_RE, b)]
 
 
 def test_pq_encode_is_map_side_operator_adds_no_vector_exchange(spark, sf_dir):
@@ -762,6 +772,131 @@ def test_pq_driver_queries_single_documented_input_fanout(spark, sf_dir):
         assert len(vex) == allowed, f"{name}: {len(vex)} vector exchanges\n{vex}"
         for b in vex:
             assert "REPARTITION_BY_NUM" in b, f"{name}: non-fanout vector move\n{b}"
+
+
+# --- round-8 edge fan-out sweep gates (VERDICT r7 ask #1) -------------------
+# Every dedup/ANN operator is shuffle-free over its raw payload: text and
+# vectors move ONLY in the caller's documented input-edge fan-out. The
+# operator-level tests feed a PLAIN scan (the production shape - no
+# fan-out at all); the driver-query tests pin the exact fan-out budget.
+
+
+def test_dedup_operators_add_no_text_exchange(spark, sf_dir):
+    """minhash/ngram-jaccard/simhash/band-index/incremental given a plain
+    single-file scan: ZERO text-carrying exchanges anywhere in the plan.
+    Shingle hashing and signatures run in the scan partitions; only the
+    8-byte shingle-hash sets (the verify step's working representation)
+    and band keys may shuffle."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import dedup as D
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    for label, df in [
+        ("minhash_lsh_pairs", D.minhash_lsh_pairs(docs, "text", "doc_id", 0.25)),
+        ("ngram_jaccard_pairs", D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.25)),
+        ("simhash_signatures_df", D.simhash_signatures_df(docs, "text", "doc_id")),
+        ("simhash_collision_pairs", D.simhash_collision_pairs(docs, "text", "doc_id")),
+        ("build_band_index", D.build_band_index(docs, "text", "doc_id")),
+        (
+            "incremental_neardup",
+            D.incremental_neardup(
+                docs.filter(F.col("doc_id") % 5 == 0),
+                D.build_band_index(
+                    docs.filter(F.col("doc_id") % 5 == 1), "text", "doc_id"
+                ),
+                "text",
+                "doc_id",
+                0.25,
+            ),
+        ),
+    ]:
+        tex = _text_exchanges(df)
+        assert tex == [], f"{label}: text-carrying exchange\n{tex}"
+    spark.catalog.clearCache()
+
+
+def test_ann_operators_add_no_vector_exchange(spark, sf_dir):
+    """cosine/lsh/ivf top-k, kmeans_update and embedding near-dup given a
+    plain corpus scan: ZERO vector-carrying exchanges - scoring folds,
+    bucket/cluster assignment and the per-dim posexplode all run in the
+    scan partitions; only ids, buckets, sims and (cluster, dim) scalars
+    move."""
+    import re
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    vec_re = _VEC_RE + r"|\bv#"  # embedding_neardup aliases its vector `v`
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    for label, df in [
+        (
+            "cosine_topk",
+            ANN.cosine_topk(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5),
+        ),
+        (
+            "lsh_topk",
+            ANN.lsh_topk(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5),
+        ),
+        (
+            "ivf_topk",
+            ANN.ivf_topk(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5),
+        ),
+        ("kmeans_update", ANN.kmeans_update(emb, "vec_id", "embedding")),
+        (
+            "embedding_neardup_pairs",
+            ANN.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.3),
+        ),
+    ]:
+        vex = [b for b in PI.exchange_blocks(df) if re.search(vec_re, b)]
+        assert vex == [], f"{label}: vector-carrying exchange\n{vex}"
+    spark.catalog.clearCache()
+
+
+def test_dedup_driver_queries_documented_input_fanout_only(spark, sf_dir):
+    """Driver queries in the dedup family: every text-carrying exchange
+    is a documented REPARTITION_BY_NUM input-edge fan-out of the
+    single-row-group fixture, with the exact budget pinned per query."""
+    for name, allowed in [
+        ("minhash_lsh_neardup", 1),
+        ("ngram_jaccard_neardup", 1),
+        ("simhash_signatures", 1),
+        ("simhash_collisions", 1),
+        ("incremental_neardup_batch", 2),  # corpus-index + batch edges
+        ("minhash_lsh_recall", 1),  # ONE edge shared by both lanes
+    ]:
+        tex = _text_exchanges(QUERIES[name](spark, sf_dir))
+        assert len(tex) == allowed, f"{name}: {len(tex)} text exchanges\n{tex}"
+        for b in tex:
+            assert "REPARTITION_BY_NUM" in b, f"{name}: non-fanout text move\n{b}"
+        spark.catalog.clearCache()
+
+
+def test_ann_driver_queries_documented_input_fanout_only(spark, sf_dir):
+    """Driver queries in the brute-force/LSH/IVF/kmeans/neardup ANN
+    family: every vector-carrying exchange is a documented input-edge
+    fan-out (same contract the PQ family pinned in r7)."""
+    import re
+
+    vec_re = _VEC_RE + r"|\bv#"
+    for name, allowed in [
+        ("ann_cosine_topk", 1),
+        ("ann_lsh_topk", 1),
+        ("ann_ivf_topk", 1),
+        ("kmeans_iteration", 1),
+        ("embedding_neardup", 1),
+        ("ann_ivf_recall_bound", 2),  # shared corpus edge, one per lane
+        ("hybrid_rrf_retrieval", 1),  # the vector lane's corpus edge
+    ]:
+        vex = [
+            b
+            for b in PI.exchange_blocks(QUERIES[name](spark, sf_dir))
+            if re.search(vec_re, b)
+        ]
+        assert len(vex) == allowed, f"{name}: {len(vex)} vector exchanges\n{vex}"
+        for b in vex:
+            assert "REPARTITION_BY_NUM" in b, f"{name}: non-fanout vector move\n{b}"
+        spark.catalog.clearCache()
 
 
 def test_bloom_probe_adds_zero_probe_side_exchanges(spark, sf_dir):
