@@ -587,14 +587,15 @@ def _pq_lut() -> Column:
 def _pq_adist() -> Column:
     """Asymmetric distance: sum of PQ_M lut[m][codes[m]] lookups, in
     fixed subspace order (a sequential IEEE fold, matching the SQL
-    twin's left-to-right + chain)."""
-    adist = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.element_at("lut", m + 1), F.element_at("codes", m + 1) + 1
+    twin's left-to-right + chain). One parsed SQL string - the Column
+    form cost ~100 Py4J round-trips per use (see _pq_codes_rel)."""
+    return F.expr(
+        " + ".join(
+            f"element_at(element_at(lut, {m + 1}), "
+            f"element_at(codes, {m + 1}) + 1)"
+            for m in range(PQ_M)
         )
-        adist = term if adist is None else adist + term
-    return adist
+    )
 
 
 def _pq_rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -846,8 +847,11 @@ def _cent_arr(cents: DataFrame) -> DataFrame:
 
 def _arr_dists(v: str, arr: str) -> Column:
     """Array of squared distances of column ``v`` to every centroid in
-    the packed ``arr`` column (fold per element, each evaluated once)."""
-    return F.transform(F.col(arr), lambda s: _sqdist_cols(F.col(v), s["cv"]))
+    the packed ``arr`` column (fold per element, each evaluated once).
+    Rendered as one SQL string - same tree, one Py4J round-trip (see
+    _pq_codes_rel)."""
+    sq = _SQDIST_LAMBDA.format(a=v, b="s.cv")
+    return F.expr(f"transform({arr}, s -> {sq})")
 
 
 def _probe_list_l2(dists: Column, nprobe: int) -> Column:
@@ -857,6 +861,92 @@ def _probe_list_l2(dists: Column, nprobe: int) -> Column:
     idx = F.sequence(F.lit(0), F.lit(NUM_CENTROIDS - 1))
     pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
     return F.transform(F.slice(F.array_sort(pairs), 1, nprobe), lambda x: x["i"])
+
+
+def _probe_list_l2_sqlstr(ds: str, nprobe: int) -> str:
+    """SQL-string twin of :func:`_probe_list_l2` (identical tree; one
+    Py4J round-trip - see _pq_codes_rel)."""
+    return (
+        f"transform(slice(array_sort(zip_with({ds}, "
+        f"sequence(0, {NUM_CENTROIDS - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i))), 1, {nprobe}), x -> x.i)"
+    )
+
+
+def _pq_cb_rel(spark) -> DataFrame:
+    """ONE-row relation holding PQ_CODEBOOKS as DATA
+    (``cb``: 16 x 16 x 4 doubles). Broadcast and referenced as a column,
+    the codebook stays OUT of the expression tree: the literal form
+    inlines 256 four-literal distance folds per side, and because
+    Dataset construction re-analyzes its whole logical tree EAGERLY on
+    every transformation, that tree size is a flat driver-side cost
+    paid per action at every scale (the measured ~6 s constant on the
+    residual driver slots - profiled as Py4J/analyzer time, not
+    execution). Values round-trip createDataFrame exactly (Python
+    floats ARE doubles), so distances are bit-identical to the literal
+    form - and a TRAINED codebook would arrive as a relation anyway;
+    this is the production shape, the pinned literals are the test
+    determinism device."""
+    return spark.createDataFrame(
+        [(PQ_CODEBOOKS,)], "cb array<array<array<double>>>"
+    )
+
+
+# The residual family's big expressions are rendered as ONE Spark-SQL
+# string each (F.expr) instead of Column-API calls: the Column form of
+# this query cost ~10k Py4J round-trips of pure driver time per
+# construction (profiled ~3-5 s at ANY scale); the string parses
+# JVM-side to the identical expression tree. Same rationale as
+# _dot_spark_sql.
+
+_SQDIST_LAMBDA = (
+    "aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+
+
+def _argmin_sqlstr(ds: str, n: int) -> str:
+    """Spark-SQL twin of :func:`_argmin` (same (d, i) struct sort,
+    0-based [] subscript)."""
+    return (
+        f"array_sort(zip_with({ds}, sequence(0, {n - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i)))[0].i"
+    )
+
+
+def _pq_subs_sqlstr(rv: str) -> str:
+    """The 16 subvectors of ``rv`` as one array<array<double>>, so each
+    slice is evaluated ONCE per row (an inner-lambda slice would
+    re-evaluate per codebook entry - 256 instead of 16 per row, a
+    measured sf0.1 regression in the interpreted HOF path)."""
+    return (
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice({rv}, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+    )
+
+
+def _pq_codes_rel(rv: str = "rv") -> Column:
+    """PQ encode against the broadcast ``cb`` codebook column:
+    codes[m] = argmin_k sqdist(rv[m*SUBDIM+1 .. +SUBDIM], cb[m][k]),
+    as one zip_with over (subvectors, codebooks) - sub and book bind
+    once per subspace. Same distance definition, evaluation order and
+    (d, i) struct-sort tie-break as the literal :func:`_pq_codes` -
+    bit-identical codes."""
+    ds = "transform(book, e -> " + _SQDIST_LAMBDA.format(a="sub", b="e") + ")"
+    return F.expr(
+        f"zip_with({_pq_subs_sqlstr(rv)}, cb, "
+        f"(sub, book) -> {_argmin_sqlstr(ds, PQ_K)})"
+    )
+
+
+def _pq_lut_rel(rv: str = "rv") -> Column:
+    """Query-side ADC lookup table against the broadcast ``cb`` column:
+    lut[m][k] = the same sqdist the encode argmin minimizes (one
+    distance definition for both roles, like :func:`_pq_lut`)."""
+    ds = "transform(book, e -> " + _SQDIST_LAMBDA.format(a="sub", b="e") + ")"
+    return F.expr(
+        f"zip_with({_pq_subs_sqlstr(rv)}, cb, (sub, book) -> {ds})"
+    )
 
 
 def kmeans_train(corpus: DataFrame, vec_col: str, iters: int = KM_ITERS) -> DataFrame:
@@ -880,37 +970,37 @@ def kmeans_train(corpus: DataFrame, vec_col: str, iters: int = KM_ITERS) -> Data
     )
     v = corpus.select(_c(vec_col).cast("array<double>").alias("v"))
     for it in range(iters):
-        if it == 0:
-            # iteration 1 assigns against the LITERAL seed, so the 16
-            # distance folds can inline as one whole-stage-codegen SQL
-            # string instead of interpreted per-element HOF lambdas
-            # (identical op sequence and identical doubles - the seed
-            # relation round-trips the same repr literals - so the
-            # assignment is bit-equal to the relational path)
-            lit_ds = F.expr(
-                "array("
-                + ", ".join(_sqdist_spark_sql("v", c) for c in CENTROIDS)
-                + ")"
+        # every pass assigns against the BROADCAST centroid relation
+        # (iteration 1 once inlined the seed as a literal SQL string for
+        # whole-stage codegen; identical op sequence and identical
+        # doubles either way - the seed relation round-trips the same
+        # repr literals - but the 16x64 literal block made the analyzed
+        # tree so large that EAGER re-analysis on every downstream
+        # Dataset creation cost more flat driver time than interpreted
+        # HOF assignment costs at execution; see _pq_cb_rel)
+        assigned = (
+            v.crossJoin(F.broadcast(_cent_arr(cent)))
+            .select("v", _arr_dists("v", "arr").alias("ds"))
+            .select(
+                "v",
+                F.expr(_argmin_sqlstr("ds", NUM_CENTROIDS)).alias("cluster"),
             )
-            assigned = v.select(
-                "v", _argmin(lit_ds, NUM_CENTROIDS).alias("cluster")
-            )
-        else:
-            assigned = (
-                v.crossJoin(F.broadcast(_cent_arr(cent)))
-                .select("v", _arr_dists("v", "arr").alias("ds"))
-                .select("v", _argmin(F.col("ds"), NUM_CENTROIDS).alias("cluster"))
-            )
+        )
+        # ONE exchange per pass: 64 per-dim AVG aggregates in a single
+        # groupBy(cluster) (partial agg map-side), packed back into the
+        # centroid array - equivalent to the posexplode +
+        # groupBy(cluster, dim) + collect_list form but one shuffle and
+        # two fewer stages per iteration (the flat stage-scheduling cost
+        # dominated the sf0.01 wall), and the same doubles: AVG over
+        # float32-widened components is order-independent (exact sums)
         upd = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("val"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
-                    lambda s: s["val"],
-                ).alias("ncv")
+            assigned.groupBy("cluster")
+            .agg(*[F.expr(f"avg(v[{d}]) AS _d{d}") for d in range(EMBED_DIM)])
+            .select(
+                "cluster",
+                F.expr(
+                    "array(" + ", ".join(f"_d{d}" for d in range(EMBED_DIM)) + ")"
+                ).alias("ncv"),
             )
         )
         cent = cent.join(upd, "cluster", "left").select(
@@ -995,9 +1085,14 @@ def ivfadc_residual_topk(
     search = broadcast (query x probe) LUT rows against the (id,
     cluster, 8-byte codes) relation on a cluster equi-join. The coarse
     quantizer here is min-L2 on both sides (train/search consistency),
-    vs the max-dot probe of the untrained variants."""
+    vs the max-dot probe of the untrained variants.
+
+    Both model halves - trained centroids AND PQ codebooks - arrive as
+    ONE broadcast one-row relation (``arr``, ``cb``) instead of inline
+    literals: see :func:`_pq_cb_rel` for why the literal form's
+    expression-tree size was a flat ~6 s/action driver cost."""
     cents = kmeans_train(corpus.select(_c(corpus_vec).alias("v")), "v", iters)
-    arr = _cent_arr(cents)
+    model = _cent_arr(cents).crossJoin(_pq_cb_rel(corpus.sparkSession))
 
     def encode(side: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
         return (
@@ -1005,44 +1100,37 @@ def ivfadc_residual_topk(
                 _c(id_col).alias(out_id),
                 _c(vec_col).cast("array<double>").alias("v"),
             )
-            .crossJoin(F.broadcast(arr))
-            .select(out_id, "v", "arr", _arr_dists("v", "arr").alias("ds"))
+            .crossJoin(F.broadcast(model))
+            .select(out_id, "v", "arr", "cb", _arr_dists("v", "arr").alias("ds"))
         )
+
+    def residual(keep: str) -> list[Column]:
+        rv = F.zip_with(
+            "v",
+            F.element_at(F.col("arr"), F.col("cluster") + 1)["cv"],
+            lambda a, b: a - b,
+        )
+        return [F.col(keep), F.col("cluster"), F.col("cb"), rv.alias("rv")]
 
     c = (
         encode(corpus, corpus_id, corpus_vec, "neighbor_id")
         .select(
-            "neighbor_id", "v", "arr", _argmin(F.col("ds"), NUM_CENTROIDS).alias("cluster")
+            "neighbor_id", "v", "arr", "cb",
+            F.expr(_argmin_sqlstr("ds", NUM_CENTROIDS)).alias("cluster"),
         )
-        .select(
-            "neighbor_id",
-            "cluster",
-            F.zip_with(
-                "v",
-                F.element_at(F.col("arr"), F.col("cluster") + 1)["cv"],
-                lambda a, b: a - b,
-            ).alias("rv"),
-        )
-        .select("neighbor_id", "cluster", *_pq_subvectors(F.col("rv")))
-        .select("neighbor_id", "cluster", _pq_codes().alias("codes"))
+        .select(*residual("neighbor_id"))
+        .select("neighbor_id", "cluster", _pq_codes_rel("rv").alias("codes"))
     )
     q = (
         encode(queries, query_id, query_vec, "query_id")
         .select(
-            "query_id", "v", "arr",
-            F.explode(_probe_list_l2(F.col("ds"), nprobe)).alias("cluster"),
+            "query_id", "v", "arr", "cb",
+            F.expr(
+                f"explode({_probe_list_l2_sqlstr('ds', nprobe)})"
+            ).alias("cluster"),
         )
-        .select(
-            "query_id",
-            "cluster",
-            F.zip_with(
-                "v",
-                F.element_at(F.col("arr"), F.col("cluster") + 1)["cv"],
-                lambda a, b: a - b,
-            ).alias("rv"),
-        )
-        .select("query_id", "cluster", *_pq_subvectors(F.col("rv")))
-        .select("query_id", "cluster", _pq_lut().alias("lut"))
+        .select(*residual("query_id"))
+        .select("query_id", "cluster", _pq_lut_rel("rv").alias("lut"))
     )
     scored = c.join(
         F.broadcast(q),
