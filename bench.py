@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "corpus_mix_plan_staged",
     "ann_ivfadc_residual_topk",
     "ann_ivfadc_residual_recall",
+    # round-8 additions
+    "ann_ivfadc_rerank_topk",
     # bpe_encode_corpus stays OUT: encode re-runs the train loop
     # bpe_train_merges already times before its map-only encode.
 ]

@@ -1001,6 +1001,127 @@ def q_ann_ivfadc_residual_recall(spark, sf_dir):
 
 
 @query(
+    "ann_ivfadc_rerank_topk",
+    ANN.ivfadc_rerank_topk_sql(
+        "embeddings", "vec_id", "embedding", "vec_id < 20", 5, nprobe=4
+    ),
+)
+def q_ann_ivfadc_rerank_topk(spark, sf_dir):
+    """The deployed ANN stack's FINAL stage (Jegou et al. 2011 §V-C,
+    VERDICT r7 ask #4): exact rerank of the residual-ADC shortlist.
+    ivfadc_residual_topk produces a 4k-deep shortlist in the compressed
+    domain; only those k*4 ids per query fetch their raw vectors back
+    (broadcast id equi-join - the corpus never shuffles) and are
+    re-scored with exact squared L2, so quantization error is confined
+    to shortlist membership and the output ordering is exact. Output is
+    (query_id, neighbor_id, d2, rank) - d2 the exact distance, not the
+    ADC approximation."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.ivfadc_rerank_topk(
+        emb.filter(F.col("vec_id") < 20), emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
+    )
+
+
+@query(
+    "ann_ivfadc_rerank_recall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS rerank_matches_shortlist, TRUE AS rerank_beats_adc,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
+    """,
+)
+def q_ann_ivfadc_rerank_recall(spark, sf_dir):
+    """Quality gate for the rerank stage (VERDICT r7 ask #4). Over the
+    fixed query panel: recall@10 of (a) the exact rerank of the
+    100-deep residual shortlist, (b) the ADC-ordered top-10 of the
+    same shortlist, against the exact top-10. Three exact-integer
+    booleans: the rerank's recall EQUALS the shortlist's recall
+    (provable: any true top-10 member present in the shortlist has a
+    smaller exact d2 than every non-member, so exact re-scoring
+    surfaces all of them - quantization error is membership-only), it
+    is >= the ADC ordering's recall (the paper's reason to rerank),
+    and it clears the same 0.6 absolute bound the shortlist gate pins
+    (0.85 sf0.01 / 0.655 sf0.1). Integerized milli-recalls summed as
+    BIGINTs - no float mean crosses a comparison."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    par = spark.sparkContext.defaultParallelism
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cc = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).repartition(par)
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    scored = cc.join(
+        F.broadcast(qq), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", d2.alias("d2"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    e = exact.groupBy("query_id").agg(F.collect_set("neighbor_id").alias("es"))
+
+    def milli(shortlist, name):
+        a = shortlist.groupBy("query_id").agg(
+            F.collect_set("neighbor_id").alias("as_")
+        )
+        return e.join(a, "query_id", "left").select(
+            "query_id",
+            F.floor(
+                F.lit(1000)
+                * F.size(F.coalesce(F.array_intersect("es", "as_"), F.array()))
+                / F.size("es")
+            ).alias(name),
+        )
+
+    corpus = c.select("vec_id", "embedding")
+    # ONE 100-deep shortlist feeds all three lanes (persisted: rerank,
+    # ADC-order and membership views would otherwise re-run the whole
+    # train+encode chain each)
+    sl100 = ANN.ivfadc_residual_topk(
+        q, corpus, "vec_id", "embedding", "vec_id", "embedding", 100, nprobe=4
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # exact rerank of that shortlist - the operator's tail verbatim:
+    # raw vectors fetched by broadcast id join, exact d2, top-10
+    rr_w = Window.partitionBy("query_id").orderBy(
+        F.asc("rr_d2"), F.asc("neighbor_id")
+    )
+    reranked = (
+        cc.join(F.broadcast(sl100.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qq), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("rr_d2"))
+        .withColumn("rrank", F.row_number().over(rr_w))
+        .filter(F.col("rrank") <= 10)
+    )
+    rr = milli(reranked, "rr_milli")
+    adc = milli(sl100.filter(F.col("rank") <= 10), "adc_milli")
+    sl = milli(sl100, "sl_milli")
+    return (
+        rr.join(adc, "query_id")
+        .join(sl, "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            (F.sum("rr_milli") == F.sum("sl_milli")).alias(
+                "rerank_matches_shortlist"
+            ),
+            (F.sum("rr_milli") >= F.sum("adc_milli")).alias("rerank_beats_adc"),
+            (F.sum("rr_milli") >= F.lit(600) * F.count(F.lit(1))).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+@query(
     "zscore_normalize",
     """
     WITH stats AS (

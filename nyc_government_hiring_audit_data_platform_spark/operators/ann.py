@@ -1139,6 +1139,96 @@ def ivfadc_residual_topk(
     return _pq_rank_topk(scored, k)
 
 
+def ivfadc_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    nprobe: int = 4,
+    shortlist_factor: int = 4,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Exact-rerank tail of the deployed IVFADC stack (Jegou et al.
+    2011 §V-C): :func:`ivfadc_residual_topk` produces a
+    ``k * shortlist_factor`` shortlist in the compressed domain, then
+    ONLY the shortlist's raw vectors are fetched back by an id
+    equi-join and re-scored with the EXACT squared L2. ADC quantization
+    error is thereby confined to shortlist MEMBERSHIP - the final
+    ordering is exact, so every true neighbor the shortlist contains
+    surfaces in the top-k (recall@k equals the shortlist's recall, and
+    can only improve on the ADC ordering's).
+
+    100 TB shape: the shortlist is bounded (|queries| x shortlist) and
+    BROADCASTS against the corpus scan - the id-keyed vector fetch is a
+    map-side broadcast hash join, zero corpus movement; the query
+    vectors broadcast likewise. The only rows that ever carry a raw
+    vector past the scan are the shortlist's own k*factor per query."""
+    short = ivfadc_residual_topk(
+        queries, corpus, query_id, query_vec, corpus_id, corpus_vec,
+        k * shortlist_factor, nprobe, iters,
+    ).select("query_id", "neighbor_id")
+    raw = corpus.select(
+        _c(corpus_id).alias("neighbor_id"),
+        _c(corpus_vec).cast("array<double>").alias("cv"),
+    )
+    qv = queries.select(
+        _c(query_id).alias("query_id"),
+        _c(query_vec).cast("array<double>").alias("qv"),
+    )
+    d2 = F.expr(_SQDIST_LAMBDA.format(a="qv", b="cv"))
+    scored = (
+        raw.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", norm_round("d2", 6).alias("d2"), "rank")
+    )
+
+
+def ivfadc_rerank_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int,
+    nprobe: int = 4,
+    shortlist_factor: int = 4,
+    iters: int = KM_ITERS,
+) -> str:
+    """DuckDB twin of :func:`ivfadc_rerank_topk`: the full residual
+    shortlist query as a subquery, raw vectors re-fetched by id join,
+    exact squared-L2 rerank (the same sequential fold both engines run
+    in single IEEE ops)."""
+    inner = ivfadc_residual_topk_sql(
+        table, id_col, vec_col, query_pred, k * shortlist_factor, nprobe, iters
+    )
+    d2 = _sqdist_cols_sql(f"(q.{vec_col}::DOUBLE[])", f"(c.{vec_col}::DOUBLE[])")
+    return f"""
+    WITH sl AS ({inner}),
+    rr_scored AS (
+      SELECT sl.query_id, sl.neighbor_id, {d2} AS d2
+      FROM sl
+      JOIN {table} c ON sl.neighbor_id = c.{id_col}
+      JOIN {table} q ON sl.query_id = q.{id_col}
+    ),
+    rr_ranked AS (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM rr_scored
+    )
+    SELECT query_id, neighbor_id, ROUND(d2, 6) + 0 AS d2, rank
+    FROM rr_ranked WHERE rank <= {k}
+    """
+
+
 def ivfadc_residual_topk_sql(
     table: str,
     id_col: str,

@@ -767,6 +767,10 @@ def test_pq_driver_queries_single_documented_input_fanout(spark, sf_dir):
         # work, so not even the input fan-out is needed
         ("ann_ivfadc_residual_topk", 0),
         ("ann_ivfadc_residual_recall", 3),  # exact + raw-twin fan-outs
+        ("ann_ivfadc_rerank_topk", 0),  # rerank fetch is broadcast-join
+        # ONE corpus edge fan-out, re-embedded per consumer (the exact
+        # lane feeds three milli lanes + the rerank fetch re-reads it)
+        ("ann_ivfadc_rerank_recall", 4),
     ]:
         vex = _vector_exchanges(QUERIES[name](spark, sf_dir))
         assert len(vex) == allowed, f"{name}: {len(vex)} vector exchanges\n{vex}"
@@ -897,6 +901,20 @@ def test_ann_driver_queries_documented_input_fanout_only(spark, sf_dir):
         for b in vex:
             assert "REPARTITION_BY_NUM" in b, f"{name}: non-fanout vector move\n{b}"
         spark.catalog.clearCache()
+
+
+def test_rerank_fetch_is_broadcast_id_join(spark, sf_dir):
+    """The exact-rerank stage's raw-vector fetch must be a broadcast
+    hash equi-join of the BOUNDED shortlist against the corpus scan
+    (VERDICT r7 ask #4): the corpus never shuffles for the rerank, no
+    sort-merge join materializes on the id fetch, and nothing is
+    cartesian."""
+    df = QUERIES["ann_ivfadc_rerank_topk"](spark, sf_dir)
+    plan = PI.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
 
 
 def test_bloom_probe_adds_zero_probe_side_exchanges(spark, sf_dir):
