@@ -199,6 +199,7 @@ def minhash_lsh_pairs(
     id_col: str,
     jaccard_threshold: float = 0.5,
     n: int = SHINGLE_N,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, verified with the
     exact shingle-set Jaccard.
@@ -225,6 +226,28 @@ def minhash_lsh_pairs(
     keep-list consumer that only needs connected components can use
     per-bucket star edges instead of all pairs). Enforced by
     tests/test_incremental_dedup.py::test_hot_bucket_*.
+
+    ``max_bucket`` - OPERATOR-LEVEL ENFORCEMENT for the case the
+    ordering contract cannot cover: a NEAR-identical family (template
+    + per-doc counter) survives exact dedup, still collides into one
+    bucket per band, and goes quadratic. When set, every (band, bh)
+    bucket is deterministically truncated to its ``max_bucket``
+    LOWEST-id members before the self-join (one row_number window on
+    the same key the join shuffles on), so per-bucket candidates are
+    bounded by max_bucket^2/2 regardless of occupancy. Documented
+    recall semantics: the capped output is a strict SUBSET of the
+    uncapped output; a pair is lost only if in EVERY band where the
+    two docs collide, at least one of them ranks beyond max_bucket -
+    for genuinely distinct near-dups in healthy buckets nothing
+    changes, while an f-member near-identical clique emits only its
+    max_bucket lowest-id members' pairs: clique members ranked beyond
+    the cap in every band produce NO pairs and would survive a
+    keep-list - that unbounded-recall-loss-on-pathological-buckets
+    trade is the point (bounded work beats an exploding task), and the
+    honest mitigation is exact-dedup-first PLUS the cap: the first
+    collapses byte-identical mass, the second bounds whatever
+    template-like residue remains. Enforced by
+    tests/test_incremental_dedup.py::test_bucket_cap_*.
     """
     # Shingle hashing runs IN the caller's scan partitions - no text
     # shuffle here (module input-edge contract; single-file fixtures
@@ -241,6 +264,16 @@ def minhash_lsh_pairs(
     )
     sigs = docs.select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
     bands = band_rows(sigs).select("id", "band", "bh")
+    if max_bucket is not None:
+        # deterministic min-id truncation; the window shuffles on the
+        # SAME (band, bh) key the candidate join needs, so the cap adds
+        # ordering work inside each bucket but no new partitioning
+        w = Window.partitionBy("band", "bh").orderBy("id")
+        bands = (
+            bands.withColumn("_occ", F.row_number().over(w))
+            .filter(F.col("_occ") <= max_bucket)
+            .drop("_occ")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -266,12 +299,25 @@ def minhash_lsh_pairs_sql(
     id_col: str,
     jaccard_threshold: float = 0.5,
     n: int = SHINGLE_N,
+    max_bucket: int | None = None,
 ) -> str:
     sig = minhash_signature_from_hashes_sql("hs")
     band_selects = " UNION ALL ".join(
         f"SELECT id, {b} AS band, {band_hash_sql('sig', b)} AS bh FROM sigs"
         for b in range(BANDS)
     )
+    cap_cte = (
+        f"""
+    bands AS (
+      SELECT id, band, bh FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY id) AS _occ
+        FROM rawbands
+      ) WHERE _occ <= {max_bucket}
+    ),"""
+        if max_bucket is not None
+        else ""
+    )
+    bands_name = "rawbands" if max_bucket is not None else "bands"
     return f"""
     WITH docs AS MATERIALIZED (
       SELECT {id_col} AS id, {hashed_shingles_sql(text_col, n)} AS hs FROM {table}
@@ -279,9 +325,9 @@ def minhash_lsh_pairs_sql(
     sigs AS MATERIALIZED (
       SELECT id, {sig} AS sig FROM docs
     ),
-    bands AS (
+    {bands_name} AS (
       {band_selects}
-    ),
+    ),{cap_cte}
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
