@@ -130,6 +130,70 @@ def run_ann_index_stream(
     )
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    deleted_ids: DataFrame | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Index maintenance pass #1 (the ``sources/maintenance.py``
+    pattern): the streaming sink appends one small file per
+    micro-batch, and deletes accumulate as tombstones outside the
+    append-only table - both degrade probes over time. Bin-pack the
+    (id, cluster, codes) rows into ~target-size files CLUSTERED on
+    cluster (range repartition + in-partition sort: a search probes by
+    cluster equi-join, so cluster-clustered files give parquet
+    row-group skipping on exactly the probe key), dropping
+    ``deleted_ids`` (an (id) relation) during the rewrite. Lands in a
+    fresh directory; readers of the old index are never disturbed -
+    publishing is the same pointer swap every maintenance job here
+    uses. Returns the output file count; content equivalence (minus
+    deletes) is asserted by tests/test_ann_index.py."""
+    import glob as _glob
+    import os as _os
+
+    files = _glob.glob(_os.path.join(index_dir, "*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {index_dir}")
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(index_dir)
+    if deleted_ids is not None:
+        dele = deleted_ids.select(F.col(deleted_ids.columns[0]).alias("id"))
+        df = df.join(dele, "id", "left_anti")
+    (
+        df.repartitionByRange(n_out, "cluster", "id")
+        .sortWithinPartitions("cluster", "id")
+        .write.mode("error")
+        .parquet(out_dir)
+    )
+    return len(_glob.glob(_os.path.join(out_dir, "*.parquet")))
+
+
+def rotate_quantizer(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    new_model: list[tuple[int, list[float]]],
+    out_dir: str,
+) -> None:
+    """Index maintenance pass #2: cluster ids and PQ codes are
+    MODEL-RELATIVE, so retraining the coarse quantizer (periodically,
+    offline - drift, corpus growth) invalidates every entry at once;
+    there is no incremental patch. Rotation = re-encode the raw corpus
+    against the NEW frozen model into a fresh index directory - the
+    same map-only ``encode_batch`` plan ingest uses (no shuffle, one
+    corpus pass), and the only time after initial ingest that raw
+    vectors are touched. Old index stays live until the pointer swap.
+    tests/test_ann_index.py asserts the rotated index equals a fresh
+    encode AND that searching it reproduces the composed
+    ivfadc_residual_topk under the retrained quantizer."""
+    encode_batch(corpus, id_col, vec_col, new_model).write.mode("error").parquet(
+        out_dir
+    )
+
+
 def search_codes_index(
     index: DataFrame,
     queries: DataFrame,

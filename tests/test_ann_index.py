@@ -74,6 +74,110 @@ def test_index_search_equals_composed_operator(spark, sf_dir, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_compaction_equivalence_and_deletes(spark, sf_dir, tmp_path):
+    """Compaction must be content-preserving modulo tombstones: after
+    three small appended files + a delete list, the compacted index
+    holds exactly the fresh-encode rows minus deleted ids, in fewer
+    files, and searching it gives the original search minus the
+    deleted neighbors."""
+    emb = _emb(spark, sf_dir)
+    model = _model(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    for m in (0, 1, 2):  # three small files, the streaming-sink shape
+        AI.encode_batch(
+            emb.filter(F.col("vec_id") % 3 == m), "vec_id", "embedding", model
+        ).coalesce(1).write.mode("append").parquet(idx)
+    import glob as g
+
+    n_in = len(g.glob(f"{idx}/*.parquet"))
+    assert n_in >= 3
+    deleted = spark.createDataFrame([(7,), (21,), (100,)], "id long")
+    out = str(tmp_path / "idx_compact")
+    n_out = AI.compact_index(spark, idx, out, deleted_ids=deleted)
+    assert n_out < n_in
+    got = sorted(
+        (r["id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["id"], r["cluster"], tuple(r["codes"]))
+        for r in AI.encode_batch(emb, "vec_id", "embedding", model)
+        .filter(~F.col("id").isin(7, 21, 100))
+        .collect()
+    )
+    assert got == want
+    # probing the compacted index == probing the original minus deletes
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        tuple(r)
+        for r in AI.search_codes_index(
+            spark.read.parquet(out), queries, "vec_id", "embedding", model,
+            k=5, nprobe=4,
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in AI.search_codes_index(
+            spark.read.parquet(idx).filter(~F.col("id").isin(7, 21, 100)),
+            queries, "vec_id", "embedding", model, k=5, nprobe=4,
+        ).collect()
+    )
+    assert a == b
+    spark.catalog.clearCache()
+
+
+def test_quantizer_rotation_round_trip(spark, sf_dir, tmp_path):
+    """Model rotation: an index encoded under an OLD quantizer (trained
+    on a subset) is re-encoded under the retrained one; the rotated
+    index must equal a fresh encode under the new model, and searching
+    it must reproduce the composed ivfadc_residual_topk (whose internal
+    training on the full corpus IS the new model)."""
+    emb = _emb(spark, sf_dir)
+    old_model = AI.frozen_quantizer(
+        ANN.kmeans_train(
+            emb.filter(F.col("vec_id") % 2 == 0).select("embedding"), "embedding"
+        )
+    )
+    new_model = _model(spark, sf_dir)  # trained on the full corpus
+    assert old_model != new_model
+    idx_old = str(tmp_path / "idx_old")
+    AI.encode_batch(emb, "vec_id", "embedding", old_model).write.parquet(idx_old)
+    idx_new = str(tmp_path / "idx_new")
+    AI.rotate_quantizer(emb, "vec_id", "embedding", new_model, idx_new)
+    got = sorted(
+        (r["id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx_new).collect()
+    )
+    want = sorted(
+        (r["id"], r["cluster"], tuple(r["codes"]))
+        for r in AI.encode_batch(emb, "vec_id", "embedding", new_model).collect()
+    )
+    assert got == want
+    # old-model codes are NOT valid under the new model (rotation is
+    # mandatory, not cosmetic): the two indexes genuinely differ
+    old_rows = sorted(
+        (r["id"], r["cluster"], tuple(r["codes"]))
+        for r in spark.read.parquet(idx_old).collect()
+    )
+    assert old_rows != got
+    queries = emb.filter(F.col("vec_id") < 20)
+    via_index = sorted(
+        tuple(r)
+        for r in AI.search_codes_index(
+            spark.read.parquet(idx_new), queries, "vec_id", "embedding",
+            new_model, k=5, nprobe=4,
+        ).collect()
+    )
+    composed = sorted(
+        tuple(r)
+        for r in ANN.ivfadc_residual_topk(
+            queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4
+        ).collect()
+    )
+    assert via_index == composed
+    spark.catalog.clearCache()
+
+
 def test_encode_is_map_only(spark, sf_dir):
     """The index entry projection must add NO exchange: encoding runs
     in the arriving batch's own partitions (the property that makes it
