@@ -689,7 +689,17 @@ def incremental_neardup(
     ``bloom_gate`` (from :func:`band_bloom_gate` over the SAME index)
     prefilters the batch's band rows map-side before the index join;
     zero-false-negative Bloom semantics make the survivor set provably
-    identical with or without it."""
+    identical with or without it.
+
+    The batch side carries an explicit BROADCAST hint into the index
+    join: the batch is bounded by the operator's own contract, and
+    without the hint the gate's crossJoin+filter destroys the
+    planner's size estimate - measured at a x100 index, the join
+    flipped to sort-merge and shuffled the full 2M-row index TWICE
+    (23.2 s vs 3.4 s gated-vs-ungated probe), exactly the corpus
+    movement this operator exists to avoid. A batch too large to
+    broadcast belongs in :func:`minhash_lsh_pairs` over the union
+    instead."""
     new_idx = build_band_index(new_df, text_col, id_col, n)
     if bloom_gate is not None:
         from nyc_government_hiring_audit_data_platform_spark.operators.bloom import (
@@ -710,6 +720,7 @@ def incremental_neardup(
         )
     cand = (
         new_idx.alias("n")
+        .hint("broadcast")
         .join(
             band_index.alias("c"),
             (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),

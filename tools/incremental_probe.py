@@ -111,17 +111,26 @@ def main() -> None:
         emb = spark.read.parquet(f"{src}/embeddings.parquet").select(
             "vec_id", "embedding"
         )
+        # indexes are cached across runs (delete WORK to rebuild) - the
+        # probe, not the build, is the quantity under test
         band_dir = f"{WORK}/band_{label}"
         codes_dir = f"{WORK}/codes_{label}"
-        for d in (band_dir, codes_dir):
-            shutil.rmtree(d, ignore_errors=True)
-
-        t0 = time.time()
-        DD.build_band_index(docs, "text", "doc_id").write.parquet(band_dir)
-        band_build = round(time.time() - t0, 2)
-        t0 = time.time()
-        AI.encode_batch(emb, "vec_id", "embedding", model).write.parquet(codes_dir)
-        codes_build = round(time.time() - t0, 2)
+        if os.path.exists(f"{band_dir}/_SUCCESS"):
+            band_build = -1.0
+        else:
+            shutil.rmtree(band_dir, ignore_errors=True)
+            t0 = time.time()
+            DD.build_band_index(docs, "text", "doc_id").write.parquet(band_dir)
+            band_build = round(time.time() - t0, 2)
+        if os.path.exists(f"{codes_dir}/_SUCCESS"):
+            codes_build = -1.0
+        else:
+            shutil.rmtree(codes_dir, ignore_errors=True)
+            t0 = time.time()
+            AI.encode_batch(emb, "vec_id", "embedding", model).write.parquet(
+                codes_dir
+            )
+            codes_build = round(time.time() - t0, 2)
 
         band_index = spark.read.parquet(band_dir)
         n_index = band_index.count()
