@@ -536,12 +536,12 @@ def _sqdist_sql(vec_expr: str, entry: list[float]) -> str:
     )
 
 
-def _pq_dists(sub_col: str, m: int) -> Column:
-    """Array of squared distances of a (hoisted) subvector COLUMN to
-    every entry of subspace ``m``'s codebook. Takes a column name: the
-    K x SUBDIM literals inline into one Spark-SQL string (see
-    _dot_spark_sql for the Py4J-round-trip rationale)."""
-    return F.expr(
+def _pq_dists_sqlstr(sub_col: str, m: int) -> str:
+    """Spark-SQL string: squared distances of a (hoisted) subvector
+    COLUMN to every entry of subspace ``m``'s codebook (the K x SUBDIM
+    literals inline - see _dot_spark_sql for the Py4J-round-trip
+    rationale)."""
+    return (
         "array("
         + ", ".join(_sqdist_spark_sql(f"`{sub_col}`", e) for e in PQ_CODEBOOKS[m])
         + ")"
@@ -573,15 +573,28 @@ def _pq_subvectors(vec: Column) -> list[Column]:
 
 def _pq_codes() -> Column:
     """PQ encode over hoisted ``_s{m}`` subvector columns: per-subspace
-    argmin codeword index, as one array<int> column."""
-    return F.array(*[_argmin(_pq_dists(f"_s{m}", m), PQ_K) for m in range(PQ_M)])
+    argmin codeword index, as one array<int> column. Rendered as ONE
+    parsed SQL string (identical tree to the Column-API form it
+    replaced; `_argmin_sqlstr` is the same (d, i) struct sort)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            _argmin_sqlstr(_pq_dists_sqlstr(f"_s{m}", m), PQ_K)
+            for m in range(PQ_M)
+        )
+        + ")"
+    )
 
 
 def _pq_lut() -> Column:
     """Query-side ADC lookup table over hoisted ``_s{m}`` columns:
     PQ_M x PQ_K squared distances (the same distance definition the
-    encode argmin minimizes)."""
-    return F.array(*[_pq_dists(f"_s{m}", m) for m in range(PQ_M)])
+    encode argmin minimizes). One parsed SQL string."""
+    return F.expr(
+        "array("
+        + ", ".join(_pq_dists_sqlstr(f"_s{m}", m) for m in range(PQ_M))
+        + ")"
+    )
 
 
 def _pq_adist() -> Column:
