@@ -829,17 +829,32 @@ KM_ITERS = 2  # Lloyd iterations for the coarse quantizer (unrolled in
 # both engines; 2 is enough to center residuals on this corpus - the
 # within-cluster residual energy drop is asserted in tests)
 
+# The residual family's big expressions are rendered as ONE Spark-SQL
+# string each (F.expr) instead of Column-API calls: the Column form of
+# this query cost ~10k Py4J round-trips of pure driver time per
+# construction (profiled ~3-5 s at ANY scale); the string parses
+# JVM-side to the identical expression tree. Same rationale as
+# _dot_spark_sql.
 
-def _sqdist_cols(v: Column, cv: Column) -> Column:
-    """Squared L2 between two array COLUMNS - the same op sequence as
-    the literal-codebook fold ``_sqdist_spark_sql`` ((a-b), square,
-    sequential left-fold add: all single IEEE ops), so the value is
-    bit-identical to the DuckDB twin ``_sqdist_cols_sql``."""
-    diff = F.zip_with(v, cv, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diff, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+_SQDIST_LAMBDA = (
+    "aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+
+
+def _argmin_sqlstr(ds: str, n: int) -> str:
+    """Spark-SQL twin of :func:`_argmin` (same (d, i) struct sort,
+    0-based [] subscript)."""
+    return (
+        f"array_sort(zip_with({ds}, sequence(0, {n - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i)))[0].i"
+    )
 
 
 def _sqdist_cols_sql(v: str, cv: str) -> str:
+    """DuckDB twin of ``_SQDIST_LAMBDA`` (squared L2 between two array
+    expressions): (a-b), square, sequential left-fold add - all single
+    IEEE ops, so values are bit-identical cross-engine."""
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(list_zip({v}, {cv}), "
@@ -902,28 +917,6 @@ def _pq_cb_rel(spark) -> DataFrame:
     determinism device."""
     return spark.createDataFrame(
         [(PQ_CODEBOOKS,)], "cb array<array<array<double>>>"
-    )
-
-
-# The residual family's big expressions are rendered as ONE Spark-SQL
-# string each (F.expr) instead of Column-API calls: the Column form of
-# this query cost ~10k Py4J round-trips of pure driver time per
-# construction (profiled ~3-5 s at ANY scale); the string parses
-# JVM-side to the identical expression tree. Same rationale as
-# _dot_spark_sql.
-
-_SQDIST_LAMBDA = (
-    "aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), "
-    "0.0D, (acc, x) -> acc + x)"
-)
-
-
-def _argmin_sqlstr(ds: str, n: int) -> str:
-    """Spark-SQL twin of :func:`_argmin` (same (d, i) struct sort,
-    0-based [] subscript)."""
-    return (
-        f"array_sort(zip_with({ds}, sequence(0, {n - 1}), "
-        f"(d, i) -> named_struct('d', d, 'i', i)))[0].i"
     )
 
 

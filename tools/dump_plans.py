@@ -272,6 +272,13 @@ SHOWCASE = {
         "the 1024-row weight relation broadcasts; swapping in real "
         "trained weights changes the model source, not the plan."
     ),
+    "ann_ivfadc_rerank_topk": (
+        "The deployed ANN stack end-to-end (Jegou §V-C): residual-ADC "
+        "shortlist in the compressed domain, then the bounded shortlist "
+        "BROADCASTS for its raw-vector fetch (BroadcastHashJoin on id - "
+        "the corpus never shuffles) and an exact squared-L2 rerank "
+        "confines quantization error to shortlist membership."
+    ),
 }
 
 
