@@ -764,6 +764,45 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "ann_filtered_topk",
+    ANN.ivf_topk_sql(
+        "embeddings", "vec_id", "embedding", "vec_id < 20", 5, nprobe=4,
+        corpus_pred="label = 3",
+    ),
+)
+def q_ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search - the production metadata+ANN composition
+    every vector store serves ("nearest neighbors WHERE label = 3"):
+    the predicate restricts the CORPUS side with pre-filter semantics
+    (exact filter, then probe - never post-filtering a shortlist that
+    may starve below k), pushed INTO the parquet scan (PushedFilters,
+    plan-gated), so at 100 TB only matching row groups are read before
+    cluster assignment. Composes the existing IVF index untouched;
+    queries themselves are unfiltered. Probes that hit clusters with
+    fewer than k matching members legitimately return fewer rows -
+    the pre-filter contract a recall-sensitive caller wants stated."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.ivf_topk(
+        emb.filter(F.col("vec_id") < 20),
+        _emb_filtered_par(spark, sf_dir, F.col("label") == 3),
+        "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
+    )
+
+
+def _emb_filtered_par(spark, sf_dir, pred):
+    """Filtered (vec_id, embedding) corpus, fanned out at the input
+    edge AFTER the pushed-down filter (filter-then-select keeps the
+    predicate at the scan; the fan-out moves only survivors)."""
+    par = spark.sparkContext.defaultParallelism
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(pred)
+        .select("vec_id", "embedding")
+        .repartition(par)
+    )
+
+
+@query(
     "ann_pq_adc_topk",
     ANN.pq_topk_sql("embeddings", "vec_id", "embedding", "vec_id < 20", 5),
 )

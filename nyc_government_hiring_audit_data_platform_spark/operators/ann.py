@@ -367,12 +367,23 @@ def ivf_topk(
 
 
 def ivf_topk_sql(
-    table: str, id_col: str, vec_col: str, query_pred: str, k: int, nprobe: int = 4
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int,
+    nprobe: int = 4,
+    corpus_pred: str = "TRUE",
 ) -> str:
+    """``corpus_pred`` restricts the CORPUS side only - the oracle for
+    FILTERED vector search (metadata predicate + ANN), where the Spark
+    side passes a filtered corpus relation and the predicate pushes
+    into the parquet scan."""
     sim = cosine_sql("q.qv", "c.cv")
     dots = _centroid_dots_sql(vec_col)
     return f"""
-    WITH cb AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv, {dots} AS ds FROM {table}),
+    WITH cb AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cv, {dots} AS ds
+                FROM {table} WHERE {corpus_pred}),
     c AS (SELECT neighbor_id, cv, {_probe_list_sql('ds', 1)}[1] AS cluster FROM cb),
     qb AS (SELECT {id_col} AS query_id, {vec_col} AS qv, {dots} AS ds
            FROM {table} WHERE {query_pred}),

@@ -903,6 +903,22 @@ def test_ann_driver_queries_documented_input_fanout_only(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
+    """Filtered vector search: the metadata predicate must reach the
+    corpus parquet scan (PushedFilters - at 100 TB only matching row
+    groups are read before any cluster math), the probe join stays a
+    broadcast equi-join, and the corpus fan-out moves survivors only
+    (one vector exchange, REPARTITION_BY_NUM, above the filter)."""
+    df = QUERIES["ann_filtered_topk"](spark, sf_dir)
+    PI.assert_filter_pushdown(df, "label")
+    plan = PI.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    vex = _vector_exchanges(df)
+    assert len(vex) == 1 and "REPARTITION_BY_NUM" in vex[0]
+    spark.catalog.clearCache()
+
+
 def test_incremental_probe_never_shuffles_the_index(spark, sf_dir):
     """incremental_neardup's index join must stream the (possibly
     x100) band index and broadcast the bounded batch side - gated or
