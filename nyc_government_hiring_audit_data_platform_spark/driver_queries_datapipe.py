@@ -764,6 +764,30 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "mmr_diverse_topk",
+    ANN.mmr_diverse_topk_sql("embeddings", "vec_id", "embedding", "vec_id = 0", 10),
+)
+def q_mmr_diverse_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) - the rerank stage a RAG/retrieval pipeline runs
+    after candidate generation so the k results are not k near-copies:
+    from the exact cosine top-50 pool around the vec_id-0 query, pick
+    10 greedily by sim_to_query - 0.5 * max_sim_to_selected. The pool
+    is the bounded ANN-shortlist shape (nothing downstream scales with
+    the corpus); each greedy step is a bounded relational job with a
+    1-row winner collect (the BPE-trainer driver-sync pattern). The
+    DuckDB twin runs the identical greedy as a recursive CTE carrying
+    the selected-id list - an algorithm-independent restatement the
+    hash check compares exactly (cosines, the 0.5 multiply and the
+    subtraction are all IEEE-exact cross-engine)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.mmr_diverse_topk(
+        emb.filter(F.col("vec_id") == 0), _emb_par(spark, sf_dir),
+        "vec_id", "embedding", "vec_id", "embedding", 10,
+    )
+
+
+@query(
     "ann_filtered_topk",
     ANN.ivf_topk_sql(
         "embeddings", "vec_id", "embedding", "vec_id < 20", 5, nprobe=4,

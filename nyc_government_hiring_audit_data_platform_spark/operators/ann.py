@@ -1156,6 +1156,143 @@ def ivfadc_residual_topk(
     return _pq_rank_topk(scored, k)
 
 
+MMR_LAMBDA = 0.5  # relevance-vs-redundancy weight (the paper's default
+# trade point; 0.5 * x is exact in IEEE doubles, so the score chain
+# stays bit-identical cross-engine)
+
+
+def mmr_diverse_topk(
+    query: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    pool: int = 50,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) - the result-diversification stage a retrieval
+    pipeline runs AFTER candidate generation: from a bounded relevance
+    pool (exact cosine top-``pool`` for the ONE-row query relation -
+    production takes its ANN shortlist instead), greedily pick k items
+    maximizing ``sim_to_query - lam * max_sim_to_already_selected``.
+
+    Plan shape: the pool is a top-``pool`` global sort (bounded,
+    persisted); each greedy step is one bounded relational job over
+    pool x selected (<= pool * k cosine folds total) with a 1-ROW
+    winner collect - the BPE-trainer driver-sync pattern, used here
+    because re-embedding the growing selected set relationally doubles
+    the plan per step (2^k tree blowup, the round-6 capstone lesson).
+    At 100 TB nothing scales with the corpus except the pool-building
+    top-k, which is the already-audited cosine/ANN machinery.
+
+    Exactness: cosine folds are the proven bit-identical machinery;
+    lam = 0.5 multiplies exactly; subtraction and the (score desc, id)
+    argmax are single IEEE comparisons - the DuckDB twin's recursive
+    CTE selects the identical ids. Empty-selected first step scores
+    plain sim_to_query."""
+    spark = corpus.sparkSession
+    q = query.select(
+        _c(query_id).alias("qid"), _c(query_vec).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        _c(corpus_id).alias("id"), _c(corpus_vec).cast("array<double>").alias("v")
+    )
+    pool_df = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("id"))
+        .select("id", "v", cosine_similarity(F.col("qv"), F.col("v")).alias("simq"))
+        .orderBy(F.desc("simq"), F.asc("id"))
+        .limit(pool)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    picked: list = []  # (rank, id, mmr, vec)
+    for step in range(k):
+        if not picked:
+            cand = pool_df.select("id", "v", F.col("simq").alias("mmr"))
+        else:
+            sel_rel = spark.createDataFrame(
+                [(int(i), list(v)) for _, i, _, v in picked],
+                "sid bigint, sv array<double>",
+            )
+            remaining = pool_df.filter(
+                ~F.col("id").isin([int(i) for _, i, _, _ in picked])
+            )
+            red = (
+                remaining.crossJoin(F.broadcast(sel_rel))
+                .select(
+                    "id",
+                    cosine_similarity(F.col("v"), F.col("sv")).alias("cs"),
+                )
+                .groupBy("id")
+                .agg(F.max("cs").alias("mcs"))
+            )
+            cand = remaining.join(red, "id").select(
+                "id", "v", (F.col("simq") - F.lit(lam) * F.col("mcs")).alias("mmr")
+            )
+        w = cand.orderBy(F.desc("mmr"), F.asc("id")).limit(1).collect()[0]
+        picked.append((step + 1, w["id"], w["mmr"], w["v"]))
+    pool_df.unpersist()
+    out = spark.createDataFrame(
+        [(r, int(i), float(m)) for r, i, m, _ in picked],
+        "rank int, neighbor_id bigint, mmr double",
+    )
+    return out.select("rank", "neighbor_id", norm_round("mmr", 6).alias("mmr"))
+
+
+def mmr_diverse_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int,
+    pool: int = 50,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """DuckDB twin of :func:`mmr_diverse_topk`: the greedy loop as a
+    recursive CTE carrying the selected-id list forward; per-step
+    argmax via MIN over a (-score, id) struct (exact doubles, same
+    tie-break as the Spark ORDER BY score DESC, id)."""
+    cosq = cosine_sql("q.qv", f"(c.{vec_col}::DOUBLE[])")
+    cospp = cosine_sql("p2.v", "ps.v")
+    return f"""
+    WITH RECURSIVE q AS (
+      SELECT {id_col} AS qid, ({vec_col}::DOUBLE[]) AS qv
+      FROM {table} WHERE {query_pred}
+    ),
+    pool AS (
+      SELECT c.{id_col} AS id, (c.{vec_col}::DOUBLE[]) AS v, {cosq} AS simq
+      FROM {table} c, q WHERE c.{id_col} <> q.qid
+      ORDER BY simq DESC, id LIMIT {pool}
+    ),
+    sel AS (
+      SELECT 1 AS rank,
+             (MIN(struct_pack(negm := -simq, i := id))).i AS id,
+             -(MIN(struct_pack(negm := -simq, i := id))).negm AS mmr,
+             [(MIN(struct_pack(negm := -simq, i := id))).i] AS ids
+      FROM pool
+      UNION ALL
+      SELECT s.rank + 1 AS rank,
+             w.ws.i AS id,
+             -w.ws.negm AS mmr,
+             list_append(s.ids, w.ws.i) AS ids
+      FROM sel s CROSS JOIN LATERAL (
+        SELECT MIN(struct_pack(negm := -(p.simq - {lam} * p.mcs), i := p.id))
+                 AS ws
+        FROM (
+          SELECT p2.id, p2.simq, MAX({cospp}) AS mcs
+          FROM pool p2 JOIN pool ps ON list_contains(s.ids, ps.id)
+          WHERE NOT list_contains(s.ids, p2.id)
+          GROUP BY p2.id, p2.simq
+        ) p
+      ) w
+      WHERE s.rank < {k}
+    )
+    SELECT rank, id AS neighbor_id, ROUND(mmr, 6) + 0 AS mmr FROM sel
+    """
+
+
 def ivfadc_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,
