@@ -194,6 +194,57 @@ def rotate_quantizer(
     )
 
 
+def search_codes_index_rerank(
+    index: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    model: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = 4,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """The full production query path over the PERSISTED index: ADC
+    shortlist from the (id, cluster, codes) table via
+    :func:`search_codes_index`, then ONLY the shortlist's raw vectors
+    fetched from the vector table (``vectors``: (id, v) - the ingest
+    source, touched shortlist-bounded by a broadcast id join) and
+    re-scored with exact squared L2 - quantization error confined to
+    shortlist membership, exactly :func:`operators.ann.ivfadc_rerank_topk`
+    with the corpus-side work replaced by index lookups. Output
+    (query_id, neighbor_id, d2, rank)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.ann import (
+        _SQDIST_LAMBDA,
+        norm_round,
+    )
+    from pyspark.sql import Window
+
+    short = search_codes_index(
+        index, queries, query_id, query_vec, model, k * shortlist_factor, nprobe
+    ).select("query_id", "neighbor_id")
+    raw = vectors.select(
+        F.col(vectors.columns[0]).alias("neighbor_id"),
+        _c(vectors.columns[1]).cast("array<double>").alias("cv"),
+    )
+    qv = queries.select(
+        _c(query_id).alias("query_id"),
+        _c(query_vec).cast("array<double>").alias("qv"),
+    )
+    d2 = F.expr(_SQDIST_LAMBDA.format(a="qv", b="cv"))
+    scored = (
+        raw.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", norm_round("d2", 6).alias("d2"), "rank")
+    )
+
+
 def search_codes_index(
     index: DataFrame,
     queries: DataFrame,

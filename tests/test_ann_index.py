@@ -178,6 +178,50 @@ def test_quantizer_rotation_round_trip(spark, sf_dir, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_index_rerank_equals_composed_rerank(spark, sf_dir):
+    """The production query path - ADC shortlist from the persisted
+    codes index + exact rerank over shortlist-fetched raw vectors -
+    must reproduce the composed ivfadc_rerank_topk bit-exactly (same
+    frozen model, same shortlist, same exact scoring)."""
+    emb = _emb(spark, sf_dir)
+    model = _model(spark, sf_dir)
+    index = AI.encode_batch(emb, "vec_id", "embedding", model)
+    queries = emb.filter(F.col("vec_id") < 20)
+    via_index = AI.search_codes_index_rerank(
+        index, emb, queries, "vec_id", "embedding", model, k=5, nprobe=4
+    )
+    composed = ANN.ivfadc_rerank_topk(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4
+    )
+    a = sorted(tuple(r) for r in via_index.collect())
+    b = sorted(tuple(r) for r in composed.collect())
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()
+
+
+def test_mmr_properties(spark, sf_dir):
+    """MMR structural properties beyond the driver hash: rank 1 is the
+    plain cosine top-1 (empty selected set), every pick comes from the
+    relevance pool, picks are distinct, and the diversified set is
+    genuinely different from the undiversified top-k (the synthetic
+    corpus has redundant near-neighbors to displace)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0)
+    res = ANN.mmr_diverse_topk(
+        q, emb, "vec_id", "embedding", "vec_id", "embedding", 10, pool=50
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert len(ids) == len(set(ids)) == 10
+    top = ANN.cosine_topk(
+        q, emb, "vec_id", "embedding", "vec_id", "embedding", 50
+    ).collect()
+    by_rank = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ids[0] == by_rank[0]          # first pick = most relevant
+    assert set(ids) <= set(by_rank)      # every pick from the pool
+    assert ids != by_rank[:10]           # diversification reordered
+    spark.catalog.clearCache()
+
+
 def test_encode_is_map_only(spark, sf_dir):
     """The index entry projection must add NO exchange: encoding runs
     in the arriving batch's own partitions (the property that makes it
