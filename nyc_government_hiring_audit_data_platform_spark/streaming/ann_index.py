@@ -253,12 +253,25 @@ def search_codes_index(
     model: list[tuple[int, list[float]]],
     k: int,
     nprobe: int = 4,
+    prune_scan: bool = False,
 ) -> DataFrame:
     """Residual-ADC top-k over a prebuilt (id, cluster, codes) index:
     each query broadcasts nprobe (cluster, LUT) rows computed against
     the SAME frozen quantizer the index was encoded with; candidates
     come from the cluster equi-join and cost 16 array lookups each. The
-    corpus is never touched - only the 8-byte-code index moves."""
+    corpus is never touched - only the 8-byte-code index moves.
+
+    ``prune_scan``: a JOIN on cluster reads the whole index; the probed
+    cluster SET is bounded (<= |queries| * nprobe ids), so collecting
+    it (the bounded-model driver-sync pattern) and applying it as a
+    static ``cluster IN (...)`` filter pushes into the parquet scan -
+    on the cluster-clustered layout :func:`compact_index` writes, that
+    is row-group skipping on exactly the probe key (~nprobe/16 of the
+    index READ, not just joined). Results are provably identical (the
+    join already discards every other cluster); costs one extra tiny
+    job to compute the probe set. The right mode for a bounded query
+    panel against a big index; leave off for streaming-fresh queries
+    where an extra action per batch is worse than the scan."""
     q = (
         queries.select(
             _c(query_id).alias("query_id"),
@@ -281,6 +294,11 @@ def search_codes_index(
         .select("query_id", "cluster", *_pq_subvectors(F.col("rv")))
         .select("query_id", "cluster", _pq_lut().alias("lut"))
     )
+    if prune_scan:
+        probed = sorted(
+            {r["cluster"] for r in q.select("cluster").distinct().collect()}
+        )
+        index = index.filter(F.col("cluster").isin(probed))
     c = index.select(F.col("id").alias("neighbor_id"), "cluster", "codes")
     scored = c.join(
         F.broadcast(q),

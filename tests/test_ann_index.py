@@ -222,6 +222,39 @@ def test_mmr_properties(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_pruned_index_search_identical_and_pushes_filter(spark, sf_dir):
+    """prune_scan collects the bounded probe-cluster set and applies it
+    as a static IN filter: results identical to the plain cluster join
+    (which discards the same rows post-scan), and the filter reaches
+    the parquet scan (PushedFilters) - on the compacted
+    cluster-clustered layout that is row-group skipping on the probe
+    key."""
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    emb = _emb(spark, sf_dir)
+    model = _model(spark, sf_dir)
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="annidx_")
+    AI.encode_batch(emb, "vec_id", "embedding", model).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "idx"))
+    index = spark.read.parquet(os.path.join(d, "idx"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    plain = AI.search_codes_index(
+        index, queries, "vec_id", "embedding", model, k=5, nprobe=4
+    )
+    pruned = AI.search_codes_index(
+        index, queries, "vec_id", "embedding", model, k=5, nprobe=4,
+        prune_scan=True,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, pruned.collect())
+    )
+    PI.assert_filter_pushdown(pruned, "cluster")
+    spark.catalog.clearCache()
+
+
 def test_encode_is_map_only(spark, sf_dir):
     """The index entry projection must add NO exchange: encoding runs
     in the arriving batch's own partitions (the property that makes it
