@@ -1231,7 +1231,10 @@ def mmr_diverse_topk(
             cand = remaining.join(red, "id").select(
                 "id", "v", (F.col("simq") - F.lit(lam) * F.col("mcs")).alias("mmr")
             )
-        w = cand.orderBy(F.desc("mmr"), F.asc("id")).limit(1).collect()[0]
+        winner = cand.orderBy(F.desc("mmr"), F.asc("id")).limit(1).collect()
+        if not winner:  # pool exhausted (k > pool, or tiny corpus)
+            break
+        w = winner[0]
         picked.append((step + 1, w["id"], w["mmr"], w["v"]))
     pool_df.unpersist()
     out = spark.createDataFrame(
