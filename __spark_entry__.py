@@ -88,37 +88,13 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # fragments after their r5 hashes. (vocab_coverage/minhash_lsh_recall
 # were re-hashed green in r6 and leave the set.)
 # Remove an entry once a NEWER CORRECTNESS round has re-hashed it.
-# Round-8 pins (`stale_audit.py compare 1568b28 --hashed-round 7` ->
-# exactly these 20 STALE lines): the edge fan-out sweep (nine
-# operator-internal (id,text)/(id,vec) repartitions in dedup.py/ann.py
-# moved to the callers' input edges - the minhash/ngram/simhash/
-# band-index + cosine/LSH/IVF/kmeans/neardup families) plus the
-# residual-IVFADC flat-cost rework, whose shared helpers (_pq_adist as
-# a parsed string, kmeans_train's relational pass + one-exchange
-# update) also reach the PQ/IVFADC family. (All ten r7 pins were
-# re-hashed green in CORRECTNESS_r07 and leave the set.)
-REWRITTEN = {
-    "ann_cosine_topk",
-    "ann_ivf_recall_bound",
-    "ann_ivf_topk",
-    "ann_ivfadc_residual_recall",
-    "ann_ivfadc_residual_topk",
-    "ann_ivfadc_topk",
-    "ann_lsh_topk",
-    "ann_pq_adc_topk",
-    "ann_pq_recall_bound",
-    "embedding_neardup",
-    "hybrid_rrf_retrieval",
-    "incremental_neardup_batch",
-    "kmeans_iteration",
-    "minhash_lsh_neardup",
-    "minhash_lsh_recall",
-    "neardup_components",
-    "neardup_keep_list",
-    "ngram_jaccard_neardup",
-    "simhash_collisions",
-    "simhash_signatures",
-}
+# Round-9 state: all 20 round-8 pins (the edge fan-out sweep +
+# residual-IVFADC rework families) were re-hashed green in
+# CORRECTNESS_r08 and leave the set; the round-8 closing audit
+# (`stale_audit.py compare 694fc52 --hashed-round 8`) confirmed zero
+# stale queries at the r8 close rev, so the set starts empty and the
+# rotation budget drains the oldest green tier (r4).
+REWRITTEN: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

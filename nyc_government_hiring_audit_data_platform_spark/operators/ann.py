@@ -1192,7 +1192,12 @@ def mmr_diverse_topk(
     lam = 0.5 multiplies exactly; subtraction and the (score desc, id)
     argmax are single IEEE comparisons - the DuckDB twin's recursive
     CTE selects the identical ids. Empty-selected first step scores
-    plain sim_to_query."""
+    plain sim_to_query. Ids keep their SOURCE type (string/decimal ids
+    work like every sibling ANN operator): the selected-set relation
+    and the output schema are built from the corpus id column's
+    DataType, and collected id values round-trip uncast."""
+    from pyspark.sql import types as T
+
     spark = corpus.sparkSession
     q = query.select(
         _c(query_id).alias("qid"), _c(query_vec).cast("array<double>").alias("qv")
@@ -1200,6 +1205,7 @@ def mmr_diverse_topk(
     c = corpus.select(
         _c(corpus_id).alias("id"), _c(corpus_vec).cast("array<double>").alias("v")
     )
+    id_type = c.schema["id"].dataType
     pool_df = (
         c.join(F.broadcast(q), F.col("qid") != F.col("id"))
         .select("id", "v", cosine_similarity(F.col("qv"), F.col("v")).alias("simq"))
@@ -1213,11 +1219,16 @@ def mmr_diverse_topk(
             cand = pool_df.select("id", "v", F.col("simq").alias("mmr"))
         else:
             sel_rel = spark.createDataFrame(
-                [(int(i), list(v)) for _, i, _, v in picked],
-                "sid bigint, sv array<double>",
+                [(i, list(v)) for _, i, _, v in picked],
+                T.StructType(
+                    [
+                        T.StructField("sid", id_type),
+                        T.StructField("sv", T.ArrayType(T.DoubleType())),
+                    ]
+                ),
             )
             remaining = pool_df.filter(
-                ~F.col("id").isin([int(i) for _, i, _, _ in picked])
+                ~F.col("id").isin([i for _, i, _, _ in picked])
             )
             red = (
                 remaining.crossJoin(F.broadcast(sel_rel))
@@ -1238,8 +1249,14 @@ def mmr_diverse_topk(
         picked.append((step + 1, w["id"], w["mmr"], w["v"]))
     pool_df.unpersist()
     out = spark.createDataFrame(
-        [(r, int(i), float(m)) for r, i, m, _ in picked],
-        "rank int, neighbor_id bigint, mmr double",
+        [(r, i, float(m)) for r, i, m, _ in picked],
+        T.StructType(
+            [
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("neighbor_id", id_type),
+                T.StructField("mmr", T.DoubleType()),
+            ]
+        ),
     )
     return out.select("rank", "neighbor_id", norm_round("mmr", 6).alias("mmr"))
 
@@ -1256,7 +1273,15 @@ def mmr_diverse_topk_sql(
     """DuckDB twin of :func:`mmr_diverse_topk`: the greedy loop as a
     recursive CTE carrying the selected-id list forward; per-step
     argmax via MIN over a (-score, id) struct (exact doubles, same
-    tie-break as the Spark ORDER BY score DESC, id)."""
+    tie-break as the Spark ORDER BY score DESC, id).
+
+    Pool-exhaustion parity: when the pool has fewer than k rows the
+    Spark greedy loop breaks and emits only |pool| ranks, so the twin
+    must truncate identically - the base case is guarded with
+    HAVING COUNT(*) > 0 (an empty pool otherwise yields one all-NULL
+    aggregate row) and the recursive arm filters ``w.ws IS NOT NULL``
+    (a MIN over an empty remaining set otherwise keeps emitting
+    NULL-id ranks up to k)."""
     cosq = cosine_sql("q.qv", f"(c.{vec_col}::DOUBLE[])")
     cospp = cosine_sql("p2.v", "ps.v")
     return f"""
@@ -1275,6 +1300,7 @@ def mmr_diverse_topk_sql(
              -(MIN(struct_pack(negm := -simq, i := id))).negm AS mmr,
              [(MIN(struct_pack(negm := -simq, i := id))).i] AS ids
       FROM pool
+      HAVING COUNT(*) > 0
       UNION ALL
       SELECT s.rank + 1 AS rank,
              w.ws.i AS id,
@@ -1290,7 +1316,7 @@ def mmr_diverse_topk_sql(
           GROUP BY p2.id, p2.simq
         ) p
       ) w
-      WHERE s.rank < {k}
+      WHERE s.rank < {k} AND w.ws IS NOT NULL
     )
     SELECT rank, id AS neighbor_id, ROUND(mmr, 6) + 0 AS mmr FROM sel
     """

@@ -108,6 +108,48 @@ def list_store_files(spark: SparkSession, pattern: str) -> list[str]:
     return [s.getPath().toString() for s in statuses]
 
 
+def list_store_data_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list[tuple[str, int]]:
+    """Recursive data-file listing with byte sizes, via the same Hadoop
+    FileSystem API as :func:`list_store_files` - the listing layer the
+    maintenance jobs (manifest build, small-file compaction, ANN-index
+    compaction) stand on, so they run against ``s3a://``/``hdfs://``
+    exactly like ``file://``. ``path`` may be a directory, a single
+    file, or a glob; directories are walked recursively
+    (``FileSystem.listFiles(recursive=True)``) so partitioned or nested
+    sink layouts size correctly, and side files Spark's reader skips
+    (``_SUCCESS``, ``.crc``, dotfiles) are skipped here too. Returns
+    sorted (uri, n_bytes) pairs - sorted so downstream file relations
+    are deterministic regardless of store listing order."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    statuses = fs.globStatus(p)
+    out: list[tuple[str, int]] = []
+
+    def _keep(uri: str) -> bool:
+        base = uri.rsplit("/", 1)[-1]
+        return base.endswith(suffix) and not base.startswith(("_", "."))
+
+    if statuses is None:
+        return out
+    for s in statuses:
+        if s.isDirectory():
+            it = fs.listFiles(s.getPath(), True)
+            while it.hasNext():
+                f = it.next()
+                uri = f.getPath().toString()
+                if _keep(uri):
+                    out.append((uri, f.getLen()))
+        else:
+            uri = s.getPath().toString()
+            if _keep(uri):
+                out.append((uri, s.getLen()))
+    return sorted(out)
+
+
 def _xml_local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 

@@ -24,8 +24,6 @@ re-expressed over plain parquet directories):
 
 from __future__ import annotations
 
-import glob
-import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,19 +31,43 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+    list_store_data_files,
+)
+
 MANIFEST_SCHEMA = (
     "file string, n_rows long, n_bytes long, col string, min_val string, "
     "max_val string"
 )
 
 
-def _footer_stats(files: Iterator[pd.DataFrame], columns: list[str]):
+def _open_footer(path: str):
+    """Open a parquet footer from a path or URI. The Hadoop-FS listing
+    layer hands back URIs (``file:/...``, ``s3a://...``); pyarrow wants
+    a local path or an opened input file. file:-scheme (and bare) paths
+    open locally; other schemes route through pyarrow's own filesystem
+    layer (``s3a://`` normalized to the ``s3://`` scheme pyarrow
+    implements natively), so footer reads stay executor-side against
+    object storage too."""
+    from urllib.parse import urlparse
+
     import pyarrow.parquet as pq
 
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return pq.ParquetFile(parsed.path or path)
+    from pyarrow import fs as pafs
+
+    uri = "s3://" + path.split("://", 1)[1] if parsed.scheme == "s3a" else path
+    fsys, rel = pafs.FileSystem.from_uri(uri)
+    return pq.ParquetFile(fsys.open_input_file(rel))
+
+
+def _footer_stats(files: Iterator[pd.DataFrame], columns: list[str]):
     for pdf in files:
         out = {k: [] for k in ("file", "n_rows", "n_bytes", "col", "min_val", "max_val")}
-        for path in pdf["file"]:
-            pf = pq.ParquetFile(path)
+        for path, n_bytes in zip(pdf["file"], pdf["n_bytes"]):
+            pf = _open_footer(path)
             md = pf.metadata
             names = md.schema.names
             for col in columns:
@@ -63,7 +85,7 @@ def _footer_stats(files: Iterator[pd.DataFrame], columns: list[str]):
                         hi = st.max if hi is None else max(hi, st.max)
                 out["file"].append(path)
                 out["n_rows"].append(md.num_rows)
-                out["n_bytes"].append(os.path.getsize(path))
+                out["n_bytes"].append(int(n_bytes))
                 out["col"].append(col)
                 out["min_val"].append(None if lo is None else str(lo))
                 out["max_val"].append(None if hi is None else str(hi))
@@ -73,11 +95,15 @@ def _footer_stats(files: Iterator[pd.DataFrame], columns: list[str]):
 def build_manifest(spark: SparkSession, table_dir: str, columns: list[str]) -> DataFrame:
     """Distributed footer scan -> (file, n_rows, n_bytes, col, min, max)
     rows. Values are stringified (a manifest is an INDEX: pruning
-    re-casts to the query type at use time)."""
-    files = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
+    re-casts to the query type at use time). Listing and sizing go
+    through the Hadoop FileSystem API (``list_store_data_files``), so a
+    manifest builds against ``s3a://``/``hdfs://`` tables, not just the
+    local fs; sizes ride the file relation into the footer mappers so
+    executors never stat the store a second time."""
+    files = list_store_data_files(spark, table_dir)
     if not files:
         raise ValueError(f"no parquet files under {table_dir}")
-    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+    fdf = spark.createDataFrame(files, "file string, n_bytes long").repartition(
         min(len(files), spark.sparkContext.defaultParallelism)
     )
     return fdf.mapInPandas(
@@ -153,10 +179,10 @@ def compact_small_files(
     range across every output file, which silently defeats
     ``read_pruned``; range repartition + in-partition sort preserves
     the skipping layout through compaction."""
-    files = glob.glob(os.path.join(table_dir, "*.parquet"))
+    files = list_store_data_files(spark, table_dir)
     if not files:
         raise ValueError(f"no parquet files under {table_dir}")
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(n for _, n in files)
     n_out = max(1, -(-total // target_bytes))
     df = spark.read.parquet(table_dir)
     if sort_cols:
@@ -164,4 +190,4 @@ def compact_small_files(
     else:
         df = df.repartition(n_out)
     df.write.mode("error").parquet(out_dir)
-    return len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    return len(list_store_data_files(spark, out_dir))

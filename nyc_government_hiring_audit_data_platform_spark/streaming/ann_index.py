@@ -149,14 +149,19 @@ def compact_index(
     fresh directory; readers of the old index are never disturbed -
     publishing is the same pointer swap every maintenance job here
     uses. Returns the output file count; content equivalence (minus
-    deletes) is asserted by tests/test_ann_index.py."""
-    import glob as _glob
-    import os as _os
+    deletes) is asserted by tests/test_ann_index.py.
 
-    files = _glob.glob(_os.path.join(index_dir, "*.parquet"))
+    Listing/sizing go through the Hadoop FS API (recursive - nested or
+    partitioned sink layouts size correctly), so compaction runs
+    against the ``s3a://`` stores a streaming index actually lives on."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+        list_store_data_files,
+    )
+
+    files = list_store_data_files(spark, index_dir)
     if not files:
         raise ValueError(f"no parquet files under {index_dir}")
-    total = sum(_os.path.getsize(f) for f in files)
+    total = sum(n for _, n in files)
     n_out = max(1, -(-total // target_bytes))
     df = spark.read.parquet(index_dir)
     if deleted_ids is not None:
@@ -168,7 +173,7 @@ def compact_index(
         .write.mode("error")
         .parquet(out_dir)
     )
-    return len(_glob.glob(_os.path.join(out_dir, "*.parquet")))
+    return len(list_store_data_files(spark, out_dir))
 
 
 def rotate_quantizer(
@@ -204,15 +209,19 @@ def search_codes_index_rerank(
     k: int,
     nprobe: int = 4,
     shortlist_factor: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """The full production query path over the PERSISTED index: ADC
     shortlist from the (id, cluster, codes) table via
     :func:`search_codes_index`, then ONLY the shortlist's raw vectors
-    fetched from the vector table (``vectors``: (id, v) - the ingest
-    source, touched shortlist-bounded by a broadcast id join) and
-    re-scored with exact squared L2 - quantization error confined to
-    shortlist membership, exactly :func:`operators.ann.ivfadc_rerank_topk`
-    with the corpus-side work replaced by index lookups. Output
+    fetched from the vector table (``vectors``, bound by the explicit
+    ``vec_id_col``/``vec_col`` names, defaulting to the ingest schema
+    :func:`run_ann_index_stream` reads - the ingest source, touched
+    shortlist-bounded by a broadcast id join) and re-scored with exact
+    squared L2 - quantization error confined to shortlist membership,
+    exactly :func:`operators.ann.ivfadc_rerank_topk` with the
+    corpus-side work replaced by index lookups. Output
     (query_id, neighbor_id, d2, rank)."""
     from nyc_government_hiring_audit_data_platform_spark.operators.ann import (
         _SQDIST_LAMBDA,
@@ -224,8 +233,8 @@ def search_codes_index_rerank(
         index, queries, query_id, query_vec, model, k * shortlist_factor, nprobe
     ).select("query_id", "neighbor_id")
     raw = vectors.select(
-        F.col(vectors.columns[0]).alias("neighbor_id"),
-        _c(vectors.columns[1]).cast("array<double>").alias("cv"),
+        F.col(vec_id_col).alias("neighbor_id"),
+        _c(vec_col).cast("array<double>").alias("cv"),
     )
     qv = queries.select(
         _c(query_id).alias("query_id"),

@@ -266,3 +266,87 @@ def test_encode_is_map_only(spark, sf_dir):
     df = AI.encode_batch(emb, "vec_id", "embedding", model)
     assert PI.shuffle_count(df) == 0
     spark.catalog.clearCache()
+
+
+def test_mmr_pool_exhaustion_parity(spark, tmp_path):
+    """When the pool has fewer than k rows, both engines must truncate
+    identically - |pool| ranks, no NULL-id tail (the Spark greedy loop
+    breaks; the recursive-CTE twin is guarded with HAVING COUNT(*) > 0
+    on the base case and ws IS NOT NULL on the recursive arm). An empty
+    pool (corpus == the query row) yields zero rows on both sides."""
+    import duckdb
+
+    rows = [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "mmr_small.parquet")
+    df.write.parquet(d)
+    got = sorted(
+        tuple(r)
+        for r in ANN.mmr_diverse_topk(
+            df.filter(F.col("vec_id") == 0), df,
+            "vec_id", "embedding", "vec_id", "embedding", 10, pool=50,
+        ).collect()
+    )
+    assert len(got) == 4  # pool = corpus minus the query row
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW emb AS SELECT * FROM read_parquet('{d}/*.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ANN.mmr_diverse_topk_sql("emb", "vec_id", "embedding", "vec_id = 0", 10)
+        ).fetchall()
+    )
+    assert got == want
+    one = df.filter(F.col("vec_id") == 0)
+    empty = ANN.mmr_diverse_topk(
+        one, one, "vec_id", "embedding", "vec_id", "embedding", 3
+    ).collect()
+    assert empty == []
+    d1 = str(tmp_path / "mmr_one.parquet")
+    one.write.parquet(d1)
+    con.execute(f"CREATE VIEW emb1 AS SELECT * FROM read_parquet('{d1}/*.parquet')")
+    assert (
+        con.execute(
+            ANN.mmr_diverse_topk_sql("emb1", "vec_id", "embedding", "vec_id = 0", 3)
+        ).fetchall()
+        == []
+    )
+
+
+def test_mmr_id_type_generic(spark):
+    """Ids keep their source type like every sibling ANN operator:
+    string-keyed corpora diversify without a bigint cast crash, and the
+    output id column carries the source type through."""
+    rows = [(f"d{i}", [float(i + 1), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    res = ANN.mmr_diverse_topk(
+        df.filter(F.col("vec_id") == "d0"), df,
+        "vec_id", "embedding", "vec_id", "embedding", 3,
+    ).collect()
+    assert len(res) == 3
+    assert all(isinstance(r["neighbor_id"], str) for r in res)
+    assert len({r["neighbor_id"] for r in res}) == 3
+
+
+def test_index_rerank_explicit_vector_columns(spark, sf_dir):
+    """The raw-vector table binds by NAME (vec_id_col/vec_col), not
+    position: a wider, column-reordered vectors relation produces the
+    identical rerank as the canonical layout."""
+    emb = _emb(spark, sf_dir)
+    model = _model(spark, sf_dir)
+    index = AI.encode_batch(emb, "vec_id", "embedding", model)
+    queries = emb.filter(F.col("vec_id") < 10)
+    canonical = AI.search_codes_index_rerank(
+        index, emb, queries, "vec_id", "embedding", model, k=5, nprobe=4
+    )
+    shuffled_cols = emb.select(
+        F.lit("pad").alias("extra"), "embedding", F.col("vec_id").alias("the_id")
+    )
+    renamed = AI.search_codes_index_rerank(
+        index, shuffled_cols, queries, "vec_id", "embedding", model,
+        k=5, nprobe=4, vec_id_col="the_id", vec_col="embedding",
+    )
+    a = sorted(tuple(r) for r in canonical.collect())
+    b = sorted(tuple(r) for r in renamed.collect())
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()
