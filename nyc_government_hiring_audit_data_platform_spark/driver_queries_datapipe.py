@@ -788,6 +788,28 @@ def q_mmr_diverse_topk(spark, sf_dir):
 
 
 @query(
+    "mmr_panel_topk",
+    ANN.mmr_panel_topk_sql("embeddings", "vec_id", "embedding", "vec_id < 4", 5),
+)
+def q_mmr_panel_topk(spark, sf_dir):
+    """MMR diversification over a QUERY PANEL - the production reranker
+    shape: a request batch (vec_ids 0-3) diversified together. Same
+    greedy as `mmr_diverse_topk`, but each step's winner is a
+    per-query_id window argmax collected once per step, so the driver
+    syncs k=5 times TOTAL for any panel size (each collect bounded by
+    |panel| rows; the selected-set relation by |panel| * k). Per panel
+    member the picks equal the single-query operator exactly
+    (property-tested in tests/test_ann_index.py); the DuckDB twin is
+    the single-query recursive CTE with a query_id dimension (GROUP BY
+    qid base case, per-member lateral argmax)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ANN.mmr_panel_topk(
+        emb.filter(F.col("vec_id") < 4), _emb_par(spark, sf_dir),
+        "vec_id", "embedding", "vec_id", "embedding", 5,
+    )
+
+
+@query(
     "ann_filtered_topk",
     ANN.ivf_topk_sql(
         "embeddings", "vec_id", "embedding", "vec_id < 20", 5, nprobe=4,

@@ -1322,6 +1322,189 @@ def mmr_diverse_topk_sql(
     """
 
 
+def mmr_panel_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+    k: int,
+    pool: int = 50,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Panel MMR: diversify EVERY query of a bounded panel in the same
+    k greedy steps :func:`mmr_diverse_topk` spends on one query - the
+    production reranker shape, where a request batch (or an offline
+    eval panel) is diversified together instead of per-query loops.
+
+    Same greedy, one structural change: the per-step winner is a
+    per-``query_id`` window argmax (row_number rank-1 over
+    (mmr DESC, id ASC)) collected once per step - so the driver syncs
+    k times TOTAL regardless of panel size, each collect bounded by
+    |panel| rows and the selected-set relation by |panel| * k rows.
+    Pools are per-query exact cosine top-``pool`` (the quarantined
+    brute-force lane; production feeds each query's ANN shortlist),
+    built in ONE windowed pass (WindowGroupLimit: partial top-pool
+    map-side). Redundancy joins stay keyed on query_id, so candidates
+    only ever compare against their own query's selected set.
+
+    Per panel member the picks are IDENTICAL to the single-query
+    operator (property-tested): the greedy is independent across
+    queries and the per-qid argmax applies the same (mmr DESC, id)
+    order the single-query 1-row winner uses. Ids keep their source
+    types (panel id and corpus id independently). Output
+    (query_id, rank, neighbor_id, mmr)."""
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    q = queries.select(
+        _c(query_id).alias("qid"), _c(query_vec).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        _c(corpus_id).alias("id"), _c(corpus_vec).cast("array<double>").alias("v")
+    )
+    qid_type = q.schema["qid"].dataType
+    id_type = c.schema["id"].dataType
+    w_pool = Window.partitionBy("qid").orderBy(F.desc("simq"), F.asc("id"))
+    pool_df = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("id"))
+        .select(
+            "qid", "id", "v",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("simq"),
+        )
+        .withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= pool)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sel_schema = T.StructType(
+        [
+            T.StructField("qid", qid_type),
+            T.StructField("sid", id_type),
+            T.StructField("sv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    w_step = Window.partitionBy("qid").orderBy(F.desc("mmr"), F.asc("id"))
+    picked: list = []  # (qid, rank, id, mmr, vec)
+    for step in range(k):
+        if not picked:
+            cand = pool_df.select("qid", "id", "v", F.col("simq").alias("mmr"))
+        else:
+            sel_rel = spark.createDataFrame(
+                [(qi, i, list(v)) for qi, _, i, _, v in picked], sel_schema
+            )
+            remaining = pool_df.join(
+                F.broadcast(sel_rel.select("qid", F.col("sid").alias("id"))),
+                ["qid", "id"],
+                "left_anti",
+            )
+            red = (
+                remaining.join(F.broadcast(sel_rel), "qid")
+                .select(
+                    "qid", "id",
+                    cosine_similarity(F.col("v"), F.col("sv")).alias("cs"),
+                )
+                .groupBy("qid", "id")
+                .agg(F.max("cs").alias("mcs"))
+            )
+            cand = remaining.join(red, ["qid", "id"]).select(
+                "qid", "id", "v",
+                (F.col("simq") - F.lit(lam) * F.col("mcs")).alias("mmr"),
+            )
+        winners = (
+            cand.withColumn("rn", F.row_number().over(w_step))
+            .filter(F.col("rn") == 1)
+            .select("qid", "id", "mmr", "v")
+            .collect()
+        )
+        if not winners:  # every pool exhausted (k > pool everywhere)
+            break
+        for w in winners:
+            picked.append((w["qid"], step + 1, w["id"], w["mmr"], w["v"]))
+    pool_df.unpersist()
+    out = spark.createDataFrame(
+        [(qi, r, i, float(m)) for qi, r, i, m, _ in picked],
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("neighbor_id", id_type),
+                T.StructField("mmr", T.DoubleType()),
+            ]
+        ),
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", norm_round("mmr", 6).alias("mmr")
+    )
+
+
+def mmr_panel_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    panel_pred: str,
+    k: int,
+    pool: int = 50,
+    lam: float = MMR_LAMBDA,
+) -> str:
+    """DuckDB twin of :func:`mmr_panel_topk`: the single-query
+    recursive CTE gains a query_id dimension - the base case GROUPs BY
+    qid (one rank-1 row per panel member), the recursive arm advances
+    every member's row independently with its lateral argmax keyed on
+    ``s.qid``, and both pool-exhaustion guards carry over (HAVING on
+    the grouped base case is per-group and so already exact; the
+    ws IS NOT NULL filter stops a member whose pool ran dry while the
+    others continue)."""
+    cosq = cosine_sql("q.qv", f"(c.{vec_col}::DOUBLE[])")
+    cospp = cosine_sql("p2.v", "ps.v")
+    return f"""
+    WITH RECURSIVE q AS (
+      SELECT {id_col} AS qid, ({vec_col}::DOUBLE[]) AS qv
+      FROM {table} WHERE {panel_pred}
+    ),
+    pool AS (
+      SELECT qid, id, v, simq FROM (
+        SELECT qid, id, v, simq,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY simq DESC, id) AS rn
+        FROM (
+          SELECT q.qid, c.{id_col} AS id, (c.{vec_col}::DOUBLE[]) AS v,
+                 {cosq} AS simq
+          FROM {table} c, q WHERE c.{id_col} <> q.qid
+        )
+      ) WHERE rn <= {pool}
+    ),
+    sel AS (
+      SELECT qid, 1 AS rank,
+             (MIN(struct_pack(negm := -simq, i := id))).i AS id,
+             -(MIN(struct_pack(negm := -simq, i := id))).negm AS mmr,
+             [(MIN(struct_pack(negm := -simq, i := id))).i] AS ids
+      FROM pool
+      GROUP BY qid
+      UNION ALL
+      SELECT s.qid, s.rank + 1 AS rank,
+             w.ws.i AS id,
+             -w.ws.negm AS mmr,
+             list_append(s.ids, w.ws.i) AS ids
+      FROM sel s CROSS JOIN LATERAL (
+        SELECT MIN(struct_pack(negm := -(p.simq - {lam} * p.mcs), i := p.id))
+                 AS ws
+        FROM (
+          SELECT p2.id, p2.simq, MAX({cospp}) AS mcs
+          FROM pool p2
+          JOIN pool ps ON ps.qid = s.qid AND list_contains(s.ids, ps.id)
+          WHERE p2.qid = s.qid AND NOT list_contains(s.ids, p2.id)
+          GROUP BY p2.id, p2.simq
+        ) p
+      ) w
+      WHERE s.rank < {k} AND w.ws IS NOT NULL
+    )
+    SELECT qid AS query_id, rank, id AS neighbor_id,
+           ROUND(mmr, 6) + 0 AS mmr
+    FROM sel
+    """
+
+
 def ivfadc_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -176,6 +176,74 @@ def compact_index(
     return len(list_store_data_files(spark, out_dir))
 
 
+def log_deletes(ids: DataFrame, delete_log_dir: str, deleted_at: str) -> None:
+    """Record deletions as TOMBSTONES: append (id, deleted_at) rows to
+    an append-only parquet relation beside the index. The index table
+    itself is append-only (the streaming sink's contract), so deletes
+    cannot touch it in place; instead searches anti-join the log (see
+    :func:`search_codes_index` ``deletes``) until the next
+    :func:`compact_index` pass physically drops the rows and the
+    consumed tombstones are cleared (:func:`consume_delete_log` /
+    :func:`clear_delete_log`). ``deleted_at`` is caller-supplied (a
+    batch id or wall-clock string) so replays are deterministic.
+
+    Reference parity: the reference refreshes whole tables by CTAS
+    (sql/cleaned.sql:2) - row removal is a full rewrite there; an
+    append-only object-store index needs the tombstone convention so
+    deletes take effect BETWEEN rewrites too."""
+    first = ids.columns[0]
+    (
+        ids.select(F.col(first).alias("id"), F.lit(deleted_at).alias("deleted_at"))
+        .write.mode("append")
+        .parquet(delete_log_dir)
+    )
+
+
+def read_delete_log(spark: SparkSession, delete_log_dir: str) -> DataFrame | None:
+    """The current tombstone set as an (id, deleted_at) relation, or
+    None when the log is absent/empty (listing via the Hadoop FS layer,
+    so a missing s3a:// prefix is just an empty log, not an error)."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+        list_store_data_files,
+    )
+
+    files = list_store_data_files(spark, delete_log_dir)
+    if not files:
+        return None
+    return spark.read.parquet(*[f for f, _ in files])
+
+
+def consume_delete_log(
+    spark: SparkSession, delete_log_dir: str
+) -> tuple[DataFrame | None, list[str]]:
+    """Snapshot the delete log for a compaction pass: (ids relation or
+    None, the exact file URIs snapshotted). Compaction drops the ids;
+    after the compacted index is PUBLISHED (pointer swap), the caller
+    clears exactly the consumed files with :func:`clear_delete_log` -
+    tombstones appended while compaction ran are NOT consumed and keep
+    gating searches until the next pass (no lost deletes)."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+        list_store_data_files,
+    )
+
+    files = [f for f, _ in list_store_data_files(spark, delete_log_dir)]
+    if not files:
+        return None, []
+    return spark.read.parquet(*files).select("id"), files
+
+
+def clear_delete_log(spark: SparkSession, consumed_files: list[str]) -> None:
+    """Physically remove CONSUMED tombstone files (and only those) via
+    the Hadoop FS API - run after the compacted index is published, so
+    a crash between compact and clear only re-drops already-dropped ids
+    (idempotent), never loses a delete."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for f in consumed_files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).delete(p, False)
+
+
 def rotate_quantizer(
     corpus: DataFrame,
     id_col: str,
@@ -211,6 +279,7 @@ def search_codes_index_rerank(
     shortlist_factor: int = 4,
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """The full production query path over the PERSISTED index: ADC
     shortlist from the (id, cluster, codes) table via
@@ -230,7 +299,8 @@ def search_codes_index_rerank(
     from pyspark.sql import Window
 
     short = search_codes_index(
-        index, queries, query_id, query_vec, model, k * shortlist_factor, nprobe
+        index, queries, query_id, query_vec, model, k * shortlist_factor, nprobe,
+        deletes=deletes,
     ).select("query_id", "neighbor_id")
     raw = vectors.select(
         F.col(vec_id_col).alias("neighbor_id"),
@@ -263,6 +333,7 @@ def search_codes_index(
     k: int,
     nprobe: int = 4,
     prune_scan: bool = False,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Residual-ADC top-k over a prebuilt (id, cluster, codes) index:
     each query broadcasts nprobe (cluster, LUT) rows computed against
@@ -280,7 +351,18 @@ def search_codes_index(
     join already discards every other cluster); costs one extra tiny
     job to compute the probe set. The right mode for a bounded query
     panel against a big index; leave off for streaming-fresh queries
-    where an extra action per batch is worse than the scan."""
+    where an extra action per batch is worse than the scan.
+
+    ``deletes``: the tombstone relation (first column = deleted id;
+    pass :func:`read_delete_log` output) anti-joined against the index
+    BEFORE the probe join, so deleted rows stop matching the instant
+    they are logged - no compaction needed first. Between compactions
+    the log is cadence-bounded and parquet-size-known, so the planner
+    broadcasts the anti-join side on its own; compaction then consumes
+    the log and drops the rows physically."""
+    if deletes is not None:
+        dele = deletes.select(F.col(deletes.columns[0]).alias("id"))
+        index = index.join(dele, "id", "left_anti")
     q = (
         queries.select(
             _c(query_id).alias("query_id"),

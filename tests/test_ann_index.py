@@ -350,3 +350,116 @@ def test_index_rerank_explicit_vector_columns(spark, sf_dir):
     b = sorted(tuple(r) for r in renamed.collect())
     assert a == b and len(a) > 0
     spark.catalog.clearCache()
+
+
+def test_mmr_panel_matches_single_query(spark, sf_dir):
+    """Each panel member's picks must equal the single-query operator's
+    exactly (the greedy is independent across queries; the per-qid
+    window argmax applies the same (mmr DESC, id) order), and a member
+    whose pool runs dry truncates while the others continue."""
+    emb = _emb(spark, sf_dir)
+    panel = emb.filter(F.col("vec_id") < 3)
+    got = ANN.mmr_panel_topk(
+        panel, emb, "vec_id", "embedding", "vec_id", "embedding", 5
+    ).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["mmr"])
+        )
+    assert set(by_qid) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        single = ANN.mmr_diverse_topk(
+            emb.filter(F.col("vec_id") == qid), emb,
+            "vec_id", "embedding", "vec_id", "embedding", 5,
+        ).collect()
+        want = sorted((r["rank"], r["neighbor_id"], r["mmr"]) for r in single)
+        assert sorted(by_qid[qid]) == want
+    spark.catalog.clearCache()
+
+
+def test_mmr_panel_pool_exhaustion_parity(spark, tmp_path):
+    """k > |pool|: both engines emit exactly |pool| ranks per member,
+    and the cross-engine rows match (the per-member ws IS NOT NULL
+    guard in the recursive twin)."""
+    import duckdb
+
+    rows = [(i, [float(i + 1), float(3 * i + 2), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "panel_small.parquet")
+    df.write.parquet(d)
+    got = sorted(
+        tuple(r)
+        for r in ANN.mmr_panel_topk(
+            df.filter(F.col("vec_id") < 2), df,
+            "vec_id", "embedding", "vec_id", "embedding", 10,
+        ).collect()
+    )
+    # each member's pool is the other 4 vectors -> 4 ranks apiece
+    assert len(got) == 8
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW emb AS SELECT * FROM read_parquet('{d}/*.parquet')")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ANN.mmr_panel_topk_sql("emb", "vec_id", "embedding", "vec_id < 2", 10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_delete_log_lifecycle(spark, sf_dir, tmp_path):
+    """delete -> search excludes IMMEDIATELY (anti-join gate, no
+    compaction needed) -> compaction consumes the log and physically
+    drops the rows -> post-compaction plain search equals the gated
+    pre-compaction search -> clearing removes only the CONSUMED
+    tombstone files, so a delete logged mid-compaction survives."""
+    emb = _emb(spark, sf_dir)
+    model = _model(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    AI.encode_batch(emb, "vec_id", "embedding", model).write.parquet(idx)
+    index = spark.read.parquet(idx)
+    queries = emb.filter(F.col("vec_id") < 10)
+    base = AI.search_codes_index(
+        index, queries, "vec_id", "embedding", model, k=5, nprobe=4
+    )
+    victims = sorted({r["neighbor_id"] for r in base.collect()})[:3]
+    assert len(victims) == 3
+    log_dir = str(tmp_path / "dlog")
+    AI.log_deletes(
+        spark.createDataFrame([(int(i),) for i in victims], "id long"),
+        log_dir, "batch-001",
+    )
+    dele = AI.read_delete_log(spark, log_dir)
+    gated = sorted(
+        tuple(r)
+        for r in AI.search_codes_index(
+            index, queries, "vec_id", "embedding", model, k=5, nprobe=4,
+            deletes=dele,
+        ).collect()
+    )
+    assert not ({t[1] for t in gated} & set(victims))
+    assert len(gated) > 0
+    # compaction pass: snapshot -> drop -> publish -> clear consumed
+    ids_rel, consumed = AI.consume_delete_log(spark, log_dir)
+    assert ids_rel is not None and consumed
+    # a delete logged WHILE compaction runs is not in the snapshot
+    AI.log_deletes(
+        spark.createDataFrame([(999999,)], "id long"), log_dir, "batch-002"
+    )
+    out = str(tmp_path / "idx2")
+    AI.compact_index(spark, idx, out, deleted_ids=ids_rel)
+    AI.clear_delete_log(spark, consumed)
+    late = AI.read_delete_log(spark, log_dir)
+    assert late is not None
+    assert [r["id"] for r in late.collect()] == [999999]
+    compacted = spark.read.parquet(out)
+    assert compacted.filter(F.col("id").isin(victims)).count() == 0
+    after = sorted(
+        tuple(r)
+        for r in AI.search_codes_index(
+            compacted, queries, "vec_id", "embedding", model, k=5, nprobe=4
+        ).collect()
+    )
+    assert after == gated
+    spark.catalog.clearCache()
