@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "ann_ivfadc_rerank_topk",
     # bpe_encode_corpus stays OUT: encode re-runs the train loop
     # bpe_train_merges already times before its map-only encode.
+    # round-9 addition: the occupancy-capped blocking join (new plan
+    # family: per-token row_number windows ahead of the candidate join).
+    "fuzzy_block_capped",
 ]
 
 

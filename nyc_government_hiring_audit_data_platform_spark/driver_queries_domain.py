@@ -311,6 +311,82 @@ def q_fuzzy_lightcast_durations(spark, sf_dir):
     )
 
 
+_CAP = 16
+
+@query(
+    "fuzzy_block_capped",
+    f"""
+    WITH lk AS (
+      SELECT business_title, {_key_sql('business_title')} AS lkey
+      FROM (
+        SELECT DISTINCT
+          CASE CAST(p_partkey % 3 AS INT)
+            WHEN 0 THEN array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+            WHEN 1 THEN substring(p_name, 1, CAST(length(p_name) AS INT) - 1)
+            ELSE concat(string_split(p_name, ' ')[1], ' trainee distinct role')
+          END AS business_title
+        FROM part WHERE p_partkey % 4 = 0
+      ) WHERE business_title IS NOT NULL
+    ),
+    rk AS (
+      SELECT title_description, {_key_sql('title_description')} AS rkey
+      FROM (SELECT DISTINCT p_name AS title_description FROM part)
+      WHERE title_description IS NOT NULL
+    ),
+    ltok AS (
+      SELECT * FROM (
+        SELECT business_title, lkey,
+               unnest(list_distinct(string_split(lkey, ' '))) AS tok
+        FROM lk)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY tok ORDER BY lkey, business_title)
+              <= {_CAP}
+    ),
+    rtok AS (
+      SELECT * FROM (
+        SELECT title_description, rkey,
+               unnest(list_distinct(string_split(rkey, ' '))) AS tok
+        FROM rk)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY tok ORDER BY rkey, title_description)
+              <= {_CAP}
+    ),
+    cand AS (
+      SELECT business_title, lkey, title_description, rkey
+      FROM ltok JOIN rtok USING (tok)
+      GROUP BY business_title, lkey, title_description, rkey
+      HAVING COUNT(*) >= 1
+    )
+    SELECT business_title, title_description,
+           CAST(ROUND({_LEV_SIM.format(a='lkey', b='rkey')}) AS INT) AS score
+    FROM cand
+    WHERE {_LEV_SIM.format(a='lkey', b='rkey')} >= 85
+    """,
+)
+def q_fuzzy_block_capped(spark, sf_dir):
+    """Hot-token occupancy cap on the blocking join (SCALING.md r9 skew
+    probe: AQE's input-byte skew split cannot see a quadratic-OUTPUT
+    token - 7 MB in, 13e9 pairs out at x100 - so the cap bounds
+    per-token candidates at max_block^2 with documented subset-recall).
+    The DuckDB twin applies the identical deterministic
+    (key, title)-ordered truncation via QUALIFY, proving both engines
+    cap the same members. The tokensort path's lossless length
+    prefilter needs no twin clause: sim >= cutoff implies the length
+    bound, so it never changes output."""
+    postings = postings_from_part(spark, sf_dir).select("business_title")
+    payroll = payroll_from_part(spark, sf_dir).select("title_description")
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_title_pairs_tokensort,
+    )
+
+    return fuzzy_title_pairs_tokensort(
+        postings, payroll, "business_title", "title_description",
+        min_shared_tokens=1, score_cutoff=85, max_block=_CAP,
+    ).select(
+        F.col("left_title").alias("business_title"),
+        F.col("right_title").alias("title_description"),
+        "score",
+    )
+
+
 @query(
     "gold_salary_matches_unique",
     f"""

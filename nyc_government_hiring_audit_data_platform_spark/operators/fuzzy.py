@@ -19,8 +19,14 @@ refinement - are re-expressed Spark-first:
 
 At 100 TB: distinct-title dedup runs first (a few-hundred-thousand
 distinct titles at most, vs billions of rows), the blocked join shuffles
-on tokens (AQE splits skewed tokens like "analyst"), scoring touches only
-candidates, and results join back to full rows by the normalized title.
+on tokens, scoring touches only candidates, and results join back to
+full rows by the normalized title. Hot-token skew ("analyst" in 30% of
+titles) is NOT something AQE fixes - skew-join splitting keys off
+shuffle-partition INPUT bytes while a hot title token is a few MB in,
+quadratic out (measured: tools/skew_probe.py, SCALING.md r9) - so the
+tokensort path carries a lossless length prefilter in the join
+condition plus an optional per-token occupancy cap (``max_block``)
+with documented subset-recall semantics.
 On a cluster with rapidfuzz installed, swap the list comprehensions in
 token_set_ratio_udf / wratio_udf for ``rapidfuzz.process.cpdist`` over
 the same candidate pairs (identical published algorithm, C++ kernel,
@@ -31,7 +37,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType
 
@@ -180,6 +186,24 @@ def wratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 
+def _cap_block_occupancy(
+    exploded: DataFrame, key_col: str, order_cols: list[str], max_block: int
+) -> DataFrame:
+    """Deterministically truncate each blocking-key group to its
+    ``max_block`` lowest-ranked members (rank = ``order_cols`` asc).
+
+    Same enforcement shape as dedup.minhash_lsh_pairs(max_bucket=...):
+    one row_number window partitioned on the SAME key the candidate
+    join shuffles on, so the cap adds per-group ordering work but no
+    new exchange. Recall semantics are the caller's to document."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        exploded.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") <= max_block)
+        .drop("_occ")
+    )
+
+
 def fuzzy_title_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -187,6 +211,7 @@ def fuzzy_title_pairs(
     right_col: str,
     prefilter_cutoff: int,
     score_cutoff: int,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Distinct-title two-stage fuzzy match.
 
@@ -212,6 +237,14 @@ def fuzzy_title_pairs(
     asserted at the reference's 85/75 cutoffs). (At extreme scale swap
     the 4-gram block for MinHash-LSH over title shingles -
     operators.dedup.minhash_lsh_pairs - to bound candidates.)
+
+    ``max_block`` - HOT-KEY occupancy cap (see fuzzy_title_pairs_tokensort
+    for the measured motivation): each blocking key (token or 4-gram)
+    keeps only its max_block lowest-(norm, title) members per side
+    before the equi-join, bounding per-key candidates at max_block^2.
+    Capped output is a strict SUBSET of the uncapped output; a pair is
+    lost only if EVERY key the two titles share is over-capped past one
+    of them. None (default) = lossless.
     """
     lt = (
         left.select(F.col(left_col).alias("left_title"))
@@ -237,6 +270,9 @@ def fuzzy_title_pairs(
     re_ = rt.select(
         "right_title", "right_norm", F.explode(_keys(F.col("right_norm"))).alias("blk")
     )
+    if max_block is not None:
+        le = _cap_block_occupancy(le, "blk", ["left_norm", "left_title"], max_block)
+        re_ = _cap_block_occupancy(re_, "blk", ["right_norm", "right_title"], max_block)
     cand = (
         le.join(re_, "blk")
         .select("left_title", "left_norm", "right_title", "right_norm")
@@ -275,6 +311,7 @@ def fuzzy_title_pairs_tokensort(
     right_col: str,
     min_shared_tokens: int = 2,
     score_cutoff: int = 85,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Oracle-expressible two-stage fuzzy match: token-count prefilter +
     token-sort levenshtein ratio. Same two-stage plan shape as
@@ -296,6 +333,33 @@ def fuzzy_title_pairs_tokensort(
     reference's token scorers) must reach score_cutoff. JVM levenshtein
     + whole-stage codegen: no Python in the plan at all, ~10x the
     pandas-UDF path per pair.
+
+    LOSSLESS LENGTH PREFILTER (always on): lev(a,b) >= |len(a)-len(b)|,
+    so sim >= score_cutoff forces |len(lkey)-len(rkey)| <=
+    (1 - score_cutoff/100) * max(len) - the bound rides IN the join
+    condition as a residual filter, so incompatible-length pairs are
+    dropped at the token equi-join's probe instead of surviving into
+    the pair-dedup shuffle. Final output is bit-identical (the dropped
+    pairs cannot pass stage 2); on the skewed-title probe
+    (tools/skew_probe.py) this cuts the hot token's emitted candidates
+    by the length-compatibility factor before any shuffle.
+
+    HOT-TOKEN SKEW (``max_block``, measured in SCALING.md): a token
+    appearing in p% of titles on both sides emits (pN)*(pM) candidate
+    pairs from ONE join key. AQE's skew-join split does NOT intervene:
+    OptimizeSkewedJoin triggers on shuffle-partition INPUT bytes
+    (default 256 MB / 5x median), and a hot title token's input is a
+    few MB of short strings while its OUTPUT is quadratic - the
+    explosion happens inside one join task, invisible to input-size
+    skew detection. When ``max_block`` is set, each token keeps only
+    its max_block lowest-(key, title) members per side (row_number
+    window on the SAME key the join shuffles on - the
+    dedup.minhash_lsh_pairs(max_bucket) pattern), bounding per-token
+    candidates at max_block^2. Recall semantics: capped output is a
+    strict SUBSET; a pair is lost only if EVERY token it shares is
+    over-capped past one of its sides - healthy (sub-cap) tokens are
+    untouched, and a hot STOP-WORD-like token's loss is exactly the
+    pairs that share nothing rarer than it. None (default) = lossless.
 
     Returns (left_title, right_title, score int).
     """
@@ -319,10 +383,19 @@ def fuzzy_title_pairs_tokensort(
     re_ = rt.select(
         "right_title",
         "right_key",
-        F.explode(F.array_distinct(F.split("right_key", " "))).alias("tok"),
+        F.explode(F.array_distinct(F.split("right_key", " "))).alias("rtok"),
+    )
+    if max_block is not None:
+        le = _cap_block_occupancy(le, "tok", ["left_key", "left_title"], max_block)
+        re_ = _cap_block_occupancy(re_, "rtok", ["right_key", "right_title"], max_block)
+    # lossless length bound: lev >= |dlen|, so sim >= cutoff caps |dlen|
+    len_ok = (
+        F.abs(F.length("left_key") - F.length("right_key"))
+        <= (F.lit(100 - score_cutoff) / F.lit(100.0))
+        * F.greatest(F.length("left_key"), F.length("right_key"))
     )
     cand = (
-        le.join(re_, "tok")
+        le.join(re_, (F.col("tok") == F.col("rtok")) & len_ok)
         .groupBy("left_title", "left_key", "right_title", "right_key")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared_tokens)
@@ -349,13 +422,14 @@ def fuzzy_join_tokensort(
     right_col: str,
     min_shared_tokens: int = 2,
     score_cutoff: int = 85,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Row-level fuzzy join over the oracle-expressible token-sort
     levenshtein scorer (same re-attach shape as ``fuzzy_join``: score
     once per distinct title pair, join full rows back by title; AQE
     picks broadcast vs shuffle for the data-dependent pair table)."""
     pairs = fuzzy_title_pairs_tokensort(
-        left, right, left_col, right_col, min_shared_tokens, score_cutoff
+        left, right, left_col, right_col, min_shared_tokens, score_cutoff, max_block
     )
     out = (
         left.join(pairs, left[left_col] == pairs["left_title"])

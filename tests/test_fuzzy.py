@@ -409,3 +409,71 @@ def test_tokensort_join_matches_bruteforce(spark):
             if len(shared) >= 1 and sim(lk, rk) >= 70:
                 want.add((lt, rt, int(round(sim(lk, rk)))))
     assert got == want
+
+
+# -- hot-token occupancy cap (max_block) --------------------------------------
+
+
+def _tokensort_pairs(spark, left_titles, right_titles, max_block=None):
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_title_pairs_tokensort,
+    )
+
+    left = spark.createDataFrame([(t,) for t in left_titles], ["t"])
+    right = spark.createDataFrame([(t,) for t in right_titles], ["t"])
+    return {
+        (r["left_title"], r["right_title"], r["score"])
+        for r in fuzzy_title_pairs_tokensort(
+            left, right, "t", "t", min_shared_tokens=1, score_cutoff=85,
+            max_block=max_block,
+        ).collect()
+    }
+
+
+def test_block_cap_subset_and_hot_family_bounded(spark):
+    """max_block contract: capped output is a strict SUBSET of the
+    uncapped output; a hot-token family's CROSS pairs shrink to the cap
+    members, while pairs that also share a sub-cap token (here the
+    identical titles via their unique gradeN token) ALL survive -
+    capping is per blocking key, not per pair."""
+    hot = [f"analyst grade{i}" for i in range(12)]
+    healthy_l = ["senior data engineer", "staff accountant"]
+    healthy_r = ["senior data engineerx", "staff accountantt"]
+    unc = _tokensort_pairs(spark, hot + healthy_l, hot + healthy_r)
+    cap = _tokensort_pairs(spark, hot + healthy_l, hot + healthy_r, max_block=4)
+
+    assert cap <= unc and len(cap) < len(unc)
+    # healthy-token pairs are untouched by the cap
+    for lt, rt in zip(healthy_l, healthy_r):
+        assert any(p[0] == lt and p[1] == rt for p in cap)
+    # identical hot titles survive via their rare gradeN token
+    for t in hot:
+        assert any(p[0] == t and p[1] == t for p in cap)
+    # non-identical hot pairs exist only among the 4 lowest-key members
+    lowest4 = set(sorted(hot)[:4])
+    for lt, rt, _ in cap:
+        if lt in set(hot) and rt in set(hot) and lt != rt:
+            assert lt in lowest4 and rt in lowest4
+
+
+def test_block_cap_none_is_lossless_and_wratio_path_subset(spark):
+    """max_block=None (default) changes nothing; the WRatio path's cap
+    obeys the same subset contract over its token+4gram keys."""
+    titles = [f"analyst grade{i}" for i in range(8)] + ["chief data officer"]
+    base = _tokensort_pairs(spark, titles, titles)
+    again = _tokensort_pairs(spark, titles, titles, max_block=None)
+    assert base == again
+
+    left = spark.createDataFrame([(t,) for t in titles], ["t"])
+    right = spark.createDataFrame([(t,) for t in titles], ["t"])
+    unc = {
+        (r["left_title"], r["right_title"])
+        for r in fuzzy_title_pairs(left, right, "t", "t", 70, 70).collect()
+    }
+    cap = {
+        (r["left_title"], r["right_title"])
+        for r in fuzzy_title_pairs(
+            left, right, "t", "t", 70, 70, max_block=3
+        ).collect()
+    }
+    assert cap <= unc
