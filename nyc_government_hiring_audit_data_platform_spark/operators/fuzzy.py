@@ -193,9 +193,17 @@ def _cap_block_occupancy(
     ``max_block`` lowest-ranked members (rank = ``order_cols`` asc).
 
     Same enforcement shape as dedup.minhash_lsh_pairs(max_bucket=...):
-    one row_number window partitioned on the SAME key the candidate
-    join shuffles on, so the cap adds per-group ordering work but no
-    new exchange. Recall semantics are the caller's to document."""
+    one row_number window partitioned on the candidate join's key.
+    Plan cost (plan-gated in tests/test_plans.py): Spark compiles the
+    rank<=k filter to WindowGroupLimit with a PARTIAL map-side stage
+    BELOW the window's exchange, so every mapper truncates each key to
+    max_block before shuffling - a hot key can never flood one reducer
+    with its raw occupancy. The window's exchange hash-partitions the
+    (bounded, exploded) key rows; when the join side is large enough to
+    shuffle (the 100 TB case) the join reuses that partitioning, and
+    when the side broadcasts (driver-scale inputs) the exchange is
+    additive but carries only capped rows. Recall semantics are the
+    caller's to document."""
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     return (
         exploded.withColumn("_occ", F.row_number().over(w))
@@ -353,8 +361,9 @@ def fuzzy_title_pairs_tokensort(
     explosion happens inside one join task, invisible to input-size
     skew detection. When ``max_block`` is set, each token keeps only
     its max_block lowest-(key, title) members per side (row_number
-    window on the SAME key the join shuffles on - the
-    dedup.minhash_lsh_pairs(max_bucket) pattern), bounding per-token
+    window on the join key - the dedup.minhash_lsh_pairs(max_bucket)
+    pattern; map-side partial WindowGroupLimit, see
+    _cap_block_occupancy), bounding per-token
     candidates at max_block^2. Recall semantics: capped output is a
     strict SUBSET; a pair is lost only if EVERY token it shares is
     over-capped past one of its sides - healthy (sub-cap) tokens are

@@ -323,6 +323,27 @@ def test_tokensort_fuzzy_chain_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_block_cap_truncates_map_side(spark, sf_dir):
+    """The max_block occupancy cap must compile to WindowGroupLimit with
+    a PARTIAL map-side stage (each mapper truncates a key's group to
+    max_block BEFORE the window's shuffle - the property that stops a
+    hot key flooding one reducer), its exchanges must move only the
+    exploded token-key rows (never a pair table), and the plan must
+    stay cartesian-free."""
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import QUERIES
+
+    cap = QUERIES["fuzzy_block_capped"](spark, sf_dir)
+    plan = PI.physical_plan(cap)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, "map-side partial WindowGroupLimit missing"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every shuffle carries a single title + key + token tuple (or the
+    # final pair-dedup aggregate), never raw N x M candidate pairs
+    for block in PI.exchange_blocks(cap):
+        assert "hashpartitioning" in block
+
+
 def test_gold_unique_two_level_max_agg(spark, sf_dir):
     """gold_salary_matches_unique aggregates in two MAX levels so the
     posting-duration parse chain runs on the small intermediate: the
