@@ -148,9 +148,12 @@ BENCH_QUERIES = [
     "ann_ivfadc_rerank_topk",
     # bpe_encode_corpus stays OUT: encode re-runs the train loop
     # bpe_train_merges already times before its map-only encode.
-    # round-9 addition: the occupancy-capped blocking join (new plan
-    # family: per-token row_number windows ahead of the candidate join).
+    # round-9 additions: the occupancy-capped blocking join (new plan
+    # family: per-token row_number windows ahead of the candidate join)
+    # and the lossless salted lane (hot-set broadcast + explode
+    # replication ahead of the same join).
     "fuzzy_block_capped",
+    "fuzzy_block_salted",
 ]
 
 

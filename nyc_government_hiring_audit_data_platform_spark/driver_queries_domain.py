@@ -311,7 +311,11 @@ def q_fuzzy_lightcast_durations(spark, sf_dir):
     )
 
 
-_CAP = 16
+# 4 BINDS on the part-derived titles (drops 131 -> 52 pairs at sf0.01,
+# 140 -> 56 at sf0.1), so the hash row exercises the truncation itself,
+# not just the uncapped fallthrough - both engines must rank and cut
+# the SAME members in every over-occupied block.
+_CAP = 4
 
 @query(
     "fuzzy_block_capped",
@@ -380,6 +384,67 @@ def q_fuzzy_block_capped(spark, sf_dir):
     return fuzzy_title_pairs_tokensort(
         postings, payroll, "business_title", "title_description",
         min_shared_tokens=1, score_cutoff=85, max_block=_CAP,
+    ).select(
+        F.col("left_title").alias("business_title"),
+        F.col("right_title").alias("title_description"),
+        "score",
+    )
+
+
+@query(
+    "fuzzy_block_salted",
+    f"""
+    WITH lk AS (
+      SELECT business_title, {_key_sql('business_title')} AS lkey
+      FROM (
+        SELECT DISTINCT
+          CASE CAST(p_partkey % 3 AS INT)
+            WHEN 0 THEN array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+            WHEN 1 THEN substring(p_name, 1, CAST(length(p_name) AS INT) - 1)
+            ELSE concat(string_split(p_name, ' ')[1], ' trainee distinct role')
+          END AS business_title
+        FROM part WHERE p_partkey % 4 = 0
+      ) WHERE business_title IS NOT NULL
+    ),
+    rk AS (
+      SELECT title_description, {_key_sql('title_description')} AS rkey
+      FROM (SELECT DISTINCT p_name AS title_description FROM part)
+      WHERE title_description IS NOT NULL
+    ),
+    ltok AS (SELECT business_title, lkey,
+                    unnest(list_distinct(string_split(lkey, ' '))) AS tok FROM lk),
+    rtok AS (SELECT title_description, rkey,
+                    unnest(list_distinct(string_split(rkey, ' '))) AS tok FROM rk),
+    cand AS (
+      SELECT business_title, lkey, title_description, rkey
+      FROM ltok JOIN rtok USING (tok)
+      GROUP BY business_title, lkey, title_description, rkey
+      HAVING COUNT(*) >= 1
+    )
+    SELECT business_title, title_description,
+           CAST(ROUND({_LEV_SIM.format(a='lkey', b='rkey')}) AS INT) AS score
+    FROM cand
+    WHERE {_LEV_SIM.format(a='lkey', b='rkey')} >= 85
+    """,
+)
+def q_fuzzy_block_salted(spark, sf_dir):
+    """LOSSLESS hot-key parallelization (SCALING.md r9): tokens over the
+    occupancy threshold get their left rows hash-salted across buckets
+    and their right rows replicated once per bucket, so a hot token's
+    quadratic enumeration runs in salt_buckets tasks instead of one.
+    The oracle is the plain UNSALTED pair SQL - hash equality IS the
+    cross-engine proof that salting never changes output (threshold 8
+    makes most color tokens hot here, so the salted lane really runs)."""
+    postings = postings_from_part(spark, sf_dir).select("business_title")
+    payroll = payroll_from_part(spark, sf_dir).select("title_description")
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_title_pairs_tokensort,
+    )
+
+    return fuzzy_title_pairs_tokensort(
+        postings, payroll, "business_title", "title_description",
+        min_shared_tokens=1, score_cutoff=85,
+        salt_buckets=4, hot_occupancy=8,
     ).select(
         F.col("left_title").alias("business_title"),
         F.col("right_title").alias("title_description"),

@@ -320,6 +320,8 @@ def fuzzy_title_pairs_tokensort(
     min_shared_tokens: int = 2,
     score_cutoff: int = 85,
     max_block: int | None = None,
+    salt_buckets: int | None = None,
+    hot_occupancy: int = 1024,
 ) -> DataFrame:
     """Oracle-expressible two-stage fuzzy match: token-count prefilter +
     token-sort levenshtein ratio. Same two-stage plan shape as
@@ -370,6 +372,26 @@ def fuzzy_title_pairs_tokensort(
     untouched, and a hot STOP-WORD-like token's loss is exactly the
     pairs that share nothing rarer than it. None (default) = lossless.
 
+    ``salt_buckets`` - the LOSSLESS skew answer, for when the hot
+    token's pairs are genuinely wanted and only their single-task
+    serialization is the problem: tokens whose RIGHT-side occupancy
+    exceeds ``hot_occupancy`` (one cheap map-side-combined count,
+    broadcast back) have their LEFT rows salted into
+    ``salt_buckets`` deterministic buckets (hash of key+title) and
+    their RIGHT rows replicated once per bucket, so the hot key's
+    quadratic enumeration runs in salt_buckets parallel tasks instead
+    of one; every other token keeps salt 0 with no replication. Output
+    is BIT-IDENTICAL to the unsalted plan (each original (left, right)
+    meeting lands in exactly one salt bucket; hash-verified cross-
+    engine by the ``fuzzy_block_salted`` driver row whose oracle is
+    the plain unsalted SQL). Cost: the occupancy count + hot-side
+    replication x salt_buckets (bounded: only over-threshold tokens
+    replicate). Compose with ``max_block`` only in the degenerate
+    sense (after capping nothing exceeds a sane threshold, so the salt
+    lane no-ops); pick ONE - cap to bound work, salt to parallelize
+    it. Measured on the skew probe (SCALING.md r9): the x10 hot task
+    19.6 s -> seconds, x100 from NOT-RUNNABLE to a measured point.
+
     Returns (left_title, right_title, score int).
     """
     lt = (
@@ -403,9 +425,50 @@ def fuzzy_title_pairs_tokensort(
         <= (F.lit(100 - score_cutoff) / F.lit(100.0))
         * F.greatest(F.length("left_key"), F.length("right_key"))
     )
+    if salt_buckets is not None and salt_buckets > 1:
+        # lossless hot-key parallelization: salt left, replicate right
+        hot = (
+            re_.groupBy("rtok")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > hot_occupancy)
+            .select(F.col("rtok").alias("_hot_tok"))
+        )
+        le = le.join(
+            F.broadcast(hot), F.col("tok") == F.col("_hot_tok"), "left"
+        ).select(
+            "left_title",
+            "left_key",
+            "tok",
+            F.when(
+                F.col("_hot_tok").isNotNull(),
+                F.pmod(F.hash("left_key", "left_title"), F.lit(salt_buckets)),
+            )
+            .otherwise(F.lit(0))
+            .alias("salt"),
+        )
+        re_ = re_.join(
+            F.broadcast(hot), F.col("rtok") == F.col("_hot_tok"), "left"
+        ).select(
+            "right_title",
+            "right_key",
+            "rtok",
+            F.explode(
+                F.when(
+                    F.col("_hot_tok").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("salt"),
+        )
+        join_cond = (
+            (F.col("tok") == F.col("rtok"))
+            & (le["salt"] == re_["salt"])
+            & len_ok
+        )
+        joined = le.join(re_, join_cond).drop("salt")
+    else:
+        joined = le.join(re_, (F.col("tok") == F.col("rtok")) & len_ok)
     cand = (
-        le.join(re_, (F.col("tok") == F.col("rtok")) & len_ok)
-        .groupBy("left_title", "left_key", "right_title", "right_key")
+        joined.groupBy("left_title", "left_key", "right_title", "right_key")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared_tokens)
     )

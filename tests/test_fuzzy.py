@@ -414,7 +414,7 @@ def test_tokensort_join_matches_bruteforce(spark):
 # -- hot-token occupancy cap (max_block) --------------------------------------
 
 
-def _tokensort_pairs(spark, left_titles, right_titles, max_block=None):
+def _tokensort_pairs(spark, left_titles, right_titles, max_block=None, **kw):
     from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
         fuzzy_title_pairs_tokensort,
     )
@@ -424,8 +424,8 @@ def _tokensort_pairs(spark, left_titles, right_titles, max_block=None):
     return {
         (r["left_title"], r["right_title"], r["score"])
         for r in fuzzy_title_pairs_tokensort(
-            left, right, "t", "t", min_shared_tokens=1, score_cutoff=85,
-            max_block=max_block,
+            left, right, "t", "t", min_shared_tokens=kw.pop("min_shared", 1),
+            score_cutoff=85, max_block=max_block, **kw,
         ).collect()
     }
 
@@ -477,3 +477,51 @@ def test_block_cap_none_is_lossless_and_wratio_path_subset(spark):
         ).collect()
     }
     assert cap <= unc
+
+
+def test_salt_buckets_lossless(spark):
+    """salt_buckets is LOSSLESS: hot tokens' left rows are hash-salted,
+    right rows replicated once per bucket, so every (left, right)
+    meeting happens exactly once and output (including n_shared
+    semantics) is identical to the unsalted plan - under both the
+    broadcast and the forced-shuffle join strategies."""
+    hot = [f"analyst grade{i}" for i in range(30)]  # occupancy 30 > 8
+    extra_l = ["senior data engineer", "staff accountant"]
+    extra_r = ["senior data engineerx", "staff accountantt"]
+    base = _tokensort_pairs(spark, hot + extra_l, hot + extra_r)
+    salted = _tokensort_pairs(
+        spark, hot + extra_l, hot + extra_r, salt_buckets=4, hot_occupancy=8
+    )
+    assert salted == base and len(base) > 0
+
+    base2 = _tokensort_pairs(spark, hot + extra_l, hot + extra_r, min_shared=2)
+    salted2 = _tokensort_pairs(
+        spark, hot + extra_l, hot + extra_r, min_shared=2,
+        salt_buckets=4, hot_occupancy=8,
+    )
+    assert salted2 == base2
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = _tokensort_pairs(
+            spark, hot + extra_l, hot + extra_r, salt_buckets=4, hot_occupancy=8
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert shuffled == base
+
+
+def test_salt_buckets_one_is_noop_and_composes_with_cap(spark):
+    """salt_buckets=1/None short-circuit to the plain join; salting
+    composed with a binding cap equals the capped-only output (cap
+    first, then nothing exceeds the occupancy threshold or the salted
+    meeting is still unique per pair)."""
+    hot = [f"analyst grade{i}" for i in range(12)]
+    base = _tokensort_pairs(spark, hot, hot)
+    assert _tokensort_pairs(spark, hot, hot, salt_buckets=1) == base
+    capped = _tokensort_pairs(spark, hot, hot, max_block=4)
+    both = _tokensort_pairs(
+        spark, hot, hot, max_block=4, salt_buckets=3, hot_occupancy=2
+    )
+    assert both == capped

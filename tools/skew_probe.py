@@ -28,6 +28,11 @@ Measured per point (warm lap + timed lap, noop count sink):
 - uncapped chain (lossless length prefilter on, as shipped)
 - uncapped chain with the length prefilter DISABLED (join on token
   only) at x1/x10, to price the prefilter's candidate reduction
+- SALTED chain (salt_buckets=32, lossless): hot-token left rows
+  hash-salted across 32 buckets, right rows replicated - the
+  quadratic enumeration parallelized instead of bounded; output
+  identical to uncapped (the x100 uncapped point that is NOT RUN
+  serially becomes a measured salted point)
 - capped chain (max_block=200): bounded per-token candidates
 - capped-subset + healthy-key-equality verification at x1
 
@@ -94,10 +99,13 @@ def timed(fn):
     return time.time() - t0, n
 
 
-def chain(left, right, cap=None, length_filter=True):
+def chain(left, right, cap=None, length_filter=True, salt=None):
     if length_filter:
         pairs = FZ.fuzzy_title_pairs_tokensort(
-            left, right, "title", "title", 1, 85, cap
+            left, right, "title", "title", 1, 85, cap,
+            # 256: the hot token (right occupancy 481 at x1) salts at
+            # EVERY scale; ordinary tokens (~O(10)) never do
+            salt_buckets=salt, hot_occupancy=256,
         )
     else:
         # re-derive the pre-r9 shape: token equi-join with NO length
@@ -141,8 +149,9 @@ def main() -> None:
     print(f"AQE skewJoin threshold: {thr} input bytes per shuffle partition; "
           "skew detection is INPUT-based.\n")
     print("| scale | left/right titles | hot block L x R | hot input (MB) | "
-          "uncapped no-lenfilter (s) | uncapped (s) | capped (s) | pairs out |")
-    print("|---|---|---|---|---|---|---|---|")
+          "uncapped no-lenfilter (s) | uncapped (s) | salted x32 lossless (s) "
+          "| capped (s) | pairs out |")
+    print("|---|---|---|---|---|---|---|---|---|")
 
     rows = {}
     for name, n_left in scales:
@@ -159,23 +168,31 @@ def main() -> None:
         if not infeasible:
             t_nolen, n_nolen = timed(lambda: chain(left, right, None, length_filter=False))
             t_unc, n_unc = timed(lambda: chain(left, right, None))
+        t_salt, n_salt = timed(lambda: chain(left, right, None, salt=32))
         t_cap, n_cap = timed(lambda: chain(left, right, args.cap))
-        rows[name] = (t_unc, t_cap)
+        rows[name] = (t_unc, t_cap, t_salt)
         print(f"| {name} | {nl}/{nr} | {hot_l} x {hot_r} "
               f"| {hot_bytes/1e6:.2f} "
               f"| {'-' if t_nolen is None else f'{t_nolen:.2f}'} "
               f"| {'NOT RUN (est. hours: one ~%.1fe9-pair task)' % (hot_l*hot_r/1e9) if infeasible else f'{t_unc:.2f}'} "
-              f"| {t_cap:.2f} | {n_cap}{'' if n_unc is None else f' (uncapped {n_unc})'} |")
+              f"| {t_salt:.2f} "
+              f"| {t_cap:.2f} | {n_cap} (capped)"
+              f"{'' if n_unc is None else f' / {n_unc} (uncapped)'}"
+              f" / {n_salt} (salted) |")
         left.unpersist(); right.unpersist()
 
     if "x1" in rows and "x10" in rows and rows["x1"][0]:
         a_unc = math.log(rows["x10"][0] / rows["x1"][0]) / math.log(10)
         a_cap = math.log(rows["x10"][1] / rows["x1"][1]) / math.log(10)
+        a_salt = math.log(rows["x10"][2] / rows["x1"][2]) / math.log(10)
         extra = ""
         if "x100" in rows:
             a_cap2 = math.log(rows["x100"][1] / rows["x10"][1]) / math.log(10)
-            extra = f", capped x10->x100 alpha {a_cap2:.2f}"
-        print(f"\nalpha/decade x1->x10: uncapped {a_unc:.2f}, capped {a_cap:.2f}{extra}")
+            a_salt2 = math.log(rows["x100"][2] / rows["x10"][2]) / math.log(10)
+            extra = (f", capped x10->x100 alpha {a_cap2:.2f}"
+                     f", salted x10->x100 alpha {a_salt2:.2f}")
+        print(f"\nalpha/decade x1->x10: uncapped {a_unc:.2f}, "
+              f"capped {a_cap:.2f}, salted {a_salt:.2f}{extra}")
 
     # ---- correctness of the cap's contract, at x1 ----
     left, right = build_titles(spark, BASE_LEFT)
