@@ -94,6 +94,59 @@ def most_recent_file(path: str, extension: str) -> str | None:
     return max(candidates, key=os.path.getctime)
 
 
+def glob_any_store(pattern: str) -> list[str]:
+    """Listing glob for the custom Python DataSources (WARC, MP4):
+    scheme-less patterns use the local glob; URI patterns route through
+    pyarrow's filesystem layer (``s3a://`` normalized to the ``s3://``
+    scheme pyarrow implements natively) - NOT the JVM Hadoop FS,
+    because Spark 4 runs a Python DataSource's ``partitions()`` and
+    stream-offset planning in a separate Python worker process where
+    no SparkSession or Py4J gateway exists. The pattern is a
+    single-directory file glob (``dir/*.warc.gz`` - the crawl-dump
+    layout these sources document); returns sorted URIs so the
+    streaming sources' lexicographic offset contract holds for stores
+    too."""
+    if "://" not in pattern:
+        return sorted(glob.glob(pattern))
+    import fnmatch
+    import posixpath
+
+    from pyarrow import fs as pafs
+
+    scheme, rest = pattern.split("://", 1)
+    uri = "s3://" + rest if scheme == "s3a" else pattern
+    fsys, rel = pafs.FileSystem.from_uri(uri)
+    d, pat = posixpath.split(rel)
+    infos = fsys.get_file_info(pafs.FileSelector(d, allow_not_found=True))
+    return sorted(
+        f"{scheme}://{i.path}"
+        for i in infos
+        if i.type == pafs.FileType.File
+        and fnmatch.fnmatch(posixpath.basename(i.path), pat)
+    )
+
+
+def open_any_store(path: str):
+    """Executor-safe seekable binary open for the custom DataSources'
+    ``read()`` (which runs in Python workers, where no Py4J gateway
+    exists - the JVM Hadoop FS is NOT reachable): bare and ``file:``
+    paths open locally; other schemes route through pyarrow's
+    filesystem layer (``s3a://`` normalized to the ``s3://`` scheme
+    pyarrow implements natively), same normalization as the manifest
+    footer reader (sources/maintenance.py:_open_footer). pyarrow's
+    NativeFile is seekable, which the MP4 moov-only scan requires."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return open(parsed.path or path, "rb")
+    from pyarrow import fs as pafs
+
+    uri = "s3://" + path.split("://", 1)[1] if parsed.scheme == "s3a" else path
+    fsys, rel = pafs.FileSystem.from_uri(uri)
+    return fsys.open_input_file(rel)
+
+
 def list_store_files(spark: SparkSession, pattern: str) -> list[str]:
     """S8: object-store listing via the Hadoop FileSystem API (the
     reference globs the bucket with SQL, src/utils.py:161-167). Works

@@ -17,7 +17,10 @@ per-session, schema fixed by the source.
 
 from __future__ import annotations
 
-import glob as _glob
+from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+    glob_any_store,
+    open_any_store,
+)
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
@@ -61,7 +64,8 @@ class _Mp4MetadataReader(DataSourceReader):
             raise ValueError("mp4_metadata requires option('path', <glob>)")
 
     def partitions(self) -> Sequence[InputPartition]:
-        files = sorted(_glob.glob(self.path))
+        # driver-side listing: local glob or Hadoop FS for store URIs
+        files = glob_any_store(self.path)
         return [_Mp4FilePartition(p) for p in files] or [_Mp4FilePartition("")]
 
     def read(self, partition: _Mp4FilePartition) -> Iterator[tuple]:
@@ -72,7 +76,11 @@ class _Mp4MetadataReader(DataSourceReader):
         if not partition.path:
             return
         try:
-            tracks = scan_mp4_file(partition.path)
+            # executor-side open via pyarrow fs for store URIs; the
+            # moov-only scan needs a SEEKABLE handle, which pyarrow's
+            # NativeFile provides
+            with open_any_store(partition.path) as f:
+                tracks = scan_mp4_file(f)
         except (ValueError, OSError) as e:
             yield (partition.path, -1, None, None, -1, -1, -1, -1, -1, -1, -1,
                    str(e)[:200])

@@ -19,7 +19,10 @@ writer-as-fixture-generator pattern as operators/mp4.py.
 
 from __future__ import annotations
 
-import glob as _glob
+from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+    glob_any_store,
+    open_any_store,
+)
 import gzip
 import io
 import zlib
@@ -123,7 +126,7 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def read_warc_file(path: str) -> list[WarcRecord]:
     """Parse a .warc / .wet file, transparently handling gzip."""
-    with open(path, "rb") as f:
+    with open_any_store(path) as f:  # executor-side: pyarrow fs for URIs
         data = f.read()
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
@@ -189,7 +192,8 @@ class _WarcReader(DataSourceReader):
         self.types = options.get("record_types", "")
 
     def partitions(self) -> Sequence[InputPartition]:
-        files = sorted(_glob.glob(self.path))
+        # driver-side listing: local glob or Hadoop FS for store URIs
+        files = glob_any_store(self.path)
         return [_WarcFilePartition(p) for p in files] or [_WarcFilePartition("")]
 
     def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
@@ -243,7 +247,7 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _files_after(self, last: str, end: str | None) -> list[str]:
-        files = sorted(f for f in _glob.glob(self.path) if f > last)
+        files = [f for f in glob_any_store(self.path) if f > last]
         if end is not None:
             files = [f for f in files if f <= end]
         else:

@@ -292,3 +292,33 @@ def test_largesize_box_parses():
     boxes = parse_boxes(patched)
     got = next(b for b in boxes if b.type == b"mdat")
     assert got.header == 16 and got.size == len(body) + 16
+
+
+def test_mp4_source_store_uri_and_pyarrow_seek(spark, tmp_path):
+    """The mp4 source must work for store URIs end-to-end (file: glob
+    through the session-free listing layer), and the moov-only scan
+    must accept pyarrow's NativeFile - the SEEKABLE handle
+    open_any_store returns for real object-store schemes - not just
+    builtin file objects."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.mp4_source import (
+        read_mp4_metadata,
+    )
+
+    pls = _payloads(5)
+    (tmp_path / "v.mp4").write_bytes(
+        encode_mp4(pls, width=320, height=240, keyframes=[0])
+    )
+    rows = read_mp4_metadata(spark, f"file://{tmp_path}/*.mp4").collect()
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["width"] == 320 and rows[0]["n_samples"] == 5
+
+    # the pyarrow branch open_any_store takes for s3://-class schemes
+    from nyc_government_hiring_audit_data_platform_spark.operators.mp4 import (
+        scan_mp4_file,
+    )
+    from pyarrow import fs as pafs
+
+    fsys, rel = pafs.FileSystem.from_uri(f"file://{tmp_path}/v.mp4")
+    with fsys.open_input_file(rel) as f:
+        tracks = scan_mp4_file(f)
+    assert len(tracks) == 1 and tracks[0].width == 320

@@ -306,3 +306,39 @@ def test_warc_datasource_and_wet_filter(spark, tmp_path):
     wet = read_warc(spark, str(tmp_path / "part*.warc.gz"), "conversion")
     got = wet.collect()
     assert len(got) == 4 and all(r["record_type"] == "conversion" for r in got)
+
+
+def test_warc_source_reads_store_uris(spark, tmp_path):
+    """The DataSource's listing and open must work for store URIs, not
+    just local paths: a file:-scheme glob routes the driver-side
+    listing through the Hadoop FS layer (glob_any_store) and the
+    executor-side open through the scheme-parsing branch
+    (open_any_store) - the same code path an s3a:// crawl dump takes."""
+    for i in range(2):
+        (tmp_path / f"part{i}.warc.gz").write_bytes(
+            encode_warc(_RECS, compress=True)
+        )
+    local = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    via_uri = read_warc(spark, f"file://{tmp_path}/*.warc.gz").collect()
+    assert len(via_uri) == len(local) == 2 * len(_RECS)
+    strip = lambda rows: sorted(
+        (r["path"].rsplit("/", 1)[-1],) + tuple(r)[1:] for r in rows
+    )
+    assert strip(via_uri) == strip(local)
+
+
+def test_glob_any_store_session_free(tmp_path):
+    """glob_any_store must work WITHOUT a SparkSession or JVM: Spark 4
+    plans Python DataSources in a separate worker process, so the
+    listing rides pyarrow's filesystem layer, never Py4J. file: URIs
+    list through that layer; a missing directory is an empty listing,
+    not an error."""
+    from nyc_government_hiring_audit_data_platform_spark.sources.files import (
+        glob_any_store,
+    )
+
+    (tmp_path / "a.warc.gz").write_bytes(b"x")
+    (tmp_path / "b.warc").write_bytes(b"x")
+    got = glob_any_store(f"file://{tmp_path}/*.warc.gz")
+    assert got == [f"file://{tmp_path}/a.warc.gz"]
+    assert glob_any_store(f"file://{tmp_path}/missing/*.gz") == []

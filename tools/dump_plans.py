@@ -40,6 +40,19 @@ SHOWCASE = {
         "plan), row re-attach by title - the reference's 12m47s dense "
         "cdist flow as a linear shuffle pipeline."
     ),
+    "fuzzy_block_capped": (
+        "Hot-token occupancy cap: the rank<=max_block filter compiles "
+        "to WindowGroupLimit with a PARTIAL map-side stage below the "
+        "window exchange, so a hot blocking key is truncated at every "
+        "mapper before it can flood a reducer (SCALING.md r9)."
+    ),
+    "fuzzy_block_salted": (
+        "Lossless hot-key salting: over-occupancy tokens found by one "
+        "map-side-combined count and broadcast back; left rows "
+        "hash-salt across buckets, right rows replicate via explode - "
+        "under a shuffle join the hot key's single task parallelizes "
+        "7.9x with bit-identical output (SCALING.md r9)."
+    ),
     "tfidf_top_terms": (
         "Word-count shape: explode then partial-aggregated shuffles on "
         "(doc,term)/term; corpus size joins back as a 1-row broadcast; "
