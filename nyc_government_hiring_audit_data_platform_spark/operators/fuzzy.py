@@ -212,6 +212,58 @@ def _cap_block_occupancy(
     )
 
 
+def _salt_hot_blocks(
+    le: DataFrame,
+    re_: DataFrame,
+    l_tok: str,
+    r_tok: str,
+    l_hash_cols: list[str],
+    salt_buckets: int,
+    hot_occupancy: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Lossless hot-key parallelization shared by both blocking paths
+    (SCALING.md r9 finding 4): blocking keys whose RIGHT-side occupancy
+    exceeds ``hot_occupancy`` (one map-side-combined count, broadcast
+    back) get the LEFT rows hash-salted into ``salt_buckets`` buckets
+    and the RIGHT rows replicated once per bucket; all other keys keep
+    salt 0 with no replication. Each original (left, right) meeting
+    happens in exactly ONE bucket, so joining on (key, salt) instead of
+    (key) is output-identical - but a hot key's quadratic enumeration,
+    which serializes into one task under a shuffle join, runs in
+    salt_buckets tasks (measured 7.9x at x10). Returns the two sides
+    each carrying a ``salt`` column; the caller adds salt equality to
+    its join."""
+    hot = (
+        re_.groupBy(r_tok)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > hot_occupancy)
+        .select(F.col(r_tok).alias("_hot_tok"))
+    )
+    le2 = le.join(
+        F.broadcast(hot), F.col(l_tok) == F.col("_hot_tok"), "left"
+    ).select(
+        *le.columns,
+        F.when(
+            F.col("_hot_tok").isNotNull(),
+            F.pmod(F.hash(*l_hash_cols), F.lit(salt_buckets)),
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    re2 = re_.join(
+        F.broadcast(hot), F.col(r_tok) == F.col("_hot_tok"), "left"
+    ).select(
+        *re_.columns,
+        F.explode(
+            F.when(
+                F.col("_hot_tok").isNotNull(),
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("salt"),
+    )
+    return le2, re2
+
+
 def fuzzy_title_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -220,6 +272,8 @@ def fuzzy_title_pairs(
     prefilter_cutoff: int,
     score_cutoff: int,
     max_block: int | None = None,
+    salt_buckets: int | None = None,
+    hot_occupancy: int = 1024,
 ) -> DataFrame:
     """Distinct-title two-stage fuzzy match.
 
@@ -253,6 +307,12 @@ def fuzzy_title_pairs(
     Capped output is a strict SUBSET of the uncapped output; a pair is
     lost only if EVERY key the two titles share is over-capped past one
     of them. None (default) = lossless.
+
+    ``salt_buckets``/``hot_occupancy`` - the LOSSLESS lane
+    (:func:`_salt_hot_blocks`): over-occupancy blocking keys (tokens
+    AND 4-grams - grams are the hotter class) parallelize across salt
+    buckets with bit-identical output; same trade table as the
+    tokensort path (SCALING.md r9: planner broadcast / salt / cap).
     """
     lt = (
         left.select(F.col(left_col).alias("left_title"))
@@ -281,8 +341,15 @@ def fuzzy_title_pairs(
     if max_block is not None:
         le = _cap_block_occupancy(le, "blk", ["left_norm", "left_title"], max_block)
         re_ = _cap_block_occupancy(re_, "blk", ["right_norm", "right_title"], max_block)
+    join_keys = ["blk"]
+    if salt_buckets is not None and salt_buckets > 1:
+        le, re_ = _salt_hot_blocks(
+            le, re_, "blk", "blk", ["left_norm", "left_title"],
+            salt_buckets, hot_occupancy,
+        )
+        join_keys = ["blk", "salt"]
     cand = (
-        le.join(re_, "blk")
+        le.join(re_, join_keys)
         .select("left_title", "left_norm", "right_title", "right_norm")
         .distinct()
     )
@@ -427,37 +494,9 @@ def fuzzy_title_pairs_tokensort(
     )
     if salt_buckets is not None and salt_buckets > 1:
         # lossless hot-key parallelization: salt left, replicate right
-        hot = (
-            re_.groupBy("rtok")
-            .agg(F.count(F.lit(1)).alias("_occ"))
-            .filter(F.col("_occ") > hot_occupancy)
-            .select(F.col("rtok").alias("_hot_tok"))
-        )
-        le = le.join(
-            F.broadcast(hot), F.col("tok") == F.col("_hot_tok"), "left"
-        ).select(
-            "left_title",
-            "left_key",
-            "tok",
-            F.when(
-                F.col("_hot_tok").isNotNull(),
-                F.pmod(F.hash("left_key", "left_title"), F.lit(salt_buckets)),
-            )
-            .otherwise(F.lit(0))
-            .alias("salt"),
-        )
-        re_ = re_.join(
-            F.broadcast(hot), F.col("rtok") == F.col("_hot_tok"), "left"
-        ).select(
-            "right_title",
-            "right_key",
-            "rtok",
-            F.explode(
-                F.when(
-                    F.col("_hot_tok").isNotNull(),
-                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
-                ).otherwise(F.array(F.lit(0)))
-            ).alias("salt"),
+        le, re_ = _salt_hot_blocks(
+            le, re_, "tok", "rtok", ["left_key", "left_title"],
+            salt_buckets, hot_occupancy,
         )
         join_cond = (
             (F.col("tok") == F.col("rtok"))

@@ -525,3 +525,23 @@ def test_salt_buckets_one_is_noop_and_composes_with_cap(spark):
         spark, hot, hot, max_block=4, salt_buckets=3, hot_occupancy=2
     )
     assert both == capped
+
+
+def test_wratio_path_salting_lossless(spark):
+    """The WRatio path's salt lane (token AND 4-gram keys - grams are
+    the hotter class) must be output-identical to the unsalted plan."""
+    titles_l = [f"analyst grade{i}" for i in range(20)] + ["chief data officer"]
+    titles_r = [f"analyst grade{i}" for i in range(20)] + ["chief dataa officer"]
+    left = spark.createDataFrame([(t,) for t in titles_l], ["t"])
+    right = spark.createDataFrame([(t,) for t in titles_r], ["t"])
+    base = {
+        tuple(r)
+        for r in fuzzy_title_pairs(left, right, "t", "t", 70, 70).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in fuzzy_title_pairs(
+            left, right, "t", "t", 70, 70, salt_buckets=4, hot_occupancy=6
+        ).collect()
+    }
+    assert salted == base and len(base) > 0
