@@ -222,22 +222,33 @@ def _salt_hot_blocks(
     hot_occupancy: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Lossless hot-key parallelization shared by both blocking paths
-    (SCALING.md r9 finding 4): blocking keys whose RIGHT-side occupancy
-    exceeds ``hot_occupancy`` (one map-side-combined count, broadcast
-    back) get the LEFT rows hash-salted into ``salt_buckets`` buckets
-    and the RIGHT rows replicated once per bucket; all other keys keep
-    salt 0 with no replication. Each original (left, right) meeting
-    happens in exactly ONE bucket, so joining on (key, salt) instead of
-    (key) is output-identical - but a hot key's quadratic enumeration,
-    which serializes into one task under a shuffle join, runs in
-    salt_buckets tasks (measured 7.9x at x10). Returns the two sides
-    each carrying a ``salt`` column; the caller adds salt equality to
-    its join."""
+    (SCALING.md r9 finding 4): blocking keys whose occupancy exceeds
+    ``hot_occupancy`` on EITHER side (two map-side-combined counts,
+    union, broadcast back) get the LEFT rows hash-salted into
+    ``salt_buckets`` buckets and the RIGHT rows replicated once per
+    bucket; all other keys keep salt 0 with no replication. Each
+    original (left, right) meeting happens in exactly ONE bucket, so
+    joining on (key, salt) instead of (key) is output-identical - but
+    a hot key's enumeration, which serializes into one task under a
+    shuffle join, runs in salt_buckets tasks (measured 7.9x at x10).
+    Either-side detection matters: a key hot on the LEFT with a cold
+    right side is still a single-task straggler (|L_key| * |R_key|
+    rows in one partition), and salting-left/replicating-right fixes
+    it at the cost of replicating only the COLD side. Returns the two
+    sides each carrying a ``salt`` column; the caller adds salt
+    equality to its join."""
     hot = (
         re_.groupBy(r_tok)
         .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") > hot_occupancy)
         .select(F.col(r_tok).alias("_hot_tok"))
+        .union(
+            le.groupBy(l_tok)
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > hot_occupancy)
+            .select(F.col(l_tok).alias("_hot_tok"))
+        )
+        .distinct()
     )
     le2 = le.join(
         F.broadcast(hot), F.col(l_tok) == F.col("_hot_tok"), "left"

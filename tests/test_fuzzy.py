@@ -545,3 +545,23 @@ def test_wratio_path_salting_lossless(spark):
         ).collect()
     }
     assert salted == base and len(base) > 0
+
+
+def test_salting_detects_left_only_hot_keys(spark):
+    """Either-side hot detection: a key hot on the LEFT with a cold
+    right side must still salt (it is a single-task straggler under a
+    shuffle join) - and stay lossless."""
+    left_titles = [f"analyst grade{i}" for i in range(25)]
+    right_titles = ["analyst grade3x", "chief officer"]
+    base = _tokensort_pairs(spark, left_titles, right_titles)
+    salted = _tokensort_pairs(
+        spark, left_titles, right_titles, salt_buckets=4, hot_occupancy=10
+    )
+    assert salted == base and len(base) > 0
+
+    # the hot set really fires on the left-side count: with an absurd
+    # threshold nothing salts, and output is still identical
+    unsalted_hi = _tokensort_pairs(
+        spark, left_titles, right_titles, salt_buckets=4, hot_occupancy=10_000
+    )
+    assert unsalted_hi == base
