@@ -95,17 +95,19 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # stale queries at the r8 close rev, so the set starts empty and the
 # rotation budget drains the oldest green tier (r4).
 # r9 close: `python tools/stale_audit.py compare 694fc52 --hashed-round 8`
-# -> 6 STALE-GREEN (fuzzy chain queries re-plan through the r9 length
-# prefilter / salt-capable blocking join; mmr_diverse_topk's operator
-# gained type-generic ids + the twin's exhaustion guard; wet_documents
-# flows through the store-capable WARC source). The 3 ADDED queries
-# (fuzzy_block_capped, fuzzy_block_salted, mmr_panel_topk) are
-# never-checked and already sort first in the rotation.
+# -> 8 STALE-GREEN (fuzzy chain queries re-plan through the r9 length
+# prefilter / salt-capable blocking join; the minhash pair join gained
+# the grid-split lane; mmr_diverse_topk's operator gained type-generic
+# ids + the twin's exhaustion guard; wet_documents flows through the
+# store-capable WARC source). The 4 ADDED queries are never-checked
+# and already sort first in the rotation.
 REWRITTEN: set[str] = {
     "fuzzy_lightcast_durations",
     "fuzzy_salary_matches",
     "fuzzy_salary_matches_topn",
     "gold_salary_matches_unique",
+    "minhash_lsh_neardup",
+    "minhash_lsh_recall",
     "mmr_diverse_topk",
     "wet_documents",
 }

@@ -149,11 +149,13 @@ BENCH_QUERIES = [
     # bpe_encode_corpus stays OUT: encode re-runs the train loop
     # bpe_train_merges already times before its map-only encode.
     # round-9 additions: the occupancy-capped blocking join (new plan
-    # family: per-token row_number windows ahead of the candidate join)
-    # and the lossless salted lane (hot-set broadcast + explode
-    # replication ahead of the same join).
+    # family: per-token row_number windows ahead of the candidate join),
+    # the lossless salted lane (hot-set broadcast + explode replication
+    # ahead of the same join), and the grid-split LSH self-join
+    # (occupancy-gated G x G matrix partitioning of hot buckets).
     "fuzzy_block_capped",
     "fuzzy_block_salted",
+    "minhash_lsh_split",
 ]
 
 

@@ -68,6 +68,31 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "minhash_lsh_split",
+    DD.minhash_lsh_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)", "text", "doc_id", 0.25
+    ),
+)
+def q_minhash_lsh_split(spark, sf_dir):
+    """Grid-split LSH self-join (Okcan & Riedewald matrix partitioning,
+    SCALING.md r9): hot (band, bh) buckets spread their quadratic
+    in-bucket enumeration over a G x G grid of join cells with
+    BIT-IDENTICAL output - the oracle is the plain unsplit SQL, so the
+    hash row IS the cross-engine losslessness proof (split_threshold 3
+    makes the fixture's buckets actually split)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(par)
+    )
+    return DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", 0.25, split_buckets=4, split_threshold=3
+    )
+
+
+@query(
     "ngram_jaccard_neardup",
     DD.ngram_jaccard_pairs_sql(
         "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "text", "doc_id", 0.25

@@ -200,6 +200,8 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     n: int = SHINGLE_N,
     max_bucket: int | None = None,
+    split_buckets: int | None = None,
+    split_threshold: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, verified with the
     exact shingle-set Jaccard.
@@ -248,6 +250,24 @@ def minhash_lsh_pairs(
     collapses byte-identical mass, the second bounds whatever
     template-like residue remains. Enforced by
     tests/test_incremental_dedup.py::test_bucket_cap_*.
+
+    ``split_buckets``/``split_threshold`` - the LOSSLESS lane for a hot
+    bucket whose pairs are genuinely wanted: the self-join's quadratic
+    enumeration inside ONE (band, bh) shuffle partition is spread over
+    a G x G grid (Okcan & Riedewald's matrix partitioning for theta
+    joins, SIGMOD 2011, re-expressed relationally). Buckets whose
+    occupancy exceeds ``split_threshold`` (one agg, broadcast back)
+    assign each member a group g = hash(id) % G; side A carries
+    (p = g, q = explode(0..G-1)), side B the transpose, and the join
+    adds (p, q) equality - pair (x, y) matches at exactly the one cell
+    (g(x), g(y)) and the id < condition keeps one orientation, so
+    output is BIT-IDENTICAL while each grid cell enumerates
+    (occ/G)^2 instead of occ^2 in one task. Cost: hot-bucket band rows
+    replicate G times per side (cold buckets ride a single (0, 0)
+    cell, no replication). Same trade table as the fuzzy join's salt
+    lane (SCALING.md r9): use when every pair is wanted and the
+    single-task enumeration is the problem; ``max_bucket`` when
+    bounded work wins.
     """
     # Shingle hashing runs IN the caller's scan partitions - no text
     # shuffle here (module input-edge contract; single-file fixtures
@@ -274,17 +294,52 @@ def minhash_lsh_pairs(
             .filter(F.col("_occ") <= max_bucket)
             .drop("_occ")
         )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+    if split_buckets is not None and split_buckets > 1:
+        G = split_buckets
+        hot = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > split_threshold)
+            .select("band", "bh", F.lit(True).alias("_hot"))
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+        marked = bands.join(F.broadcast(hot), ["band", "bh"], "left")
+        grp = F.pmod(F.hash("id"), F.lit(G))
+        gs = F.sequence(F.lit(0), F.lit(G - 1))
+        one = F.array(F.lit(0))
+        a = marked.select(
+            "id", "band", "bh",
+            F.when(F.col("_hot"), grp).otherwise(F.lit(0)).alias("p"),
+            F.explode(F.when(F.col("_hot"), gs).otherwise(one)).alias("q"),
+        ).alias("a")
+        b = marked.select(
+            "id", "band", "bh",
+            F.explode(F.when(F.col("_hot"), gs).otherwise(one)).alias("p"),
+            F.when(F.col("_hot"), grp).otherwise(F.lit(0)).alias("q"),
+        ).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.p") == F.col("b.p"))
+                & (F.col("a.q") == F.col("b.q"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
     da = docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(da, "id_a").join(db, "id_b")

@@ -407,3 +407,50 @@ def test_bucket_cap_sql_twin_matches(spark, tmp_path):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_grid_split_lossless_on_hot_clique(spark):
+    """split_buckets (Okcan-Riedewald grid for the in-bucket self-join)
+    must be BIT-IDENTICAL to the plain join: every unordered pair of a
+    hot bucket matches in exactly one (p, q) cell, the id< condition
+    keeps one orientation, cold buckets ride the single (0,0) cell.
+    Verified over a near-identical clique (every pair a true near-dup)
+    plus unrelated docs, under both join strategies."""
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 3}")
+        for i in range(40)
+    ] + [(100 + i, f"totally unrelated corpus text number {i} about ships")
+         for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    base = {
+        tuple(r) for r in D.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    grid = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            docs, "text", "doc_id", 0.5, split_buckets=8, split_threshold=4
+        ).collect()
+    }
+    assert grid == base and len(base) >= 40 * 39 // 2
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = {
+            tuple(r)
+            for r in D.minhash_lsh_pairs(
+                docs, "text", "doc_id", 0.5, split_buckets=8, split_threshold=4
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert shuffled == base
+
+    # an uncrossed threshold leaves every bucket on the cold path
+    cold = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs(
+            docs, "text", "doc_id", 0.5, split_buckets=8, split_threshold=10_000
+        ).collect()
+    }
+    assert cold == base
