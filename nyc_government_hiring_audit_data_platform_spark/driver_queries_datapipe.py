@@ -410,6 +410,23 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_neardup_split",
+    ANN.embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding", 0.3),
+)
+def q_embedding_neardup_split(spark, sf_dir):
+    """Grid-split lane of the embedding near-dup self-join - the
+    heaviest self-join in the repo (full vectors + a cosine per
+    enumerated pair), so a hot LSH bucket is a memory cliff before it
+    is a straggler (SCALING.md r9-continued). Oracle = the plain
+    unsplit SQL: hash equality is the losslessness proof (threshold 2
+    splits every populated fixture bucket)."""
+    return ANN.embedding_neardup_pairs(
+        _emb_par(spark, sf_dir), "vec_id", "embedding", 0.3,
+        split_buckets=4, split_threshold=2,
+    )
+
+
 # --- shared 8-token-gram shingle universe ----------------------------------
 
 # ONE definition of the dedup family's element universe (8-token-gram

@@ -452,12 +452,24 @@ def kmeans_update_sql(table: str, id_col: str, vec_col: str) -> str:
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    split_buckets: int | None = None,
+    split_threshold: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket-blocked
     self-join (only same-bucket pairs are scored), cosine >= threshold.
     Near-identical vectors land in the same bucket with high
-    probability; at 100 TB this is the only shape that avoids N^2."""
+    probability; at 100 TB this is the only shape that avoids N^2.
+
+    ``split_buckets``/``split_threshold`` - the lossless grid lane for
+    a HOT bucket (relational.grid_split_self_join_sides; SCALING.md
+    r9): over-occupancy buckets spread their in-bucket pair
+    enumeration - which here carries full vectors and a cosine per
+    pair, the heaviest self-join in the repo - over G x G cells with
+    bit-identical output. Cold buckets unchanged."""
     base = (
         df.select(_c(id_col).alias("id"), _c(vec_col).alias("v"))
         .select("id", "v", lsh_bucket("v").alias("bucket"))
@@ -465,9 +477,25 @@ def embedding_neardup_pairs(
         # per side, single-threaded off a one-file source (measured 5x)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a, b = base.alias("a"), base.alias("b")
+    if split_buckets is not None and split_buckets > 1:
+        from nyc_government_hiring_audit_data_platform_spark.operators.relational import (
+            grid_split_self_join_sides,
+        )
+
+        a, b = grid_split_self_join_sides(
+            base, ["bucket"], "id", split_buckets, split_threshold
+        )
+        cond = (
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.id") < F.col("b.id"))
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

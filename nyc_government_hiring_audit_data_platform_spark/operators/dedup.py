@@ -295,27 +295,13 @@ def minhash_lsh_pairs(
             .drop("_occ")
         )
     if split_buckets is not None and split_buckets > 1:
-        G = split_buckets
-        hot = (
-            bands.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("_occ"))
-            .filter(F.col("_occ") > split_threshold)
-            .select("band", "bh", F.lit(True).alias("_hot"))
+        from nyc_government_hiring_audit_data_platform_spark.operators.relational import (
+            grid_split_self_join_sides,
         )
-        marked = bands.join(F.broadcast(hot), ["band", "bh"], "left")
-        grp = F.pmod(F.hash("id"), F.lit(G))
-        gs = F.sequence(F.lit(0), F.lit(G - 1))
-        one = F.array(F.lit(0))
-        a = marked.select(
-            "id", "band", "bh",
-            F.when(F.col("_hot"), grp).otherwise(F.lit(0)).alias("p"),
-            F.explode(F.when(F.col("_hot"), gs).otherwise(one)).alias("q"),
-        ).alias("a")
-        b = marked.select(
-            "id", "band", "bh",
-            F.explode(F.when(F.col("_hot"), gs).otherwise(one)).alias("p"),
-            F.when(F.col("_hot"), grp).otherwise(F.lit(0)).alias("q"),
-        ).alias("b")
+
+        a, b = grid_split_self_join_sides(
+            bands, ["band", "bh"], "id", split_buckets, split_threshold
+        )
         cand = (
             a.join(
                 b,

@@ -245,3 +245,50 @@ def interval_overlap_join(
     cand = le.join(re_, "_cell").drop("_cell").distinct()
     overlap = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
     return cand.filter(overlap)
+
+
+def grid_split_self_join_sides(
+    rel: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    split_buckets: int,
+    split_threshold: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Lossless hot-bucket parallelization for a SELF-join on
+    ``key_cols`` (Okcan & Riedewald's matrix partitioning for theta
+    joins, SIGMOD 2011, re-expressed relationally; SCALING.md r9):
+    buckets whose occupancy exceeds ``split_threshold`` (one agg,
+    broadcast back) assign each member a group g = hash(id) % G; the
+    returned side ``a`` carries (p = g, q = explode(0..G-1)), side
+    ``b`` the transpose, and the caller adds ``a.p == b.p AND a.q ==
+    b.q`` to its join - pair (x, y) then matches at exactly the one
+    grid cell (g(x), g(y)) and the usual ``a.id < b.id`` keeps one
+    orientation, so output is BIT-IDENTICAL while a hot bucket's
+    quadratic enumeration runs in G^2 cells instead of one task (which
+    is not merely a straggler: at 10k-member cliques the single task's
+    partial-aggregate is a measured MEMORY CLIFF). Cold buckets ride a
+    single (0, 0) cell with no replication; hot-bucket rows replicate
+    G times per side. Returned sides are aliased "a" and "b"."""
+    G = split_buckets
+    hot = (
+        rel.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > split_threshold)
+        .select(*key_cols, F.lit(True).alias("_hot"))
+    )
+    marked = rel.join(F.broadcast(hot), key_cols, "left")
+    grp = F.pmod(F.hash(id_col), F.lit(G))
+    gs = F.sequence(F.lit(0), F.lit(G - 1))
+    one = F.array(F.lit(0))
+    base_cols = rel.columns
+    a = marked.select(
+        *base_cols,
+        F.when(F.col("_hot"), grp).otherwise(F.lit(0)).alias("p"),
+        F.explode(F.when(F.col("_hot"), gs).otherwise(one)).alias("q"),
+    ).alias("a")
+    b = marked.select(
+        *base_cols,
+        F.explode(F.when(F.col("_hot"), gs).otherwise(one)).alias("p"),
+        F.when(F.col("_hot"), grp).otherwise(F.lit(0)).alias("q"),
+    ).alias("b")
+    return a, b

@@ -454,3 +454,30 @@ def test_grid_split_lossless_on_hot_clique(spark):
         ).collect()
     }
     assert cold == base
+
+
+def test_embedding_grid_split_lossless(spark):
+    """The embedding near-dup self-join's grid lane must be
+    bit-identical to the plain join over a hot vector clique (many
+    near-identical vectors collapse into one LSH bucket)."""
+    import random
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
+
+    rnd = random.Random(7)
+    base_vec = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [
+        (i, [x + rnd.uniform(-1e-3, 1e-3) for x in base_vec]) for i in range(50)
+    ] + [(100 + i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    plain = {
+        tuple(r)
+        for r in ANN.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    grid = {
+        tuple(r)
+        for r in ANN.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 0.9, split_buckets=8, split_threshold=4
+        ).collect()
+    }
+    assert grid == plain and len(plain) >= 50 * 49 // 2
