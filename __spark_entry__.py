@@ -95,9 +95,10 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # stale queries at the r8 close rev, so the set starts empty and the
 # rotation budget drains the oldest green tier (r4).
 # r9 close: `python tools/stale_audit.py compare 694fc52 --hashed-round 8`
-# -> 9 STALE-GREEN (fuzzy chain queries re-plan through the r9 length
-# prefilter / salt-capable blocking join; the minhash and embedding
-# pair joins gained the grid-split lane; mmr_diverse_topk's operator
+# -> 11 STALE-GREEN (fuzzy chain queries re-plan through the r9 length
+# prefilter / salt-capable blocking join; the minhash, embedding, and
+# simhash pair joins gained the grid-split lane and the exact jaccard
+# lane gained its docstring pointer; mmr_diverse_topk's operator
 # gained type-generic ids + the twin's exhaustion guard; wet_documents
 # flows through the store-capable WARC source). The 5 ADDED queries
 # are never-checked and already sort first in the rotation.
@@ -110,6 +111,8 @@ REWRITTEN: set[str] = {
     "minhash_lsh_neardup",
     "minhash_lsh_recall",
     "mmr_diverse_topk",
+    "ngram_jaccard_neardup",
+    "simhash_collisions",
     "wet_documents",
 }
 

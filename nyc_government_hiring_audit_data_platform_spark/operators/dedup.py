@@ -475,7 +475,12 @@ def ngram_jaccard_pairs(
     100 TB, where even a linear-in-corpus all-pairs lane spills the
     cluster: every candidate pair ships both full shingle arrays).
     If the probe covers every id the output is identical to the
-    unprobed call."""
+    unprobed call. (A hot shingle's posting-list self-join has the
+    same one-task shape the grid lane fixes elsewhere -
+    relational.grid_split_self_join_sides - but this operator is the
+    quarantined exact/didactic lane by policy; the probe parameter IS
+    its scale path, and minhash_lsh_pairs(split_buckets=...) is the
+    production near-dup join.)"""
     docs = (
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
@@ -619,20 +624,47 @@ def simhash_signatures_df(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
-def simhash_collision_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_collision_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_buckets: int | None = None,
+    split_threshold: int = 1024,
+) -> DataFrame:
     """Near-dup candidate pairs = identical 16-bit signatures. The
     signature projection is persisted: a self-join otherwise evaluates
     the full per-doc fold once PER SIDE (measured 65x end-to-end with
-    repartition+persist vs the naive plan)."""
+    repartition+persist vs the naive plan).
+
+    ``split_buckets``/``split_threshold``: a hot signature (a large
+    identical/near-identical family) is the same one-task memory cliff
+    as a hot LSH bucket - the optional grid lane
+    (relational.grid_split_self_join_sides, SCALING.md r9) spreads it
+    over G x G cells with bit-identical output."""
     sigs = simhash_signatures_df(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return a.join(
-        b,
-        (F.col("a.simhash") == F.col("b.simhash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
+    if split_buckets is not None and split_buckets > 1:
+        from nyc_government_hiring_audit_data_platform_spark.operators.relational import (
+            grid_split_self_join_sides,
+        )
+
+        a, b = grid_split_self_join_sides(
+            sigs, ["simhash"], "doc_id", split_buckets, split_threshold
+        )
+        cond = (
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    else:
+        a, b = sigs.alias("a"), sigs.alias("b")
+        cond = (
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    return a.join(b, cond).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
         F.col("a.simhash"),

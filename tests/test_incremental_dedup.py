@@ -481,3 +481,19 @@ def test_embedding_grid_split_lossless(spark):
         ).collect()
     }
     assert grid == plain and len(plain) >= 50 * 49 // 2
+
+
+def test_simhash_grid_split_lossless(spark):
+    """simhash_collision_pairs' grid lane: a hot identical-signature
+    family spreads over the grid with bit-identical output."""
+    rows = [(i, "identical doc body shared by the whole family") for i in range(30)]
+    rows += [(200 + i, f"distinct text {i} about something else entirely") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    plain = {tuple(r) for r in D.simhash_collision_pairs(docs, "text", "doc_id").collect()}
+    grid = {
+        tuple(r)
+        for r in D.simhash_collision_pairs(
+            docs, "text", "doc_id", split_buckets=8, split_threshold=4
+        ).collect()
+    }
+    assert grid == plain and len(plain) >= 30 * 29 // 2
