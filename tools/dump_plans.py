@@ -53,6 +53,13 @@ SHOWCASE = {
         "under a shuffle join the hot key's single task parallelizes "
         "7.9x with bit-identical output (SCALING.md r9)."
     ),
+    "minhash_lsh_split": (
+        "Grid-split self-join (Okcan-Riedewald matrix partitioning): "
+        "hot LSH buckets spread their in-bucket enumeration over G x G "
+        "join cells - output bit-identical, and the one-task memory "
+        "cliff (measured executor OOM at a 10k clique) becomes 64 "
+        "bounded cells (SCALING.md r9)."
+    ),
     "tfidf_top_terms": (
         "Word-count shape: explode then partial-aggregated shuffles on "
         "(doc,term)/term; corpus size joins back as a 1-row broadcast; "
