@@ -269,6 +269,12 @@ def grid_split_self_join_sides(
     partial-aggregate is a measured MEMORY CLIFF). Cold buckets ride a
     single (0, 0) cell with no replication; hot-bucket rows replicate
     G times per side. Returned sides are aliased "a" and "b"."""
+    reserved = {"p", "q", "_hot", "_occ"} & set(rel.columns)
+    if reserved:
+        raise ValueError(
+            f"grid_split_self_join_sides reserves columns {sorted(reserved)}; "
+            "rename them on the input relation first"
+        )
     G = split_buckets
     hot = (
         rel.groupBy(*key_cols)

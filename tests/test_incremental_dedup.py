@@ -497,3 +497,17 @@ def test_simhash_grid_split_lossless(spark):
         ).collect()
     }
     assert grid == plain and len(plain) >= 30 * 29 // 2
+
+
+def test_grid_split_rejects_reserved_columns(spark):
+    """The grid helper must fail loudly (not silently mis-key) when the
+    input relation already carries its reserved p/q/_hot/_occ names."""
+    import pytest as _pytest
+
+    from nyc_government_hiring_audit_data_platform_spark.operators.relational import (
+        grid_split_self_join_sides,
+    )
+
+    rel = spark.createDataFrame([(1, 10, 0)], ["id", "bucket", "p"])
+    with _pytest.raises(ValueError, match="reserves columns"):
+        grid_split_self_join_sides(rel, ["bucket"], "id", 4, 2)
