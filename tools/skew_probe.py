@@ -37,7 +37,14 @@ Measured per point (warm lap + timed lap, noop count sink):
 - capped-subset + healthy-key-equality verification at x1
 
 Usage: python tools/skew_probe.py [--skip-x100] [--cap 200]
+       python tools/skew_probe.py --forced-shuffle [--scale 10]
 Prints a markdown table to append to SCALING.md (curated by hand).
+
+``--forced-shuffle`` reproduces the SCALING.md r9 one-task-case table:
+autoBroadcastJoinThreshold=-1 (the both-sides-big 100 TB shape), x10
+corpus, salted x32 lap (warm+timed) then ONE cold uncapped lap - the
+uncapped lap ran 419 s on the r9 box (vs 52.9 s salted), so expect
+minutes.
 """
 
 from __future__ import annotations
@@ -131,13 +138,33 @@ def chain(left, right, cap=None, length_filter=True, salt=None):
     return pairs.count()
 
 
+def forced_shuffle_lap(spark, scale: int) -> None:
+    """The shuffle-join one-task case (SCALING.md r9 finding 4)."""
+    left, right = build_titles(spark, BASE_LEFT * scale)
+    left = left.persist(); right = right.persist()
+    left.count(); right.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    t, n = timed(lambda: chain(left, right, None, salt=32))
+    print(f"forced-shuffle salted x32 (x{scale}): {t:.2f}s pairs={n}", flush=True)
+    t0 = time.time()
+    n = chain(left, right, None)
+    print(f"forced-shuffle uncapped single cold lap (x{scale}): "
+          f"{time.time() - t0:.2f}s pairs={n}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-x100", action="store_true")
     ap.add_argument("--cap", type=int, default=200)
+    ap.add_argument("--forced-shuffle", action="store_true")
+    ap.add_argument("--scale", type=int, default=10)
     args = ap.parse_args()
 
     spark = get_spark("skew-probe")
+    if args.forced_shuffle:
+        forced_shuffle_lap(spark, args.scale)
+        spark.stop()
+        return
     scales = [("x1", BASE_LEFT), ("x10", BASE_LEFT * 10)]
     if not args.skip_x100:
         scales.append(("x100", BASE_LEFT * 100))
