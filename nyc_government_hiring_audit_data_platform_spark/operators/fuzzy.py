@@ -452,9 +452,11 @@ def fuzzy_title_pairs_tokensort(
 
     ``salt_buckets`` - the LOSSLESS skew answer, for when the hot
     token's pairs are genuinely wanted and only their single-task
-    serialization is the problem: tokens whose RIGHT-side occupancy
-    exceeds ``hot_occupancy`` (one cheap map-side-combined count,
-    broadcast back) have their LEFT rows salted into
+    serialization is the problem: tokens whose occupancy on EITHER
+    side exceeds ``hot_occupancy`` (two cheap map-side-combined
+    counts, unioned and broadcast back - a key hot on the LEFT with a
+    cold right side is still a single-task straggler, see
+    :func:`_salt_hot_blocks`) have their LEFT rows salted into
     ``salt_buckets`` deterministic buckets (hash of key+title) and
     their RIGHT rows replicated once per bucket, so the hot key's
     quadratic enumeration runs in salt_buckets parallel tasks instead
@@ -545,13 +547,22 @@ def fuzzy_join_tokensort(
     min_shared_tokens: int = 2,
     score_cutoff: int = 85,
     max_block: int | None = None,
+    salt_buckets: int | None = None,
+    hot_occupancy: int = 1024,
 ) -> DataFrame:
     """Row-level fuzzy join over the oracle-expressible token-sort
     levenshtein scorer (same re-attach shape as ``fuzzy_join``: score
     once per distinct title pair, join full rows back by title; AQE
-    picks broadcast vs shuffle for the data-dependent pair table)."""
+    picks broadcast vs shuffle for the data-dependent pair table).
+
+    The three skew levers forward verbatim to
+    :func:`fuzzy_title_pairs_tokensort` (where their contracts -
+    ``max_block`` subset-recall cap, ``salt_buckets``/``hot_occupancy``
+    lossless hot-key parallelization - are documented and measured);
+    defaults leave the plan byte-identical to the lever-free join."""
     pairs = fuzzy_title_pairs_tokensort(
-        left, right, left_col, right_col, min_shared_tokens, score_cutoff, max_block
+        left, right, left_col, right_col, min_shared_tokens, score_cutoff,
+        max_block, salt_buckets, hot_occupancy,
     )
     out = (
         left.join(pairs, left[left_col] == pairs["left_title"])
@@ -567,6 +578,9 @@ def fuzzy_join(
     right_col: str,
     prefilter_cutoff: int = 85,
     score_cutoff: int = 85,
+    max_block: int | None = None,
+    salt_buckets: int | None = None,
+    hot_occupancy: int = 1024,
 ) -> DataFrame:
     """Row-level fuzzy join: every (left row, right row) pair whose titles
     fuzzy-match. Output: all left columns, all right columns, ``score``
@@ -578,9 +592,19 @@ def fuzzy_join(
     produced 8.7M match pairs - BASELINE.md - which at 100x would OOM a
     forced broadcast), so AQE picks the strategy from the observed
     runtime size - broadcast when the pairs are small (the common case:
-    distinct titles x cutoff), shuffled hash/sort-merge when not."""
+    distinct titles x cutoff), shuffled hash/sort-merge when not.
+
+    The three skew levers forward verbatim to
+    :func:`fuzzy_title_pairs` (``max_block`` subset-recall occupancy
+    cap; ``salt_buckets``/``hot_occupancy`` lossless hot-key salting
+    over the token AND 4-gram blocking keys); defaults leave the plan
+    byte-identical to the lever-free join. This matters at reference
+    scale: its own log shows a 612,076-record comparison group for one
+    hot title (logs/application.log.1) - exactly the shape where one
+    blocking key serializes into a single task without these levers."""
     pairs = fuzzy_title_pairs(
-        left, right, left_col, right_col, prefilter_cutoff, score_cutoff
+        left, right, left_col, right_col, prefilter_cutoff, score_cutoff,
+        max_block, salt_buckets, hot_occupancy,
     )
     pairs_small = pairs.select("left_title", "right_title", "score")
     out = (

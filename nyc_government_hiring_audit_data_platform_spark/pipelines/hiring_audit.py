@@ -179,6 +179,22 @@ MATCH_COLUMNS = [
 ]
 
 
+def _skew_kwargs(
+    max_block: int | None, salt_buckets: int | None, hot_occupancy: int
+) -> dict:
+    """Forward only the engaged skew levers to ``join_fn``: with all
+    three at their defaults the call is byte-identical to the pre-lever
+    pipelines (driver hashes unchanged), and custom ``join_fn``
+    callables that predate the levers keep working untouched."""
+    kw: dict = {}
+    if max_block is not None:
+        kw["max_block"] = max_block
+    if salt_buckets is not None:
+        kw["salt_buckets"] = salt_buckets
+        kw["hot_occupancy"] = hot_occupancy
+    return kw
+
+
 def fuzzy_match_salary(
     payroll: DataFrame,
     postings: DataFrame,
@@ -190,6 +206,9 @@ def fuzzy_match_salary(
     join_fn=fuzzy_join,
     row_key: str | None = None,
     observation=None,
+    max_block: int | None = None,
+    salt_buckets: int | None = None,
+    hot_occupancy: int = 1024,
 ) -> DataFrame:
     """The reference's first fuzzy flow as ONE lazy plan.
 
@@ -221,6 +240,17 @@ def fuzzy_match_salary(
     run metrics - match count and mean score - collected as the plan
     executes (the reference logs these counters from a separate pass,
     src/fuzzy_match_salary.py:178-189; observe() costs no extra job).
+
+    ``max_block`` / ``salt_buckets`` / ``hot_occupancy`` - the measured
+    skew levers (SCALING.md r9), forwarded to ``join_fn`` only when
+    engaged (:func:`_skew_kwargs`): ``max_block`` caps each blocking
+    key's per-side occupancy (bounded work, documented subset recall);
+    ``salt_buckets`` losslessly parallelizes keys hotter than
+    ``hot_occupancy`` on either side. The reference's own production
+    log hit this shape - a 612,076-record comparison group for one
+    title (logs/application.log.1) - which under a blocking join
+    serializes into one task unless capped or salted. Defaults (all
+    off) leave the plan byte-identical to the lever-free pipeline.
     """
     pay = (
         payroll.withColumn("fiscal_year", F.col("fiscal_year").cast("int"))
@@ -244,6 +274,7 @@ def fuzzy_match_salary(
     joined = join_fn(
         post, pay, "business_title", "title_description",
         prefilter_cutoff, score_cutoff,
+        **_skew_kwargs(max_block, salt_buckets, hot_occupancy),
     )
     in_band = (
         (F.col("base_salary") >= F.col("salary_range_from"))
@@ -295,15 +326,21 @@ def fuzzy_match_durations(
     prefilter_cutoff: int = 75,
     score_cutoff: int = 75,
     join_fn=fuzzy_join,
+    max_block: int | None = None,
+    salt_buckets: int | None = None,
+    hot_occupancy: int = 1024,
 ) -> DataFrame:
     """Second fuzzy flow: distinct match titles vs Lightcast occupation
     strings, thresholds 75/75 (reference: src/fuzzy_match_jobs_durations
     .py:58-99, cutoffs :128-129). Emits the stage-1 title, the matched
-    occupation + score, and every Lightcast column verbatim."""
+    occupation + score, and every Lightcast column verbatim. The three
+    skew levers forward to ``join_fn`` exactly as in
+    :func:`fuzzy_match_salary` (off by default, byte-identical plan)."""
     titles = matches.select("business_title").distinct()
     joined = join_fn(
         titles, lightcast, "business_title", "Occupation (SOC)",
         prefilter_cutoff, score_cutoff,
+        **_skew_kwargs(max_block, salt_buckets, hot_occupancy),
     )
     return joined.select(
         "business_title",

@@ -78,11 +78,47 @@ def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFr
     return spark.read.option("mergeSchema", "true").format(fmt).load(path)
 
 
-def most_recent_file(path: str, extension: str) -> str | None:
+def most_recent_file(
+    path: str, extension: str, spark: SparkSession | None = None
+) -> str | None:
     """S7: latest-file resolution (reference: src/utils.py:32-42 picks
-    max ctime over a glob). Kept for parity with single-file layouts;
-    directory-of-parquet datasets make it unnecessary."""
+    max ctime over a glob). Local paths keep the original glob fast
+    path; URI paths (``file://``, ``s3a://``, ``hdfs://``) route
+    through the Hadoop FileSystem listing layer (the same API as
+    :func:`list_store_data_files`) and pick the max
+    ``FileStatus.getModificationTime`` - object stores have no ctime,
+    and a recursive FS listing is the store-side way to resolve "the
+    newest drop". Ties break by URI for determinism (store listings
+    carry second-granularity mtimes). ``spark`` is required for URI
+    paths: the session's Hadoop configuration carries the store
+    credentials."""
     ext = extension.lstrip(".")
+    if "://" in path or path.startswith("file:"):
+        if spark is None:
+            raise ValueError(
+                "most_recent_file needs a SparkSession to list store URIs"
+            )
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return None
+        st = fs.getFileStatus(p)
+        if st.isFile():
+            return st.getPath().toString()
+        best: tuple[int, str] | None = None
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next()
+            uri = f.getPath().toString()
+            base = uri.rsplit("/", 1)[-1]
+            if not base.endswith(f".{ext}") or base.startswith(("_", ".")):
+                continue
+            key = (f.getModificationTime(), uri)
+            if best is None or key > best:
+                best = key
+        return best[1] if best else None
     if os.path.isfile(path):
         return path
     patterns = [os.path.join(path, f"*.{ext}"), os.path.join(path, "**", f"*.{ext}")]
@@ -135,6 +171,11 @@ def open_any_store(path: str):
     pyarrow implements natively), same normalization as the manifest
     footer reader (sources/maintenance.py:_open_footer). pyarrow's
     NativeFile is seekable, which the MP4 moov-only scan requires."""
+    if "://" not in path and not path.startswith("file:"):
+        # scheme-less local filename: open directly - urlparse would
+        # truncate a literal '#' or '?' in the name at the fragment /
+        # query separator (they are valid filename characters locally)
+        return open(path, "rb")
     from urllib.parse import urlparse
 
     parsed = urlparse(path)

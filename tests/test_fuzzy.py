@@ -565,3 +565,166 @@ def test_salting_detects_left_only_hot_keys(spark):
         spark, left_titles, right_titles, salt_buckets=4, hot_occupancy=10_000
     )
     assert unsalted_hi == base
+
+
+# -- skew levers at the PIPELINE entry points --------------------------------
+# (the operators' cap/salt contracts above, re-asserted through
+# fuzzy_match_salary / fuzzy_match_durations, which forward the levers
+# to join_fn - the path a real user of the reference pipeline calls)
+
+
+def _lever_inputs(spark):
+    """12 titles sharing the hot token 'analyst' (each also carrying a
+    unique gradeN token), salaries all in band so matches survive the
+    band filter - the single-hot-key shape from the reference's own log
+    (612,076-record comparison group, logs/application.log.1)."""
+    hot_titles = [f"analyst grade{i}" for i in range(12)]
+    payroll = spark.createDataFrame(
+        [
+            ("2024", t, 50_000.0 + i, "per Annum", 1.0, 0.0, 0.0)
+            for i, t in enumerate(hot_titles)
+        ],
+        "fiscal_year string, title_description string, base_salary double, "
+        "pay_basis string, regular_gross_paid double, total_ot_paid double, "
+        "total_other_pay double",
+    )
+    postings = spark.createDataFrame(
+        [
+            (t, 40_000.0, 70_000.0, "2024-03-01T00:00:00.000", "01-JUN-2024")
+            for t in hot_titles
+        ],
+        "business_title string, salary_range_from double, salary_range_to double, "
+        "posting_date string, post_until string",
+    )
+    return payroll, postings
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_pipeline_salt_buckets_lossless(spark):
+    """fuzzy_match_salary(salt_buckets=...) engages the lossless salt
+    lane through join_fn: output identical to the lever-free pipeline
+    (test_salt_buckets_lossless semantics at the entry point), on both
+    the tokensort and the default WRatio scorer paths."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll, postings = _lever_inputs(spark)
+    base = _rows(
+        HA.fuzzy_match_salary(
+            payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=fuzzy_join_tokensort,
+        )
+    )
+    salted = _rows(
+        HA.fuzzy_match_salary(
+            payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=fuzzy_join_tokensort, salt_buckets=4, hot_occupancy=4,
+        )
+    )
+    # the 12-occupancy 'analyst' token exceeds hot_occupancy=4, so the
+    # salt lane genuinely fires - and output must not move
+    assert salted == base and len(base) > 12  # cross-grade pairs present
+
+    base_w = _rows(HA.fuzzy_match_salary(payroll, postings))
+    salted_w = _rows(
+        HA.fuzzy_match_salary(
+            payroll, postings, salt_buckets=4, hot_occupancy=4
+        )
+    )
+    assert salted_w == base_w and len(base_w) > 0
+
+
+def test_pipeline_max_block_subset(spark):
+    """fuzzy_match_salary(max_block=...) caps blocking-key occupancy
+    through join_fn: capped output is a strict SUBSET, and pairs that
+    share a sub-cap key (each title's unique gradeN token) all survive
+    (test_block_cap_subset_and_hot_family_bounded semantics)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll, postings = _lever_inputs(spark)
+    base = _rows(
+        HA.fuzzy_match_salary(
+            payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=fuzzy_join_tokensort,
+        )
+    )
+    capped = _rows(
+        HA.fuzzy_match_salary(
+            payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=fuzzy_join_tokensort, max_block=3,
+        )
+    )
+    assert capped <= base and len(capped) < len(base)
+    # exact-title matches ride their rare gradeN token past the cap
+    exact = {r for r in base if r[0] == r[5]}  # business_title == title_description
+    assert exact and exact <= capped
+
+
+def test_pipeline_durations_levers(spark):
+    """fuzzy_match_durations forwards the levers too: salting is
+    lossless, capping is a subset, on the matches<->Lightcast leg."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    matches = spark.createDataFrame(
+        [(f"analyst grade{i}",) for i in range(12)], ["business_title"]
+    )
+    lightcast = spark.createDataFrame(
+        [(f"analyst grade{i}s", 100 + i, 10.0 + i) for i in range(12)],
+        ["occ", "postings", "duration"],
+    ).select(
+        F.col("occ").alias("Occupation (SOC)"),
+        F.col("postings").cast("long").alias("Total Postings (Jan 2024 - Jun 2025)"),
+        F.col("duration").alias("Median Posting Duration"),
+    )
+    base = _rows(
+        HA.fuzzy_match_durations(
+            matches, lightcast, prefilter_cutoff=1, score_cutoff=75,
+            join_fn=fuzzy_join_tokensort,
+        )
+    )
+    salted = _rows(
+        HA.fuzzy_match_durations(
+            matches, lightcast, prefilter_cutoff=1, score_cutoff=75,
+            join_fn=fuzzy_join_tokensort, salt_buckets=3, hot_occupancy=4,
+        )
+    )
+    assert salted == base and len(base) > 0
+    capped = _rows(
+        HA.fuzzy_match_durations(
+            matches, lightcast, prefilter_cutoff=1, score_cutoff=75,
+            join_fn=fuzzy_join_tokensort, max_block=3,
+        )
+    )
+    assert capped <= base
+
+
+def test_pipeline_levers_off_backward_compatible(spark):
+    """With all levers at their defaults the pipeline passes NO lever
+    kwargs to join_fn (_skew_kwargs returns {}), so pre-lever custom
+    join callables keep working unchanged."""
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    assert HA._skew_kwargs(None, None, 1024) == {}
+    assert HA._skew_kwargs(4, None, 1024) == {"max_block": 4}
+    assert HA._skew_kwargs(None, 8, 99) == {"salt_buckets": 8, "hot_occupancy": 99}
+
+    def legacy_join(left, right, lcol, rcol, prefilter, cutoff):
+        # a user join_fn written before the levers existed: no **kwargs
+        return fuzzy_join_tokensort(left, right, lcol, rcol, prefilter, cutoff)
+
+    payroll, postings = _lever_inputs(spark)
+    out = HA.fuzzy_match_salary(
+        payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+        join_fn=legacy_join,
+    )
+    assert out.count() > 0

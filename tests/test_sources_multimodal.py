@@ -59,6 +59,47 @@ def test_most_recent_file(tmp_path):
     assert FS.most_recent_file(str(tmp_path), "csv") is None
 
 
+def test_most_recent_file_store_uri(spark, tmp_path):
+    """S7 over a store URI: file:// paths route through the Hadoop FS
+    listing (recursive, mtime-ranked, side files skipped) instead of
+    the local glob - the same code path s3a:// / hdfs:// take."""
+    import os
+    import time
+
+    (tmp_path / "a.parquet").write_bytes(b"1")
+    (tmp_path / "sub").mkdir()
+    newest = tmp_path / "sub" / "b.parquet"
+    newest.write_bytes(b"2")
+    (tmp_path / "_SUCCESS.parquet").write_bytes(b"")  # side file: skipped
+    now = time.time()
+    os.utime(tmp_path / "a.parquet", (now - 100, now - 100))
+    os.utime(newest, (now, now))
+
+    got = FS.most_recent_file(f"file://{tmp_path}", "parquet", spark=spark)
+    assert got is not None and got.endswith("sub/b.parquet")
+    # single-file URI returns itself; missing path returns None
+    single = FS.most_recent_file(f"file://{tmp_path}/a.parquet", "parquet", spark=spark)
+    assert single is not None and single.endswith("a.parquet")
+    assert FS.most_recent_file(f"file://{tmp_path}/nope", "parquet", spark=spark) is None
+    # URI without a session is an explicit error, not a silent glob miss
+    with pytest.raises(ValueError, match="SparkSession"):
+        FS.most_recent_file(f"file://{tmp_path}", "parquet")
+
+
+def test_open_any_store_local_special_chars(tmp_path):
+    """A scheme-less local filename containing '#' or '?' must open
+    verbatim - urlparse would truncate at the fragment/query separator
+    (regression: read_warc_file previously used plain open())."""
+    p1 = tmp_path / "crawl#1.warc"
+    p1.write_bytes(b"hash")
+    p2 = tmp_path / "dump?v=2.warc"
+    p2.write_bytes(b"query")
+    with FS.open_any_store(str(p1)) as f:
+        assert f.read() == b"hash"
+    with FS.open_any_store(str(p2)) as f:
+        assert f.read() == b"query"
+
+
 def test_list_store_files(spark, tmp_path):
     df = spark.range(10)
     FS.write_object_store(df, str(tmp_path / "d1"))

@@ -49,8 +49,17 @@ def lap(repo: str, query: str, reps: int, sf: str) -> list[float]:
     out = subprocess.run(
         [sys.executable, __file__, query, "--run-one", repo,
          "--reps", str(reps), "--sf", sf],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the child's actual failure (check=True would swallow
+        # its stderr and show only the command line)
+        tail = "\n".join(out.stderr.strip().splitlines()[-15:])
+        print(f"lap failed (exit {out.returncode}) for {repo}:\n{tail}",
+              file=sys.stderr, flush=True)
+        raise subprocess.CalledProcessError(
+            out.returncode, out.args, output=out.stdout, stderr=out.stderr
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
