@@ -94,27 +94,12 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # (`stale_audit.py compare 694fc52 --hashed-round 8`) confirmed zero
 # stale queries at the r8 close rev, so the set starts empty and the
 # rotation budget drains the oldest green tier (r4).
-# r9 close: `python tools/stale_audit.py compare 694fc52 --hashed-round 8`
-# -> 11 STALE-GREEN (fuzzy chain queries re-plan through the r9 length
-# prefilter / salt-capable blocking join; the minhash, embedding, and
-# simhash pair joins gained the grid-split lane and the exact jaccard
-# lane gained its docstring pointer; mmr_diverse_topk's operator
-# gained type-generic ids + the twin's exhaustion guard; wet_documents
-# flows through the store-capable WARC source). The 5 ADDED queries
-# are never-checked and already sort first in the rotation.
-REWRITTEN: set[str] = {
-    "embedding_neardup",
-    "fuzzy_lightcast_durations",
-    "fuzzy_salary_matches",
-    "fuzzy_salary_matches_topn",
-    "gold_salary_matches_unique",
-    "minhash_lsh_neardup",
-    "minhash_lsh_recall",
-    "mmr_diverse_topk",
-    "ngram_jaccard_neardup",
-    "simhash_collisions",
-    "wet_documents",
-}
+# r10 state: all 11 round-9 pins (the blocking-join re-plan, the three
+# grid-split lanes, MMR, WARC) were re-hashed green in CORRECTNESS_r09
+# and leave the set; the set is refilled at the r10 close from
+# `python tools/stale_audit.py compare 00633cf --hashed-round 9`
+# (00633cf = the r9 close rev the r09 hashes attest).
+REWRITTEN: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
