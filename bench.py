@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "fuzzy_block_capped",
     "fuzzy_block_salted",
     "minhash_lsh_split",
+    # round-10 addition: incremental view maintenance - a new plan
+    # family (partial-state union + group-sized re-merge across delta
+    # batches; the GOLD-refresh alternative to full recompute). The
+    # retraction and rollup rows share the family (BENCH.md registry).
+    "incremental_agg_refresh",
 ]
 
 

@@ -1089,5 +1089,8 @@ from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_quality as _quality,
 )
 from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
+    driver_queries_incremental as _incremental,
+)
+from nyc_government_hiring_audit_data_platform_spark import (  # noqa: E402,F401
     driver_queries_ingest as _ingest,
 )

@@ -1,0 +1,138 @@
+"""Incremental-maintenance (IVM) driver queries.
+
+The reference recomputes its GOLD aggregates from the full BRONZE scan
+every scheduled run (sql/cleaned.sql:28-42 via src/cleaned_data.py:37-39,
+weekly cron :49-56). These rows prove the engine's incremental
+alternative (`operators/incremental.py`) exact against the full
+recompute: each Spark side maintains the aggregate as persisted-style
+partial state folded over delta batches, while the DuckDB oracle is the
+PLAIN one-shot GROUP BY over the same facts - hash equality IS the
+proof that delta maintenance computes the full-recompute answer.
+
+Exactness conventions (module docstring of driver_queries): measures
+are integer cents (`CAST(ROUND(o_totalprice * 100) AS BIGINT)`), so
+every partial sum is exact BIGINT in any merge order; the only float
+op is the single final division for averages (IEEE division of
+identical exact integers - bit-identical cross-engine); oracle integer
+sums carry CAST(... AS BIGINT) against DuckDB's HUGEINT widening.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+    query,
+    table,
+)
+from nyc_government_hiring_audit_data_platform_spark.operators import (
+    incremental as IVM,
+)
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+# one state schema shared by the insert-refresh and rollup rows
+_SPECS: list[IVM.AggSpec] = [
+    ("n_orders", "1", "count"),
+    ("total_cents", _CENTS, "sum"),
+    ("max_cents", _CENTS, "max"),
+    ("avg_cents", _CENTS, "avg"),
+]
+
+
+@query(
+    "incremental_agg_refresh",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           MAX({_CENTS}) AS max_cents,
+           CAST(SUM({_CENTS}) AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_refresh(spark, sf_dir):
+    """IVM insert path: the per-customer order aggregate maintained as
+    mergeable state - base state built from pre-1997 orders, then TWO
+    delta batches (1997, then 1998) folded in with
+    incremental_agg_refresh (each refresh shuffles only its delta +
+    the group-sized state; the base facts are read once, ever). The
+    oracle is the plain full-table GROUP BY: hash equality proves
+    delta maintenance == full recompute. At 100 TB the three batches
+    are three ingest days and the state is the persisted GOLD table;
+    refresh cost is O(|delta| + |groups|), not O(|history|)."""
+    o = table(spark, sf_dir, "orders")
+    keys = ["o_custkey"]
+    base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    d1 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    d2 = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    state = IVM.partial_agg_state(base, keys, _SPECS)
+    state = IVM.incremental_agg_refresh(state, d1, keys, _SPECS)
+    state = IVM.incremental_agg_refresh(state, d2, keys, _SPECS)
+    return IVM.finalize_agg_state(state, keys, _SPECS)
+
+
+@query(
+    "incremental_agg_retraction",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(SUM({_CENTS}) AS BIGINT) AS open_cents,
+           CAST(SUM({_CENTS}) AS DOUBLE) / COUNT(*) AS avg_open_cents
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_retraction(spark, sf_dir):
+    """IVM delete path: state built over ALL orders, then every
+    finished ('F') order retracted as a sign=-1 delta - the
+    update/delete half of view maintenance (sum/count/avg retract
+    exactly; min/max would refuse). Customers whose every order
+    finished retract to count 0 and DROP at finalize, which is why the
+    oracle's plain GROUP BY over the remaining rows matches row-for-row
+    - the subtle IVM bug this row pins is zombie zero-count groups."""
+    o = table(spark, sf_dir, "orders")
+    keys = ["o_custkey"]
+    specs: list[IVM.AggSpec] = [
+        ("n_open", "1", "count"),
+        ("open_cents", _CENTS, "sum"),
+        ("avg_open_cents", _CENTS, "avg"),
+    ]
+    state = IVM.partial_agg_state(o, keys, specs)
+    finished = o.filter(F.col("o_orderstatus") == "F")
+    state = IVM.incremental_agg_refresh(state, finished, keys, specs, sign=-1)
+    return IVM.finalize_agg_state(state, keys, specs)
+
+
+@query(
+    "rollup_reaggregate",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           MAX({_CENTS}) AS max_cents,
+           CAST(SUM({_CENTS}) AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_rollup_reaggregate(spark, sf_dir):
+    """Materialized-view rewrite: a finer-grained state keyed
+    (customer, order year) is rolled up to per-customer using the
+    STATE ALONE (reaggregate_state shuffles |state| rows; the fact
+    table never re-enters the plan). Exact for avg too, because the
+    state stores (sum, count) pairs - an average of per-year averages
+    would be wrong whenever years differ in order count, and hash
+    equality against the fact-table GROUP BY proves the partial-pair
+    algebra end to end. The 100 TB read: keep one daily rollup table,
+    answer month/year/any-coarser queries from it at rollup cost."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    fine = IVM.partial_agg_state(o, ["o_custkey", "order_year"], _SPECS)
+    coarse = IVM.reaggregate_state(fine, ["o_custkey"], _SPECS)
+    return IVM.finalize_agg_state(coarse, ["o_custkey"], _SPECS)

@@ -1,0 +1,193 @@
+"""Incremental aggregate maintenance (IVM) and rollup re-aggregation.
+
+The reference rebuilds its GOLD tables from scratch on every weekly run
+(``CREATE TABLE IF NOT EXISTS`` over the full BRONZE scan - reference:
+sql/cleaned.sql:2-51 executed by src/cleaned_data.py:37-39, scheduled
+weekly at src/cleaned_data.py:49-56). At 100 TB that full re-aggregation
+re-reads the entire fact history to refresh aggregates only a delta
+touched. This module maintains GOLD-style aggregates incrementally -
+the standard materialized-view-maintenance decomposition:
+
+- aggregates live as MERGEABLE PARTIAL STATE (sum / count / min / max;
+  avg as a (sum, count) pair) keyed by the group-by columns - the same
+  partial/final split Spark's own hash aggregation performs map-side
+  per job, here PERSISTED across runs instead of recomputed each one;
+- a refresh shuffles only the delta batch plus the group-sized state
+  relation: cost O(|delta| + |groups|) per run instead of
+  O(|history|), and the base facts are never re-read;
+- a coarser rollup (the materialized-view-rewrite case) re-aggregates
+  the stored state itself: answering a per-customer question from a
+  per-(customer, year) state touches |state| rows, not the fact table.
+  This is why the state stores (sum, count) pairs and never finalized
+  averages - averages of averages are wrong, sums of sums are exact.
+
+Semantics: inserts maintain every kind. Deletes/updates (retractions)
+maintain sum/count/avg exactly via ``sign=-1`` partials; min/max are
+NOT retractable from state alone (the standard IVM limitation - a
+deleted max needs the runner-up, which the state no longer holds), so
+``partial_agg_state(sign=-1)`` refuses them loudly. Groups whose
+retained count reaches zero drop out at finalize, matching what a full
+recompute over the remaining rows emits.
+
+Exactness: callers should feed integer measures (the repo's
+integer-cents convention) so partial sums are BIGINT and merge in any
+order bit-identically; the only float op is finalize's single division.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (output_name, source_expression_sql, kind)
+AggSpec = tuple[str, str, str]
+
+_KINDS = ("sum", "count", "min", "max", "avg")
+
+
+def _check_specs(specs: list[AggSpec]) -> None:
+    seen: set[str] = set()
+    for out, _, kind in specs:
+        if kind not in _KINDS:
+            raise ValueError(f"unknown agg kind {kind!r} (want one of {_KINDS})")
+        if out in seen:
+            raise ValueError(f"duplicate output name {out!r}")
+        seen.add(out)
+
+
+def state_columns(specs: list[AggSpec]) -> list[str]:
+    """The state-relation column names a spec list produces (stable
+    contract for persisting the state as a table between runs)."""
+    _check_specs(specs)
+    cols: list[str] = []
+    for out, _, kind in specs:
+        if kind in ("sum", "avg"):
+            cols.append(f"{out}__sum")
+        if kind in ("count", "avg"):
+            cols.append(f"{out}__cnt")
+        if kind == "min":
+            cols.append(f"{out}__min")
+        if kind == "max":
+            cols.append(f"{out}__max")
+    return cols
+
+
+def partial_agg_state(
+    df: DataFrame, keys: list[str], specs: list[AggSpec], sign: int = 1
+) -> DataFrame:
+    """One shuffle over ``df``: the mergeable partial state per key.
+
+    ``sign=-1`` builds a RETRACTION state (deleted/superseded rows):
+    sums and counts negate so merging subtracts exactly; min/max raise
+    because retraction needs information the state does not keep."""
+    _check_specs(specs)
+    if sign not in (1, -1):
+        raise ValueError("sign must be 1 (insert) or -1 (retract)")
+    aggs: list[Column] = []
+    for out, src, kind in specs:
+        e = F.expr(src)
+        if kind in ("sum", "avg"):
+            aggs.append((F.sum(e) * F.lit(sign)).alias(f"{out}__sum"))
+        if kind in ("count", "avg"):
+            aggs.append(
+                F.sum(F.when(e.isNotNull(), F.lit(sign)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"{out}__cnt")
+            )
+        if kind in ("min", "max"):
+            if sign == -1:
+                raise ValueError(
+                    f"{kind} is not retractable from state alone (spec {out!r}): "
+                    "a deleted extreme needs the runner-up value the state no "
+                    "longer holds - rebuild the affected groups instead"
+                )
+            fn = F.min if kind == "min" else F.max
+            aggs.append(fn(e).alias(f"{out}__{kind}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_states(
+    states: list[DataFrame], keys: list[str], specs: list[AggSpec]
+) -> DataFrame:
+    """Merge any number of partial states: union then one group-sized
+    re-aggregation (sum of sums / sum of counts / min of mins / max of
+    maxes). Associative and commutative, so refresh batches can land in
+    any order."""
+    _check_specs(specs)
+    if not states:
+        raise ValueError("need at least one state to merge")
+    unioned = reduce(DataFrame.unionByName, states)
+    aggs: list[Column] = []
+    for out, _, kind in specs:
+        if kind in ("sum", "avg"):
+            aggs.append(F.sum(f"{out}__sum").alias(f"{out}__sum"))
+        if kind in ("count", "avg"):
+            aggs.append(F.sum(f"{out}__cnt").cast("long").alias(f"{out}__cnt"))
+        if kind == "min":
+            aggs.append(F.min(f"{out}__min").alias(f"{out}__min"))
+        if kind == "max":
+            aggs.append(F.max(f"{out}__max").alias(f"{out}__max"))
+    return unioned.groupBy(*keys).agg(*aggs)
+
+
+def finalize_agg_state(
+    state: DataFrame, keys: list[str], specs: list[AggSpec], drop_empty: bool = True
+) -> DataFrame:
+    """State -> final answer columns (avg = the one float division).
+
+    ``drop_empty`` removes groups whose every counted spec retracted to
+    zero rows - what a full recompute over the remaining facts emits.
+    (Requires at least one count/avg spec to be detectable; with only
+    sum/min/max specs there is nothing to test, so it is a no-op.)"""
+    _check_specs(specs)
+    if drop_empty:
+        cnt_cols = [
+            f"{out}__cnt" for out, _, kind in specs if kind in ("count", "avg")
+        ]
+        if cnt_cols:
+            nonempty = reduce(
+                lambda a, b: a | b, [F.col(c) > 0 for c in cnt_cols]
+            )
+            state = state.filter(nonempty)
+    cols: list[Column] = [F.col(k) for k in keys]
+    for out, _, kind in specs:
+        if kind == "sum":
+            cols.append(F.col(f"{out}__sum").alias(out))
+        elif kind == "count":
+            cols.append(F.col(f"{out}__cnt").alias(out))
+        elif kind == "avg":
+            cols.append(
+                (F.col(f"{out}__sum") / F.col(f"{out}__cnt")).alias(out)
+            )
+        else:
+            cols.append(F.col(f"{out}__{kind}").alias(out))
+    return state.select(*cols)
+
+
+def incremental_agg_refresh(
+    prev_state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    specs: list[AggSpec],
+    sign: int = 1,
+) -> DataFrame:
+    """One maintenance step: fold a delta batch (``sign=1`` inserts,
+    ``sign=-1`` retractions) into the persisted state. The plan reads
+    the state relation and the delta - never the base facts."""
+    return merge_agg_states(
+        [prev_state, partial_agg_state(delta, keys, specs, sign=sign)],
+        keys,
+        specs,
+    )
+
+
+def reaggregate_state(
+    state: DataFrame, coarser_keys: list[str], specs: list[AggSpec]
+) -> DataFrame:
+    """Materialized-view rewrite: roll a finer-grained state up to a
+    coarser key set using the state alone (|state| rows shuffled, the
+    fact table untouched). Exact for every supported kind because the
+    state is partials, not finalized values."""
+    return merge_agg_states([state], coarser_keys, specs)

@@ -1,0 +1,142 @@
+"""Incremental aggregate maintenance (operators/incremental.py).
+
+The driver rows (driver_queries_incremental.py) hash the end-to-end
+algebra against DuckDB full recomputes; these tests pin the operator
+contracts the hashes cannot see: merge-order invariance, the min/max
+retraction refusal, zombie-group dropping, the state-column contract,
+and the plan-level guarantee that a refresh never re-reads base facts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_government_hiring_audit_data_platform_spark.operators import (
+    incremental as IVM,
+)
+
+SPECS = [
+    ("n", "1", "count"),
+    ("total", "v", "sum"),
+    ("lo", "v", "min"),
+    ("hi", "v", "max"),
+    ("mean", "v", "avg"),
+]
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _final(spark, rows, specs=SPECS):
+    df = _facts(spark, rows)
+    return {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.partial_agg_state(df, ["k"], specs), ["k"], specs
+        ).collect()
+    }
+
+
+def test_state_columns_contract():
+    assert IVM.state_columns(SPECS) == [
+        "n__cnt", "total__sum", "lo__min", "hi__max", "mean__sum", "mean__cnt",
+    ]
+    with pytest.raises(ValueError, match="duplicate"):
+        IVM.state_columns([("x", "v", "sum"), ("x", "v", "max")])
+    with pytest.raises(ValueError, match="unknown agg kind"):
+        IVM.state_columns([("x", "v", "median")])
+
+
+def test_refresh_equals_full_recompute_any_batch_order(spark):
+    rows = [("a", 1), ("a", 5), ("b", 10), ("b", 2), ("c", 7)]
+    b1, b2, b3 = rows[:2], rows[2:4], rows[4:]
+    want = _final(spark, rows)
+    for order in ([b1, b2, b3], [b3, b1, b2], [b2, b3, b1]):
+        state = IVM.partial_agg_state(_facts(spark, order[0]), ["k"], SPECS)
+        for batch in order[1:]:
+            state = IVM.incremental_agg_refresh(
+                state, _facts(spark, batch), ["k"], SPECS
+            )
+        got = {
+            tuple(r)
+            for r in IVM.finalize_agg_state(state, ["k"], SPECS).collect()
+        }
+        assert got == want
+
+
+def test_retraction_exact_and_zombie_groups_drop(spark):
+    specs = [("n", "1", "count"), ("total", "v", "sum"), ("mean", "v", "avg")]
+    keep = [("a", 1), ("a", 5), ("b", 10)]
+    gone = [("a", 3), ("c", 7), ("c", 9)]  # c retracts to zero rows
+    state = IVM.partial_agg_state(_facts(spark, keep + gone), ["k"], specs)
+    state = IVM.incremental_agg_refresh(
+        state, _facts(spark, gone), ["k"], specs, sign=-1
+    )
+    got = {
+        tuple(r) for r in IVM.finalize_agg_state(state, ["k"], specs).collect()
+    }
+    assert got == _final(spark, keep, specs)  # c absent: no zombie zero-group
+    # without drop_empty the zombie row IS there (count 0) - the bug
+    # the default protects against
+    raw = IVM.finalize_agg_state(state, ["k"], specs, drop_empty=False)
+    assert raw.filter(F.col("k") == "c").count() == 1
+
+
+def test_minmax_retraction_refused(spark):
+    df = _facts(spark, [("a", 1)])
+    for kind in ("min", "max"):
+        with pytest.raises(ValueError, match="not retractable"):
+            IVM.partial_agg_state(df, ["k"], [("x", "v", kind)], sign=-1)
+    with pytest.raises(ValueError, match="sign"):
+        IVM.partial_agg_state(df, ["k"], SPECS, sign=2)
+
+
+def test_reaggregate_state_matches_direct_coarse_agg(spark):
+    rows = [("a", "x", 1), ("a", "y", 5), ("a", "y", 2), ("b", "x", 10)]
+    df = spark.createDataFrame(rows, "k string, sub string, v long")
+    fine = IVM.partial_agg_state(df, ["k", "sub"], SPECS)
+    coarse = IVM.reaggregate_state(fine, ["k"], SPECS)
+    got = {
+        tuple(r) for r in IVM.finalize_agg_state(coarse, ["k"], SPECS).collect()
+    }
+    want = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.partial_agg_state(df, ["k"], SPECS), ["k"], SPECS
+        ).collect()
+    }
+    assert got == want
+    # the rewrite's point: avg of per-sub avgs would NOT equal this
+    # (a: (1, 3.5) vs true 8/3) - the (sum, count) pair is load-bearing
+    a_mean = dict((r["k"], r["mean"]) for r in
+                  IVM.finalize_agg_state(coarse, ["k"], SPECS).collect())
+    assert a_mean["a"] == pytest.approx(8 / 3)
+
+
+def test_refresh_plan_reads_state_not_base_facts(spark, tmp_path):
+    """The IVM contract at the plan level: a refresh over a PERSISTED
+    state scans the state files and the delta - the base-fact path must
+    not appear anywhere in the executed plan."""
+    base_path = str(tmp_path / "facts_base")
+    state_path = str(tmp_path / "state")
+    _facts(spark, [("a", 1), ("b", 10), ("b", 2)]).write.parquet(base_path)
+
+    base = spark.read.parquet(base_path)
+    IVM.partial_agg_state(base, ["k"], SPECS).write.parquet(state_path)
+
+    delta = _facts(spark, [("a", 5), ("c", 7)])
+    refreshed = IVM.incremental_agg_refresh(
+        spark.read.parquet(state_path), delta, ["k"], SPECS
+    )
+    plan = refreshed._jdf.queryExecution().executedPlan().toString()
+    assert "facts_base" not in plan
+    assert "state" in plan
+    got = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(refreshed, ["k"], SPECS).collect()
+    }
+    assert got == _final(
+        spark, [("a", 1), ("b", 10), ("b", 2), ("a", 5), ("c", 7)]
+    )
