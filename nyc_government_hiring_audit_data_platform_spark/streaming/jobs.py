@@ -711,6 +711,124 @@ def run_upsert_sink(
     q.awaitTermination()
 
 
+def _apply_refresh_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_dir: str,
+    keys: list[str],
+    specs,
+) -> None:
+    """One GOLD-refresh step for the streaming IVM sink: fold the batch
+    into the current state snapshot and publish a fresh one.
+
+    Unlike ``run_upsert_sink``'s merge, an aggregate refresh is NOT
+    content-idempotent - re-folding a replayed delta double-counts
+    every sum - so exactly-once rests on the standard foreachBatch
+    transactional-batch-id recipe instead: each snapshot's ``_meta``
+    records the batch_id it applied, and a replayed batch whose id
+    already stamps the CURRENT snapshot is skipped outright (legal
+    because Spark's replayable-source contract re-delivers the same
+    offset range under the same id). Crash before the pointer swap:
+    pointer still names the pre-batch snapshot, the replay re-applies
+    onto it into a fresh ``r{k}``-suffixed directory - correct. Crash
+    after the swap: the replay hits the skip guard - correct. What
+    this CANNOT absorb is a checkpoint reset (ids restart at 0 with
+    different content): that requires a state rebuild, which is why
+    ``run_agg_refresh_sink`` documents the checkpoint as part of the
+    table's durability story, not an optimization."""
+    import json as _json
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        incremental as IVM,
+    )
+
+    spark = batch_df.sparkSession
+    ptr = os.path.join(table_dir, "_current")
+    cur = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cur = f.read().strip()
+        meta_path = os.path.join(table_dir, cur, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if _json.load(f).get("batch_id") == batch_id:
+                    return  # replay of an already-published batch
+    batch_state = IVM.partial_agg_state(batch_df, keys, specs)
+    if cur is not None:
+        prev = spark.read.parquet(os.path.join(table_dir, cur, "state"))
+        new_state = IVM.merge_agg_states([prev, batch_state], keys, specs)
+    else:
+        new_state = batch_state
+    snap = f"v{batch_id}"
+    retry = 0
+    while os.path.exists(os.path.join(table_dir, snap)):
+        retry += 1
+        snap = f"v{batch_id}r{retry}"
+    snap_dir = os.path.join(table_dir, snap)
+    new_state.write.mode("overwrite").parquet(os.path.join(snap_dir, "state"))
+    with open(os.path.join(snap_dir, "_meta.json"), "w") as f:
+        _json.dump({"batch_id": batch_id}, f)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(snap)
+    os.replace(tmp, ptr)
+
+
+def run_agg_refresh_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    specs,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming GOLD refresh: each micro-batch of facts folds into a
+    persisted aggregate STATE table (``operators/incremental.py``
+    partial-state algebra) under the upsert sink's snapshot-swap
+    publication - the incremental alternative to the reference's
+    scheduled full GOLD recompute (sql/cleaned.sql via
+    src/cleaned_data.py:37-56), with per-batch cost O(|batch| +
+    |groups|) and the base facts never re-read. Exactly-once via the
+    per-snapshot applied-batch ledger (see ``_apply_refresh_batch`` -
+    an aggregate fold is not idempotent, so the ledger, not content
+    idempotence, carries replay safety). Read the answer back with
+    ``read_agg_table``. Same local-pointer-protocol caveat as
+    ``run_upsert_sink``: on object stores this commit role belongs to
+    a transactional table format."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda b, i: _apply_refresh_batch(b, i, table_dir, keys, specs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_agg_table(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    specs,
+    version: str | None = None,
+) -> DataFrame:
+    """Finalized aggregate answer from a ``run_agg_refresh_sink`` table
+    (current snapshot by default; any retained one for time travel)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        incremental as IVM,
+    )
+
+    if version is None:
+        with open(os.path.join(table_dir, "_current")) as f:
+            version = f.read().strip()
+    snap = os.path.join(table_dir, version, "state")
+    if not os.path.isdir(snap):
+        raise ValueError(
+            f"unknown snapshot {version!r}; have {list_upsert_versions(table_dir)}"
+        )
+    return IVM.finalize_agg_state(spark.read.parquet(snap), keys, specs)
+
+
 def read_upsert_table(
     spark: SparkSession, table_dir: str, version: str | None = None
 ) -> DataFrame:

@@ -685,3 +685,171 @@ def test_streaming_classifier_matches_batch(spark, tmp_path):
         map(tuple, QUERIES["quality_classifier_scores"](spark, sf).collect())
     )
     assert got == want
+
+
+# -- streaming GOLD refresh (IVM sink) ---------------------------------------
+
+_IVM_SPECS = [
+    ("n_events", "1", "count"),
+    ("total_cents", "CAST(ROUND(value * 100) AS BIGINT)", "sum"),
+    ("avg_cents", "CAST(ROUND(value * 100) AS BIGINT)", "avg"),
+]
+
+
+def _ivm_want(batch_df):
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        incremental as IVM,
+    )
+
+    return sorted(
+        map(
+            tuple,
+            IVM.finalize_agg_state(
+                IVM.partial_agg_state(batch_df, ["event_type"], _IVM_SPECS),
+                ["event_type"],
+                _IVM_SPECS,
+            ).collect(),
+        )
+    )
+
+
+def test_streaming_agg_refresh_matches_batch(spark, tmp_path):
+    """foreachBatch IVM sink: two incremental runs over a growing file
+    source produce the SAME finalized aggregate as a one-shot batch
+    recompute over everything - the streaming twin of the
+    incremental_agg_refresh driver row."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value"
+        )
+
+    SJ.run_agg_refresh_sink(
+        stream(), str(table_dir), ["event_type"], _IVM_SPECS, ckpt
+    )
+    ev1 = SJ.read_events_batch(spark, str(src)).select(
+        "event_id", "event_type", "value"
+    )
+    got1 = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], _IVM_SPECS
+            ).collect(),
+        )
+    )
+    assert got1 == _ivm_want(ev1) and len(got1) > 0
+
+    # second delta file (bumped ids so rows are new facts), same checkpoint
+    delta = ev1.limit(500).withColumn("event_id", F.col("event_id") + 10_000_000)
+    delta.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "delta"))
+    for i, f in enumerate((tmp_path / "delta").glob("*.parquet")):
+        shutil.copy(f, src / f"b{i}.parquet")
+    SJ.run_agg_refresh_sink(
+        stream(), str(table_dir), ["event_type"], _IVM_SPECS, ckpt
+    )
+    all_facts = SJ.read_events_batch(spark, str(src)).select(
+        "event_id", "event_type", "value"
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], _IVM_SPECS
+            ).collect(),
+        )
+    )
+    assert got2 == _ivm_want(all_facts)
+    # both snapshots retained (time travel), pointer names the latest
+    assert (table_dir / "_current").read_text().strip().startswith("v1")
+
+
+def test_agg_refresh_redelivery_skips_not_double_counts(spark, tmp_path):
+    """An aggregate fold is NOT idempotent, so the replay contract
+    differs from the upsert sink: a re-delivered batch_id whose id
+    already stamps the current snapshot must be SKIPPED (applied-batch
+    ledger), or every sum double-counts. A fresh checkpoint re-delivers
+    batch 0; state and pointer must not move."""
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value"
+        )
+
+    SJ.run_agg_refresh_sink(
+        stream(), str(table_dir), ["event_type"], _IVM_SPECS, str(tmp_path / "ck1")
+    )
+    before = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], _IVM_SPECS
+            ).collect(),
+        )
+    )
+    assert (table_dir / "_current").read_text().strip() == "v0"
+
+    SJ.run_agg_refresh_sink(
+        stream(), str(table_dir), ["event_type"], _IVM_SPECS, str(tmp_path / "ck2")
+    )
+    after = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], _IVM_SPECS
+            ).collect(),
+        )
+    )
+    assert after == before
+    assert (table_dir / "_current").read_text().strip() == "v0"  # skipped
+
+
+def test_agg_refresh_crash_before_swap_replays_correctly(spark, tmp_path):
+    """Crash AFTER the snapshot write but BEFORE the pointer swap: the
+    replayed batch re-applies onto the still-current predecessor into a
+    fresh r{k}-suffixed directory, landing the same state."""
+    facts = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "event_type string, value double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 5.0), ("c", 7.0)], "event_type string, value double"
+    )
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    SJ._apply_refresh_batch(facts, 0, str(table_dir), ["event_type"], _IVM_SPECS)
+    SJ._apply_refresh_batch(delta, 1, str(table_dir), ["event_type"], _IVM_SPECS)
+    want = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], _IVM_SPECS
+            ).collect(),
+        )
+    )
+    # same id again while the pointer already names v1: ledger skip
+    SJ._apply_refresh_batch(delta, 1, str(table_dir), ["event_type"], _IVM_SPECS)
+    assert (table_dir / "_current").read_text().strip() == "v1"
+    # crash-before-swap simulation: roll the pointer back to v0 and replay
+    (table_dir / "_current").write_text("v0")
+    SJ._apply_refresh_batch(delta, 1, str(table_dir), ["event_type"], _IVM_SPECS)
+    assert (table_dir / "_current").read_text().strip() == "v1r1"
+    got = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], _IVM_SPECS
+            ).collect(),
+        )
+    )
+    assert got == want
