@@ -1,0 +1,169 @@
+"""History-size-axis probe for incremental aggregate maintenance:
+does a refresh stay flat while the full recompute grows?
+
+The cost-model claim under test (operators/incremental.py): a GOLD
+refresh folds a FIXED delta batch into the persisted group-keyed
+state, so per-run work is O(|delta| + |groups|) - independent of how
+much fact HISTORY has accumulated - while the reference's
+recompute-from-scratch model (sql/cleaned.sql re-run weekly) is
+O(|history|). This probe makes both curves numbers.
+
+History axis: x1 / x4 / x16 replicas of sf0.1 orders, replicated the
+way per-customer history actually deepens - o_orderkey shifts per copy
+(new orders), o_custkey stays (SAME customers) - so the group count is
+constant and the refresh claim is cleanly separable from group growth.
+(With customer growth instead, both curves turn linear but refresh
+keeps a ~|groups|/|facts| constant-factor advantage; this probe pins
+the sharper fixed-groups claim.) Fixed delta = sf0.01 orders,
+key-shifted to be new facts.
+
+Protocol per scale: replica + state parquet built once and reused
+(build is the one linear pass, reported separately); per lap a FRESH
+state read -> refresh -> finalize -> noop sink vs a full
+facts-read -> aggregate -> finalize -> noop; one warm lap + one timed
+lap each, clearCache between laps.
+
+Usage: python tools/ivm_probe.py [--mults 1,4,16]
+Prints a markdown table to append to SCALING.md (curated by hand).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nyc_government_hiring_audit_data_platform_spark.operators import (  # noqa: E402
+    incremental as IVM,
+)
+from nyc_government_hiring_audit_data_platform_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1/orders.parquet"
+DELTA_SRC = "/root/testdata/sf0.01/orders.parquet"
+WORK = "/tmp/spark_graft_ivm_probe"
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+SPECS: list[IVM.AggSpec] = [
+    ("n_orders", "1", "count"),
+    ("total_cents", _CENTS, "sum"),
+    ("max_cents", _CENTS, "max"),
+    ("avg_cents", _CENTS, "avg"),
+]
+KEYS = ["o_custkey"]
+
+
+def build_history(spark, mult: int) -> str:
+    path = os.path.join(WORK, f"hist_x{mult}")
+    if os.path.exists(path):
+        return path
+    base = spark.read.parquet(BASE)
+    shift = 1_000_000_000
+    copies = [
+        base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
+        for i in range(mult)
+    ]
+    hist = copies[0]
+    for c in copies[1:]:
+        hist = hist.unionByName(c)
+    hist.write.mode("overwrite").parquet(path)
+    return path
+
+
+def build_state(spark, hist_path: str, mult: int) -> tuple[str, float]:
+    path = os.path.join(WORK, f"state_x{mult}")
+    t0 = time.time()
+    if not os.path.exists(path):
+        IVM.partial_agg_state(
+            spark.read.parquet(hist_path), KEYS, SPECS
+        ).write.mode("overwrite").parquet(path)
+    return path, round(time.time() - t0, 2)
+
+
+def _noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def lap_refresh(spark, state_path: str, delta) -> float:
+    state = spark.read.parquet(state_path)
+    return _noop(
+        IVM.finalize_agg_state(
+            IVM.incremental_agg_refresh(state, delta, KEYS, SPECS), KEYS, SPECS
+        )
+    )
+
+
+def lap_recompute(spark, hist_path: str, delta) -> float:
+    facts = spark.read.parquet(hist_path).unionByName(delta)
+    return _noop(
+        IVM.finalize_agg_state(
+            IVM.partial_agg_state(facts, KEYS, SPECS), KEYS, SPECS
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,4,16")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    os.makedirs(WORK, exist_ok=True)
+    spark = get_spark(app_name="ivm-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    delta = (
+        spark.read.parquet(DELTA_SRC)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(77_000_000_000))
+    )
+    n_delta = delta.count()
+
+    rows = []
+    for m in mults:
+        hist = build_history(spark, m)
+        state_path, t_build = build_state(spark, hist, m)
+        n_hist = spark.read.parquet(hist).count()
+        n_groups = spark.read.parquet(state_path).count()
+        lap_refresh(spark, state_path, delta)  # warm
+        spark.catalog.clearCache()
+        t_ref = lap_refresh(spark, state_path, delta)
+        spark.catalog.clearCache()
+        lap_recompute(spark, hist, delta)  # warm
+        spark.catalog.clearCache()
+        t_full = lap_recompute(spark, hist, delta)
+        spark.catalog.clearCache()
+        rows.append((m, n_hist, n_groups, t_build, t_ref, t_full))
+        print(
+            f"x{m}: history={n_hist} groups={n_groups} delta={n_delta} "
+            f"state-build={t_build:.2f}s refresh={t_ref:.2f}s "
+            f"recompute={t_full:.2f}s",
+            flush=True,
+        )
+
+    def alpha(t_small, t_big, f=None):
+        span = (rows[-1][0] / rows[0][0]) if f is None else f
+        return math.log(t_big / t_small) / math.log(span)
+
+    a_ref = alpha(rows[0][4], rows[-1][4])
+    a_full = alpha(rows[0][5], rows[-1][5])
+    print("\n| history | facts | groups | state build s | refresh s | full recompute s |")
+    print("|---|---|---|---|---|---|")
+    for m, nh, ng, tb, tr, tf in rows:
+        print(f"| x{m} | {nh:,} | {ng:,} | {tb:.2f} | {tr:.2f} | {tf:.2f} |")
+    print(
+        f"\nper-decade alpha (over the x{rows[0][0]}->x{rows[-1][0]} span): "
+        f"refresh {a_ref:.2f}, full recompute {a_full:.2f} "
+        f"(fixed delta {n_delta} rows)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
