@@ -109,6 +109,55 @@ def q_incremental_agg_retraction(spark, sf_dir):
 
 
 @query(
+    "incremental_distinct_refresh",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_distinct_refresh(spark, sf_dir):
+    """IVM for the aggregate scalar state cannot maintain: per-group
+    DISTINCT customers. A new order may or may not introduce a new
+    customer, so no (sum, count)-style scalar refresh exists - the
+    mergeable state is a DataSketches HLL sketch per group
+    (approx_distinct kind): base sketch over pre-1997 orders, two delta
+    batches hll_union_agg'd in, estimate at finalize. The sketch value
+    is impl-specific, so the oracle contract is the repo's sketch
+    pattern (hll_union_bound): emit the EXACT distinct count plus a
+    flag that the incrementally-maintained estimate lands within 5% -
+    the flag hashing TRUE for every group is the driver-verified claim.
+    At 100 TB: the state stays ~1.5 KB per group however many facts
+    fold in, vs an exact-distinct refresh that must re-shuffle history."""
+    o = table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    specs: list[IVM.AggSpec] = [("approx_customers", "o_custkey", "approx_distinct")]
+    base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    d1 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    d2 = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    state = IVM.partial_agg_state(base, keys, specs)
+    state = IVM.incremental_agg_refresh(state, d1, keys, specs)
+    state = IVM.incremental_agg_refresh(state, d2, keys, specs)
+    est = IVM.finalize_agg_state(state, keys, specs)
+    exact = o.groupBy(*keys).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers")
+    )
+    return est.join(exact, keys).select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+@query(
     "rollup_reaggregate",
     f"""
     SELECT o_custkey,

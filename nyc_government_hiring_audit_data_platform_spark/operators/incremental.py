@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 # (output_name, source_expression_sql, kind)
 AggSpec = tuple[str, str, str]
 
-_KINDS = ("sum", "count", "min", "max", "avg")
+# approx_distinct: distinct counts are the one GOLD aggregate scalar
+# state cannot maintain (a new row may or may not be new to the group),
+# but a DataSketches HLL sketch is a fixed-size MERGEABLE state -
+# refresh unions the delta's sketch into the stored one, finalize
+# estimates. Insert-only like min/max (sketches do not retract).
+_KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 
 def _check_specs(specs: list[AggSpec]) -> None:
@@ -71,6 +76,8 @@ def state_columns(specs: list[AggSpec]) -> list[str]:
             cols.append(f"{out}__min")
         if kind == "max":
             cols.append(f"{out}__max")
+        if kind == "approx_distinct":
+            cols.append(f"{out}__hll")
     return cols
 
 
@@ -96,15 +103,19 @@ def partial_agg_state(
                 .cast("long")
                 .alias(f"{out}__cnt")
             )
-        if kind in ("min", "max"):
+        if kind in ("min", "max", "approx_distinct"):
             if sign == -1:
                 raise ValueError(
                     f"{kind} is not retractable from state alone (spec {out!r}): "
-                    "a deleted extreme needs the runner-up value the state no "
-                    "longer holds - rebuild the affected groups instead"
+                    "a deleted extreme (or sketched member) needs information "
+                    "the state no longer holds - rebuild the affected groups "
+                    "instead"
                 )
-            fn = F.min if kind == "min" else F.max
-            aggs.append(fn(e).alias(f"{out}__{kind}"))
+            if kind == "approx_distinct":
+                aggs.append(F.hll_sketch_agg(e).alias(f"{out}__hll"))
+            else:
+                fn = F.min if kind == "min" else F.max
+                aggs.append(fn(e).alias(f"{out}__{kind}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -129,6 +140,8 @@ def merge_agg_states(
             aggs.append(F.min(f"{out}__min").alias(f"{out}__min"))
         if kind == "max":
             aggs.append(F.max(f"{out}__max").alias(f"{out}__max"))
+        if kind == "approx_distinct":
+            aggs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
     return unioned.groupBy(*keys).agg(*aggs)
 
 
@@ -161,6 +174,8 @@ def finalize_agg_state(
             cols.append(
                 (F.col(f"{out}__sum") / F.col(f"{out}__cnt")).alias(out)
             )
+        elif kind == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(f"{out}__hll").alias(out))
         else:
             cols.append(F.col(f"{out}__{kind}").alias(out))
     return state.select(*cols)

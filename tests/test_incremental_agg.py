@@ -86,11 +86,43 @@ def test_retraction_exact_and_zombie_groups_drop(spark):
 
 def test_minmax_retraction_refused(spark):
     df = _facts(spark, [("a", 1)])
-    for kind in ("min", "max"):
+    for kind in ("min", "max", "approx_distinct"):
         with pytest.raises(ValueError, match="not retractable"):
             IVM.partial_agg_state(df, ["k"], [("x", "v", kind)], sign=-1)
     with pytest.raises(ValueError, match="sign"):
         IVM.partial_agg_state(df, ["k"], SPECS, sign=2)
+
+
+def test_approx_distinct_state_merges_exactly_at_small_cardinality(spark):
+    """HLL sketch state: batches folded in any order give the same
+    estimate as a one-shot sketch, and at tiny cardinality the HLL
+    estimate is exact - so the maintained distinct count EQUALS the
+    true one here (the 5%-bound contract at scale rides the driver
+    row)."""
+    specs = [("nd", "v", "approx_distinct")]
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 9), ("b", 9), ("a", 3)]
+    b1, b2 = rows[:3], rows[3:]
+    one_shot = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.partial_agg_state(_facts(spark, rows), ["k"], specs), ["k"], specs
+        ).collect()
+    }
+    state = IVM.partial_agg_state(_facts(spark, b2), ["k"], specs)
+    state = IVM.incremental_agg_refresh(state, _facts(spark, b1), ["k"], specs)
+    merged = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(state, ["k"], specs).collect()
+    }
+    assert merged == one_shot == {("a", 3), ("b", 1)}
+    assert IVM.state_columns(specs) == ["nd__hll"]
+    # duplicate members across batches must not double-count (the
+    # reason scalar state cannot express this aggregate)
+    again = IVM.incremental_agg_refresh(state, _facts(spark, b1), ["k"], specs)
+    est = {
+        tuple(r) for r in IVM.finalize_agg_state(again, ["k"], specs).collect()
+    }
+    assert est == one_shot
 
 
 def test_reaggregate_state_matches_direct_coarse_agg(spark):
