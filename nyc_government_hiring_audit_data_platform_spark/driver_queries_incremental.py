@@ -157,6 +157,49 @@ def q_incremental_distinct_refresh(spark, sf_dir):
     )
 
 
+_LCENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+
+@query(
+    "retractable_extremes_refresh",
+    f"""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MAX({_LCENTS}) AS max_cents,
+           TRUE AS max_cents_ok,
+           MIN({_LCENTS}) AS min_cents,
+           TRUE AS min_cents_ok
+    FROM lineitem
+    WHERE l_returnflag <> 'R'
+    GROUP BY l_orderkey
+    """,
+)
+def q_retractable_extremes_refresh(spark, sf_dir):
+    """IVM for retracted extremes: plain min/max state cannot survive a
+    delete (the runner-up is gone), so the retractable kinds keep a
+    bounded synopsis - the R most extreme inserted AND retracted values
+    per group - and cancel at finalize, emitting the survivor extreme
+    plus an exactness flag. Keyed by l_orderkey (<= 7 lineitems per
+    order < R = 8), every group's synopsis is complete, so after
+    retracting all RETURNED ('R') items the maintained max/min price
+    must EQUAL the full recompute over kept items and every flag must
+    hash TRUE; orders whose every item returned retract to count 0 and
+    drop. The flags are the contract the driver verifies: a synopsis
+    overrun would flip them false and break the hash, never silently
+    misreport an extreme."""
+    li = table(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey"]
+    specs: list[IVM.AggSpec] = [
+        ("n_kept", "1", "count"),
+        ("max_cents", _LCENTS, "retractable_max"),
+        ("min_cents", _LCENTS, "retractable_min"),
+    ]
+    state = IVM.partial_agg_state(li, keys, specs)
+    returned = li.filter(F.col("l_returnflag") == "R")
+    state = IVM.incremental_agg_refresh(state, returned, keys, specs, sign=-1)
+    return IVM.finalize_agg_state(state, keys, specs)
+
+
 @query(
     "rollup_reaggregate",
     f"""

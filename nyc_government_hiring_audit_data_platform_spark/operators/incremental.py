@@ -49,7 +49,28 @@ AggSpec = tuple[str, str, str]
 # but a DataSketches HLL sketch is a fixed-size MERGEABLE state -
 # refresh unions the delta's sketch into the stored one, finalize
 # estimates. Insert-only like min/max (sketches do not retract).
-_KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+#
+# retractable_max / retractable_min: the bounded-synopsis answer to the
+# min/max retraction limitation - the state keeps the R most extreme
+# INSERTED values and the R most extreme RETRACTED values per group
+# (two sorted arrays; a proper commutative semigroup, so batches merge
+# in any order). Finalize cancels tracked retractions against tracked
+# inserts (multiset semantics, one occurrence each) and emits the
+# surviving extreme plus an ``{out}_ok`` validity flag: TRUE means the
+# value is EXACT (every retraction at-or-beyond the synopsis horizon
+# was tracked and cancelled); FALSE means retractions exhausted the
+# synopsis and the affected groups need a rebuild from facts - the
+# honest production contract (bounded state, loud degradation) instead
+# of a silent wrong answer or an unbounded per-group history.
+_KINDS = (
+    "sum", "count", "min", "max", "avg", "approx_distinct",
+    "retractable_max", "retractable_min",
+)
+
+#: synopsis depth for retractable_max/min: per group the state holds at
+#: most 2R values however many facts fold in; validity degrades only
+#: when one group accumulates >= R untracked-horizon retractions
+SYNOPSIS_R = 8
 
 
 def _check_specs(specs: list[AggSpec]) -> None:
@@ -78,17 +99,33 @@ def state_columns(specs: list[AggSpec]) -> list[str]:
             cols.append(f"{out}__max")
         if kind == "approx_distinct":
             cols.append(f"{out}__hll")
+        if kind in ("retractable_max", "retractable_min"):
+            cols.append(f"{out}__topi")
+            cols.append(f"{out}__topd")
     return cols
 
 
+def _synopsis_order(kind: str) -> str:
+    """sort_array ascending flag: max keeps the largest first (desc),
+    min the smallest first (asc); either way the synopsis HORIZON is
+    the last element."""
+    return "false" if kind == "retractable_max" else "true"
+
+
 def partial_agg_state(
-    df: DataFrame, keys: list[str], specs: list[AggSpec], sign: int = 1
+    df: DataFrame,
+    keys: list[str],
+    specs: list[AggSpec],
+    sign: int = 1,
+    synopsis_r: int = SYNOPSIS_R,
 ) -> DataFrame:
     """One shuffle over ``df``: the mergeable partial state per key.
 
     ``sign=-1`` builds a RETRACTION state (deleted/superseded rows):
-    sums and counts negate so merging subtracts exactly; min/max raise
-    because retraction needs information the state does not keep."""
+    sums and counts negate so merging subtracts exactly;
+    retractable_max/min record the retracted extremes in the synopsis'
+    deletion side; plain min/max and approx_distinct raise because
+    retraction needs information their state does not keep."""
     _check_specs(specs)
     if sign not in (1, -1):
         raise ValueError("sign must be 1 (insert) or -1 (retract)")
@@ -103,13 +140,28 @@ def partial_agg_state(
                 .cast("long")
                 .alias(f"{out}__cnt")
             )
+        if kind in ("retractable_max", "retractable_min"):
+            asc = _synopsis_order(kind)
+            top = (
+                f"slice(sort_array(collect_list({src}), {asc}), 1, {synopsis_r})"
+            )
+            # collect_list skips nulls, so a never-true CASE yields an
+            # empty array of the right element type
+            empty = (
+                f"slice(sort_array(collect_list(CASE WHEN 1=0 THEN {src} END),"
+                f" {asc}), 1, {synopsis_r})"
+            )
+            ins_e, del_e = (top, empty) if sign == 1 else (empty, top)
+            aggs.append(F.expr(ins_e).alias(f"{out}__topi"))
+            aggs.append(F.expr(del_e).alias(f"{out}__topd"))
         if kind in ("min", "max", "approx_distinct"):
             if sign == -1:
                 raise ValueError(
                     f"{kind} is not retractable from state alone (spec {out!r}): "
                     "a deleted extreme (or sketched member) needs information "
-                    "the state no longer holds - rebuild the affected groups "
-                    "instead"
+                    "the state no longer holds - use retractable_max/"
+                    "retractable_min (bounded synopsis) or rebuild the "
+                    "affected groups instead"
                 )
             if kind == "approx_distinct":
                 aggs.append(F.hll_sketch_agg(e).alias(f"{out}__hll"))
@@ -120,12 +172,15 @@ def partial_agg_state(
 
 
 def merge_agg_states(
-    states: list[DataFrame], keys: list[str], specs: list[AggSpec]
+    states: list[DataFrame],
+    keys: list[str],
+    specs: list[AggSpec],
+    synopsis_r: int = SYNOPSIS_R,
 ) -> DataFrame:
     """Merge any number of partial states: union then one group-sized
     re-aggregation (sum of sums / sum of counts / min of mins / max of
-    maxes). Associative and commutative, so refresh batches can land in
-    any order."""
+    maxes / HLL unions / re-truncated synopsis concats). Associative
+    and commutative, so refresh batches can land in any order."""
     _check_specs(specs)
     if not states:
         raise ValueError("need at least one state to merge")
@@ -142,18 +197,39 @@ def merge_agg_states(
             aggs.append(F.max(f"{out}__max").alias(f"{out}__max"))
         if kind == "approx_distinct":
             aggs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
+        if kind in ("retractable_max", "retractable_min"):
+            asc = _synopsis_order(kind)
+            for side in ("topi", "topd"):
+                aggs.append(
+                    F.expr(
+                        f"slice(sort_array(flatten(collect_list({out}__{side}))"
+                        f", {asc}), 1, {synopsis_r})"
+                    ).alias(f"{out}__{side}")
+                )
     return unioned.groupBy(*keys).agg(*aggs)
 
 
 def finalize_agg_state(
-    state: DataFrame, keys: list[str], specs: list[AggSpec], drop_empty: bool = True
+    state: DataFrame,
+    keys: list[str],
+    specs: list[AggSpec],
+    drop_empty: bool = True,
+    synopsis_r: int = SYNOPSIS_R,
 ) -> DataFrame:
     """State -> final answer columns (avg = the one float division).
 
     ``drop_empty`` removes groups whose every counted spec retracted to
     zero rows - what a full recompute over the remaining facts emits.
     (Requires at least one count/avg spec to be detectable; with only
-    sum/min/max specs there is nothing to test, so it is a no-op.)"""
+    sum/min/max specs there is nothing to test, so it is a no-op.)
+
+    retractable_max/min emit TWO columns: ``out`` (the maintained
+    extreme, null when invalid) and ``out_ok`` (TRUE = exact: every
+    horizon-or-beyond retraction was tracked and cancelled against a
+    tracked insert; FALSE = the synopsis was exhausted - the deletion
+    side hit its R cap, a tracked retraction found no tracked partner,
+    or every tracked insert cancelled - and those groups need a
+    rebuild from facts)."""
     _check_specs(specs)
     if drop_empty:
         cnt_cols = [
@@ -164,6 +240,27 @@ def finalize_agg_state(
                 lambda a, b: a | b, [F.col(c) > 0 for c in cnt_cols]
             )
             state = state.filter(nonempty)
+    # pre-materialize the synopsis cancellation (multiset: each tracked
+    # retraction at/beyond the horizon removes ONE occurrence; a miss
+    # flips ok to false)
+    for out, _, kind in specs:
+        if kind not in ("retractable_max", "retractable_min"):
+            continue
+        cmp = ">=" if kind == "retractable_max" else "<="
+        arr, td = f"{out}__topi", f"{out}__topd"
+        relevant = (
+            f"filter({td}, d -> size({arr}) > 0 AND d {cmp} element_at({arr}, -1))"
+        )
+        cancel = (
+            f"aggregate({relevant}, named_struct('arr', {arr}, 'ok', true), "
+            f"(acc, d) -> IF(array_position(acc.arr, d) > 0, "
+            f"named_struct('arr', concat("
+            f"slice(acc.arr, 1, CAST(array_position(acc.arr, d) AS INT) - 1), "
+            f"slice(acc.arr, CAST(array_position(acc.arr, d) AS INT) + 1, "
+            f"size(acc.arr))), 'ok', acc.ok), "
+            f"named_struct('arr', acc.arr, 'ok', false)))"
+        )
+        state = state.withColumn(f"__{out}_res", F.expr(cancel))
     cols: list[Column] = [F.col(k) for k in keys]
     for out, _, kind in specs:
         if kind == "sum":
@@ -176,6 +273,15 @@ def finalize_agg_state(
             )
         elif kind == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"{out}__hll").alias(out))
+        elif kind in ("retractable_max", "retractable_min"):
+            ok = (
+                f"__{out}_res.ok AND size(__{out}_res.arr) > 0 "
+                f"AND size({out}__topd) < {synopsis_r}"
+            )
+            cols.append(
+                F.expr(f"IF({ok}, get(__{out}_res.arr, 0), NULL)").alias(out)
+            )
+            cols.append(F.expr(ok).alias(f"{out}_ok"))
         else:
             cols.append(F.col(f"{out}__{kind}").alias(out))
     return state.select(*cols)
@@ -187,22 +293,30 @@ def incremental_agg_refresh(
     keys: list[str],
     specs: list[AggSpec],
     sign: int = 1,
+    synopsis_r: int = SYNOPSIS_R,
 ) -> DataFrame:
     """One maintenance step: fold a delta batch (``sign=1`` inserts,
     ``sign=-1`` retractions) into the persisted state. The plan reads
     the state relation and the delta - never the base facts."""
     return merge_agg_states(
-        [prev_state, partial_agg_state(delta, keys, specs, sign=sign)],
+        [
+            prev_state,
+            partial_agg_state(delta, keys, specs, sign=sign, synopsis_r=synopsis_r),
+        ],
         keys,
         specs,
+        synopsis_r=synopsis_r,
     )
 
 
 def reaggregate_state(
-    state: DataFrame, coarser_keys: list[str], specs: list[AggSpec]
+    state: DataFrame,
+    coarser_keys: list[str],
+    specs: list[AggSpec],
+    synopsis_r: int = SYNOPSIS_R,
 ) -> DataFrame:
     """Materialized-view rewrite: roll a finer-grained state up to a
     coarser key set using the state alone (|state| rows shuffled, the
     fact table untouched). Exact for every supported kind because the
     state is partials, not finalized values."""
-    return merge_agg_states([state], coarser_keys, specs)
+    return merge_agg_states([state], coarser_keys, specs, synopsis_r=synopsis_r)

@@ -93,6 +93,90 @@ def test_minmax_retraction_refused(spark):
         IVM.partial_agg_state(df, ["k"], SPECS, sign=2)
 
 
+def test_retractable_extremes_exact_within_synopsis(spark):
+    """retractable_max/min: deletes of tracked extremes cancel exactly;
+    groups retracting to zero rows drop via the paired count spec."""
+    specs = [
+        ("mx", "v", "retractable_max"),
+        ("mn", "v", "retractable_min"),
+        ("n", "1", "count"),
+    ]
+    ins = [("a", 1), ("a", 5), ("a", 9), ("b", 10), ("b", 2), ("c", 7)]
+    rets = [("a", 9), ("b", 2), ("c", 7)]  # a's max, b's min, all of c
+    state = IVM.partial_agg_state(_facts(spark, ins), ["k"], specs)
+    state = IVM.incremental_agg_refresh(
+        state, _facts(spark, rets), ["k"], specs, sign=-1
+    )
+    got = {
+        tuple(r) for r in IVM.finalize_agg_state(state, ["k"], specs).collect()
+    }
+    assert got == {("a", 5, True, 1, True, 2), ("b", 10, True, 10, True, 1)}
+    assert IVM.state_columns(specs[:1]) == ["mx__topi", "mx__topd"]
+
+
+def test_retractable_synopsis_exhaustion_flags_not_lies(spark):
+    """Synopsis overruns degrade LOUDLY (ok=false, null value), never
+    into a silently wrong extreme: (a) the deletion side hitting its R
+    cap, (b) a tracked retraction with no tracked partner (horizon-tie
+    multiplicity), (c) every tracked insert cancelled."""
+    specs = [("mx", "v", "retractable_max")]
+
+    def run(ins, rets, r):
+        st = IVM.partial_agg_state(_facts(spark, ins), ["k"], specs, synopsis_r=r)
+        st = IVM.incremental_agg_refresh(
+            st, _facts(spark, rets), ["k"], specs, sign=-1, synopsis_r=r
+        )
+        return IVM.finalize_agg_state(st, ["k"], specs, synopsis_r=r).collect()[0]
+
+    # (a) deletion-side cap: R=2 deletions fill topd -> cannot certify
+    row = run([("z", i) for i in range(1, 7)], [("z", 6), ("z", 5)], 2)
+    assert row["mx"] is None and row["mx_ok"] is False
+    # (b) horizon-tie miss: I=[9,8,5,5,5] R=4 tracks [9,8,5,5]; deleting
+    # three 5s finds only two tracked partners -> flagged (true answer 9
+    # exists, but the synopsis cannot PROVE it - conservative)
+    row = run(
+        [("z", 9), ("z", 8), ("z", 5), ("z", 5), ("z", 5)],
+        [("z", 5), ("z", 5), ("z", 5)],
+        4,
+    )
+    assert row["mx"] is None and row["mx_ok"] is False
+    # (c) every tracked insert cancelled: survivors exist only below the
+    # truncated horizon
+    row = run(
+        [("z", 9), ("z", 8), ("z", 3), ("z", 2)], [("z", 9), ("z", 8)], 2
+    )
+    assert row["mx"] is None and row["mx_ok"] is False
+    # control: same shape with room in the synopsis is exact
+    row = run(
+        [("z", 9), ("z", 8), ("z", 3), ("z", 2)], [("z", 9), ("z", 8)], 4
+    )
+    assert row["mx"] == 3 and row["mx_ok"] is True
+
+
+def test_retractable_state_merges_in_any_order(spark):
+    """The synopsis is a commutative semigroup: insert and retraction
+    batches fold in any order to the same finalized answer."""
+    specs = [("mx", "v", "retractable_max"), ("n", "1", "count")]
+    i1 = [("a", 1), ("a", 9)]
+    i2 = [("a", 5), ("b", 4)]
+    d1 = [("a", 9)]
+    p = lambda rows, s: IVM.partial_agg_state(  # noqa: E731
+        _facts(spark, rows), ["k"], specs, sign=s
+    )
+    for order in (
+        [p(i1, 1), p(i2, 1), p(d1, -1)],
+        [p(d1, -1), p(i2, 1), p(i1, 1)],
+        [p(i2, 1), p(d1, -1), p(i1, 1)],
+    ):
+        got = {
+            tuple(r)
+            for r in IVM.finalize_agg_state(
+                IVM.merge_agg_states(order, ["k"], specs), ["k"], specs
+            ).collect()
+        }
+        assert got == {("a", 5, True, 2), ("b", 4, True, 1)}
+
+
 def test_approx_distinct_state_merges_exactly_at_small_cardinality(spark):
     """HLL sketch state: batches folded in any order give the same
     estimate as a one-shot sketch, and at tiny cardinality the HLL
