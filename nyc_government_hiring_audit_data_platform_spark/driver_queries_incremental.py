@@ -157,6 +157,41 @@ def q_incremental_distinct_refresh(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_refresh_joined",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_CENTS}) AS BIGINT) AS total_cents,
+           MAX({_CENTS}) AS max_cents,
+           CAST(SUM({_CENTS}) AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_refresh_joined(spark, sf_dir):
+    """The production-shaped refresh: state merged with the delta's
+    partials via a FULL OUTER JOIN + column-wise combine instead of
+    union + re-agg - output-identical (same full-recompute oracle as
+    incremental_agg_refresh), but the state participates as a join
+    side, so a state table bucketed on the group keys is NEVER
+    shuffled during refresh (plan-gated in tests/test_incremental_agg
+    .py::test_joined_refresh_bucketed_state_never_shuffles). At 100 TB
+    the persisted state is the big relation in the refresh; this is
+    the deploy shape."""
+    o = table(spark, sf_dir, "orders")
+    keys = ["o_custkey"]
+    base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    d1 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    d2 = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    state = IVM.partial_agg_state(base, keys, _SPECS)
+    state = IVM.incremental_agg_refresh_joined(state, d1, keys, _SPECS)
+    state = IVM.incremental_agg_refresh_joined(state, d2, keys, _SPECS)
+    return IVM.finalize_agg_state(state, keys, _SPECS)
+
+
 _LCENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
 
 

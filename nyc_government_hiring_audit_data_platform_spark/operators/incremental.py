@@ -209,6 +209,108 @@ def merge_agg_states(
     return unioned.groupBy(*keys).agg(*aggs)
 
 
+def merge_states_joined(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    specs: list[AggSpec],
+    synopsis_r: int = SYNOPSIS_R,
+    null_safe_keys: bool = False,
+) -> DataFrame:
+    """Two-way state merge as a FULL OUTER JOIN with column-wise
+    combination - output-identical to ``merge_agg_states`` (tested),
+    but the better physical shape for the production refresh: the big
+    persisted state participates as a JOIN side, so when it is stored
+    bucketed by the group keys (operators/bucketing.py) the state is
+    never shuffled at all - only the delta's group-sized partials move
+    (plan-gated in tests/test_incremental_agg.py). The union+re-agg
+    merge cannot benefit from bucketing because the union erases the
+    scan's output partitioning. A one-sided group passes through and a
+    NULL partial never poisons the other side.
+
+    NULL GROUP KEYS: groupBy treats null as a value, but a plain join
+    equality does not - a null-keyed group would emit one uncombined
+    row per side. Set ``null_safe_keys=True`` to match them
+    (eqNullSafe), at a real physical cost: Spark rewrites null-safe
+    keys to coalesce/isnull expressions, which disables the bucketed
+    no-shuffle path ("Bucketed: false (disabled by query planner)").
+    The default (False) assumes non-null group keys - true of every
+    GOLD key here - and keeps the bucketing win."""
+    _check_specs(specs)
+
+    def _nn(a: Column, b: Column, combined: Column) -> Column:
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combined)
+
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + "__r")
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            left[k].eqNullSafe(r[k + "__r"])
+            if null_safe_keys
+            else left[k] == r[k + "__r"]
+            for k in keys
+        ],
+    )
+    j = left.join(r, cond, "full_outer")
+    cols: list[Column] = [
+        F.coalesce(left[k], r[k + "__r"]).alias(k) for k in keys
+    ]
+    for out, _, kind in specs:
+        def _pair(suffix: str) -> tuple[Column, Column]:
+            return left[f"{out}__{suffix}"], r[f"{out}__{suffix}__r"]
+
+        if kind in ("sum", "avg"):
+            a, b = _pair("sum")
+            cols.append(_nn(a, b, a + b).alias(f"{out}__sum"))
+        if kind in ("count", "avg"):
+            a, b = _pair("cnt")
+            cols.append(_nn(a, b, a + b).cast("long").alias(f"{out}__cnt"))
+        if kind == "min":
+            a, b = _pair("min")
+            cols.append(_nn(a, b, F.least(a, b)).alias(f"{out}__min"))
+        if kind == "max":
+            a, b = _pair("max")
+            cols.append(_nn(a, b, F.greatest(a, b)).alias(f"{out}__max"))
+        if kind == "approx_distinct":
+            a, b = _pair("hll")
+            cols.append(_nn(a, b, F.hll_union(a, b)).alias(f"{out}__hll"))
+        if kind in ("retractable_max", "retractable_min"):
+            asc = _synopsis_order(kind)
+            for side in ("topi", "topd"):
+                a, b = _pair(side)
+                comb = F.expr(
+                    f"slice(sort_array(concat({out}__{side}, "
+                    f"{out}__{side}__r), {asc}), 1, {synopsis_r})"
+                )
+                cols.append(_nn(a, b, comb).alias(f"{out}__{side}"))
+    return j.select(*cols)
+
+
+def incremental_agg_refresh_joined(
+    prev_state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    specs: list[AggSpec],
+    sign: int = 1,
+    synopsis_r: int = SYNOPSIS_R,
+    null_safe_keys: bool = False,
+) -> DataFrame:
+    """``incremental_agg_refresh`` with the join-shaped merge: same
+    result, but a bucketed persisted state joins WITHOUT being
+    shuffled - at 100 TB the state relation is the big side of the
+    refresh, so this is the shape to deploy."""
+    return merge_states_joined(
+        prev_state,
+        partial_agg_state(delta, keys, specs, sign=sign, synopsis_r=synopsis_r),
+        keys,
+        specs,
+        synopsis_r=synopsis_r,
+        null_safe_keys=null_safe_keys,
+    )
+
+
 def finalize_agg_state(
     state: DataFrame,
     keys: list[str],

@@ -231,6 +231,125 @@ def test_reaggregate_state_matches_direct_coarse_agg(spark):
     assert a_mean["a"] == pytest.approx(8 / 3)
 
 
+def test_joined_merge_equals_agg_merge_all_kinds(spark):
+    """merge_states_joined is output-identical to merge_agg_states for
+    every kind - one-sided groups, NULL partials, NULL group keys,
+    retractions, sketches, synopses."""
+    specs = SPECS + [
+        ("nd", "v", "approx_distinct"),
+        ("rmx", "v", "retractable_max"),
+    ]
+    rows_a = [("a", 1), ("a", None), ("b", 10), (None, 3)]
+    rows_b = [("a", 5), ("c", 7), (None, 4), ("d", None)]
+    fa = spark.createDataFrame(rows_a, "k string, v long")
+    fb = spark.createDataFrame(rows_b, "k string, v long")
+    sa = IVM.partial_agg_state(fa, ["k"], specs)
+    sb = IVM.partial_agg_state(fb, ["k"], specs)
+    want = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_agg_states([sa, sb], ["k"], specs), ["k"], specs
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_states_joined(sa, sb, ["k"], specs, null_safe_keys=True),
+            ["k"],
+            specs,
+        ).collect()
+    }
+    assert got == want and len(got) == 5  # a, b, c, d, NULL groups
+    # default plain-equality keys: the NULL-key group stays one-sided
+    # per side (documented) - every non-null group still combines right
+    plain = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_states_joined(sa, sb, ["k"], specs), ["k"], specs
+        ).collect()
+    }
+    assert {t for t in plain if t[0] is not None} == {
+        t for t in want if t[0] is not None
+    }
+    # retraction through the joined path too
+    ret = IVM.partial_agg_state(
+        spark.createDataFrame([("a", 5)], "k string, v long"),
+        ["k"],
+        [s for s in specs if s[2] not in ("min", "max", "approx_distinct",
+                                          "retractable_max")],
+        sign=-1,
+    )
+    specs_r = [s for s in specs if s[2] not in ("min", "max", "approx_distinct",
+                                                "retractable_max")]
+    sa_r = IVM.partial_agg_state(fa, ["k"], specs_r)
+    sb_r = IVM.partial_agg_state(fb, ["k"], specs_r)
+    base = IVM.merge_agg_states([sa_r, sb_r], ["k"], specs_r)
+    want_r = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_agg_states([base, ret], ["k"], specs_r), ["k"], specs_r
+        ).collect()
+    }
+    got_r = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_states_joined(base, ret, ["k"], specs_r), ["k"], specs_r
+        ).collect()
+    }
+    assert got_r == want_r
+
+
+def test_joined_refresh_bucketed_state_never_shuffles(spark, tmp_path):
+    """The 100 TB refresh shape: with the state persisted BUCKETED on
+    the group keys, the join-shaped refresh moves only the delta's
+    partials - the state side carries no Exchange, while the plain
+    parquet state must shuffle for the same join."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        bucketing as B,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    facts = spark.range(0, 5000).select(
+        (F.col("id") % 97).cast("string").alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    state = IVM.partial_agg_state(facts, ["k"], SPECS)
+    B.write_bucketed(state, "ivm_state_bucketed", ["k"], 8)
+    plain_path = str(tmp_path / "state_plain")
+    state.write.parquet(plain_path)
+    delta = spark.range(5000, 5500).select(
+        (F.col("id") % 101).cast("string").alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = IVM.incremental_agg_refresh_joined(
+            spark.table("ivm_state_bucketed"), delta, ["k"], SPECS
+        )
+        plain = IVM.incremental_agg_refresh_joined(
+            spark.read.parquet(plain_path), delta, ["k"], SPECS
+        )
+        n_b, n_p = PI.shuffle_count(bucketed), PI.shuffle_count(plain)
+        assert n_b < n_p, (n_b, n_p)  # the state-side Exchange is gone
+        got = {
+            tuple(r)
+            for r in IVM.finalize_agg_state(bucketed, ["k"], SPECS).collect()
+        }
+        want = {
+            tuple(r)
+            for r in IVM.finalize_agg_state(
+                IVM.incremental_agg_refresh(state, delta, ["k"], SPECS),
+                ["k"],
+                SPECS,
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ivm_state_bucketed")
+
+
 def test_refresh_plan_reads_state_not_base_facts(spark, tmp_path):
     """The IVM contract at the plan level: a refresh over a PERSISTED
     state scans the state files and the delta - the base-fact path must
