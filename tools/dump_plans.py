@@ -217,6 +217,18 @@ SHOWCASE = {
         "band index; the batch hashes/bands map-side and probes via a "
         "(band, bh) equi-join - cost proportional to the batch."
     ),
+    "incremental_agg_refresh": (
+        "IVM refresh: each delta batch aggregates to group-sized "
+        "partials, then the union+re-merge touches only state rows - "
+        "the plan contains the state and delta relations, never the "
+        "fact history (plan-asserted in tests)."
+    ),
+    "incremental_refresh_joined": (
+        "Join-shaped IVM merge: state and delta partials combine "
+        "column-wise through a FullOuter join, so a state table "
+        "bucketed on the group keys participates with NO Exchange - "
+        "the big relation of a production refresh never shuffles."
+    ),
     "stupid_backoff_score": (
         "Distributed LM scoring: the vocabulary-bounded unigram/bigram "
         "tables join the corpus positions by key (broadcast when they "
