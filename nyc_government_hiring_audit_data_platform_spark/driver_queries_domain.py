@@ -452,9 +452,7 @@ def q_fuzzy_block_salted(spark, sf_dir):
     )
 
 
-@query(
-    "gold_salary_matches_unique",
-    f"""
+_GOLD_UNIQUE_SQL = f"""
     WITH {_BASE_CTES}
     SELECT business_title AS posted_job_title,
            MAX(title_description) AS payroll_job_title,
@@ -471,12 +469,32 @@ def q_fuzzy_block_salted(spark, sf_dir):
            MAX(total_other_pay) AS total_other_pay
     FROM matches
     GROUP BY business_title
-    """,
-)
+    """
+
+
+@query("gold_salary_matches_unique", _GOLD_UNIQUE_SQL)
 def q_gold_salary_matches_unique(spark, sf_dir):
     """EP3: GOLD group-by-MAX dedup table (reference: sql/cleaned.sql:
     28-42) on the real fuzzy-match output."""
     return HA.gold_salary_matches_unique(_matches(spark, sf_dir))
+
+
+@query("gold_unique_incremental", _GOLD_UNIQUE_SQL)
+def q_gold_unique_incremental(spark, sf_dir):
+    """EP3 maintained INCREMENTALLY: the same GOLD unique table built
+    by splitting the match stream into two batches (even/odd post_id),
+    folding each into the persisted-style partial-MAX state
+    (HA.gold_matches_state / gold_matches_state_refresh over
+    operators/incremental.py), and finalizing from the state alone.
+    The oracle is IDENTICAL to gold_salary_matches_unique's one-shot
+    SQL - hash equality proves the reference's weekly full CTAS can be
+    replaced by per-batch state folds with bit-identical output."""
+    matches = _matches(spark, sf_dir)
+    b1 = matches.filter(F.col("post_id") % 2 == 0)
+    b2 = matches.filter(F.col("post_id") % 2 == 1)
+    state = HA.gold_matches_state(b1)
+    state = HA.gold_matches_state_refresh(state, b2)
+    return HA.gold_salary_matches_unique_from_state(state)
 
 
 # ---------------------------------------------------------------------------
