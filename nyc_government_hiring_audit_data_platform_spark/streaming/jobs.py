@@ -717,6 +717,7 @@ def _apply_refresh_batch(
     table_dir: str,
     keys: list[str],
     specs,
+    op_col: str | None = None,
 ) -> None:
     """One GOLD-refresh step for the streaming IVM sink: fold the batch
     into the current state snapshot and publish a fresh one.
@@ -753,12 +754,31 @@ def _apply_refresh_batch(
             with open(meta_path) as f:
                 if _json.load(f).get("batch_id") == batch_id:
                     return  # replay of an already-published batch
-    batch_state = IVM.partial_agg_state(batch_df, keys, specs)
+    if op_col is None:
+        parts = [IVM.partial_agg_state(batch_df, keys, specs)]
+    else:
+        # CDC-shaped batch: 'I' rows fold as inserts, 'D' rows as
+        # sign=-1 retractions (exact for sum/count/avg; the partial
+        # builder refuses non-retractable kinds loudly). Unknown ops
+        # are a data error - surface, never silently drop.
+        bad = batch_df.filter(~F.col(op_col).isin("I", "D")).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"unknown {op_col!r} value {bad[0][op_col]!r} in batch "
+                f"{batch_id} (want 'I' or 'D')"
+            )
+        ins = batch_df.filter(F.col(op_col) == "I").drop(op_col)
+        dels = batch_df.filter(F.col(op_col) == "D").drop(op_col)
+        parts = [
+            IVM.partial_agg_state(ins, keys, specs),
+            IVM.partial_agg_state(dels, keys, specs, sign=-1),
+        ]
     if cur is not None:
         prev = spark.read.parquet(os.path.join(table_dir, cur, "state"))
-        new_state = IVM.merge_agg_states([prev, batch_state], keys, specs)
-    else:
-        new_state = batch_state
+        parts = [prev] + parts
+    new_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
+        parts, keys, specs
+    )
     snap = f"v{batch_id}"
     retry = 0
     while os.path.exists(os.path.join(table_dir, snap)):
@@ -780,6 +800,7 @@ def run_agg_refresh_sink(
     keys: list[str],
     specs,
     checkpoint_dir: str,
+    op_col: str | None = None,
 ) -> None:
     """Streaming GOLD refresh: each micro-batch of facts folds into a
     persisted aggregate STATE table (``operators/incremental.py``
@@ -793,10 +814,15 @@ def run_agg_refresh_sink(
     idempotence, carries replay safety). Read the answer back with
     ``read_agg_table``. Same local-pointer-protocol caveat as
     ``run_upsert_sink``: on object stores this commit role belongs to
-    a transactional table format."""
+    a transactional table format.
+
+    ``op_col`` turns the stream CDC-shaped: rows marked 'I' fold as
+    inserts and 'D' as exact retractions (sum/count/avg; other kinds
+    refuse), so an ops log maintains the aggregate without replaying
+    history - unknown op values fail the batch loudly."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda b, i: _apply_refresh_batch(b, i, table_dir, keys, specs)
+            lambda b, i: _apply_refresh_batch(b, i, table_dir, keys, specs, op_col)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

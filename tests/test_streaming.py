@@ -853,3 +853,41 @@ def test_agg_refresh_crash_before_swap_replays_correctly(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_agg_refresh_sink_cdc_ops(spark, tmp_path):
+    """CDC-shaped refresh: 'I' rows fold in, 'D' rows retract exactly,
+    groups deleted to zero rows vanish, unknown ops fail the batch."""
+    specs = [
+        ("n", "1", "count"),
+        ("total", "CAST(ROUND(value * 100) AS BIGINT)", "sum"),
+    ]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    b0 = spark.createDataFrame(
+        [("I", "a", 1.0), ("I", "a", 2.0), ("I", "b", 5.0), ("I", "c", 9.0)],
+        "op string, event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [("D", "a", 1.0), ("I", "b", 4.0), ("D", "c", 9.0)],
+        "op string, event_type string, value double",
+    )
+    SJ._apply_refresh_batch(b0, 0, str(table_dir), ["event_type"], specs, "op")
+    SJ._apply_refresh_batch(b1, 1, str(table_dir), ["event_type"], specs, "op")
+    got = sorted(
+        map(
+            tuple,
+            SJ.read_agg_table(
+                spark, str(table_dir), ["event_type"], specs
+            ).collect(),
+        )
+    )
+    assert got == [("a", 1, 200), ("b", 2, 900)]  # c retracted to zero: gone
+
+    bad = spark.createDataFrame(
+        [("U", "a", 1.0)], "op string, event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="unknown 'op'"):
+        SJ._apply_refresh_batch(bad, 2, str(table_dir), ["event_type"], specs, "op")
+    # the failed batch must not have published anything
+    assert (table_dir / "_current").read_text().strip() == "v1"
