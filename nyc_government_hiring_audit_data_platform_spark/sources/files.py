@@ -78,6 +78,19 @@ def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFr
     return spark.read.option("mergeSchema", "true").format(fmt).load(path)
 
 
+def _hidden_below(root: str, uri: str) -> bool:
+    """True when any path component of ``uri`` BELOW ``root`` starts
+    with ``_`` or ``.`` - the hidden-file convention Spark's own file
+    index applies to every ancestor directory, not just the basename.
+    Matters for in-flight writes: a committer staging file like
+    ``<root>/_temporary/0/.../part-0000.parquet`` has a clean basename
+    but must never win a listing (it may be incomplete or vanish).
+    The root itself is exempt so a user may point AT an
+    underscore-named directory deliberately."""
+    rel = uri[len(root):] if uri.startswith(root) else uri
+    return any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
+
+
 def most_recent_file(
     path: str, extension: str, spark: SparkSession | None = None
 ) -> str | None:
@@ -107,13 +120,13 @@ def most_recent_file(
         st = fs.getFileStatus(p)
         if st.isFile():
             return st.getPath().toString()
+        root = st.getPath().toString()
         best: tuple[int, str] | None = None
         it = fs.listFiles(p, True)
         while it.hasNext():
             f = it.next()
             uri = f.getPath().toString()
-            base = uri.rsplit("/", 1)[-1]
-            if not base.endswith(f".{ext}") or base.startswith(("_", ".")):
+            if not uri.endswith(f".{ext}") or _hidden_below(root, uri):
                 continue
             key = (f.getModificationTime(), uri)
             if best is None or key > best:
@@ -222,25 +235,22 @@ def list_store_data_files(
     fs = p.getFileSystem(conf)
     statuses = fs.globStatus(p)
     out: list[tuple[str, int]] = []
-
-    def _keep(uri: str) -> bool:
-        base = uri.rsplit("/", 1)[-1]
-        return base.endswith(suffix) and not base.startswith(("_", "."))
-
     if statuses is None:
         return out
     for s in statuses:
+        root = s.getPath().toString()
         if s.isDirectory():
             it = fs.listFiles(s.getPath(), True)
             while it.hasNext():
                 f = it.next()
                 uri = f.getPath().toString()
-                if _keep(uri):
+                if uri.endswith(suffix) and not _hidden_below(root, uri):
                     out.append((uri, f.getLen()))
         else:
-            uri = s.getPath().toString()
-            if _keep(uri):
-                out.append((uri, s.getLen()))
+            if root.endswith(suffix) and not _hidden_below(
+                root.rsplit("/", 1)[0], root
+            ):
+                out.append((root, s.getLen()))
     return sorted(out)
 
 

@@ -684,11 +684,7 @@ def run_upsert_sink(
         # overwrite - or skip relative to - a published snapshot based
         # on the id alone. Writing fresh and re-merging is safe because
         # merge_upsert is idempotent for already-applied rows.
-        snap = f"v{batch_id}"
-        retry = 0
-        while os.path.exists(os.path.join(table_dir, snap)):
-            retry += 1
-            snap = f"v{batch_id}r{retry}"
+        snap = _fresh_snapshot_name(table_dir, batch_id)
         if os.path.exists(ptr):
             with open(ptr) as f:
                 cur = f.read().strip()
@@ -697,10 +693,7 @@ def run_upsert_sink(
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(os.path.join(table_dir, snap))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(snap)
-        os.replace(tmp, ptr)
+        _publish_pointer(table_dir, snap)
 
     q = (
         stream_df.writeStream.foreachBatch(apply)
@@ -709,6 +702,30 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def _fresh_snapshot_name(table_dir: str, batch_id: int) -> str:
+    """The snapshot-publication naming rule both sinks share: always a
+    directory that does not exist yet (``v{id}``, then ``v{id}r{k}`` on
+    replay), so a re-delivered batch can never overwrite - or be
+    skipped relative to - a published snapshot based on the id alone."""
+    snap = f"v{batch_id}"
+    retry = 0
+    while os.path.exists(os.path.join(table_dir, snap)):
+        retry += 1
+        snap = f"v{batch_id}r{retry}"
+    return snap
+
+
+def _publish_pointer(table_dir: str, snap: str) -> None:
+    """Atomic pointer swap both sinks share: readers either see the old
+    complete snapshot or the new one, never a half-write (local-fs
+    protocol; transactional table formats own this role on stores)."""
+    ptr = os.path.join(table_dir, "_current")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(snap)
+    os.replace(tmp, ptr)
 
 
 def _apply_refresh_batch(
@@ -754,44 +771,55 @@ def _apply_refresh_batch(
             with open(meta_path) as f:
                 if _json.load(f).get("batch_id") == batch_id:
                     return  # replay of an already-published batch
-    if op_col is None:
-        parts = [IVM.partial_agg_state(batch_df, keys, specs)]
-    else:
-        # CDC-shaped batch: 'I' rows fold as inserts, 'D' rows as
-        # sign=-1 retractions (exact for sum/count/avg; the partial
-        # builder refuses non-retractable kinds loudly). Unknown ops
-        # are a data error - surface, never silently drop.
-        bad = batch_df.filter(~F.col(op_col).isin("I", "D")).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"unknown {op_col!r} value {bad[0][op_col]!r} in batch "
-                f"{batch_id} (want 'I' or 'D')"
+    cached = False
+    try:
+        if op_col is None:
+            parts = [IVM.partial_agg_state(batch_df, keys, specs)]
+        else:
+            # CDC-shaped batch: 'I' rows fold as inserts, 'D' rows as
+            # sign=-1 retractions (exact for sum/count/avg; the partial
+            # builder refuses non-retractable kinds loudly). Unknown
+            # ops are a data error - surface, never silently drop; the
+            # isNull check matters because isin() is NULL (not true)
+            # for a NULL op under three-valued logic, so the negation
+            # alone would silently DROP null-op rows from both folds.
+            # The batch feeds three jobs (validate + two folds): cache
+            # it so the source is scanned once, not three times.
+            batch_df = batch_df.persist()
+            cached = True
+            bad = (
+                batch_df.filter(
+                    F.col(op_col).isNull() | ~F.col(op_col).isin("I", "D")
+                )
+                .limit(1)
+                .collect()
             )
-        ins = batch_df.filter(F.col(op_col) == "I").drop(op_col)
-        dels = batch_df.filter(F.col(op_col) == "D").drop(op_col)
-        parts = [
-            IVM.partial_agg_state(ins, keys, specs),
-            IVM.partial_agg_state(dels, keys, specs, sign=-1),
-        ]
-    if cur is not None:
-        prev = spark.read.parquet(os.path.join(table_dir, cur, "state"))
-        parts = [prev] + parts
-    new_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
-        parts, keys, specs
-    )
-    snap = f"v{batch_id}"
-    retry = 0
-    while os.path.exists(os.path.join(table_dir, snap)):
-        retry += 1
-        snap = f"v{batch_id}r{retry}"
-    snap_dir = os.path.join(table_dir, snap)
-    new_state.write.mode("overwrite").parquet(os.path.join(snap_dir, "state"))
+            if bad:
+                raise ValueError(
+                    f"unknown {op_col!r} value {bad[0][op_col]!r} in batch "
+                    f"{batch_id} (want 'I' or 'D')"
+                )
+            ins = batch_df.filter(F.col(op_col) == "I").drop(op_col)
+            dels = batch_df.filter(F.col(op_col) == "D").drop(op_col)
+            parts = [
+                IVM.partial_agg_state(ins, keys, specs),
+                IVM.partial_agg_state(dels, keys, specs, sign=-1),
+            ]
+        if cur is not None:
+            prev = spark.read.parquet(os.path.join(table_dir, cur, "state"))
+            parts = [prev] + parts
+        new_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
+            parts, keys, specs
+        )
+        snap = _fresh_snapshot_name(table_dir, batch_id)
+        snap_dir = os.path.join(table_dir, snap)
+        new_state.write.mode("overwrite").parquet(os.path.join(snap_dir, "state"))
+    finally:
+        if cached:
+            batch_df.unpersist()
     with open(os.path.join(snap_dir, "_meta.json"), "w") as f:
         _json.dump({"batch_id": batch_id}, f)
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(snap)
-    os.replace(tmp, ptr)
+    _publish_pointer(table_dir, snap)
 
 
 def run_agg_refresh_sink(

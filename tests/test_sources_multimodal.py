@@ -768,3 +768,27 @@ def test_write_table_rejects_unknown_format(spark, tmp_path):
     src = spark.range(1)
     with _pytest.raises(ValueError):
         FS.write_table(src, str(tmp_path / "x"), fmt="avro")
+
+
+def test_store_listings_skip_inflight_staging_dirs(spark, tmp_path):
+    """A committer staging file (<dir>/_temporary/.../part-0000.parquet)
+    has a clean basename but must never win a listing: hidden-prefix
+    components are filtered at EVERY level below the listing root, for
+    both most_recent_file and list_store_data_files."""
+    import os
+    import time
+
+    (tmp_path / "a.parquet").write_bytes(b"1")
+    staging = tmp_path / "_temporary" / "0" / "attempt_1"
+    staging.mkdir(parents=True)
+    inflight = staging / "part-0000.parquet"
+    inflight.write_bytes(b"partial")
+    now = time.time()
+    os.utime(tmp_path / "a.parquet", (now - 100, now - 100))
+    os.utime(inflight, (now, now))  # newest mtime, still must lose
+
+    got = FS.most_recent_file(f"file://{tmp_path}", "parquet", spark=spark)
+    assert got is not None and got.endswith("a.parquet")
+
+    listed = FS.list_store_data_files(spark, f"file://{tmp_path}")
+    assert [u.rsplit("/", 1)[-1] for u, _ in listed] == ["a.parquet"]

@@ -891,3 +891,19 @@ def test_agg_refresh_sink_cdc_ops(spark, tmp_path):
         SJ._apply_refresh_batch(bad, 2, str(table_dir), ["event_type"], specs, "op")
     # the failed batch must not have published anything
     assert (table_dir / "_current").read_text().strip() == "v1"
+
+
+def test_agg_refresh_cdc_null_op_fails_loudly(spark, tmp_path):
+    """A NULL op is 'unknown', not 'ignorable': isin() returns NULL
+    (not true) for it under three-valued logic, so without the isNull
+    guard the row silently vanishes from both folds."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    batch = spark.createDataFrame(
+        [("I", "a", 1.0), (None, "a", 2.0)],
+        "op string, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="unknown 'op' value None"):
+        SJ._apply_refresh_batch(batch, 0, str(table_dir), ["event_type"], specs, "op")
+    assert not (table_dir / "_current").exists()  # nothing published

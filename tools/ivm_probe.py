@@ -76,13 +76,17 @@ def build_history(spark, mult: int) -> str:
     return path
 
 
-def build_state(spark, hist_path: str, mult: int) -> tuple[str, float]:
+def build_state(spark, hist_path: str, mult: int) -> tuple[str, float | None]:
+    """Returns (path, build_seconds) - None when the state was cached
+    from a prior run, so a rerun never reports the exists() check as
+    the 'one linear pass' cost."""
     path = os.path.join(WORK, f"state_x{mult}")
+    if os.path.exists(path):
+        return path, None
     t0 = time.time()
-    if not os.path.exists(path):
-        IVM.partial_agg_state(
-            spark.read.parquet(hist_path), KEYS, SPECS
-        ).write.mode("overwrite").parquet(path)
+    IVM.partial_agg_state(
+        spark.read.parquet(hist_path), KEYS, SPECS
+    ).write.mode("overwrite").parquet(path)
     return path, round(time.time() - t0, 2)
 
 
@@ -139,10 +143,11 @@ def main() -> None:
         spark.catalog.clearCache()
         t_full = lap_recompute(spark, hist, delta)
         spark.catalog.clearCache()
-        rows.append((m, n_hist, n_groups, t_build, t_ref, t_full))
+        b = "cached" if t_build is None else f"{t_build:.2f}s"
+        rows.append((m, n_hist, n_groups, b, t_ref, t_full))
         print(
             f"x{m}: history={n_hist} groups={n_groups} delta={n_delta} "
-            f"state-build={t_build:.2f}s refresh={t_ref:.2f}s "
+            f"state-build={b} refresh={t_ref:.2f}s "
             f"recompute={t_full:.2f}s",
             flush=True,
         )
@@ -156,7 +161,7 @@ def main() -> None:
     print("\n| history | facts | groups | state build s | refresh s | full recompute s |")
     print("|---|---|---|---|---|---|")
     for m, nh, ng, tb, tr, tf in rows:
-        print(f"| x{m} | {nh:,} | {ng:,} | {tb:.2f} | {tr:.2f} | {tf:.2f} |")
+        print(f"| x{m} | {nh:,} | {ng:,} | {tb} | {tr:.2f} | {tf:.2f} |")
     print(
         f"\nper-decade alpha (over the x{rows[0][0]}->x{rows[-1][0]} span): "
         f"refresh {a_ref:.2f}, full recompute {a_full:.2f} "
