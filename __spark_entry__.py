@@ -96,10 +96,21 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # rotation budget drains the oldest green tier (r4).
 # r10 state: all 11 round-9 pins (the blocking-join re-plan, the three
 # grid-split lanes, MMR, WARC) were re-hashed green in CORRECTNESS_r09
-# and leave the set; the set is refilled at the r10 close from
+# and leave the set. r10 close:
 # `python tools/stale_audit.py compare 00633cf --hashed-round 9`
-# (00633cf = the r9 close rev the r09 hashes attest).
-REWRITTEN: set[str] = set()
+# (00633cf = the r9 close rev the r09 hashes attest) -> 5 STALE-GREEN,
+# pinned below: the fuzzy chain re-plans through the lever-threaded
+# row-level joins / pipeline entry points and the GOLD unique builder
+# now flows through the shared IVM state ops; wet_documents flows
+# through the hardened open_any_store/listing layer. The 7 ADDED
+# queries (the IVM lane) are never-checked and already sort first.
+REWRITTEN: set[str] = {
+    "fuzzy_lightcast_durations",
+    "fuzzy_salary_matches",
+    "fuzzy_salary_matches_topn",
+    "gold_salary_matches_unique",
+    "wet_documents",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
