@@ -192,6 +192,55 @@ def q_incremental_refresh_joined(spark, sf_dir):
     return IVM.finalize_agg_state(state, keys, _SPECS)
 
 
+@query(
+    "incremental_median_refresh",
+    """
+    SELECT o_orderpriority, TRUE AS median_rank_in_40_60
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_median_refresh(spark, sf_dir):
+    """IVM for the other aggregate scalar state cannot maintain:
+    per-group MEDIANS. The state is a mergeable KLL rank sketch per
+    group (approx_median kind - kll_sketch_agg_bigint partials,
+    kll_merge_agg_bigint merges over integer cents), maintained across
+    three delta batches. The sketch value is impl/merge-order-specific,
+    so the contract is the repo's kll_quantile_bound shape: the
+    fraction of ALL rows at or below the incrementally-maintained
+    median must sit in [0.40, 0.60] (default k=200 is ~1.3% rank
+    error - orders of magnitude inside). At 100 TB: the state is a
+    fixed-size sketch per group; an exact-median refresh would need
+    every historical value re-shuffled per run."""
+    o = table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    specs: list[IVM.AggSpec] = [("med_cents", _CENTS, "approx_median")]
+    base = o.filter(F.col("o_orderdate") < "1996-01-01")
+    d1 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-06-01")
+    )
+    d2 = o.filter(F.col("o_orderdate") >= "1997-06-01")
+    state = IVM.partial_agg_state(base, keys, specs)
+    state = IVM.incremental_agg_refresh(state, d1, keys, specs)
+    state = IVM.incremental_agg_refresh(state, d2, keys, specs)
+    med = IVM.finalize_agg_state(state, keys, specs)
+    vals = o.select("o_orderpriority", F.expr(_CENTS).alias("cents"))
+    ranked = (
+        vals.join(F.broadcast(med), keys)
+        .groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.when(F.col("cents") <= F.col("med_cents"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("frac_le")
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        F.col("frac_le").between(0.40, 0.60).alias("median_rank_in_40_60"),
+    )
+
+
 _LCENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
 
 

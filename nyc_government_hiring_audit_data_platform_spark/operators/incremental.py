@@ -62,9 +62,14 @@ AggSpec = tuple[str, str, str]
 # synopsis and the affected groups need a rebuild from facts - the
 # honest production contract (bounded state, loud degradation) instead
 # of a silent wrong answer or an unbounded per-group history.
+# approx_median: per-group medians/quantiles are the OTHER aggregate
+# scalar state cannot maintain; the state is a mergeable DataSketches
+# KLL sketch over BIGINT measures (feed integer cents), finalize reads
+# the 0.5 quantile. Insert-only (rank sketches do not retract). Default
+# k=200 carries ~1.3% rank error - the driver row pins the rank bound.
 _KINDS = (
     "sum", "count", "min", "max", "avg", "approx_distinct",
-    "retractable_max", "retractable_min",
+    "retractable_max", "retractable_min", "approx_median",
 )
 
 #: synopsis depth for retractable_max/min: per group the state holds at
@@ -102,6 +107,8 @@ def state_columns(specs: list[AggSpec]) -> list[str]:
         if kind in ("retractable_max", "retractable_min"):
             cols.append(f"{out}__topi")
             cols.append(f"{out}__topd")
+        if kind == "approx_median":
+            cols.append(f"{out}__kll")
     return cols
 
 
@@ -154,7 +161,7 @@ def partial_agg_state(
             ins_e, del_e = (top, empty) if sign == 1 else (empty, top)
             aggs.append(F.expr(ins_e).alias(f"{out}__topi"))
             aggs.append(F.expr(del_e).alias(f"{out}__topd"))
-        if kind in ("min", "max", "approx_distinct"):
+        if kind in ("min", "max", "approx_distinct", "approx_median"):
             if sign == -1:
                 raise ValueError(
                     f"{kind} is not retractable from state alone (spec {out!r}): "
@@ -165,6 +172,10 @@ def partial_agg_state(
                 )
             if kind == "approx_distinct":
                 aggs.append(F.hll_sketch_agg(e).alias(f"{out}__hll"))
+            elif kind == "approx_median":
+                aggs.append(
+                    F.kll_sketch_agg_bigint(e.cast("long")).alias(f"{out}__kll")
+                )
             else:
                 fn = F.min if kind == "min" else F.max
                 aggs.append(fn(e).alias(f"{out}__{kind}"))
@@ -197,6 +208,8 @@ def merge_agg_states(
             aggs.append(F.max(f"{out}__max").alias(f"{out}__max"))
         if kind == "approx_distinct":
             aggs.append(F.hll_union_agg(f"{out}__hll").alias(f"{out}__hll"))
+        if kind == "approx_median":
+            aggs.append(F.kll_merge_agg_bigint(f"{out}__kll").alias(f"{out}__kll"))
         if kind in ("retractable_max", "retractable_min"):
             asc = _synopsis_order(kind)
             for side in ("topi", "topd"):
@@ -276,6 +289,11 @@ def merge_states_joined(
         if kind == "approx_distinct":
             a, b = _pair("hll")
             cols.append(_nn(a, b, F.hll_union(a, b)).alias(f"{out}__hll"))
+        if kind == "approx_median":
+            a, b = _pair("kll")
+            cols.append(
+                _nn(a, b, F.kll_sketch_merge_bigint(a, b)).alias(f"{out}__kll")
+            )
         if kind in ("retractable_max", "retractable_min"):
             asc = _synopsis_order(kind)
             for side in ("topi", "topd"):
@@ -375,6 +393,12 @@ def finalize_agg_state(
             )
         elif kind == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"{out}__hll").alias(out))
+        elif kind == "approx_median":
+            cols.append(
+                F.kll_sketch_get_quantile_bigint(
+                    F.col(f"{out}__kll"), F.lit(0.5)
+                ).alias(out)
+            )
         elif kind in ("retractable_max", "retractable_min"):
             ok = (
                 f"__{out}_res.ok AND size(__{out}_res.arr) > 0 "

@@ -177,6 +177,37 @@ def test_retractable_state_merges_in_any_order(spark):
         assert got == {("a", 5, True, 2), ("b", 4, True, 1)}
 
 
+def test_approx_median_state_merges_and_refuses_retraction(spark):
+    """KLL sketch state: batches folded incrementally give a median
+    whose rank over the true values is sane (exact here - k=200 is
+    exact at tiny n), the joined merge path agrees, and retraction is
+    refused like every sketch kind."""
+    specs = [("med", "v", "approx_median")]
+    rows = [("a", v) for v in [1, 3, 5, 7, 9, 11, 13]] + [("b", 100), ("b", 200)]
+    b1, b2 = rows[:4], rows[4:]
+    state = IVM.partial_agg_state(_facts(spark, b1), ["k"], specs)
+    state = IVM.incremental_agg_refresh(state, _facts(spark, b2), ["k"], specs)
+    med = {
+        r["k"]: r["med"]
+        for r in IVM.finalize_agg_state(state, ["k"], specs).collect()
+    }
+    assert med["a"] in (5, 7, 9) and med["b"] in (100, 200)
+    joined = IVM.merge_states_joined(
+        IVM.partial_agg_state(_facts(spark, b1), ["k"], specs),
+        IVM.partial_agg_state(_facts(spark, b2), ["k"], specs),
+        ["k"],
+        specs,
+    )
+    med_j = {
+        r["k"]: r["med"]
+        for r in IVM.finalize_agg_state(joined, ["k"], specs).collect()
+    }
+    assert med_j["a"] in (5, 7, 9) and med_j["b"] in (100, 200)
+    assert IVM.state_columns(specs) == ["med__kll"]
+    with pytest.raises(ValueError, match="not retractable"):
+        IVM.partial_agg_state(_facts(spark, rows), ["k"], specs, sign=-1)
+
+
 def test_approx_distinct_state_merges_exactly_at_small_cardinality(spark):
     """HLL sketch state: batches folded in any order give the same
     estimate as a one-shot sketch, and at tiny cardinality the HLL
