@@ -902,6 +902,34 @@ def read_upsert_table(
     return spark.read.parquet(snap)
 
 
+def prune_snapshots(table_dir: str, keep_last: int = 3) -> list[str]:
+    """Retention for the snapshot-swap tables (upsert sink and IVM
+    refresh sink share the layout): delete all but the ``keep_last``
+    newest snapshots in publication order. The pointer target is
+    always retained even if it is not among the newest (a rolled-back
+    pointer must never dangle), so readers of the current version and
+    of any kept historical version are unaffected; time travel beyond
+    the horizon is the cost of the reclaimed space. Returns the names
+    deleted."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_upsert_versions(table_dir)
+    keep = set(versions[-keep_last:])
+    ptr = os.path.join(table_dir, "_current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            keep.add(f.read().strip())
+    dropped = []
+    for v in versions:
+        if v in keep:
+            continue
+        shutil.rmtree(os.path.join(table_dir, v))
+        dropped.append(v)
+    return dropped
+
+
 def list_upsert_versions(table_dir: str) -> list[str]:
     """Retained snapshot names in publication order, parsed from the
     names themselves (v{batch}[r{retry}]) - filesystem mtimes are not a

@@ -907,3 +907,32 @@ def test_agg_refresh_cdc_null_op_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown 'op' value None"):
         SJ._apply_refresh_batch(batch, 0, str(table_dir), ["event_type"], specs, "op")
     assert not (table_dir / "_current").exists()  # nothing published
+
+
+def test_prune_snapshots_keeps_current_and_newest(spark, tmp_path):
+    """Retention: all but keep_last newest snapshots delete; the
+    pointer target survives even when it is older than the horizon
+    (a rolled-back pointer must never dangle)."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    for i in range(5):
+        batch = spark.createDataFrame(
+            [(f"k{i}", float(i))], "event_type string, value double"
+        )
+        SJ._apply_refresh_batch(batch, i, str(table_dir), ["event_type"], specs)
+    assert SJ.list_upsert_versions(str(table_dir)) == [f"v{i}" for i in range(5)]
+
+    dropped = SJ.prune_snapshots(str(table_dir), keep_last=2)
+    assert dropped == ["v0", "v1", "v2"]
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v3", "v4"]
+    # current still reads fine
+    assert SJ.read_agg_table(spark, str(table_dir), ["event_type"], specs).count() == 5
+
+    # roll the pointer back to an old snapshot: pruning must keep it
+    (table_dir / "_current").write_text("v3")
+    dropped2 = SJ.prune_snapshots(str(table_dir), keep_last=1)
+    assert dropped2 == []  # v4 is newest, v3 is the pointer: both kept
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v3", "v4"]
+    with pytest.raises(ValueError, match="keep_last"):
+        SJ.prune_snapshots(str(table_dir), keep_last=0)
