@@ -489,7 +489,11 @@ def q_gold_unique_incremental(spark, sf_dir):
     The oracle is IDENTICAL to gold_salary_matches_unique's one-shot
     SQL - hash equality proves the reference's weekly full CTAS can be
     replaced by per-batch state folds with bit-identical output."""
-    matches = _matches(spark, sf_dir)
+    # persist: both parity batches filter the SAME fuzzy-match chain -
+    # uncached, the union of the two folds would run the blocked-join
+    # scoring pipeline twice (module caching contract: the harness
+    # clearCache()s between queries)
+    matches = _matches(spark, sf_dir).persist()
     b1 = matches.filter(F.col("post_id") % 2 == 0)
     b2 = matches.filter(F.col("post_id") % 2 == 1)
     state = HA.gold_matches_state(b1)

@@ -394,10 +394,18 @@ def finalize_agg_state(
         elif kind == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"{out}__hll").alias(out))
         elif kind == "approx_median":
+            # an all-NULL group yields an EMPTY (not NULL) sketch, and
+            # get_quantile THROWS on it - degrade to NULL like every
+            # other kind instead of poisoning the whole finalize
             cols.append(
-                F.kll_sketch_get_quantile_bigint(
-                    F.col(f"{out}__kll"), F.lit(0.5)
-                ).alias(out)
+                F.when(
+                    F.kll_sketch_get_n_bigint(F.col(f"{out}__kll")) > 0,
+                    F.kll_sketch_get_quantile_bigint(
+                        F.col(f"{out}__kll"), F.lit(0.5)
+                    ),
+                )
+                .otherwise(F.lit(None))
+                .alias(out)
             )
         elif kind in ("retractable_max", "retractable_min"):
             ok = (

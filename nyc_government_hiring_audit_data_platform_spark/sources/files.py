@@ -137,7 +137,13 @@ def most_recent_file(
     patterns = [os.path.join(path, f"*.{ext}"), os.path.join(path, "**", f"*.{ext}")]
     candidates: list[str] = []
     for p in patterns:
-        candidates.extend(glob.glob(p, recursive=True))
+        # same hidden-component rule as the store branch: glob skips
+        # dotfiles but matches underscore-prefixed components, so a
+        # committer staging file (_temporary/.../part-0000.parquet)
+        # would win the ctime race without this filter
+        candidates.extend(
+            c for c in glob.glob(p, recursive=True) if not _hidden_below(path, c)
+        )
     if not candidates:
         return None
     return max(candidates, key=os.path.getctime)

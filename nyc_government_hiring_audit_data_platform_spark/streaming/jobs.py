@@ -720,12 +720,17 @@ def _fresh_snapshot_name(table_dir: str, batch_id: int) -> str:
 def _publish_pointer(table_dir: str, snap: str) -> None:
     """Atomic pointer swap both sinks share: readers either see the old
     complete snapshot or the new one, never a half-write (local-fs
-    protocol; transactional table formats own this role on stores)."""
+    protocol; transactional table formats own this role on stores).
+    Every published name is also appended to ``_published.log`` - the
+    ledger that lets retention distinguish real history from
+    crash-before-swap orphan directories."""
     ptr = os.path.join(table_dir, "_current")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
         f.write(snap)
     os.replace(tmp, ptr)
+    with open(os.path.join(table_dir, "_published.log"), "a") as f:
+        f.write(snap + "\n")
 
 
 def _apply_refresh_batch(
@@ -905,18 +910,30 @@ def read_upsert_table(
 def prune_snapshots(table_dir: str, keep_last: int = 3) -> list[str]:
     """Retention for the snapshot-swap tables (upsert sink and IVM
     refresh sink share the layout): delete all but the ``keep_last``
-    newest snapshots in publication order. The pointer target is
-    always retained even if it is not among the newest (a rolled-back
-    pointer must never dangle), so readers of the current version and
-    of any kept historical version are unaffected; time travel beyond
-    the horizon is the cost of the reclaimed space. Returns the names
-    deleted."""
+    newest PUBLISHED snapshots. Published = named in ``_published.log``
+    (written by the pointer swap), so a crash-before-swap orphan
+    directory neither counts toward ``keep_last`` (it must not evict
+    real history) nor survives the prune (it is possibly half-written
+    and must not be offered as a readable version). The pointer target
+    is always retained even when older than the horizon (a rolled-back
+    pointer must never dangle). Tables that predate the ledger fall
+    back to treating every snapshot as published (prune-only-by-age,
+    the pre-ledger behavior). Single-writer assumption: run retention
+    from the table's owning job, not concurrently with a batch.
+    Returns the names deleted."""
     import shutil
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_upsert_versions(table_dir)
-    keep = set(versions[-keep_last:])
+    ledger_path = os.path.join(table_dir, "_published.log")
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            published_set = {line.strip() for line in f if line.strip()}
+        published = [v for v in versions if v in published_set]
+    else:
+        published = versions
+    keep = set(published[-keep_last:])
     ptr = os.path.join(table_dir, "_current")
     if os.path.exists(ptr):
         with open(ptr) as f:

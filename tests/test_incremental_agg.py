@@ -406,3 +406,22 @@ def test_refresh_plan_reads_state_not_base_facts(spark, tmp_path):
     assert got == _final(
         spark, [("a", 1), ("b", 10), ("b", 2), ("a", 5), ("c", 7)]
     )
+
+
+def test_approx_median_all_null_group_degrades_to_null(spark):
+    """An all-NULL group's KLL sketch is EMPTY (not NULL) and
+    get_quantile throws on it - finalize must degrade that group to
+    NULL like every other kind, not poison the whole job."""
+    specs = [("med", "v", "approx_median"), ("n", "v", "count")]
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 5)], "k string, v long"
+    )
+    state = IVM.partial_agg_state(df, ["k"], specs)
+    got = {
+        r["k"]: (r["med"], r["n"])
+        for r in IVM.finalize_agg_state(
+            state, ["k"], specs, drop_empty=False
+        ).collect()
+    }
+    assert got["a"] == (None, 0)
+    assert got["b"] == (5, 1)

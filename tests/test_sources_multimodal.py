@@ -792,3 +792,21 @@ def test_store_listings_skip_inflight_staging_dirs(spark, tmp_path):
 
     listed = FS.list_store_data_files(spark, f"file://{tmp_path}")
     assert [u.rsplit("/", 1)[-1] for u, _ in listed] == ["a.parquet"]
+
+
+def test_local_most_recent_file_skips_staging_dirs(tmp_path):
+    """The LOCAL glob branch enforces the same staging-file rule as the
+    store branch: an underscore-component path never wins the race."""
+    import os
+    import time
+
+    (tmp_path / "a.parquet").write_bytes(b"1")
+    staging = tmp_path / "_temporary" / "0"
+    staging.mkdir(parents=True)
+    inflight = staging / "part-0000.parquet"
+    inflight.write_bytes(b"partial")
+    now = time.time()
+    os.utime(tmp_path / "a.parquet", (now - 100, now - 100))
+    os.utime(inflight, (now, now))
+    got = FS.most_recent_file(str(tmp_path), "parquet")
+    assert got is not None and got.endswith("a.parquet")

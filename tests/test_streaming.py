@@ -936,3 +936,28 @@ def test_prune_snapshots_keeps_current_and_newest(spark, tmp_path):
     assert SJ.list_upsert_versions(str(table_dir)) == ["v3", "v4"]
     with pytest.raises(ValueError, match="keep_last"):
         SJ.prune_snapshots(str(table_dir), keep_last=0)
+
+
+def test_prune_snapshots_orphans_neither_count_nor_survive(spark, tmp_path):
+    """A crash-before-pointer-swap orphan directory must not evict real
+    published history from keep_last, and must not survive the prune
+    as a fake readable version."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(f"k{i}", float(i))], "event_type string, value double"
+        )
+        SJ._apply_refresh_batch(batch, i, str(table_dir), ["event_type"], specs)
+    # fabricate the crash leftover: a half-written v3 with no pointer swap
+    orphan = table_dir / "v3" / "state"
+    orphan.mkdir(parents=True)
+    (orphan / "part-junk.parquet").write_bytes(b"incomplete")
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v0", "v1", "v2", "v3"]
+
+    dropped = SJ.prune_snapshots(str(table_dir), keep_last=2)
+    # v1, v2 are the two newest PUBLISHED; the orphan v3 is deleted
+    # rather than counted (the old behavior kept v3 and evicted v1)
+    assert dropped == ["v0", "v3"]
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v1", "v2"]
