@@ -104,13 +104,10 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # now flows through the shared IVM state ops; wet_documents flows
 # through the hardened open_any_store/listing layer. The 7 ADDED
 # queries (the IVM lane) are never-checked and already sort first.
-REWRITTEN: set[str] = {
-    "fuzzy_lightcast_durations",
-    "fuzzy_salary_matches",
-    "fuzzy_salary_matches_topn",
-    "gold_salary_matches_unique",
-    "wet_documents",
-}
+# r11 open: all 5 r10 pins were re-hashed green in CORRECTNESS_r10 and
+# leave the set; the set is refilled at the r11 close from
+# `python tools/stale_audit.py compare <r10-close-rev> --hashed-round 10`.
+REWRITTEN: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -74,8 +74,29 @@ _KINDS = (
 
 #: synopsis depth for retractable_max/min: per group the state holds at
 #: most 2R values however many facts fold in; validity degrades only
-#: when one group accumulates >= R untracked-horizon retractions
+#: when one group accumulates >= R untracked-horizon retractions.
+#: The depth is PERSISTED in the state (``__synopsis_r`` column, present
+#: whenever a retractable spec is): finalize's exactness certificate
+#: must test the deletion-side cap against the R the state was BUILT
+#: with - a state built at R=4 finalized with the default 8 would pass
+#: ``size(topd) < 8`` while its deletion side had silently hit the cap
+#: at 4, emitting ok=TRUE for a possibly-wrong extreme. Merging states
+#: built at different R raises instead of guessing.
 SYNOPSIS_R = 8
+
+_SYNOPSIS_COL = "__synopsis_r"
+
+
+def _has_retractable(specs: list[AggSpec]) -> bool:
+    return any(kind in ("retractable_max", "retractable_min") for _, _, kind in specs)
+
+
+def _synopsis_mismatch_error(synopsis_r: int) -> str:
+    return (
+        f"state was built with a different synopsis_r than the {synopsis_r} "
+        "this merge/refresh was called with - the exactness certificate "
+        "would lie; rebuild the state or pass the matching synopsis_r"
+    )
 
 
 def _check_specs(specs: list[AggSpec]) -> None:
@@ -109,6 +130,8 @@ def state_columns(specs: list[AggSpec]) -> list[str]:
             cols.append(f"{out}__topd")
         if kind == "approx_median":
             cols.append(f"{out}__kll")
+    if _has_retractable(specs):
+        cols.append(_SYNOPSIS_COL)
     return cols
 
 
@@ -179,7 +202,12 @@ def partial_agg_state(
             else:
                 fn = F.min if kind == "min" else F.max
                 aggs.append(fn(e).alias(f"{out}__{kind}"))
-    return df.groupBy(*keys).agg(*aggs)
+    state = df.groupBy(*keys).agg(*aggs)
+    if _has_retractable(specs):
+        # the synopsis depth is part of the state, not a call-site
+        # convention: finalize's cap test must use the BUILD-time R
+        state = state.withColumn(_SYNOPSIS_COL, F.lit(synopsis_r).cast("int"))
+    return state
 
 
 def merge_agg_states(
@@ -219,6 +247,20 @@ def merge_agg_states(
                         f", {asc}), 1, {synopsis_r})"
                     ).alias(f"{out}__{side}")
                 )
+    if _has_retractable(specs):
+        # every merged row must carry the SAME build-time R as this
+        # call's truncation depth, else the re-truncated synopsis and
+        # the persisted certificate would disagree - refuse loudly
+        rmin, rmax = F.min(_SYNOPSIS_COL), F.max(_SYNOPSIS_COL)
+        aggs.append(
+            F.when(
+                (rmin != F.lit(synopsis_r)) | (rmax != F.lit(synopsis_r)),
+                F.raise_error(F.lit(_synopsis_mismatch_error(synopsis_r))),
+            )
+            .otherwise(F.lit(synopsis_r))
+            .cast("int")
+            .alias(_SYNOPSIS_COL)
+        )
     return unioned.groupBy(*keys).agg(*aggs)
 
 
@@ -303,6 +345,17 @@ def merge_states_joined(
                     f"{out}__{side}__r), {asc}), 1, {synopsis_r})"
                 )
                 cols.append(_nn(a, b, comb).alias(f"{out}__{side}"))
+    if _has_retractable(specs):
+        ra, rb = left[_SYNOPSIS_COL], r[_SYNOPSIS_COL + "__r"]
+        bad = (ra.isNotNull() & (ra != F.lit(synopsis_r))) | (
+            rb.isNotNull() & (rb != F.lit(synopsis_r))
+        )
+        cols.append(
+            F.when(bad, F.raise_error(F.lit(_synopsis_mismatch_error(synopsis_r))))
+            .otherwise(F.coalesce(ra, rb))
+            .cast("int")
+            .alias(_SYNOPSIS_COL)
+        )
     return j.select(*cols)
 
 
@@ -349,7 +402,11 @@ def finalize_agg_state(
     tracked insert; FALSE = the synopsis was exhausted - the deletion
     side hit its R cap, a tracked retraction found no tracked partner,
     or every tracked insert cancelled - and those groups need a
-    rebuild from facts)."""
+    rebuild from facts). The cap test uses the BUILD-time R persisted
+    in the state's ``__synopsis_r`` column, never the caller-supplied
+    ``synopsis_r`` (which only serves states persisted before the
+    column existed): a state built at R=4 finalized with the default 8
+    must not certify a cap-hit deletion side as exact."""
     _check_specs(specs)
     if drop_empty:
         cnt_cols = [
@@ -408,9 +465,14 @@ def finalize_agg_state(
                 .alias(out)
             )
         elif kind in ("retractable_max", "retractable_min"):
+            cap = (
+                _SYNOPSIS_COL
+                if _SYNOPSIS_COL in state.columns
+                else str(synopsis_r)
+            )
             ok = (
                 f"__{out}_res.ok AND size(__{out}_res.arr) > 0 "
-                f"AND size({out}__topd) < {synopsis_r}"
+                f"AND size({out}__topd) < {cap}"
             )
             cols.append(
                 F.expr(f"IF({ok}, get(__{out}_res.arr, 0), NULL)").alias(out)

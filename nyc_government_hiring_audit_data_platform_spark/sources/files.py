@@ -86,8 +86,18 @@ def _hidden_below(root: str, uri: str) -> bool:
     ``<root>/_temporary/0/.../part-0000.parquet`` has a clean basename
     but must never win a listing (it may be incomplete or vanish).
     The root itself is exempt so a user may point AT an
-    underscore-named directory deliberately."""
-    rel = uri[len(root):] if uri.startswith(root) else uri
+    underscore-named directory deliberately. The prefix strip is
+    separator-guarded: root ``/data/x`` must not match sibling
+    ``/data/xy/...`` (a bare startswith would slice mid-component and
+    misjudge hidden ancestors), and a uri equal to the root itself
+    strips to empty (not hidden)."""
+    base = root.rstrip("/")
+    if uri == base:
+        rel = ""
+    elif uri.startswith(base + "/"):
+        rel = uri[len(base) + 1:]
+    else:
+        rel = uri
     return any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
 
 
@@ -99,11 +109,14 @@ def most_recent_file(
     path; URI paths (``file://``, ``s3a://``, ``hdfs://``) route
     through the Hadoop FileSystem listing layer (the same API as
     :func:`list_store_data_files`) and pick the max
-    ``FileStatus.getModificationTime`` - object stores have no ctime,
-    and a recursive FS listing is the store-side way to resolve "the
-    newest drop". Ties break by URI for determinism (store listings
-    carry second-granularity mtimes). ``spark`` is required for URI
-    paths: the session's Hadoop configuration carries the store
+    ``FileStatus.getModificationTime``. BOTH branches rank by mtime
+    with a path tiebreak: the reference's ctime is inode-change time
+    on Linux, so a ``chmod``/``rsync -a`` could invert "newest"
+    between a local dir and the same dir behind a ``file:`` URI
+    (where Hadoop reports mtime) - one clock, same winner either way.
+    Ties break by path/URI for determinism (store listings carry
+    second-granularity mtimes). ``spark`` is required for URI paths:
+    the session's Hadoop configuration carries the store
     credentials."""
     ext = extension.lstrip(".")
     if "://" in path or path.startswith("file:"):
@@ -146,7 +159,9 @@ def most_recent_file(
         )
     if not candidates:
         return None
-    return max(candidates, key=os.path.getctime)
+    # mtime (not ctime) so this branch agrees with the Hadoop listing
+    # branch on the same directory; path tiebreak mirrors the URI one
+    return max(candidates, key=lambda c: (os.path.getmtime(c), c))
 
 
 def glob_any_store(pattern: str) -> list[str]:

@@ -723,14 +723,37 @@ def _publish_pointer(table_dir: str, snap: str) -> None:
     protocol; transactional table formats own this role on stores).
     Every published name is also appended to ``_published.log`` - the
     ledger that lets retention distinguish real history from
-    crash-before-swap orphan directories."""
+    crash-before-swap orphan directories.
+
+    Ordering matters twice here. (a) The ledger append happens BEFORE
+    the pointer swap: a crash between the two then leaves a ledgered
+    snapshot that never became current - fully written (the sink only
+    calls this after the snapshot's data landed) and harmless to
+    retain - whereas the opposite order would leave the CURRENT
+    snapshot unledgered, surviving only while it is the pointer target
+    and then pruned as an orphan, losing real published history.
+    (b) On a table that predates the ledger (snapshots exist,
+    ``_published.log`` absent), the first append seeds the ledger with
+    every already-existing snapshot name first; otherwise the new
+    ledger would contain only the new name and the next prune would
+    classify all pre-ledger history as crash orphans and delete it
+    regardless of ``keep_last``."""
     ptr = os.path.join(table_dir, "_current")
+    ledger = os.path.join(table_dir, "_published.log")
+    if not os.path.exists(ledger):
+        # Pre-ledger snapshots are indistinguishable from orphans, and
+        # the pre-ledger contract treated them all as published - keep
+        # that promise by grandfathering every existing name in.
+        preexisting = [v for v in list_upsert_versions(table_dir) if v != snap]
+        if preexisting:
+            with open(ledger, "a") as f:
+                f.write("".join(v + "\n" for v in preexisting))
+    with open(ledger, "a") as f:
+        f.write(snap + "\n")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
         f.write(snap)
     os.replace(tmp, ptr)
-    with open(os.path.join(table_dir, "_published.log"), "a") as f:
-        f.write(snap + "\n")
 
 
 def _apply_refresh_batch(

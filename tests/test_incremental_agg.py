@@ -111,7 +111,9 @@ def test_retractable_extremes_exact_within_synopsis(spark):
         tuple(r) for r in IVM.finalize_agg_state(state, ["k"], specs).collect()
     }
     assert got == {("a", 5, True, 1, True, 2), ("b", 10, True, 10, True, 1)}
-    assert IVM.state_columns(specs[:1]) == ["mx__topi", "mx__topd"]
+    assert IVM.state_columns(specs[:1]) == [
+        "mx__topi", "mx__topd", "__synopsis_r",
+    ]
 
 
 def test_retractable_synopsis_exhaustion_flags_not_lies(spark):
@@ -425,3 +427,42 @@ def test_approx_median_all_null_group_degrades_to_null(spark):
     }
     assert got["a"] == (None, 0)
     assert got["b"] == (5, 1)
+
+
+def test_synopsis_r_is_persisted_not_caller_supplied(spark):
+    """The exactness certificate must use the R the state was BUILT
+    with: a state built at R=2 whose deletion side hit its cap,
+    finalized with the default R=8, previously passed size(topd) < 8
+    and could certify a wrong extreme (round-11 ADVICE). Now the cap
+    rides the state's __synopsis_r column, and merging states built at
+    a different R than the merge's refuses loudly."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    specs = [("mx", "v", "retractable_max")]
+    ins = _facts(spark, [("z", i) for i in range(1, 7)])
+    dels = _facts(spark, [("z", 6), ("z", 5)])
+    st = IVM.partial_agg_state(ins, ["k"], specs, synopsis_r=2)
+    st = IVM.incremental_agg_refresh(st, dels, ["k"], specs, sign=-1, synopsis_r=2)
+    # finalize with the DEFAULT (8): stored R=2 governs - deletion side
+    # at its cap cannot certify
+    row = IVM.finalize_agg_state(st, ["k"], specs).collect()[0]
+    assert row["mx"] is None and row["mx_ok"] is False
+    # merging with a mismatched synopsis_r raises instead of guessing,
+    # through both merge shapes
+    other = IVM.partial_agg_state(ins, ["k"], specs)  # default R=8
+    with pytest.raises(Exception, match="synopsis_r"):
+        IVM.merge_agg_states([st, other], ["k"], specs).collect()
+    with pytest.raises(Exception, match="synopsis_r"):
+        IVM.merge_states_joined(st, other, ["k"], specs).collect()
+    # matched R everywhere still round-trips (control)
+    ok = IVM.merge_agg_states(
+        [IVM.partial_agg_state(ins, ["k"], specs, synopsis_r=4)],
+        ["k"], specs, synopsis_r=4,
+    )
+    row = IVM.finalize_agg_state(ok, ["k"], specs).collect()[0]
+    assert row["mx"] == 6 and row["mx_ok"] is True
+    # legacy states persisted WITHOUT the column fall back to the
+    # caller-supplied R (documented compatibility path)
+    legacy = st.drop("__synopsis_r")
+    row = IVM.finalize_agg_state(legacy, ["k"], specs, synopsis_r=2).collect()[0]
+    assert row["mx"] is None and row["mx_ok"] is False

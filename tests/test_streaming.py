@@ -961,3 +961,74 @@ def test_prune_snapshots_orphans_neither_count_nor_survive(spark, tmp_path):
     # rather than counted (the old behavior kept v3 and evicted v1)
     assert dropped == ["v0", "v3"]
     assert SJ.list_upsert_versions(str(table_dir)) == ["v1", "v2"]
+
+
+def test_prune_preserves_pre_ledger_history(spark, tmp_path):
+    """A table created before the ledger existed (snapshots on disk,
+    no _published.log): the FIRST post-upgrade publish must seed the
+    ledger with the pre-existing names, else the next prune classifies
+    all pre-ledger history as crash orphans and deletes it regardless
+    of keep_last (regression: round-11 ADVICE)."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(f"k{i}", float(i))], "event_type string, value double"
+        )
+        SJ._apply_refresh_batch(batch, i, str(table_dir), ["event_type"], specs)
+    # simulate the pre-ledger era: the ledger file never existed
+    (table_dir / "_published.log").unlink()
+
+    batch = spark.createDataFrame([("k3", 3.0)], "event_type string, value double")
+    SJ._apply_refresh_batch(batch, 3, str(table_dir), ["event_type"], specs)
+    with open(table_dir / "_published.log") as f:
+        ledgered = [line.strip() for line in f if line.strip()]
+    assert ledgered == ["v0", "v1", "v2", "v3"]  # grandfathered + new
+
+    dropped = SJ.prune_snapshots(str(table_dir), keep_last=3)
+    assert dropped == ["v0"]  # by age, NOT "everything pre-ledger"
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v1", "v2", "v3"]
+
+
+def test_ledger_append_precedes_pointer_swap(spark, tmp_path, monkeypatch):
+    """_publish_pointer must ledger the snapshot BEFORE the pointer
+    swap: a crash between the two then leaves a fully-written ledgered
+    snapshot (harmless to retain) instead of an unledgered CURRENT one
+    that the next prune deletes as an orphan - losing real history."""
+    import os as _os
+
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    for i in range(2):
+        batch = spark.createDataFrame(
+            [(f"k{i}", float(i))], "event_type string, value double"
+        )
+        SJ._apply_refresh_batch(batch, i, str(table_dir), ["event_type"], specs)
+
+    real_replace = _os.replace
+
+    def crash_before_swap(src, dst):
+        if _os.path.basename(dst) == "_current":
+            raise OSError("simulated crash between ledger append and swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(SJ.os, "replace", crash_before_swap)
+    batch = spark.createDataFrame([("k2", 2.0)], "event_type string, value double")
+    with pytest.raises(OSError, match="simulated crash"):
+        SJ._apply_refresh_batch(batch, 2, str(table_dir), ["event_type"], specs)
+    monkeypatch.undo()
+
+    # pointer still names the pre-crash snapshot; v2 is ledgered
+    assert (table_dir / "_current").read_text().strip() == "v1"
+    with open(table_dir / "_published.log") as f:
+        assert "v2" in {line.strip() for line in f}
+    # the ledgered-but-never-current v2 survives retention (it is
+    # fully written), and real history is intact
+    dropped = SJ.prune_snapshots(str(table_dir), keep_last=3)
+    assert dropped == []
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v0", "v1", "v2"]
+    # recovery: the replayed batch publishes a fresh snapshot normally
+    SJ._apply_refresh_batch(batch, 2, str(table_dir), ["event_type"], specs)
+    assert (table_dir / "_current").read_text().strip() == "v2r1"
