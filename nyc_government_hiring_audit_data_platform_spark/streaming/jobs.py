@@ -756,6 +756,17 @@ def _publish_pointer(table_dir: str, snap: str) -> None:
     os.replace(tmp, ptr)
 
 
+def _state_table_name(table_dir: str, snap: str) -> str:
+    """Deterministic catalog identifier for a snapshot's bucketed state
+    table, derived from (table_dir, snap) alone so retention can DROP
+    the entry for any snapshot directory - including a crash orphan
+    whose _meta.json never landed."""
+    import re
+
+    munged = re.sub(r"[^A-Za-z0-9_]+", "_", os.path.abspath(table_dir)).strip("_")
+    return f"ivm_state_{munged}_{snap}".lower()
+
+
 def _apply_refresh_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -763,6 +774,8 @@ def _apply_refresh_batch(
     keys: list[str],
     specs,
     op_col: str | None = None,
+    state_format: str = "parquet",
+    n_buckets: int | None = None,
 ) -> None:
     """One GOLD-refresh step for the streaming IVM sink: fold the batch
     into the current state snapshot and publish a fresh one.
@@ -781,24 +794,52 @@ def _apply_refresh_batch(
     this CANNOT absorb is a checkpoint reset (ids restart at 0 with
     different content): that requires a state rebuild, which is why
     ``run_agg_refresh_sink`` documents the checkpoint as part of the
-    table's durability story, not an optimization."""
+    table's durability story, not an optimization.
+
+    ``state_format="bucketed"`` is the production physical shape: each
+    snapshot's state persists as an EXTERNAL bucketed table (bucketed
+    on the group keys, data files still under the snapshot directory)
+    and the fold runs through ``merge_states_joined`` - the persisted
+    state participates as the bucketed side of a full-outer join and
+    is NEVER re-shuffled; only the batch's group-sized partials move.
+    The default parquet mode folds via ``merge_agg_states`` (union +
+    re-agg), which re-shuffles the whole state every batch because a
+    plain parquet scan carries no partitioning. Each snapshot's
+    ``_meta.json`` records the refresh plan's shuffle-Exchange count
+    (``exchanges``) so the no-shuffle claim is auditable on the sink's
+    OWN plan, not just in operator tests.
+
+    ``n_buckets`` defaults to the session's
+    ``spark.sql.shuffle.partitions`` so the delta's own aggregation
+    exchange already satisfies the join's distribution (mismatched
+    counts cost one extra delta-sized re-exchange - still never the
+    state side); once a table exists its recorded bucket count is
+    STICKY (read from the current snapshot's meta) because the bucket
+    count is a physical property of the persisted state, not a
+    per-batch knob."""
     import json as _json
 
     from nyc_government_hiring_audit_data_platform_spark.operators import (
         incremental as IVM,
     )
 
+    if state_format not in ("parquet", "bucketed"):
+        raise ValueError(
+            f"unknown state_format {state_format!r} (want 'parquet' or 'bucketed')"
+        )
     spark = batch_df.sparkSession
     ptr = os.path.join(table_dir, "_current")
     cur = None
+    cur_meta: dict = {}
     if os.path.exists(ptr):
         with open(ptr) as f:
             cur = f.read().strip()
         meta_path = os.path.join(table_dir, cur, "_meta.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                if _json.load(f).get("batch_id") == batch_id:
-                    return  # replay of an already-published batch
+                cur_meta = _json.load(f)
+            if cur_meta.get("batch_id") == batch_id:
+                return  # replay of an already-published batch
     cached = False
     try:
         if op_col is None:
@@ -833,20 +874,71 @@ def _apply_refresh_batch(
                 IVM.partial_agg_state(ins, keys, specs),
                 IVM.partial_agg_state(dels, keys, specs, sign=-1),
             ]
-        if cur is not None:
-            prev = spark.read.parquet(os.path.join(table_dir, cur, "state"))
-            parts = [prev] + parts
-        new_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
-            parts, keys, specs
-        )
         snap = _fresh_snapshot_name(table_dir, batch_id)
         snap_dir = os.path.join(table_dir, snap)
-        new_state.write.mode("overwrite").parquet(os.path.join(snap_dir, "state"))
+        if state_format == "bucketed":
+            from nyc_government_hiring_audit_data_platform_spark.plans import (
+                inspect as PI,
+            )
+
+            # the batch's partials (at most insert+retract) merge
+            # delta-sized first; the ONE fold against the big persisted
+            # state is then join-shaped, with the bucketed state side
+            # carrying no Exchange (only the delta's partials shuffle)
+            delta_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
+                parts, keys, specs
+            )
+            if cur is not None:
+                prev_tbl = cur_meta.get("state_table") or _state_table_name(
+                    table_dir, cur
+                )
+                new_state = IVM.merge_states_joined(
+                    spark.table(prev_tbl), delta_state, keys, specs
+                )
+            else:
+                new_state = delta_state
+            if cur_meta.get("n_buckets"):
+                n_buckets = cur_meta["n_buckets"]  # sticky per table
+            elif n_buckets is None:
+                n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            tname = _state_table_name(table_dir, snap)
+            # defensive: a manually-deleted snapshot dir can leave a
+            # stale catalog entry under the (deterministic) fresh name
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            exchanges = PI.shuffle_count(new_state)
+            (
+                new_state.write.mode("overwrite")
+                .bucketBy(n_buckets, *keys)
+                .option("path", os.path.join(snap_dir, "state"))
+                .saveAsTable(tname)
+            )
+            meta = {
+                "batch_id": batch_id,
+                "state_table": tname,
+                "n_buckets": n_buckets,
+                "exchanges": exchanges,
+            }
+        else:
+            from nyc_government_hiring_audit_data_platform_spark.plans import (
+                inspect as PI,
+            )
+
+            if cur is not None:
+                prev = spark.read.parquet(os.path.join(table_dir, cur, "state"))
+                parts = [prev] + parts
+            new_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
+                parts, keys, specs
+            )
+            exchanges = PI.shuffle_count(new_state)
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(snap_dir, "state")
+            )
+            meta = {"batch_id": batch_id, "exchanges": exchanges}
     finally:
         if cached:
             batch_df.unpersist()
     with open(os.path.join(snap_dir, "_meta.json"), "w") as f:
-        _json.dump({"batch_id": batch_id}, f)
+        _json.dump(meta, f)
     _publish_pointer(table_dir, snap)
 
 
@@ -857,6 +949,8 @@ def run_agg_refresh_sink(
     specs,
     checkpoint_dir: str,
     op_col: str | None = None,
+    state_format: str = "parquet",
+    n_buckets: int | None = None,
 ) -> None:
     """Streaming GOLD refresh: each micro-batch of facts folds into a
     persisted aggregate STATE table (``operators/incremental.py``
@@ -875,10 +969,25 @@ def run_agg_refresh_sink(
     ``op_col`` turns the stream CDC-shaped: rows marked 'I' fold as
     inserts and 'D' as exact retractions (sum/count/avg; other kinds
     refuse), so an ops log maintains the aggregate without replaying
-    history - unknown op values fail the batch loudly."""
+    history - unknown op values fail the batch loudly.
+
+    ``state_format="bucketed"`` persists each snapshot's state as an
+    external bucketed table (``n_buckets`` on the group keys,
+    defaulting to the session's shuffle partitions and sticky per
+    table thereafter) and folds via the join-shaped merge, so the
+    persisted state - the BIG side of every refresh at 100 TB - is
+    never re-shuffled; only the batch's group-sized partials move.
+    The snapshot's ``_meta.json`` records the refresh plan's Exchange
+    count as the audit trail.
+    Retention for bucketed tables needs the session: pass ``spark`` to
+    ``prune_snapshots`` so the catalog entries drop with their
+    directories."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda b, i: _apply_refresh_batch(b, i, table_dir, keys, specs, op_col)
+            lambda b, i: _apply_refresh_batch(
+                b, i, table_dir, keys, specs, op_col,
+                state_format=state_format, n_buckets=n_buckets,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -930,7 +1039,9 @@ def read_upsert_table(
     return spark.read.parquet(snap)
 
 
-def prune_snapshots(table_dir: str, keep_last: int = 3) -> list[str]:
+def prune_snapshots(
+    table_dir: str, keep_last: int = 3, spark: SparkSession | None = None
+) -> list[str]:
     """Retention for the snapshot-swap tables (upsert sink and IVM
     refresh sink share the layout): delete all but the ``keep_last``
     newest PUBLISHED snapshots. Published = named in ``_published.log``
@@ -941,9 +1052,17 @@ def prune_snapshots(table_dir: str, keep_last: int = 3) -> list[str]:
     is always retained even when older than the horizon (a rolled-back
     pointer must never dangle). Tables that predate the ledger fall
     back to treating every snapshot as published (prune-only-by-age,
-    the pre-ledger behavior). Single-writer assumption: run retention
+    the pre-ledger behavior; the first post-upgrade publish seeds the
+    ledger with those names). Single-writer assumption: run retention
     from the table's owning job, not concurrently with a batch.
-    Returns the names deleted."""
+    Returns the names deleted.
+
+    Bucketed-state tables (``state_format="bucketed"``) additionally
+    register a catalog entry per snapshot; pass ``spark`` so pruning
+    drops those entries with their directories - pruning a snapshot
+    whose meta names a state table WITHOUT a session raises rather
+    than leaving a catalog entry dangling over deleted files."""
+    import json as _json
     import shutil
 
     if keep_last < 1:
@@ -965,6 +1084,22 @@ def prune_snapshots(table_dir: str, keep_last: int = 3) -> list[str]:
     for v in versions:
         if v in keep:
             continue
+        meta_path = os.path.join(table_dir, v, "_meta.json")
+        tname = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                tname = _json.load(f).get("state_table")
+        if tname is None and spark is not None:
+            # a crash orphan may have a catalog entry but no meta; the
+            # name is deterministic, so drop-if-exists covers it
+            tname = _state_table_name(table_dir, v)
+        if tname is not None:
+            if spark is None:
+                raise ValueError(
+                    f"snapshot {v!r} has a bucketed state table {tname!r}; "
+                    "pass spark= so pruning can drop the catalog entry"
+                )
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
         shutil.rmtree(os.path.join(table_dir, v))
         dropped.append(v)
     return dropped

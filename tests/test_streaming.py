@@ -1032,3 +1032,85 @@ def test_ledger_append_precedes_pointer_swap(spark, tmp_path, monkeypatch):
     # recovery: the replayed batch publishes a fresh snapshot normally
     SJ._apply_refresh_batch(batch, 2, str(table_dir), ["event_type"], specs)
     assert (table_dir / "_current").read_text().strip() == "v2r1"
+
+
+def test_agg_refresh_sink_bucketed_state_no_reshuffle(spark, tmp_path):
+    """The production refresh shape (round-10 VERDICT ask #1): with
+    state_format='bucketed' the sink persists each snapshot's state as
+    an external bucketed table and folds via the join-shaped merge -
+    the persisted state side is never re-shuffled, only the batch's
+    partials move. Asserted on the SINK'S OWN refresh plan via the
+    exchange count each snapshot's _meta.json records, answers
+    hash-identical to the plain-parquet sink and the batch recompute."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+
+    def stream():
+        return SJ.read_events_stream(spark, str(src)).select(
+            "event_id", "event_type", "value"
+        )
+
+    def run(table_dir, ckpt, fmt):
+        SJ.run_agg_refresh_sink(
+            stream(), str(table_dir), ["event_type"], _IVM_SPECS, str(ckpt),
+            state_format=fmt,
+        )
+
+    buck_dir, plain_dir = tmp_path / "gold_b", tmp_path / "gold_p"
+    buck_dir.mkdir(), plain_dir.mkdir()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        run(buck_dir, tmp_path / "ckb", "bucketed")
+        run(plain_dir, tmp_path / "ckp", "parquet")
+        # second delta batch onto the same tables
+        ev = SJ.read_events_batch(spark, str(src)).select(
+            "event_id", "event_type", "value"
+        )
+        delta = ev.limit(400).withColumn(
+            "event_id", F.col("event_id") + 10_000_000
+        )
+        delta.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d"))
+        for i, f in enumerate((tmp_path / "d").glob("*.parquet")):
+            shutil.copy(f, src / f"b{i}.parquet")
+        run(buck_dir, tmp_path / "ckb", "bucketed")
+        run(plain_dir, tmp_path / "ckp", "parquet")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    got_b = sorted(map(tuple, SJ.read_agg_table(
+        spark, str(buck_dir), ["event_type"], _IVM_SPECS).collect()))
+    got_p = sorted(map(tuple, SJ.read_agg_table(
+        spark, str(plain_dir), ["event_type"], _IVM_SPECS).collect()))
+    all_facts = SJ.read_events_batch(spark, str(src)).select(
+        "event_id", "event_type", "value"
+    )
+    assert got_b == got_p == _ivm_want(all_facts) and len(got_b) > 0
+
+    # the plan gate, on the sink's own recorded refresh plans: the
+    # second batch's fold must shuffle LESS in bucketed mode (the
+    # state-side Exchange is gone; only the delta's partials move)
+    def meta(table_dir):
+        cur = (table_dir / "_current").read_text().strip()
+        with open(table_dir / cur / "_meta.json") as f:
+            return json.load(f)
+
+    mb, mp = meta(buck_dir), meta(plain_dir)
+    assert mb["state_table"].startswith("ivm_state_")
+    assert mb["exchanges"] < mp["exchanges"], (mb, mp)
+
+    # retention drops the catalog entry with the directory - and
+    # refuses to prune a bucketed snapshot without a session
+    with pytest.raises(ValueError, match="pass spark"):
+        SJ.prune_snapshots(str(buck_dir), keep_last=1)
+    dropped = SJ.prune_snapshots(str(buck_dir), keep_last=1, spark=spark)
+    assert dropped == ["v0"]
+    assert not spark.catalog.tableExists(
+        SJ._state_table_name(str(buck_dir), "v0")
+    )
+    # the surviving snapshot still reads
+    assert len(SJ.read_agg_table(
+        spark, str(buck_dir), ["event_type"], _IVM_SPECS).collect()) > 0

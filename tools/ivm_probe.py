@@ -25,6 +25,15 @@ lap each, clearCache between laps.
 
 Usage: python tools/ivm_probe.py [--mults 1,4,16]
 Prints a markdown table to append to SCALING.md (curated by hand).
+
+--merge-shapes [--mults N] adds the MERGE-SHAPE axis (round-10 VERDICT
+ask #1): at each history scale, one refresh of the SAME delta through
+(a) the union+re-agg merge over a plain parquet state (re-shuffles the
+whole state every batch) vs (b) the join-shaped merge over a BUCKETED
+state (state side never moves; only the delta's partials shuffle).
+Reports wall seconds, plan Exchange count, and measured shuffle WRITE
+bytes per refresh (from the status REST API), so the per-batch
+exchange byte drop is a number, not a plan-shape argument.
 """
 
 from __future__ import annotations
@@ -114,20 +123,101 @@ def lap_recompute(spark, hist_path: str, delta) -> float:
     )
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle write bytes across completed stages, from the
+    UI's REST API (the stable public surface for task metrics)."""
+    import json
+    import urllib.request
+
+    sc = spark.sparkContext
+    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+    with urllib.request.urlopen(url) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def lap_merge_shapes(spark, state_path: str, delta, mult: int):
+    """One refresh per merge shape over the same state + delta:
+    (union+re-agg over plain parquet) vs (joined over bucketed).
+    Returns rows of (shape, seconds, exchanges, shuffle_bytes)."""
+    from nyc_government_hiring_audit_data_platform_spark.plans import (
+        inspect as PI,
+    )
+
+    tbl = f"ivm_probe_state_x{mult}"
+    if not spark.catalog.tableExists(tbl):
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        bucket_path = os.path.join(WORK, f"state_bucketed_x{mult}")
+        if os.path.exists(bucket_path):
+            import shutil
+
+            shutil.rmtree(bucket_path)
+        (
+            spark.read.parquet(state_path)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *KEYS)
+            .option("path", bucket_path)
+            .saveAsTable(tbl)
+        )
+    out = []
+    for shape in ("union_reagg_parquet", "joined_bucketed"):
+        if shape == "union_reagg_parquet":
+            refreshed = IVM.incremental_agg_refresh(
+                spark.read.parquet(state_path), delta, KEYS, SPECS
+            )
+        else:
+            refreshed = IVM.incremental_agg_refresh_joined(
+                spark.table(tbl), delta, KEYS, SPECS
+            )
+        _noop(refreshed)  # warm
+        spark.catalog.clearCache()
+        b0 = _shuffle_write_bytes(spark)
+        secs = _noop(refreshed)
+        bytes_moved = _shuffle_write_bytes(spark) - b0
+        out.append((shape, secs, PI.shuffle_count(refreshed), bytes_moved))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,4,16")
+    ap.add_argument("--merge-shapes", action="store_true")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
     os.makedirs(WORK, exist_ok=True)
-    spark = get_spark(app_name="ivm-probe")
+    # the merge-shape axis reads task metrics off the UI's REST API
+    extra = {"spark.ui.enabled": "true"} if args.merge_shapes else None
+    spark = get_spark(app_name="ivm-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     delta = (
         spark.read.parquet(DELTA_SRC)
         .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(77_000_000_000))
     )
     n_delta = delta.count()
+
+    if args.merge_shapes:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        print("| history | shape | refresh s | plan exchanges | shuffle bytes |")
+        print("|---|---|---|---|---|")
+        try:
+            for m in mults:
+                hist = build_history(spark, m)
+                state_path, _ = build_state(spark, hist, m)
+                for shape, secs, nex, nbytes in lap_merge_shapes(
+                    spark, state_path, delta, m
+                ):
+                    print(
+                        f"| x{m} | {shape} | {secs:.2f} | {nex} | {nbytes:,} |",
+                        flush=True,
+                    )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        print(f"\n(fixed delta {n_delta} rows; bytes = measured shuffle "
+              "writes for the timed refresh lap)")
+        spark.stop()
+        return
 
     rows = []
     for m in mults:
