@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     # batches; the GOLD-refresh alternative to full recompute). The
     # retraction and rollup rows share the family (BENCH.md registry).
     "incremental_agg_refresh",
+    # round-11 addition: incremental fuzzy matching - a new plan family
+    # (persisted blocking-index probe for the delta batch + one-shot
+    # prior, unioned; the weekly-cadence alternative to the reference's
+    # full re-match).
+    "fuzzy_incremental_union",
 ]
 
 

@@ -238,6 +238,36 @@ def q_fuzzy_salary_matches(spark, sf_dir):
 
 
 @query(
+    "fuzzy_incremental_union",
+    f"WITH {_BASE_CTES} SELECT {_MATCH_COLS} FROM matches",
+)
+def q_fuzzy_incremental_union(spark, sf_dir):
+    """Incremental weekly-cadence matching (the reference re-matches ALL
+    payroll x postings weekly, src/fuzzy_flows.py:16-23): postings split
+    into a PRIOR batch (one-shot fuzzy_match_salary) and a DELTA batch
+    scored by probing the persisted payroll-title blocking index
+    (pipelines.hiring_audit.build_payroll_title_index /
+    incremental_fuzzy_match_salary). The oracle is the one-shot full
+    re-match SQL - hash equality IS the delta-fold ∪ prior == full
+    claim. post_id = p_partkey with p_partkey % 4 = 0, so % 8 splits
+    the postings into two non-trivial batches (0 mod 8 vs 4 mod 8)."""
+    payroll = payroll_from_part(spark, sf_dir)
+    postings = postings_from_part(spark, sf_dir)
+    prior_batch = postings.filter(F.col("post_id") % 8 == 0)
+    delta_batch = postings.filter(F.col("post_id") % 8 == 4)
+    prior = HA.fuzzy_match_salary(
+        payroll, prior_batch, prefilter_cutoff=1, score_cutoff=85,
+        join_fn=fuzzy_join_tokensort, row_key="post_id",
+    )
+    index = HA.build_payroll_title_index(payroll)
+    delta = HA.incremental_fuzzy_match_salary(
+        payroll, index, delta_batch, prefilter_cutoff=1, score_cutoff=85,
+        row_key="post_id",
+    )
+    return prior.unionByName(delta)
+
+
+@query(
     "fuzzy_salary_matches_topn",
     f"""
     WITH {_BASE_CTES}

@@ -275,6 +275,17 @@ def _salt_hot_blocks(
     return le2, re2
 
 
+def _blocking_keys(norm: Column) -> Column:
+    """The WRatio lane's blocking-key set for one normalized title:
+    whole tokens ∪ character 4-grams (see fuzzy_title_pairs for why
+    both classes are needed). Shared by the one-shot join and the
+    persisted-index incremental path so the two candidate sets are the
+    same by construction."""
+    toks = tokens(norm)
+    grams = char_shingles(norm, 4)
+    return F.array_distinct(F.concat(toks, grams))
+
+
 def fuzzy_title_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -338,16 +349,13 @@ def fuzzy_title_pairs(
         .withColumn("right_norm", normalize_text(F.col("right_title")))
     )
 
-    def _keys(norm: Column) -> Column:
-        toks = tokens(norm)
-        grams = char_shingles(norm, 4)
-        return F.array_distinct(F.concat(toks, grams))
-
     le = lt.select(
-        "left_title", "left_norm", F.explode(_keys(F.col("left_norm"))).alias("blk")
+        "left_title", "left_norm",
+        F.explode(_blocking_keys(F.col("left_norm"))).alias("blk"),
     )
     re_ = rt.select(
-        "right_title", "right_norm", F.explode(_keys(F.col("right_norm"))).alias("blk")
+        "right_title", "right_norm",
+        F.explode(_blocking_keys(F.col("right_norm"))).alias("blk"),
     )
     if max_block is not None:
         le = _cap_block_occupancy(le, "blk", ["left_norm", "left_title"], max_block)
@@ -364,6 +372,15 @@ def fuzzy_title_pairs(
         .select("left_title", "left_norm", "right_title", "right_norm")
         .distinct()
     )
+    return _score_candidate_pairs(cand, prefilter_cutoff, score_cutoff)
+
+
+def _score_candidate_pairs(
+    cand: DataFrame, prefilter_cutoff: int, score_cutoff: int
+) -> DataFrame:
+    """The WRatio lane's two scoring stages over a candidate pair set
+    (shared by the one-shot join and the incremental index probe, so
+    the scored output is the same function of the candidates)."""
     stage1 = cand.withColumn(
         "ts_ratio", token_set_ratio_udf(F.col("left_norm"), F.col("right_norm"))
     ).filter(F.col("ts_ratio") >= prefilter_cutoff)
@@ -519,6 +536,15 @@ def fuzzy_title_pairs_tokensort(
         joined = le.join(re_, join_cond).drop("salt")
     else:
         joined = le.join(re_, (F.col("tok") == F.col("rtok")) & len_ok)
+    return _score_tokensort_candidates(joined, min_shared_tokens, score_cutoff)
+
+
+def _score_tokensort_candidates(
+    joined: DataFrame, min_shared_tokens: int, score_cutoff: int
+) -> DataFrame:
+    """The tokensort lane's candidate dedup + stage-2 refinement over
+    the exploded token equi-join output (shared by the one-shot join
+    and the incremental index probe)."""
     cand = (
         joined.groupBy("left_title", "left_key", "right_title", "right_key")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -612,3 +638,128 @@ def fuzzy_join(
         .join(right, pairs_small["right_title"] == right[right_col])
     )
     return out.drop("left_title", "right_title")
+
+
+# ---------------------------------------------------------------------------
+# incremental fuzzy matching: persisted blocking index + delta probe
+# ---------------------------------------------------------------------------
+#
+# The reference re-matches ALL payroll x postings on every weekly run
+# (src/fuzzy_flows.py:16-23 schedules the full fuzzy_match_salary_flow
+# weekly; src/fuzzy_match_salary.py:27-189 always scans both sides in
+# full). At 100 TB that weekly cadence re-pays the whole blocking join
+# for a delta that is typically <1% of the corpus. The incremental lane
+# mirrors dedup's build_band_index/incremental_neardup: the STABLE side
+# (payroll titles - new payroll lands yearly, postings weekly) persists
+# ONCE as its exploded blocking index, and each postings batch probes
+# the index with cost O(|delta keys| + matched blocks) instead of
+# O(|payroll| + |postings|). Because a scored pair is a pure function of
+# the two titles and the candidate/scoring stages are the SAME code as
+# the one-shot join, (prior matches) UNION (delta probe) is row-identical
+# to the full re-match when the batches partition the postings - the
+# hash-verified claim of the fuzzy_incremental_union driver row.
+#
+# Index layout: one row per (blocking key, title). Persist it
+# partitioned/bucketed on the key column in production so a delta probe
+# shuffles only its own exploded keys (the dedup band index's contract).
+
+
+def build_fuzzy_title_index(right: DataFrame, right_col: str) -> DataFrame:
+    """Persisted index side of incremental WRatio matching: the stable
+    side's distinct normalized titles exploded into their blocking keys
+    (token ∪ char-4-gram - exactly :func:`fuzzy_title_pairs`'s lanes
+    via the shared :func:`_blocking_keys`). Columns (blk, right_title,
+    right_norm); size = O(sum of per-title key counts), linear."""
+    rt = (
+        right.select(F.col(right_col).alias("right_title"))
+        .where(F.col(right_col).isNotNull())
+        .distinct()
+        .withColumn("right_norm", normalize_text(F.col("right_title")))
+    )
+    return rt.select(
+        F.explode(_blocking_keys(F.col("right_norm"))).alias("blk"),
+        "right_title",
+        "right_norm",
+    )
+
+
+def incremental_fuzzy_pairs(
+    index: DataFrame,
+    delta_left: DataFrame,
+    left_col: str,
+    prefilter_cutoff: int,
+    score_cutoff: int,
+) -> DataFrame:
+    """Probe a :func:`build_fuzzy_title_index` with a delta batch of
+    left titles: same candidate generation (key equi-join, pair
+    distinct) and the same two scoring stages as
+    :func:`fuzzy_title_pairs` - output-identical to
+    ``fuzzy_title_pairs(delta_left, right, ...)`` (property-tested)
+    without touching the stable side's rows. Same 5-column output."""
+    lt = (
+        delta_left.select(F.col(left_col).alias("left_title"))
+        .where(F.col(left_col).isNotNull())
+        .distinct()
+        .withColumn("left_norm", normalize_text(F.col("left_title")))
+    )
+    le = lt.select(
+        "left_title", "left_norm",
+        F.explode(_blocking_keys(F.col("left_norm"))).alias("blk"),
+    )
+    cand = (
+        le.join(index, "blk")
+        .select("left_title", "left_norm", "right_title", "right_norm")
+        .distinct()
+    )
+    return _score_candidate_pairs(cand, prefilter_cutoff, score_cutoff)
+
+
+def build_tokensort_title_index(right: DataFrame, right_col: str) -> DataFrame:
+    """Persisted index side of incremental tokensort matching: the
+    stable side's distinct titles exploded into their token-sort-key
+    tokens (exactly :func:`fuzzy_title_pairs_tokensort`'s blocking).
+    Columns (tok, right_title, right_key)."""
+    rt = (
+        right.select(F.col(right_col).alias("right_title"))
+        .where(F.col(right_col).isNotNull())
+        .distinct()
+        .withColumn("right_key", token_sort_key(F.col("right_title")))
+    )
+    return rt.select(
+        F.explode(F.array_distinct(F.split("right_key", " "))).alias("tok"),
+        "right_title",
+        "right_key",
+    )
+
+
+def incremental_fuzzy_pairs_tokensort(
+    index: DataFrame,
+    delta_left: DataFrame,
+    left_col: str,
+    min_shared_tokens: int = 2,
+    score_cutoff: int = 85,
+) -> DataFrame:
+    """Probe a :func:`build_tokensort_title_index` with a delta batch:
+    token equi-join with the SAME lossless length prefilter riding in
+    the join condition, then the shared candidate dedup + levenshtein
+    stage - output-identical to ``fuzzy_title_pairs_tokensort(
+    delta_left, right, ...)`` (property-tested, and hash-verified
+    end-to-end by the fuzzy_incremental_union driver row)."""
+    lt = (
+        delta_left.select(F.col(left_col).alias("left_title"))
+        .where(F.col(left_col).isNotNull())
+        .distinct()
+        .withColumn("left_key", token_sort_key(F.col("left_title")))
+    )
+    le = lt.select(
+        "left_title",
+        "left_key",
+        F.explode(F.array_distinct(F.split("left_key", " "))).alias("ltok"),
+    )
+    len_ok = (
+        F.abs(F.length("left_key") - F.length("right_key"))
+        <= (F.lit(100 - score_cutoff) / F.lit(100.0))
+        * F.greatest(F.length("left_key"), F.length("right_key"))
+    )
+    joined = le.join(index, (F.col("ltok") == F.col("tok")) & len_ok)
+    return _score_tokensort_candidates(joined, min_shared_tokens, score_cutoff)

@@ -252,18 +252,8 @@ def fuzzy_match_salary(
     serializes into one task unless capped or salted. Defaults (all
     off) leave the plan byte-identical to the lever-free pipeline.
     """
-    pay = (
-        payroll.withColumn("fiscal_year", F.col("fiscal_year").cast("int"))
-        .filter(F.col("fiscal_year").between(year_start, year_end))
-        .drop("fiscal_year")
-    )
-    post = (
-        postings.withColumn("_ts", parse_posting_ts("posting_date"))
-        .filter(F.col("_ts").isNotNull())
-        .withColumn("posting_date", format_posting_ts("_ts"))
-        .drop("_ts")
-        .withColumn("post_until", impute_post_until("post_until", "posting_date"))
-    )
+    pay = _prep_payroll(payroll, year_start, year_end)
+    post = _prep_postings(postings)
     post_row = row_key or "_post_row"
     if limit is not None and row_key is None:
         # per-posting-ROW key for the top-N window (reference keys
@@ -276,6 +266,43 @@ def fuzzy_match_salary(
         prefilter_cutoff, score_cutoff,
         **_skew_kwargs(max_block, salt_buckets, hot_occupancy),
     )
+    return _band_limit_select(joined, limit, row_key, post_row, observation)
+
+
+def _prep_payroll(payroll: DataFrame, year_start: int, year_end: int) -> DataFrame:
+    """EP2a payroll prep (reference: src/fuzzy_match_salary.py:67-71):
+    cast fiscal_year, BETWEEN filter. Shared by the one-shot flow and
+    the incremental index build so both match over the SAME title
+    domain (the BETWEEN filter changes which titles exist)."""
+    return (
+        payroll.withColumn("fiscal_year", F.col("fiscal_year").cast("int"))
+        .filter(F.col("fiscal_year").between(year_start, year_end))
+        .drop("fiscal_year")
+    )
+
+
+def _prep_postings(postings: DataFrame) -> DataFrame:
+    """EP2a postings prep (reference: src/fuzzy_match_salary.py:73-91):
+    lenient timestamp parse + not-null + reformat, +30d imputation."""
+    return (
+        postings.withColumn("_ts", parse_posting_ts("posting_date"))
+        .filter(F.col("_ts").isNotNull())
+        .withColumn("posting_date", format_posting_ts("_ts"))
+        .drop("_ts")
+        .withColumn("post_until", impute_post_until("post_until", "posting_date"))
+    )
+
+
+def _band_limit_select(
+    joined: DataFrame,
+    limit: int | None,
+    row_key: str | None,
+    post_row: str,
+    observation,
+) -> DataFrame:
+    """EP2a post-join stages shared by the one-shot and incremental
+    flows: salary-band filter, optional per-posting-row top-N, the
+    declared 12-column projection, optional observe() metrics."""
     in_band = (
         (F.col("base_salary") >= F.col("salary_range_from"))
         & (F.col("base_salary") <= F.col("salary_range_to"))
@@ -313,6 +340,88 @@ def fuzzy_match_salary(
             F.round(F.avg("score"), 2).alias("avg_score"),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# EP2a incremental: persisted payroll-title index + weekly delta probe
+# ---------------------------------------------------------------------------
+
+
+def build_payroll_title_index(
+    payroll: DataFrame,
+    year_start: int = 2024,
+    year_end: int = 2025,
+    index_fn=None,
+) -> DataFrame:
+    """The persisted side of incremental salary matching: the PREPPED
+    payroll titles (same cast+BETWEEN as :func:`fuzzy_match_salary`, so
+    the title domain is identical) exploded into their blocking index
+    (operators.fuzzy.build_tokensort_title_index by default;
+    ``index_fn=build_fuzzy_title_index`` for the WRatio lane). Write it
+    once - partitioned/bucketed on the key column in production - and
+    every weekly postings batch probes it via
+    :func:`incremental_fuzzy_match_salary` instead of re-running the
+    full payroll x postings blocking join the reference schedules
+    weekly (src/fuzzy_flows.py:16-23)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    index_fn = index_fn or FZ.build_tokensort_title_index
+    return index_fn(
+        _prep_payroll(payroll, year_start, year_end), "title_description"
+    )
+
+
+def incremental_fuzzy_match_salary(
+    payroll: DataFrame,
+    title_index: DataFrame,
+    delta_postings: DataFrame,
+    year_start: int = 2024,
+    year_end: int = 2025,
+    prefilter_cutoff: int = 85,
+    score_cutoff: int = 85,
+    limit: int | None = None,
+    probe_fn=None,
+    row_key: str | None = None,
+    observation=None,
+) -> DataFrame:
+    """The weekly-cadence incremental twin of :func:`fuzzy_match_salary`:
+    score a DELTA postings batch against the persisted payroll title
+    index, then re-attach full rows and run the shared band-filter /
+    top-N / projection stages. Per-batch cost is O(|delta| + matched
+    index blocks) - the payroll side contributes only the (cheap,
+    AQE-broadcastable) row re-attach equi-join, never another blocking
+    join over its full title domain.
+
+    Because a scored pair is a pure function of the two titles and the
+    probe shares the one-shot join's candidate and scoring stages,
+    (prior matches) UNION (this delta's matches) is row-identical to
+    a full re-match when the batches partition the postings - the
+    hash-verified claim of the ``fuzzy_incremental_union`` driver row.
+    The per-posting-row ``limit`` composes too: the top-N window is
+    keyed per posting row, and a delta batch's rows are new.
+
+    ``probe_fn`` pairs with the index's builder:
+    ``incremental_fuzzy_pairs_tokensort`` (default; 4th positional arg
+    = min shared tokens, matching ``fuzzy_join_tokensort``'s use of
+    ``prefilter_cutoff``) or ``incremental_fuzzy_pairs`` (WRatio lane,
+    4th arg = token_set_ratio prefilter cutoff)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    probe_fn = probe_fn or FZ.incremental_fuzzy_pairs_tokensort
+    pay = _prep_payroll(payroll, year_start, year_end)
+    post = _prep_postings(delta_postings)
+    post_row = row_key or "_post_row"
+    if limit is not None and row_key is None:
+        post = post.withColumn("_post_row", F.monotonically_increasing_id())
+    pairs = probe_fn(
+        title_index, post, "business_title", prefilter_cutoff, score_cutoff
+    ).select("left_title", "right_title", "score")
+    joined = (
+        post.join(pairs, post["business_title"] == pairs["left_title"])
+        .join(pay, pairs["right_title"] == pay["title_description"])
+        .drop("left_title", "right_title")
+    )
+    return _band_limit_select(joined, limit, row_key, post_row, observation)
 
 
 # ---------------------------------------------------------------------------

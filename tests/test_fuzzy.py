@@ -728,3 +728,122 @@ def test_pipeline_levers_off_backward_compatible(spark):
         join_fn=legacy_join,
     )
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# incremental fuzzy matching: persisted blocking index + delta probe
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_probe_equals_one_shot_both_lanes(spark, tmp_path):
+    """The index probe is output-identical to the one-shot join on the
+    same inputs, for BOTH lanes (tokensort and WRatio) - including
+    through a PERSISTED index (parquet round-trip), the production
+    shape where the stable side was written in a previous run."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 500)
+    postings = HA.make_postings_fixture(spark, 100)
+
+    # tokensort lane
+    idx_path = str(tmp_path / "ts_index")
+    FZ.build_tokensort_title_index(payroll, "title_description").write.parquet(
+        idx_path
+    )
+    want = sorted(
+        map(
+            tuple,
+            FZ.fuzzy_title_pairs_tokensort(
+                postings, payroll, "business_title", "title_description", 1, 85
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            FZ.incremental_fuzzy_pairs_tokensort(
+                spark.read.parquet(idx_path), postings, "business_title", 1, 85
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # WRatio lane (token ∪ 4-gram keys)
+    idxw_path = str(tmp_path / "w_index")
+    FZ.build_fuzzy_title_index(payroll, "title_description").write.parquet(
+        idxw_path
+    )
+    want_w = sorted(
+        map(
+            tuple,
+            FZ.fuzzy_title_pairs(
+                postings, payroll, "business_title", "title_description", 70, 80
+            ).collect(),
+        )
+    )
+    got_w = sorted(
+        map(
+            tuple,
+            FZ.incremental_fuzzy_pairs(
+                spark.read.parquet(idxw_path), postings, "business_title", 70, 80
+            ).collect(),
+        )
+    )
+    assert got_w == want_w and len(got_w) > 0
+
+
+def test_incremental_match_union_equals_full_rematch(spark):
+    """The weekly-cadence claim end-to-end: prior matches (batch 1,
+    one-shot) UNION the index probe of a NEW batch equals the full
+    re-match over all postings - row-identical, including through the
+    per-posting-row top-N limit path."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 500)
+    postings = HA.make_postings_fixture(spark, 120).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    b1 = postings.filter(F.col("post_id") % 3 != 0)
+    b2 = postings.filter(F.col("post_id") % 3 == 0)
+    idx = HA.build_payroll_title_index(payroll)
+
+    for limit in (None, 2):
+        full = HA.fuzzy_match_salary(
+            payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=FZ.fuzzy_join_tokensort, limit=limit, row_key="post_id",
+        )
+        prior = HA.fuzzy_match_salary(
+            payroll, b1, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=FZ.fuzzy_join_tokensort, limit=limit, row_key="post_id",
+        )
+        delta = HA.incremental_fuzzy_match_salary(
+            payroll, idx, b2, prefilter_cutoff=1, score_cutoff=85,
+            limit=limit, row_key="post_id",
+        )
+        want = sorted(map(tuple, full.collect()))
+        got = sorted(map(tuple, prior.unionByName(delta).collect()))
+        assert got == want and len(got) > 0
+
+
+def test_incremental_probe_never_rescans_stable_side(spark, tmp_path):
+    """The incremental contract at the plan level: a delta probe reads
+    the INDEX files and the delta - the stable side's source path must
+    not appear in the probe's plan (the dedup band-index contract,
+    test_incremental_probe_never_shuffles_the_index's sibling)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    pay_path = str(tmp_path / "payroll_src")
+    HA.make_payroll_fixture(spark, 300).write.parquet(pay_path)
+    idx_path = str(tmp_path / "title_index")
+    FZ.build_tokensort_title_index(
+        spark.read.parquet(pay_path), "title_description"
+    ).write.parquet(idx_path)
+
+    delta = HA.make_postings_fixture(spark, 50)
+    probe = FZ.incremental_fuzzy_pairs_tokensort(
+        spark.read.parquet(idx_path), delta, "business_title", 1, 85
+    )
+    # inputFiles() is exact (plan toString truncates long paths)
+    files = probe.inputFiles()
+    assert files and all("title_index" in f for f in files)
+    assert not any("payroll_src" in f for f in files)
