@@ -286,10 +286,10 @@ def q_fuzzy_salary_matches_topn(spark, sf_dir):
     return _matches(spark, sf_dir, limit=3)
 
 
-@query(
-    "fuzzy_lightcast_durations",
-    f"""
-    WITH {_BASE_CTES},
+# the EP2b match CTEs (lightcast derivation + 75/75 tokensort pairs),
+# shared by the row-level durations oracle and the incremental DISTINCT
+# GOLD oracle so both verify the same match chain
+_LIGHTCAST_MATCH_CTES = f"""
     lightcast AS (
       SELECT p_name || 's' AS occ,
              p_partkey AS total_postings,
@@ -320,7 +320,14 @@ def q_fuzzy_salary_matches_topn(spark, sf_dir):
              CAST(ROUND({_LEV_SIM.format(a='lkey2', b='rkey2')}) AS INT) AS score2
       FROM cand2
       WHERE {_LEV_SIM.format(a='lkey2', b='rkey2')} >= 75
-    )
+    )"""
+
+
+@query(
+    "fuzzy_lightcast_durations",
+    f"""
+    WITH {_BASE_CTES},
+    {_LIGHTCAST_MATCH_CTES}
     SELECT p.business_title,
            l.occ AS "lightcast_matched_occupation",
            p.score2 AS "lightcast_match_score",
@@ -529,6 +536,42 @@ def q_gold_unique_incremental(spark, sf_dir):
     state = HA.gold_matches_state(b1)
     state = HA.gold_matches_state_refresh(state, b2)
     return HA.gold_salary_matches_unique_from_state(state)
+
+
+@query(
+    "gold_lightcast_unique_incremental",
+    f"""
+    WITH {_BASE_CTES},
+    {_LIGHTCAST_MATCH_CTES}
+    SELECT DISTINCT p.business_title AS title,
+           l.occ AS lightcast_matched_occupation,
+           l.total_postings,
+           l.median_duration AS median_posting_duration
+    FROM pairs2 p JOIN lightcast l ON p.occ = l.occ
+    """,
+)
+def q_gold_lightcast_unique_incremental(spark, sf_dir):
+    """EP3's DISTINCT GOLD table (sql/cleaned.sql:44-51) maintained
+    INCREMENTALLY: DISTINCT over batches is exactly a COUNT state keyed
+    by the full 4-column projection - a key is in the set iff its
+    retained count is > 0 (exact under retractions too: a key counting
+    to zero drops at finalize). Two batch folds (score parity splits
+    the durations rows) through HA.gold_durations_state /
+    gold_durations_state_refresh; the oracle is the one-shot
+    SELECT DISTINCT - hash equality proves the weekly full CTAS is
+    replaceable by per-batch folds."""
+    durations = HA.fuzzy_match_durations(
+        _matches(spark, sf_dir),
+        lightcast_from_part(spark, sf_dir),
+        prefilter_cutoff=1,
+        score_cutoff=75,
+        join_fn=fuzzy_join_tokensort,
+    ).persist()
+    b1 = durations.filter(F.col("lightcast_match_score") % 2 == 0)
+    b2 = durations.filter(F.col("lightcast_match_score") % 2 == 1)
+    state = HA.gold_durations_state(b1)
+    state = HA.gold_durations_state_refresh(state, b2)
+    return HA.gold_durations_unique_from_state(state)
 
 
 # ---------------------------------------------------------------------------

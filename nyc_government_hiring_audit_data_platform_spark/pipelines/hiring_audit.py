@@ -602,13 +602,84 @@ def gold_durations_unique(durations: DataFrame) -> DataFrame:
     """GOLD.nyc_matched_job_posting_duration_SOC_unique_title
     (sql/cleaned.sql:44-51): DISTINCT 4-column projection + sort."""
     return (
-        durations.select(
-            F.col("business_title").alias("title"),
-            F.col("lightcast_matched_occupation"),
-            F.col("Total Postings (Jan 2024 - Jun 2025)").alias("total_postings"),
-            F.col("Median Posting Duration").alias("median_posting_duration"),
-        )
+        _durations_projection(durations)
         .distinct()
+        .orderBy(F.desc("median_posting_duration"))
+    )
+
+
+# The DISTINCT GOLD table's incremental form: DISTINCT over a stream of
+# batches is exactly a COUNT state keyed by the full projection -
+# a row is in the distinct set iff its retained count is > 0. Exact
+# under inserts AND retractions (sign=-1 folds; a key retracting to
+# zero drops at finalize via drop_empty - the zombie-drop the count
+# kind already carries), so the reference's weekly full
+# CREATE TABLE ... AS SELECT DISTINCT (sql/cleaned.sql:44-51) becomes a
+# per-batch fold over O(|batch| + |distinct keys|) state.
+GOLD_DURATIONS_UNIQUE_KEYS = [
+    "title",
+    "lightcast_matched_occupation",
+    "total_postings",
+    "median_posting_duration",
+]
+GOLD_DURATIONS_UNIQUE_SPECS = [("n_rows", "1", "count")]
+
+
+def _durations_projection(durations: DataFrame) -> DataFrame:
+    """The GOLD unique table's 4-column rename projection, shared by the
+    one-shot DISTINCT and the incremental count-state builders."""
+    return durations.select(
+        F.col("business_title").alias("title"),
+        F.col("lightcast_matched_occupation"),
+        F.col("Total Postings (Jan 2024 - Jun 2025)").alias("total_postings"),
+        F.col("Median Posting Duration").alias("median_posting_duration"),
+    )
+
+
+def gold_durations_state(durations: DataFrame, sign: int = 1) -> DataFrame:
+    """Count state for one durations batch (``sign=-1`` builds the
+    retraction fold for deleted rows)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        incremental as IVM,
+    )
+
+    return IVM.partial_agg_state(
+        _durations_projection(durations),
+        GOLD_DURATIONS_UNIQUE_KEYS,
+        GOLD_DURATIONS_UNIQUE_SPECS,
+        sign=sign,
+    )
+
+
+def gold_durations_state_refresh(
+    state: DataFrame, new_durations: DataFrame, sign: int = 1
+) -> DataFrame:
+    """Fold a durations batch into the persisted DISTINCT state."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        incremental as IVM,
+    )
+
+    return IVM.incremental_agg_refresh(
+        state,
+        _durations_projection(new_durations),
+        GOLD_DURATIONS_UNIQUE_KEYS,
+        GOLD_DURATIONS_UNIQUE_SPECS,
+        sign=sign,
+    )
+
+
+def gold_durations_unique_from_state(state: DataFrame) -> DataFrame:
+    """The DISTINCT table from the count state alone: keys whose
+    retained count is positive (drop_empty), counts discarded."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        incremental as IVM,
+    )
+
+    return (
+        IVM.finalize_agg_state(
+            state, GOLD_DURATIONS_UNIQUE_KEYS, GOLD_DURATIONS_UNIQUE_SPECS
+        )
+        .select(*GOLD_DURATIONS_UNIQUE_KEYS)
         .orderBy(F.desc("median_posting_duration"))
     )
 

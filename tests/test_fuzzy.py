@@ -847,3 +847,45 @@ def test_incremental_probe_never_rescans_stable_side(spark, tmp_path):
     files = probe.inputFiles()
     assert files and all("title_index" in f for f in files)
     assert not any("payroll_src" in f for f in files)
+
+
+def test_gold_durations_unique_incremental_state(spark):
+    """The DISTINCT GOLD table as count state: two insert folds equal
+    the one-shot DISTINCT; retracting SOME copies of a duplicated row
+    keeps it in the set, retracting the LAST copy drops it - the
+    multiset semantics a key-set state cannot express."""
+    payroll = HA.make_payroll_fixture(spark, 400)
+    postings = HA.make_postings_fixture(spark, 80)
+    lightcast = HA.make_lightcast_fixture(spark, 40)
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    matches = HA.fuzzy_match_salary(
+        payroll, postings, prefilter_cutoff=1, join_fn=fuzzy_join_tokensort
+    )
+    durations = HA.fuzzy_match_durations(
+        matches, lightcast, prefilter_cutoff=1, score_cutoff=75,
+        join_fn=fuzzy_join_tokensort,
+    ).persist()
+    want = sorted(map(tuple, HA.gold_durations_unique(durations).collect()))
+
+    b1 = durations.filter(F.col("lightcast_match_score") % 2 == 0)
+    b2 = durations.filter(F.col("lightcast_match_score") % 2 == 1)
+    state = HA.gold_durations_state(b1)
+    state = HA.gold_durations_state_refresh(state, b2)
+    got = sorted(
+        map(tuple, HA.gold_durations_unique_from_state(state).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # retraction: delete ONE batch's copies - rows that also appear in
+    # the other batch survive (count still > 0), batch-exclusive rows
+    # drop; equals DISTINCT over the remaining multiset
+    state_r = HA.gold_durations_state_refresh(state, b2, sign=-1)
+    got_r = sorted(
+        map(tuple, HA.gold_durations_unique_from_state(state_r).collect())
+    )
+    want_r = sorted(map(tuple, HA.gold_durations_unique(b1).collect()))
+    assert got_r == want_r
+    durations.unpersist()
