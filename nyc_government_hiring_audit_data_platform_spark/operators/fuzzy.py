@@ -763,3 +763,28 @@ def incremental_fuzzy_pairs_tokensort(
     )
     joined = le.join(index, (F.col("ltok") == F.col("tok")) & len_ok)
     return _score_tokensort_candidates(joined, min_shared_tokens, score_cutoff)
+
+
+def extend_title_index(
+    index: DataFrame,
+    new_right: DataFrame,
+    right_col: str,
+    index_fn=None,
+) -> DataFrame:
+    """Maintain the INDEX side incrementally: the append-delta of index
+    rows for titles in ``new_right`` that the persisted index does not
+    already carry (anti-join on the title - the index stores one row
+    per key x title, so title presence is the dedup unit). Append the
+    returned rows to the persisted index (a file append, no rewrite):
+    ``index(old) ∪ extend_title_index(index(old), new)`` ==
+    ``index(old ∪ new)`` (property-tested for both lanes). Works for
+    either index layout - both carry ``right_title``. Cost:
+    O(|new titles| + index-title anti-join probe); at scale broadcast
+    the NEW side's distinct titles (a weekly batch is small) so the
+    index never shuffles."""
+    index_fn = index_fn or build_tokensort_title_index
+    fresh = index_fn(new_right, right_col)
+    existing = index.select("right_title").distinct()
+    return fresh.join(existing, "right_title", "left_anti").select(
+        *index.columns
+    )

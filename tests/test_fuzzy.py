@@ -889,3 +889,33 @@ def test_gold_durations_unique_incremental_state(spark):
     want_r = sorted(map(tuple, HA.gold_durations_unique(b1).collect()))
     assert got_r == want_r
     durations.unpersist()
+
+
+def test_extend_title_index_equals_rebuild_both_lanes(spark):
+    """Index-side maintenance: appending extend_title_index's delta to
+    the old index equals rebuilding over the unioned corpus, for both
+    lanes - already-indexed titles contribute NO new rows (re-ingesting
+    the same payroll is a no-op), genuinely new titles contribute all
+    their key rows."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    old = HA.make_payroll_fixture(spark, 300)
+    new = HA.make_payroll_fixture(spark, 420)  # superset stems + overlap
+
+    for index_fn in (FZ.build_tokensort_title_index, FZ.build_fuzzy_title_index):
+        idx_old = index_fn(old, "title_description")
+        delta = FZ.extend_title_index(idx_old, new, "title_description", index_fn)
+        got = sorted(map(tuple, idx_old.unionByName(delta).collect()))
+        want = sorted(
+            map(
+                tuple,
+                index_fn(
+                    old.unionByName(new), "title_description"
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        # idempotence: re-extending with already-indexed titles is empty
+        assert FZ.extend_title_index(
+            idx_old.unionByName(delta), new, "title_description", index_fn
+        ).count() == 0

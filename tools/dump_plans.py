@@ -109,6 +109,14 @@ SHOWCASE = {
         "equi-joins - no Window over the whole event log; AQE picks the "
         "join strategy for the user-dimension tables."
     ),
+    "fuzzy_incremental_union": (
+        "Incremental weekly re-match: the prior batch's one-shot chain "
+        "unions the DELTA batch scored by probing the persisted "
+        "payroll-title blocking index - the stable side contributes a "
+        "linear index scan instead of re-running its half of the "
+        "blocking join; plan-gated never to rescan the payroll source "
+        "(SCALING.md r11)."
+    ),
     "token_set_kernel": (
         "The published fuzzy scorer runs as ONE ArrowEvalPython node "
         "over the blocked pair set - Python touches candidates only, "
