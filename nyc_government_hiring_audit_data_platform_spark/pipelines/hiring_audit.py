@@ -788,3 +788,65 @@ def gold_tables_sql(
     matches.createOrReplaceTempView("bronze_salary_matches")
     durations.createOrReplaceTempView("bronze_lightcast_durations")
     return {name: spark.sql(q) for name, q in GOLD_SQL.items()}
+
+
+# ---------------------------------------------------------------------------
+# EP2a streaming: weekly postings batches matched at ingest time
+# ---------------------------------------------------------------------------
+
+
+def run_fuzzy_match_ingest(
+    stream_postings: DataFrame,
+    payroll: DataFrame,
+    index_dir: str,
+    matches_dir: str,
+    checkpoint_dir: str,
+    year_start: int = 2024,
+    year_end: int = 2025,
+    prefilter_cutoff: int = 85,
+    score_cutoff: int = 85,
+    limit: int | None = None,
+    probe_fn=None,
+    row_key: str | None = None,
+) -> None:
+    """The reference's weekly cron re-match (src/fuzzy_flows.py:16-23)
+    as a streaming ingest loop: each postings micro-batch is scored by
+    probing the PERSISTED payroll-title index
+    (:func:`incremental_fuzzy_match_salary`) and its matches land in
+    a per-batch subdirectory of ``matches_dir`` - per-batch cost
+    O(|batch| + matched index blocks), the payroll blocking work paid
+    once at index-build time, never per week.
+
+    Writes are REPLAY-IDEMPOTENT by construction (the dedup-ingest
+    sink's recipe, streaming/curation.py:run_dedup_ingest): a batch's
+    matches are a pure function of (batch, index, payroll), and each
+    batch overwrites its own ``b{batch_id}`` subdirectory - a replay
+    recomputes identical content. availableNow + awaitTermination.
+    Read the accumulated matches back with
+    :func:`read_ingested_matches`; totals equal the one-shot full
+    re-match over the same postings (tested)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_dir)
+        matches = incremental_fuzzy_match_salary(
+            payroll, index, batch_df,
+            year_start=year_start, year_end=year_end,
+            prefilter_cutoff=prefilter_cutoff, score_cutoff=score_cutoff,
+            limit=limit, probe_fn=probe_fn, row_key=row_key,
+        )
+        matches.write.mode("overwrite").parquet(f"{matches_dir}/b{batch_id}")
+
+    q = (
+        stream_postings.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_ingested_matches(spark: SparkSession, matches_dir: str) -> DataFrame:
+    """All matches produced by ``run_fuzzy_match_ingest`` (union of the
+    per-batch subdirectories)."""
+    return spark.read.parquet(f"{matches_dir}/b*")

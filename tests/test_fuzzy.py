@@ -919,3 +919,115 @@ def test_extend_title_index_equals_rebuild_both_lanes(spark):
         assert FZ.extend_title_index(
             idx_old.unionByName(delta), new, "title_description", index_fn
         ).count() == 0
+
+
+def test_fuzzy_match_ingest_stream_equals_full_rematch(spark, tmp_path):
+    """The streaming form of the weekly loop: postings arriving as file
+    micro-batches are matched at ingest time by probing the persisted
+    index; the accumulated per-batch matches equal the one-shot full
+    re-match, and a replayed batch (fresh checkpoint) overwrites its
+    own subdirectory with identical content - no duplicates."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll = HA.make_payroll_fixture(spark, 400)
+    postings = HA.make_postings_fixture(spark, 100).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    idx_path = str(tmp_path / "title_index")
+    HA.build_payroll_title_index(payroll).write.parquet(idx_path)
+
+    src = tmp_path / "postings_src"
+    src.mkdir()
+    b1 = postings.filter(F.col("post_id") % 2 == 0)
+    b2 = postings.filter(F.col("post_id") % 2 == 1)
+    b1.coalesce(1).write.parquet(str(tmp_path / "w1"))
+    for i, f in enumerate((tmp_path / "w1").glob("*.parquet")):
+        shutil.copy(f, src / f"a{i}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(postings.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    matches_dir = str(tmp_path / "matches")
+    HA.run_fuzzy_match_ingest(
+        stream(), payroll, idx_path, matches_dir, str(tmp_path / "ck"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    # second weekly batch arrives; same checkpoint continues
+    b2.coalesce(1).write.parquet(str(tmp_path / "w2"))
+    for i, f in enumerate((tmp_path / "w2").glob("*.parquet")):
+        shutil.copy(f, src / f"b{i}.parquet")
+    HA.run_fuzzy_match_ingest(
+        stream(), payroll, idx_path, matches_dir, str(tmp_path / "ck"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # replay: a FRESH checkpoint re-delivers batch 0; the overwrite is
+    # content-identical, so accumulated matches are unchanged
+    HA.run_fuzzy_match_ingest(
+        stream(), payroll, idx_path, matches_dir, str(tmp_path / "ck2"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    again = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    assert again == want
+
+
+def test_bucketed_index_probe_never_shuffles_index(spark, tmp_path):
+    """The 100 TB probe shape: with the title index persisted BUCKETED
+    on the blocking key, the delta probe's equi-join moves only the
+    delta's exploded keys - the index side carries no Exchange, while
+    the plain-parquet index must shuffle for the same join."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        bucketing as B,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    payroll = HA.make_payroll_fixture(spark, 500)
+    delta = HA.make_postings_fixture(spark, 40)
+    idx = FZ.build_tokensort_title_index(payroll, "title_description")
+    B.write_bucketed(idx, "fuzzy_title_index_bucketed", ["tok"], 8)
+    plain_path = str(tmp_path / "index_plain")
+    idx.write.parquet(plain_path)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = FZ.incremental_fuzzy_pairs_tokensort(
+            spark.table("fuzzy_title_index_bucketed"), delta,
+            "business_title", 1, 85,
+        )
+        plain = FZ.incremental_fuzzy_pairs_tokensort(
+            spark.read.parquet(plain_path), delta, "business_title", 1, 85
+        )
+        n_b, n_p = PI.shuffle_count(bucketed), PI.shuffle_count(plain)
+        assert n_b < n_p, (n_b, n_p)  # the index-side Exchange is gone
+        got = sorted(map(tuple, bucketed.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS fuzzy_title_index_bucketed")
