@@ -778,11 +778,22 @@ def extend_title_index(
     returned rows to the persisted index (a file append, no rewrite):
     ``index(old) ∪ extend_title_index(index(old), new)`` ==
     ``index(old ∪ new)`` (property-tested for both lanes). Works for
-    either index layout - both carry ``right_title``. Cost:
+    either index layout: when ``index_fn`` is not supplied it is
+    INFERRED from the index's own columns (``blk`` = the WRatio lane,
+    ``tok`` = the tokensort lane) - a guessed default would build the
+    wrong layout and crash the select for one of the two lanes. Cost:
     O(|new titles| + index-title anti-join probe); at scale broadcast
     the NEW side's distinct titles (a weekly batch is small) so the
     index never shuffles."""
-    index_fn = index_fn or build_tokensort_title_index
+    if index_fn is None:
+        if "blk" in index.columns:
+            index_fn = build_fuzzy_title_index
+        elif "tok" in index.columns:
+            index_fn = build_tokensort_title_index
+        else:
+            raise ValueError(
+                f"unrecognized index layout {index.columns}; pass index_fn"
+            )
     fresh = index_fn(new_right, right_col)
     existing = index.select("right_title").distinct()
     return fresh.join(existing, "right_title", "left_anti").select(

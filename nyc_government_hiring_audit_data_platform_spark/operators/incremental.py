@@ -91,6 +91,15 @@ def _has_retractable(specs: list[AggSpec]) -> bool:
     return any(kind in ("retractable_max", "retractable_min") for _, _, kind in specs)
 
 
+def _with_synopsis_col(state: DataFrame, synopsis_r: int) -> DataFrame:
+    """Legacy normalization: stamp the caller-supplied depth onto a
+    state persisted before ``__synopsis_r`` existed (the documented
+    compatibility contract - the caller's R governs legacy states)."""
+    if _SYNOPSIS_COL in state.columns:
+        return state
+    return state.withColumn(_SYNOPSIS_COL, F.lit(synopsis_r).cast("int"))
+
+
 def _synopsis_mismatch_error(synopsis_r: int) -> str:
     return (
         f"state was built with a different synopsis_r than the {synopsis_r} "
@@ -223,6 +232,13 @@ def merge_agg_states(
     _check_specs(specs)
     if not states:
         raise ValueError("need at least one state to merge")
+    if _has_retractable(specs):
+        # legacy compatibility (same contract as finalize's fallback):
+        # a state persisted before the __synopsis_r column existed is
+        # taken to have been built at the CALLER-supplied depth - else
+        # the union below fails on the missing column and a running
+        # production table bricks on upgrade instead of merging
+        states = [_with_synopsis_col(s, synopsis_r) for s in states]
     unioned = reduce(DataFrame.unionByName, states)
     aggs: list[Column] = []
     for out, _, kind in specs:
@@ -296,6 +312,10 @@ def merge_states_joined(
     def _nn(a: Column, b: Column, combined: Column) -> Column:
         return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(combined)
 
+    if _has_retractable(specs):
+        # same legacy normalization as merge_agg_states
+        left = _with_synopsis_col(left, synopsis_r)
+        right = _with_synopsis_col(right, synopsis_r)
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, c + "__r")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterable
+from functools import reduce
 
 import pandas as pd
 
@@ -760,11 +761,46 @@ def _state_table_name(table_dir: str, snap: str) -> str:
     """Deterministic catalog identifier for a snapshot's bucketed state
     table, derived from (table_dir, snap) alone so retention can DROP
     the entry for any snapshot directory - including a crash orphan
-    whose _meta.json never landed."""
+    whose _meta.json never landed. An md5 digest of the exact absolute
+    path is part of the name: the readable munged form alone collides
+    across distinct dirs ('/data/gold-x' and '/data/gold_x' both munge
+    to data_gold_x), and a collision would let one table's defensive
+    DROP/prune destroy another live table's catalog entry."""
+    import hashlib
     import re
 
-    munged = re.sub(r"[^A-Za-z0-9_]+", "_", os.path.abspath(table_dir)).strip("_")
-    return f"ivm_state_{munged}_{snap}".lower()
+    path = os.path.abspath(table_dir)
+    munged = re.sub(r"[^A-Za-z0-9_]+", "_", path).strip("_").lower()
+    digest = hashlib.md5(path.encode()).hexdigest()[:10]
+    return f"ivm_state_{munged[-48:].strip('_')}_{digest}_{snap}".lower()
+
+
+def _resolve_state_table(
+    spark: SparkSession, table_dir: str, cur: str, cur_meta: dict, keys: list[str]
+) -> DataFrame:
+    """The previous snapshot's bucketed state as a catalog table,
+    re-registering it when this session's catalog has never seen it.
+    The default session catalog is in-memory (session-scoped, no Hive
+    metastore - session.py), and an availableNow sink's normal cadence
+    is repeated short-lived runs: after a restart the snapshot's data
+    files are all that survives, so the table is re-created as an
+    EXTERNAL bucketed table over them (same bucket spec the writer
+    recorded in the snapshot meta - the files' layout matches it by
+    construction)."""
+    tname = cur_meta.get("state_table") or _state_table_name(table_dir, cur)
+    if not spark.catalog.tableExists(tname):
+        path = os.path.join(table_dir, cur, "state")
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        key_list = ", ".join(f"`{k}`" for k in keys)
+        spark.sql(
+            f"CREATE TABLE {tname} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key_list}) INTO {cur_meta['n_buckets']} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(tname)
 
 
 def _apply_refresh_batch(
@@ -888,13 +924,35 @@ def _apply_refresh_batch(
             delta_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
                 parts, keys, specs
             )
+            # the joined merge's plain key equality does NOT combine
+            # null-keyed groups (merge_states_joined docstring) - the
+            # parquet mode's groupBy merge does. Refuse loudly instead
+            # of silently accumulating one state row per batch for the
+            # null group; the check runs on the GROUP-SIZED partials.
+            null_key = reduce(
+                lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+            )
+            if delta_state.where(null_key).take(1):
+                raise ValueError(
+                    "state_format='bucketed' requires non-null group keys "
+                    f"(batch {batch_id} has a null-keyed group); use the "
+                    "parquet format or filter/impute the keys"
+                )
             if cur is not None:
-                prev_tbl = cur_meta.get("state_table") or _state_table_name(
-                    table_dir, cur
-                )
-                new_state = IVM.merge_states_joined(
-                    spark.table(prev_tbl), delta_state, keys, specs
-                )
+                if cur_meta.get("state_table") or cur_meta.get("n_buckets"):
+                    prev = _resolve_state_table(
+                        spark, table_dir, cur, cur_meta, keys
+                    )
+                else:
+                    # format switch: the current snapshot was written by
+                    # the parquet mode (no bucket layout on disk) - read
+                    # it as plain parquet for this one transition fold
+                    # (the state side shuffles once); the NEW snapshot
+                    # is bucketed and every later fold is shuffle-free
+                    prev = spark.read.parquet(
+                        os.path.join(table_dir, cur, "state")
+                    )
+                new_state = IVM.merge_states_joined(prev, delta_state, keys, specs)
             else:
                 new_state = delta_state
             if cur_meta.get("n_buckets"):

@@ -904,7 +904,10 @@ def test_extend_title_index_equals_rebuild_both_lanes(spark):
 
     for index_fn in (FZ.build_tokensort_title_index, FZ.build_fuzzy_title_index):
         idx_old = index_fn(old, "title_description")
-        delta = FZ.extend_title_index(idx_old, new, "title_description", index_fn)
+        # index_fn deliberately NOT passed: the builder is inferred from
+        # the index's own layout (a guessed default would build the
+        # wrong layout for one of the two lanes - review finding r11)
+        delta = FZ.extend_title_index(idx_old, new, "title_description")
         got = sorted(map(tuple, idx_old.unionByName(delta).collect()))
         want = sorted(
             map(

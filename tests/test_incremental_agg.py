@@ -466,3 +466,41 @@ def test_synopsis_r_is_persisted_not_caller_supplied(spark):
     legacy = st.drop("__synopsis_r")
     row = IVM.finalize_agg_state(legacy, ["k"], specs, synopsis_r=2).collect()[0]
     assert row["mx"] is None and row["mx_ok"] is False
+
+
+def test_legacy_states_without_synopsis_col_still_merge(spark):
+    """Review finding (r11): a retractable-spec state persisted before
+    __synopsis_r existed must MERGE (both shapes), not just finalize -
+    the caller-supplied R governs legacy states, same contract as
+    finalize's fallback."""
+    specs = [("mx", "v", "retractable_max"), ("n", "1", "count")]
+    legacy = IVM.partial_agg_state(
+        _facts(spark, [("a", 1), ("a", 9)]), ["k"], specs
+    ).drop("__synopsis_r")
+    fresh = IVM.partial_agg_state(_facts(spark, [("a", 5), ("b", 4)]), ["k"], specs)
+    want = {("a", 9, True, 3), ("b", 4, True, 1)}
+    got_union = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_agg_states([legacy, fresh], ["k"], specs), ["k"], specs
+        ).collect()
+    }
+    got_joined = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_states_joined(legacy, fresh, ["k"], specs), ["k"], specs
+        ).collect()
+    }
+    assert got_union == want and got_joined == want
+    # both-legacy merges work too
+    got_2legacy = {
+        tuple(r)
+        for r in IVM.finalize_agg_state(
+            IVM.merge_agg_states(
+                [legacy, fresh.drop("__synopsis_r")], ["k"], specs
+            ),
+            ["k"],
+            specs,
+        ).collect()
+    }
+    assert got_2legacy == want

@@ -1114,3 +1114,98 @@ def test_agg_refresh_sink_bucketed_state_no_reshuffle(spark, tmp_path):
     # the surviving snapshot still reads
     assert len(SJ.read_agg_table(
         spark, str(buck_dir), ["event_type"], _IVM_SPECS).collect()) > 0
+
+
+def test_bucketed_sink_survives_catalog_loss_and_format_switch(spark, tmp_path):
+    """Two review findings (r11): (a) the session catalog is in-memory,
+    so after a restart the previous snapshot's bucketed table must be
+    re-registered from its surviving data files, not assumed present;
+    (b) continuing an existing PARQUET-format table with
+    state_format='bucketed' must fold through the plain-parquet
+    snapshot once (transition batch) instead of resolving a state
+    table that was never registered."""
+    specs = [("n", "1", "count"), ("total", "value", "sum")]
+
+    # (b) format switch: batch 0 lands via the parquet mode
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    b0 = spark.createDataFrame(
+        [("a", 1.0), ("b", 10.0)], "event_type string, value double"
+    )
+    SJ._apply_refresh_batch(b0, 0, str(table_dir), ["event_type"], specs)
+    b1 = spark.createDataFrame(
+        [("a", 5.0), ("c", 7.0)], "event_type string, value double"
+    )
+    SJ._apply_refresh_batch(
+        b1, 1, str(table_dir), ["event_type"], specs, state_format="bucketed"
+    )
+    got = {
+        tuple(r)
+        for r in SJ.read_agg_table(
+            spark, str(table_dir), ["event_type"], specs
+        ).collect()
+    }
+    assert got == {("a", 2, 6.0), ("b", 1, 10.0), ("c", 1, 7.0)}
+
+    # (a) catalog loss: drop the v1 table entry (what a process restart
+    # does - data files survive, the in-memory catalog does not)
+    with open(table_dir / "v1" / "_meta.json") as f:
+        import json
+
+        tname = json.load(f)["state_table"]
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    b2 = spark.createDataFrame(
+        [("a", 2.0)], "event_type string, value double"
+    )
+    SJ._apply_refresh_batch(
+        b2, 2, str(table_dir), ["event_type"], specs, state_format="bucketed"
+    )
+    got = {
+        tuple(r)
+        for r in SJ.read_agg_table(
+            spark, str(table_dir), ["event_type"], specs
+        ).collect()
+    }
+    assert got == {("a", 3, 8.0), ("b", 1, 10.0), ("c", 1, 7.0)}
+    SJ.prune_snapshots(str(table_dir), keep_last=1, spark=spark)
+
+
+def test_bucketed_sink_refuses_null_group_keys(spark, tmp_path):
+    """The joined merge's plain key equality does not combine
+    null-keyed groups (the parquet mode's groupBy merge does), so the
+    bucketed mode must refuse a null-keyed batch loudly instead of
+    silently accumulating one state row per batch for the null group
+    (review finding r11)."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    batch = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0)], "event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="non-null group keys"):
+        SJ._apply_refresh_batch(
+            batch, 0, str(table_dir), ["event_type"], specs,
+            state_format="bucketed",
+        )
+    assert not (table_dir / "_current").exists()
+    # the parquet mode takes the same batch exactly (null is a value)
+    SJ._apply_refresh_batch(batch, 0, str(table_dir), ["event_type"], specs)
+    got = {
+        tuple(r)
+        for r in SJ.read_agg_table(
+            spark, str(table_dir), ["event_type"], specs
+        ).collect()
+    }
+    assert got == {("a", 1), (None, 1)}
+
+
+def test_state_table_names_do_not_collide_across_dirs():
+    """Distinct table_dirs whose munged readable forms coincide must
+    still get distinct catalog names, else one table's defensive DROP /
+    prune destroys the other's entry (review finding r11)."""
+    a = SJ._state_table_name("/data/gold-x", "v0")
+    b = SJ._state_table_name("/data/gold_x", "v0")
+    c = SJ._state_table_name("/data/Gold_x", "v0")
+    assert len({a, b, c}) == 3
+    # deterministic: retention can re-derive the name for an orphan
+    assert a == SJ._state_table_name("/data/gold-x", "v0")

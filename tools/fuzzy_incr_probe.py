@@ -160,6 +160,7 @@ def main() -> None:
     print("| payroll | payroll rows | index build s | full pairs s "
           "| probe pairs s | full e2e s | probe e2e s |")
     print("|---|---|---|---|---|---|---|")
+    n_pay = payroll.count()
     for m in paymults:
         pay_m = _mult_payroll(payroll, m)
         idx_m, _, t_build = _build_index(spark, pay_m, f"x{m}")
@@ -179,7 +180,7 @@ def main() -> None:
         t_pp = _noop(probe_pairs)
         t_full, t_inc = _lap_pair(spark, pay_m, postings, idx_m, delta)
         print(
-            f"| x{m} | {20000 * m:,} | {t_build:.2f} | {t_fp:.2f} "
+            f"| x{m} | {n_pay * m:,} | {t_build:.2f} | {t_fp:.2f} "
             f"| {t_pp:.2f} | {t_full:.2f} | {t_inc:.2f} |",
             flush=True,
         )
