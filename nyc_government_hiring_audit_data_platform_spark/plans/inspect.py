@@ -157,3 +157,30 @@ def analyzed_tree_lines(df: DataFrame) -> int:
     truncating the lineage of tiny mid-pipeline relations (collected
     literal relations), and gated by tests so the fix can't regress."""
     return df._jdf.queryExecution().analyzed().treeString().count("\n")
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle WRITE bytes across this application's
+    completed stages, from the UI's REST API (the stable public surface
+    for task metrics - the Py4J status store binds Scala default-arg
+    methods awkwardly). Take a reading before and after an action and
+    diff to measure what one job actually moved; requires
+    ``spark.ui.enabled=true`` (raises otherwise). Complements
+    :func:`shuffle_count`: the plan says how many Exchanges, this says
+    how many bytes crossed them."""
+    import json
+    import urllib.request
+
+    sc = spark.sparkContext
+    if sc.uiWebUrl is None:
+        raise RuntimeError(
+            "shuffle_write_bytes needs the Spark UI "
+            "(spark.ui.enabled=true) for the status REST API"
+        )
+    url = (
+        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        "/stages?status=complete"
+    )
+    with urllib.request.urlopen(url) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)

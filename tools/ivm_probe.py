@@ -124,16 +124,11 @@ def lap_recompute(spark, hist_path: str, delta) -> float:
 
 
 def _shuffle_write_bytes(spark) -> int:
-    """Cumulative shuffle write bytes across completed stages, from the
-    UI's REST API (the stable public surface for task metrics)."""
-    import json
-    import urllib.request
+    from nyc_government_hiring_audit_data_platform_spark.plans.inspect import (
+        shuffle_write_bytes,
+    )
 
-    sc = spark.sparkContext
-    url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
-    with urllib.request.urlopen(url) as r:
-        stages = json.load(r)
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return shuffle_write_bytes(spark)
 
 
 def lap_merge_shapes(spark, state_path: str, delta, mult: int):
