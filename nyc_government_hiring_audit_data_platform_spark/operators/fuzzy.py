@@ -664,23 +664,39 @@ def fuzzy_join(
 # shuffles only its own exploded keys (the dedup band index's contract).
 
 
-def build_fuzzy_title_index(right: DataFrame, right_col: str) -> DataFrame:
+def build_fuzzy_title_index(
+    right: DataFrame, right_col: str, max_block: int | None = None
+) -> DataFrame:
     """Persisted index side of incremental WRatio matching: the stable
     side's distinct normalized titles exploded into their blocking keys
     (token ∪ char-4-gram - exactly :func:`fuzzy_title_pairs`'s lanes
     via the shared :func:`_blocking_keys`). Columns (blk, right_title,
-    right_norm); size = O(sum of per-title key counts), linear."""
+    right_norm); size = O(sum of per-title key counts), linear.
+
+    ``max_block`` - the probe path's hot-key lever, applied at BUILD
+    time (the probe joins a delta against whatever the index stores,
+    so the index is where occupancy must be bounded): each blocking
+    key keeps only its ``max_block`` lowest-(norm, title) members, the
+    same deterministic truncation and subset-recall semantics as the
+    one-shot joins' ``max_block`` (:func:`_cap_block_occupancy`). A
+    delta title probing a hot key then meets at most ``max_block``
+    index rows instead of the key's raw occupancy. None = lossless."""
     rt = (
         right.select(F.col(right_col).alias("right_title"))
         .where(F.col(right_col).isNotNull())
         .distinct()
         .withColumn("right_norm", normalize_text(F.col("right_title")))
     )
-    return rt.select(
+    idx = rt.select(
         F.explode(_blocking_keys(F.col("right_norm"))).alias("blk"),
         "right_title",
         "right_norm",
     )
+    if max_block is not None:
+        idx = _cap_block_occupancy(
+            idx, "blk", ["right_norm", "right_title"], max_block
+        )
+    return idx
 
 
 def incremental_fuzzy_pairs(
@@ -714,22 +730,32 @@ def incremental_fuzzy_pairs(
     return _score_candidate_pairs(cand, prefilter_cutoff, score_cutoff)
 
 
-def build_tokensort_title_index(right: DataFrame, right_col: str) -> DataFrame:
+def build_tokensort_title_index(
+    right: DataFrame, right_col: str, max_block: int | None = None
+) -> DataFrame:
     """Persisted index side of incremental tokensort matching: the
     stable side's distinct titles exploded into their token-sort-key
     tokens (exactly :func:`fuzzy_title_pairs_tokensort`'s blocking).
-    Columns (tok, right_title, right_key)."""
+    Columns (tok, right_title, right_key). ``max_block`` bounds each
+    token's stored occupancy at build time - the probe path's hot-key
+    lever, same truncation and subset-recall semantics as
+    :func:`build_fuzzy_title_index`."""
     rt = (
         right.select(F.col(right_col).alias("right_title"))
         .where(F.col(right_col).isNotNull())
         .distinct()
         .withColumn("right_key", token_sort_key(F.col("right_title")))
     )
-    return rt.select(
+    idx = rt.select(
         F.explode(F.array_distinct(F.split("right_key", " "))).alias("tok"),
         "right_title",
         "right_key",
     )
+    if max_block is not None:
+        idx = _cap_block_occupancy(
+            idx, "tok", ["right_key", "right_title"], max_block
+        )
+    return idx
 
 
 def incremental_fuzzy_pairs_tokensort(

@@ -1034,3 +1034,44 @@ def test_bucketed_index_probe_never_shuffles_index(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS fuzzy_title_index_bucketed")
+
+
+def test_index_build_cap_bounds_occupancy_subset_recall(spark):
+    """The probe path's hot-key lever lives at index BUILD time: a
+    capped index stores at most max_block rows per key (deterministic
+    lowest-(key,title) members - both lanes), the capped probe's output
+    is a strict subset of the uncapped probe's, and pairs whose every
+    shared key is under the cap are untouched."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 500)
+    delta = HA.make_postings_fixture(spark, 60)
+    cap = 3
+
+    for build, probe, key in (
+        (FZ.build_tokensort_title_index,
+         lambda idx: FZ.incremental_fuzzy_pairs_tokensort(
+             idx, delta, "business_title", 1, 85), "tok"),
+        (FZ.build_fuzzy_title_index,
+         lambda idx: FZ.incremental_fuzzy_pairs(
+             idx, delta, "business_title", 70, 80), "blk"),
+    ):
+        capped_idx = build(payroll, "title_description", max_block=cap)
+        occ = capped_idx.groupBy(key).count().agg(F.max("count")).first()[0]
+        assert occ <= cap
+        got = set(map(tuple, probe(capped_idx).collect()))
+        full = set(map(tuple, probe(build(payroll, "title_description")).collect()))
+        assert got <= full and len(got) > 0
+        # healthy keys: rebuild keeping only under-cap keys' titles; the
+        # capped probe must retain every pair all of whose shared keys
+        # are healthy - check via the uncapped index restricted to
+        # under-cap keys (those rows are identical in both indexes)
+        healthy_keys = {
+            r[0]
+            for r in build(payroll, "title_description")
+            .groupBy(key).count().filter(F.col("count") <= cap).collect()
+        }
+        uncapped_idx = build(payroll, "title_description")
+        healthy_idx = uncapped_idx.filter(F.col(key).isin(list(healthy_keys)))
+        healthy_pairs = set(map(tuple, probe(healthy_idx).collect()))
+        assert healthy_pairs <= got
