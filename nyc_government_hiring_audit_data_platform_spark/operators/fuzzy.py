@@ -796,21 +796,39 @@ def extend_title_index(
     new_right: DataFrame,
     right_col: str,
     index_fn=None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Maintain the INDEX side incrementally: the append-delta of index
     rows for titles in ``new_right`` that the persisted index does not
-    already carry (anti-join on the title - the index stores one row
-    per key x title, so title presence is the dedup unit). Append the
-    returned rows to the persisted index (a file append, no rewrite):
+    already carry (the index stores one row per key x title, so title
+    presence is the dedup unit). Append the returned rows to the
+    persisted index (a file append, no rewrite):
     ``index(old) ∪ extend_title_index(index(old), new)`` ==
-    ``index(old ∪ new)`` (property-tested for both lanes). Works for
-    either index layout: when ``index_fn`` is not supplied it is
-    INFERRED from the index's own columns (``blk`` = the WRatio lane,
-    ``tok`` = the tokensort lane) - a guessed default would build the
-    wrong layout and crash the select for one of the two lanes. Cost:
-    O(|new titles| + index-title anti-join probe); at scale broadcast
-    the NEW side's distinct titles (a weekly batch is small) so the
-    index never shuffles."""
+    ``index(old ∪ new)`` for UNCAPPED indexes (property-tested for
+    both lanes). Works for either index layout: when ``index_fn`` is
+    not supplied it is INFERRED from the index's own columns (``blk``
+    = the WRatio lane, ``tok`` = the tokensort lane) - a guessed
+    default would build the wrong layout and crash the select for one
+    of the two lanes.
+
+    ``max_block`` - REQUIRED to match the build cap when the index was
+    built with one: the delta is capped per key among the new titles,
+    so an appended generation's per-key contribution stays bounded -
+    but truncation is GENERATION-LOCAL: the unioned occupancy is
+    bounded by generations x max_block, not max_block, and the exact
+    capped-rebuild parity (lowest members of old ∪ new) does NOT hold
+    under append maintenance. Rebuild the index (compaction cadence)
+    to restore the exact bound; leaving ``max_block`` unset on a
+    capped index silently regrows hot keys uncapped.
+
+    PLAN SHAPE (the reason for the two-step membership probe below):
+    a plain ``fresh ANTI-JOIN index-titles`` cannot broadcast - Spark's
+    LeftAnti BroadcastHashJoin only builds the RIGHT side, and the
+    index's title set is the big side - so the big index would shuffle
+    on every weekly maintenance run. Instead the (small) new-title set
+    broadcasts into a semi-join against the index (no index shuffle,
+    one streaming scan), yielding the <= |new titles| already-present
+    subset, and the anti-join then runs against THAT tiny relation."""
     if index_fn is None:
         if "blk" in index.columns:
             index_fn = build_fuzzy_title_index
@@ -820,8 +838,17 @@ def extend_title_index(
             raise ValueError(
                 f"unrecognized index layout {index.columns}; pass index_fn"
             )
-    fresh = index_fn(new_right, right_col)
-    existing = index.select("right_title").distinct()
-    return fresh.join(existing, "right_title", "left_anti").select(
+    fresh = (
+        index_fn(new_right, right_col)
+        if max_block is None
+        else index_fn(new_right, right_col, max_block=max_block)
+    )
+    new_titles = fresh.select("right_title").distinct()
+    present = (
+        index.select("right_title")
+        .join(F.broadcast(new_titles), "right_title", "left_semi")
+        .distinct()
+    )
+    return fresh.join(F.broadcast(present), "right_title", "left_anti").select(
         *index.columns
     )

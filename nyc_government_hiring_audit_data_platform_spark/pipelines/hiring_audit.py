@@ -352,6 +352,7 @@ def build_payroll_title_index(
     year_start: int = 2024,
     year_end: int = 2025,
     index_fn=None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """The persisted side of incremental salary matching: the PREPPED
     payroll titles (same cast+BETWEEN as :func:`fuzzy_match_salary`, so
@@ -362,13 +363,17 @@ def build_payroll_title_index(
     every weekly postings batch probes it via
     :func:`incremental_fuzzy_match_salary` instead of re-running the
     full payroll x postings blocking join the reference schedules
-    weekly (src/fuzzy_flows.py:16-23)."""
+    weekly (src/fuzzy_flows.py:16-23). ``max_block`` is the probe
+    path's hot-key lever, forwarded to the index builder (build-time
+    per-key occupancy cap, subset-recall semantics - see
+    operators.fuzzy.build_fuzzy_title_index)."""
     from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
 
     index_fn = index_fn or FZ.build_tokensort_title_index
-    return index_fn(
-        _prep_payroll(payroll, year_start, year_end), "title_description"
-    )
+    prepped = _prep_payroll(payroll, year_start, year_end)
+    if max_block is None:
+        return index_fn(prepped, "title_description")
+    return index_fn(prepped, "title_description", max_block=max_block)
 
 
 def incremental_fuzzy_match_salary(

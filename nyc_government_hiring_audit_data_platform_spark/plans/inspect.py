@@ -167,7 +167,16 @@ def shuffle_write_bytes(spark) -> int:
     diff to measure what one job actually moved; requires
     ``spark.ui.enabled=true`` (raises otherwise). Complements
     :func:`shuffle_count`: the plan says how many Exchanges, this says
-    how many bytes crossed them."""
+    how many bytes crossed them.
+
+    Measurement-window caveat: the endpoint only serves stages the UI
+    retains (``spark.ui.retainedStages``, default 1000), so in an app
+    that runs more stages than that BETWEEN the two readings the
+    before-value's stages can be evicted and the diff comes out too
+    small or negative - bound the measured action or raise the
+    retention. Retried stages report one entry per ATTEMPT; only the
+    latest attempt per stage is summed here (a retry re-moves the same
+    bytes, and counting both would inflate the diff)."""
     import json
     import urllib.request
 
@@ -183,4 +192,9 @@ def shuffle_write_bytes(spark) -> int:
     )
     with urllib.request.urlopen(url) as r:
         stages = json.load(r)
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    latest: dict = {}
+    for s in stages:
+        sid, att = s.get("stageId", -1), s.get("attemptId", 0)
+        if sid not in latest or att > latest[sid][0]:
+            latest[sid] = (att, s.get("shuffleWriteBytes", 0))
+    return sum(b for _, b in latest.values())

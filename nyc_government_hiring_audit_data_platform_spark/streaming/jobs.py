@@ -795,10 +795,14 @@ def _resolve_state_table(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
         key_list = ", ".join(f"`{k}`" for k in keys)
+        # SQL-escape the path: a single quote in table_dir would
+        # otherwise break (or inject into) the LOCATION clause and
+        # permanently block recovery for that table
+        loc = path.replace("'", "''")
         spark.sql(
             f"CREATE TABLE {tname} ({cols}) USING PARQUET "
             f"CLUSTERED BY ({key_list}) INTO {cur_meta['n_buckets']} BUCKETS "
-            f"LOCATION '{path}'"
+            f"LOCATION '{loc}'"
         )
     return spark.table(tname)
 
@@ -877,6 +881,8 @@ def _apply_refresh_batch(
             if cur_meta.get("batch_id") == batch_id:
                 return  # replay of an already-published batch
     cached = False
+    state_cached = False
+    delta_state = None
     try:
         if op_col is None:
             parts = [IVM.partial_agg_state(batch_df, keys, specs)]
@@ -924,6 +930,11 @@ def _apply_refresh_batch(
             delta_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
                 parts, keys, specs
             )
+            # the null-key guard below and the fold/write both consume
+            # delta_state: persist so the batch source is scanned and
+            # partial-aggregated once, not twice per batch
+            delta_state = delta_state.persist()
+            state_cached = True
             # the joined merge's plain key equality does NOT combine
             # null-keyed groups (merge_states_joined docstring) - the
             # parquet mode's groupBy merge does. Refuse loudly instead
@@ -995,6 +1006,8 @@ def _apply_refresh_batch(
     finally:
         if cached:
             batch_df.unpersist()
+        if state_cached:
+            delta_state.unpersist()
     with open(os.path.join(snap_dir, "_meta.json"), "w") as f:
         _json.dump(meta, f)
     _publish_pointer(table_dir, snap)

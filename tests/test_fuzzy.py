@@ -1075,3 +1075,46 @@ def test_index_build_cap_bounds_occupancy_subset_recall(spark):
         healthy_idx = uncapped_idx.filter(F.col(key).isin(list(healthy_keys)))
         healthy_pairs = set(map(tuple, probe(healthy_idx).collect()))
         assert healthy_pairs <= got
+
+
+def test_extend_title_index_caps_delta_and_plan_shape(spark):
+    """Review findings (r11 pass 2): (a) extending a capped index must
+    cap the delta too - max_block forwards to the builder, each
+    appended generation's per-key contribution stays bounded (the
+    exact capped-rebuild parity deliberately does NOT hold under
+    append maintenance - documented, rebuild at compaction cadence);
+    (b) the membership probe must never shuffle the big index - the
+    new-title set broadcasts into a semi-join (LeftAnti BHJ cannot
+    build the left side, so the old plain anti-join shuffled the
+    index's whole title set every maintenance run)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    old = HA.make_payroll_fixture(spark, 300)
+    new = HA.make_payroll_fixture(spark, 420)
+    cap = 3
+    idx_old = FZ.build_tokensort_title_index(old, "title_description", max_block=cap)
+    delta = FZ.extend_title_index(
+        idx_old, new, "title_description", max_block=cap
+    )
+    occ = delta.groupBy("tok").count().agg(F.max("count")).first()
+    assert occ[0] is not None and occ[0] <= cap
+    # per-generation bound: the union's occupancy is <= 2*cap
+    both = idx_old.unionByName(delta)
+    assert both.groupBy("tok").count().agg(F.max("count")).first()[0] <= 2 * cap
+
+    # plan shape: no SortMergeJoin anywhere even with broadcast
+    # auto-detection off - both membership joins ride explicit
+    # broadcasts of new-title-bounded sides
+    oldconf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        d2 = FZ.extend_title_index(
+            FZ.build_tokensort_title_index(old, "title_description"),
+            new,
+            "title_description",
+        )
+        plan = PI.physical_plan(d2)
+        assert "SortMergeJoin" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldconf)
