@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterable
-from functools import reduce
 
 import pandas as pd
 
@@ -881,8 +880,6 @@ def _apply_refresh_batch(
             if cur_meta.get("batch_id") == batch_id:
                 return  # replay of an already-published batch
     cached = False
-    state_cached = False
-    delta_state = None
     try:
         if op_col is None:
             parts = [IVM.partial_agg_state(batch_df, keys, specs)]
@@ -930,25 +927,6 @@ def _apply_refresh_batch(
             delta_state = parts[0] if len(parts) == 1 else IVM.merge_agg_states(
                 parts, keys, specs
             )
-            # the null-key guard below and the fold/write both consume
-            # delta_state: persist so the batch source is scanned and
-            # partial-aggregated once, not twice per batch
-            delta_state = delta_state.persist()
-            state_cached = True
-            # the joined merge's plain key equality does NOT combine
-            # null-keyed groups (merge_states_joined docstring) - the
-            # parquet mode's groupBy merge does. Refuse loudly instead
-            # of silently accumulating one state row per batch for the
-            # null group; the check runs on the GROUP-SIZED partials.
-            null_key = reduce(
-                lambda a, b: a | b, [F.col(k).isNull() for k in keys]
-            )
-            if delta_state.where(null_key).take(1):
-                raise ValueError(
-                    "state_format='bucketed' requires non-null group keys "
-                    f"(batch {batch_id} has a null-keyed group); use the "
-                    "parquet format or filter/impute the keys"
-                )
             if cur is not None:
                 if cur_meta.get("state_table") or cur_meta.get("n_buckets"):
                     prev = _resolve_state_table(
@@ -966,6 +944,27 @@ def _apply_refresh_batch(
                 new_state = IVM.merge_states_joined(prev, delta_state, keys, specs)
             else:
                 new_state = delta_state
+            # the joined merge's plain key equality does NOT combine
+            # null-keyed groups (merge_states_joined docstring) - the
+            # parquet mode's groupBy merge does. Refuse loudly instead
+            # of silently accumulating one state row per batch for the
+            # null group. The guard rides IN the write's own plan
+            # (raise_error wrapped around the key columns - no extra
+            # job, no cache; an eager take(1) check would re-run the
+            # batch scan + partial agg a second time per batch).
+            msg = (
+                "state_format='bucketed' requires non-null group keys "
+                f"(batch {batch_id} produced a null-keyed group); use "
+                "the parquet format or filter/impute the keys"
+            )
+            guarded = [
+                F.when(F.col(k).isNull(), F.raise_error(F.lit(msg)))
+                .otherwise(F.col(k))
+                .alias(k)
+                for k in keys
+            ]
+            rest = [c for c in new_state.columns if c not in keys]
+            new_state = new_state.select(*guarded, *rest)
             if cur_meta.get("n_buckets"):
                 n_buckets = cur_meta["n_buckets"]  # sticky per table
             elif n_buckets is None:
@@ -1006,8 +1005,6 @@ def _apply_refresh_batch(
     finally:
         if cached:
             batch_df.unpersist()
-        if state_cached:
-            delta_state.unpersist()
     with open(os.path.join(snap_dir, "_meta.json"), "w") as f:
         _json.dump(meta, f)
     _publish_pointer(table_dir, snap)

@@ -1174,15 +1174,19 @@ def test_bucketed_sink_refuses_null_group_keys(spark, tmp_path):
     """The joined merge's plain key equality does not combine
     null-keyed groups (the parquet mode's groupBy merge does), so the
     bucketed mode must refuse a null-keyed batch loudly instead of
-    silently accumulating one state row per batch for the null group
-    (review finding r11)."""
+    silently accumulating one state row per batch for the null group.
+    The guard rides IN the write's plan (raise_error around the key
+    columns - an eager take(1) would re-run the batch's scan + partial
+    agg twice per batch, and its cache changed the recorded exchange
+    count), so the failure surfaces as the write job's error (review
+    findings r11, both passes)."""
     specs = [("n", "1", "count")]
     table_dir = tmp_path / "gold"
     table_dir.mkdir()
     batch = spark.createDataFrame(
         [("a", 1.0), (None, 2.0)], "event_type string, value double"
     )
-    with pytest.raises(ValueError, match="non-null group keys"):
+    with pytest.raises(Exception, match="non-null group keys"):
         SJ._apply_refresh_batch(
             batch, 0, str(table_dir), ["event_type"], specs,
             state_format="bucketed",
