@@ -268,6 +268,37 @@ def q_fuzzy_incremental_union(spark, sf_dir):
 
 
 @query(
+    "fuzzy_incremental_extend",
+    f"WITH {_BASE_CTES} SELECT {_MATCH_COLS} FROM matches",
+)
+def q_fuzzy_incremental_extend(spark, sf_dir):
+    """Index-side maintenance end-to-end: the payroll-title index built
+    in TWO generations (base over even-partkey payroll, then
+    operators.fuzzy.extend_title_index's append-delta for the rest) and
+    probed with ALL postings. The oracle is the one-shot full re-match
+    SQL - hash equality proves generation-appended index maintenance is
+    lossless (new-title rows all land, already-indexed titles add no
+    duplicate rows that could double candidates)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
+    payroll = payroll_from_part(spark, sf_dir)
+    pay_a = payroll.filter(F.xxhash64("title_description") % 2 == 0)
+    base_index = HA.build_payroll_title_index(pay_a)
+    delta_index = FZ.extend_title_index(
+        base_index,
+        HA._prep_payroll(payroll, 2024, 2025),
+        "title_description",
+    )
+    index = base_index.unionByName(delta_index)
+    return HA.incremental_fuzzy_match_salary(
+        payroll, index, postings_from_part(spark, sf_dir),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+
+
+@query(
     "fuzzy_salary_matches_topn",
     f"""
     WITH {_BASE_CTES}
