@@ -247,10 +247,18 @@ def q_fuzzy_incremental_union(spark, sf_dir):
     into a PRIOR batch (one-shot fuzzy_match_salary) and a DELTA batch
     scored by probing the persisted payroll-title blocking index
     (pipelines.hiring_audit.build_payroll_title_index /
-    incremental_fuzzy_match_salary). The oracle is the one-shot full
-    re-match SQL - hash equality IS the delta-fold ∪ prior == full
-    claim. post_id = p_partkey with p_partkey % 4 = 0, so % 8 splits
-    the postings into two non-trivial batches (0 mod 8 vs 4 mod 8)."""
+    incremental_fuzzy_match_salary). The index itself is built in TWO
+    GENERATIONS (base over the even-title-hash half of payroll +
+    operators.fuzzy.extend_title_index's append-delta for the rest), so
+    the row also proves index-side append maintenance lossless. The
+    oracle is the one-shot full re-match SQL - hash equality IS the
+    delta-fold ∪ prior == full claim. post_id = p_partkey with
+    p_partkey % 4 = 0, so % 8 splits the postings into two non-trivial
+    batches (0 mod 8 vs 4 mod 8)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
     payroll = payroll_from_part(spark, sf_dir)
     postings = postings_from_part(spark, sf_dir)
     prior_batch = postings.filter(F.col("post_id") % 8 == 0)
@@ -259,43 +267,20 @@ def q_fuzzy_incremental_union(spark, sf_dir):
         payroll, prior_batch, prefilter_cutoff=1, score_cutoff=85,
         join_fn=fuzzy_join_tokensort, row_key="post_id",
     )
-    index = HA.build_payroll_title_index(payroll)
+    pay_a = payroll.filter(F.xxhash64("title_description") % 2 == 0)
+    base_index = HA.build_payroll_title_index(pay_a)
+    index = base_index.unionByName(
+        FZ.extend_title_index(
+            base_index,
+            HA._prep_payroll(payroll, 2024, 2025),
+            "title_description",
+        )
+    )
     delta = HA.incremental_fuzzy_match_salary(
         payroll, index, delta_batch, prefilter_cutoff=1, score_cutoff=85,
         row_key="post_id",
     )
     return prior.unionByName(delta)
-
-
-@query(
-    "fuzzy_incremental_extend",
-    f"WITH {_BASE_CTES} SELECT {_MATCH_COLS} FROM matches",
-)
-def q_fuzzy_incremental_extend(spark, sf_dir):
-    """Index-side maintenance end-to-end: the payroll-title index built
-    in TWO generations (base over even-partkey payroll, then
-    operators.fuzzy.extend_title_index's append-delta for the rest) and
-    probed with ALL postings. The oracle is the one-shot full re-match
-    SQL - hash equality proves generation-appended index maintenance is
-    lossless (new-title rows all land, already-indexed titles add no
-    duplicate rows that could double candidates)."""
-    from nyc_government_hiring_audit_data_platform_spark.operators import (
-        fuzzy as FZ,
-    )
-
-    payroll = payroll_from_part(spark, sf_dir)
-    pay_a = payroll.filter(F.xxhash64("title_description") % 2 == 0)
-    base_index = HA.build_payroll_title_index(pay_a)
-    delta_index = FZ.extend_title_index(
-        base_index,
-        HA._prep_payroll(payroll, 2024, 2025),
-        "title_description",
-    )
-    index = base_index.unionByName(delta_index)
-    return HA.incremental_fuzzy_match_salary(
-        payroll, index, postings_from_part(spark, sf_dir),
-        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
-    )
 
 
 @query(
