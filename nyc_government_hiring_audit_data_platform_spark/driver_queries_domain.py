@@ -267,14 +267,21 @@ def q_fuzzy_incremental_union(spark, sf_dir):
         payroll, prior_batch, prefilter_cutoff=1, score_cutoff=85,
         join_fn=fuzzy_join_tokensort, row_key="post_id",
     )
-    pay_a = payroll.filter(F.xxhash64("title_description") % 2 == 0)
-    base_index = HA.build_payroll_title_index(pay_a)
+    # generation split on the TITLE hash: base = even-hash titles,
+    # extension batch = hash%4 != 0 (covers every odd-hash title so the
+    # union is the full domain, AND overlaps the base on hash%4 == 2 so
+    # the no-duplicate-rows half of the append claim is exercised too).
+    # Years are passed explicitly to BOTH generations - the domains
+    # must match by construction, not by coincident defaults. The base
+    # index feeds two branches (the union and extend's membership
+    # probe): persist it (harness clearCache()s between queries).
+    h = F.xxhash64("title_description")
+    base_index = HA.build_payroll_title_index(
+        payroll.filter(h % 2 == 0), year_start=2024, year_end=2025
+    ).persist()
+    new_titles = HA._prep_payroll(payroll.filter(h % 4 != 0), 2024, 2025)
     index = base_index.unionByName(
-        FZ.extend_title_index(
-            base_index,
-            HA._prep_payroll(payroll, 2024, 2025),
-            "title_description",
-        )
+        FZ.extend_title_index(base_index, new_titles, "title_description")
     )
     delta = HA.incremental_fuzzy_match_salary(
         payroll, index, delta_batch, prefilter_cutoff=1, score_cutoff=85,

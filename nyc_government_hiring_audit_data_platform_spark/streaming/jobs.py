@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterable
+from functools import reduce
 
 import pandas as pd
 
@@ -941,6 +942,24 @@ def _apply_refresh_batch(
                     prev = spark.read.parquet(
                         os.path.join(table_dir, cur, "state")
                     )
+                    # one-time migration check: the parquet mode allows
+                    # (and correctly merges) null group keys; the
+                    # bucketed mode cannot. Checking the group-sized
+                    # prev state HERE - once, at the switch - means the
+                    # per-batch guard below never misattributes a
+                    # legacy null group to the batch.
+                    legacy_null = reduce(
+                        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+                    )
+                    if prev.where(legacy_null).take(1):
+                        raise ValueError(
+                            "cannot switch this table to "
+                            "state_format='bucketed': its parquet state "
+                            "carries a null-keyed group, which the "
+                            "bucketed joined merge cannot combine - keep "
+                            "the parquet format or rebuild the state "
+                            "with filtered/imputed keys"
+                        )
                 new_state = IVM.merge_states_joined(prev, delta_state, keys, specs)
             else:
                 new_state = delta_state
@@ -974,12 +993,24 @@ def _apply_refresh_batch(
             # stale catalog entry under the (deterministic) fresh name
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
             exchanges = PI.shuffle_count(new_state)
-            (
-                new_state.write.mode("overwrite")
-                .bucketBy(n_buckets, *keys)
-                .option("path", os.path.join(snap_dir, "state"))
-                .saveAsTable(tname)
-            )
+            try:
+                (
+                    new_state.write.mode("overwrite")
+                    .bucketBy(n_buckets, *keys)
+                    .option("path", os.path.join(snap_dir, "state"))
+                    .saveAsTable(tname)
+                )
+            except BaseException:
+                # a failed write (e.g. the null-key guard firing
+                # mid-job) must not leave a half-written snapshot dir
+                # per retry: a restart-looping stream would otherwise
+                # accumulate one orphan v{id}r{k} directory per attempt
+                # until retention happens to run
+                import shutil
+
+                spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                raise
             meta = {
                 "batch_id": batch_id,
                 "state_table": tname,
@@ -998,9 +1029,15 @@ def _apply_refresh_batch(
                 parts, keys, specs
             )
             exchanges = PI.shuffle_count(new_state)
-            new_state.write.mode("overwrite").parquet(
-                os.path.join(snap_dir, "state")
-            )
+            try:
+                new_state.write.mode("overwrite").parquet(
+                    os.path.join(snap_dir, "state")
+                )
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                raise
             meta = {"batch_id": batch_id, "exchanges": exchanges}
     finally:
         if cached:

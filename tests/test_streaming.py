@@ -1213,3 +1213,37 @@ def test_state_table_names_do_not_collide_across_dirs():
     assert len({a, b, c}) == 3
     # deterministic: retention can re-derive the name for an orphan
     assert a == SJ._state_table_name("/data/gold-x", "v0")
+
+
+def test_format_switch_refuses_legacy_null_key_state(spark, tmp_path):
+    """Review finding (r11 pass 3): the parquet mode legitimately
+    carries null-keyed groups; switching such a table to bucketed must
+    fail ONCE, at the switch, with a migration message - not wedge
+    every batch with a guard that falsely blames the batch. A failed
+    batch also must not leave a half-written snapshot directory."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    batch = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0)], "event_type string, value double"
+    )
+    SJ._apply_refresh_batch(batch, 0, str(table_dir), ["event_type"], specs)
+    before = SJ.list_upsert_versions(str(table_dir))
+    clean = spark.createDataFrame([("b", 3.0)], "event_type string, value double")
+    with pytest.raises(ValueError, match="cannot switch"):
+        SJ._apply_refresh_batch(
+            clean, 1, str(table_dir), ["event_type"], specs,
+            state_format="bucketed",
+        )
+    # no half-written snapshot left behind; pointer unmoved
+    assert SJ.list_upsert_versions(str(table_dir)) == before
+    assert (table_dir / "_current").read_text().strip() == "v0"
+    # the parquet mode continues to work on the same table
+    SJ._apply_refresh_batch(clean, 1, str(table_dir), ["event_type"], specs)
+    got = {
+        tuple(r)
+        for r in SJ.read_agg_table(
+            spark, str(table_dir), ["event_type"], specs
+        ).collect()
+    }
+    assert got == {("a", 1), (None, 1), ("b", 1)}
