@@ -263,14 +263,19 @@ def q_retractable_extremes_refresh(spark, sf_dir):
     delete (the runner-up is gone), so the retractable kinds keep a
     bounded synopsis - the R most extreme inserted AND retracted values
     per group - and cancel at finalize, emitting the survivor extreme
-    plus an exactness flag. Keyed by l_orderkey (<= 7 lineitems per
-    order < R = 8), every group's synopsis is complete, so after
+    plus an exactness flag. Keyed by l_orderkey with R sized to the
+    testdata's per-order line bound (observed max 17 lines / 9
+    returned per order at sf0.1 - NOT the classic <= 7; R = 24 keeps
+    every group's synopsis complete at every driver SF), so after
     retracting all RETURNED ('R') items the maintained max/min price
     must EQUAL the full recompute over kept items and every flag must
     hash TRUE; orders whose every item returned retract to count 0 and
     drop. The flags are the contract the driver verifies: a synopsis
     overrun would flip them false and break the hash, never silently
-    misreport an extreme."""
+    misreport an extreme (exactly what an under-sized R = 8 did at
+    sf0.1: 6 of 139,556 orders overflowed and flagged false - the
+    honest-degradation contract working as designed, on a query whose
+    premise was wrong)."""
     li = table(spark, sf_dir, "lineitem")
     keys = ["l_orderkey"]
     specs: list[IVM.AggSpec] = [
@@ -278,10 +283,13 @@ def q_retractable_extremes_refresh(spark, sf_dir):
         ("max_cents", _LCENTS, "retractable_max"),
         ("min_cents", _LCENTS, "retractable_min"),
     ]
-    state = IVM.partial_agg_state(li, keys, specs)
+    r = 24
+    state = IVM.partial_agg_state(li, keys, specs, synopsis_r=r)
     returned = li.filter(F.col("l_returnflag") == "R")
-    state = IVM.incremental_agg_refresh(state, returned, keys, specs, sign=-1)
-    return IVM.finalize_agg_state(state, keys, specs)
+    state = IVM.incremental_agg_refresh(
+        state, returned, keys, specs, sign=-1, synopsis_r=r
+    )
+    return IVM.finalize_agg_state(state, keys, specs, synopsis_r=r)
 
 
 @query(
