@@ -105,9 +105,32 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # through the hardened open_any_store/listing layer. The 7 ADDED
 # queries (the IVM lane) are never-checked and already sort first.
 # r11 open: all 5 r10 pins were re-hashed green in CORRECTNESS_r10 and
-# leave the set; the set is refilled at the r11 close from
-# `python tools/stale_audit.py compare <r10-close-rev> --hashed-round 10`.
-REWRITTEN: set[str] = set()
+# left the set. r11 close:
+# `python tools/stale_audit.py compare a53941b --hashed-round 10`
+# (a53941b = the r10 close rev the r10 hashes attest) -> 12 STALE-GREEN,
+# pinned below: the fuzzy chain re-plans through the factored
+# prep/band-limit stages and the shared scoring helpers the incremental
+# lane extracted; the whole IVM family re-plans through the
+# __synopsis_r state column (the certificate-depth persistence fix) and
+# retractable_extremes_refresh additionally re-sized its R to the
+# testdata's real per-order bound (the sf0.1 battery catch). With the
+# 2 ADDED queries (fuzzy_incremental_union,
+# gold_lightcast_unique_incremental) sorting first, 12 + 2 + the full
+# 36-query r6 tier == the driver's 50-slot budget exactly.
+REWRITTEN: set[str] = {
+    "fuzzy_lightcast_durations",
+    "fuzzy_salary_matches",
+    "fuzzy_salary_matches_topn",
+    "gold_salary_matches_unique",
+    "gold_unique_incremental",
+    "incremental_agg_refresh",
+    "incremental_agg_retraction",
+    "incremental_distinct_refresh",
+    "incremental_median_refresh",
+    "incremental_refresh_joined",
+    "retractable_extremes_refresh",
+    "rollup_reaggregate",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
