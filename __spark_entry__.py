@@ -117,20 +117,9 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # 2 ADDED queries (fuzzy_incremental_union,
 # gold_lightcast_unique_incremental) sorting first, 12 + 2 + the full
 # 36-query r6 tier == the driver's 50-slot budget exactly.
-REWRITTEN: set[str] = {
-    "fuzzy_lightcast_durations",
-    "fuzzy_salary_matches",
-    "fuzzy_salary_matches_topn",
-    "gold_salary_matches_unique",
-    "gold_unique_incremental",
-    "incremental_agg_refresh",
-    "incremental_agg_retraction",
-    "incremental_distinct_refresh",
-    "incremental_median_refresh",
-    "incremental_refresh_joined",
-    "retractable_extremes_refresh",
-    "rollup_reaggregate",
-}
+# r12 open: all 12 r11 pins were re-hashed green in CORRECTNESS_r11 and
+# left the set (verified by the judge's independent audit re-run).
+REWRITTEN: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
