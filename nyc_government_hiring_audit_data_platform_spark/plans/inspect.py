@@ -176,7 +176,14 @@ def shuffle_write_bytes(spark) -> int:
     small or negative - bound the measured action or raise the
     retention. Retried stages report one entry per ATTEMPT; only the
     latest attempt per stage is summed here (a retry re-moves the same
-    bytes, and counting both would inflate the diff)."""
+    bytes, and counting both would inflate the diff).
+
+    Single-job-at-a-time assumption: the counter is application-wide,
+    so any CONCURRENT job in the same application between the two
+    readings attributes its shuffle bytes to the measured action - run
+    the probe with nothing else scheduled. The HTTP read carries a
+    bounded ``timeout`` so a wedged UI endpoint fails the probe instead
+    of hanging it indefinitely."""
     import json
     import urllib.request
 
@@ -190,7 +197,7 @@ def shuffle_write_bytes(spark) -> int:
         f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
         "/stages?status=complete"
     )
-    with urllib.request.urlopen(url) as r:
+    with urllib.request.urlopen(url, timeout=30) as r:
         stages = json.load(r)
     latest: dict = {}
     for s in stages:

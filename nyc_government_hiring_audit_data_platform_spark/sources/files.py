@@ -116,8 +116,17 @@ def most_recent_file(
     (where Hadoop reports mtime) - one clock, same winner either way.
     Ties break by path/URI for determinism (store listings carry
     second-granularity mtimes). ``spark`` is required for URI paths:
-    the session's Hadoop configuration carries the store
-    credentials."""
+    the session's Hadoop configuration carries the store credentials.
+
+    Semantics note vs the reference: ranking by mtime means ARRIVAL
+    time is not preserved for mtime-preserving copies - a drop copied
+    in with ``cp -p`` / ``rsync -a`` ranks by its ORIGINAL mtime, so a
+    just-arrived file can lose to an older-mtimed one (the reference's
+    ctime would rank it newest). Drop directories feeding this resolver
+    should land files with fresh mtimes (plain ``cp``/stream writes, or
+    ``rsync`` without ``-t/-a``); the trade buys local/URI agreement,
+    which the reference's ctime cannot provide (object stores have no
+    ctime)."""
     ext = extension.lstrip(".")
     if "://" in path or path.startswith("file:"):
         if spark is None:

@@ -738,10 +738,17 @@ def _publish_pointer(table_dir: str, snap: str) -> None:
     every already-existing snapshot name first; otherwise the new
     ledger would contain only the new name and the next prune would
     classify all pre-ledger history as crash orphans and delete it
-    regardless of ``keep_last``."""
+    regardless of ``keep_last``. Seeding is gated on ``_current``
+    existing: a genuine pre-ledger table always has a pointer (the
+    pre-ledger code published one per batch), whereas a brand-new
+    table that hard-crashed before its FIRST publish has neither - its
+    leftover v* directories are exactly the half-written orphans the
+    ledger exists to exclude (the writer's rmtree cleanup only covers
+    in-process failures, not a killed process), and grandfathering
+    them would retain them as real history against ``keep_last``."""
     ptr = os.path.join(table_dir, "_current")
     ledger = os.path.join(table_dir, "_published.log")
-    if not os.path.exists(ledger):
+    if not os.path.exists(ledger) and os.path.exists(ptr):
         # Pre-ledger snapshots are indistinguishable from orphans, and
         # the pre-ledger contract treated them all as published - keep
         # that promise by grandfathering every existing name in.
@@ -1185,7 +1192,12 @@ def prune_snapshots(
     if os.path.exists(ptr):
         with open(ptr) as f:
             keep.add(f.read().strip())
-    dropped = []
+    # Resolve every prunable snapshot's state table BEFORE deleting
+    # anything: raising the missing-spark error mid-loop would hand the
+    # caller an exception AND a partially pruned table (earlier
+    # snapshots already gone), turning a recoverable argument mistake
+    # into irreversible partial retention.
+    plan: list[tuple[str, str | None]] = []
     for v in versions:
         if v in keep:
             continue
@@ -1198,12 +1210,15 @@ def prune_snapshots(
             # a crash orphan may have a catalog entry but no meta; the
             # name is deterministic, so drop-if-exists covers it
             tname = _state_table_name(table_dir, v)
+        if tname is not None and spark is None:
+            raise ValueError(
+                f"snapshot {v!r} has a bucketed state table {tname!r}; "
+                "pass spark= so pruning can drop the catalog entry"
+            )
+        plan.append((v, tname))
+    dropped = []
+    for v, tname in plan:
         if tname is not None:
-            if spark is None:
-                raise ValueError(
-                    f"snapshot {v!r} has a bucketed state table {tname!r}; "
-                    "pass spark= so pruning can drop the catalog entry"
-                )
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
         shutil.rmtree(os.path.join(table_dir, v))
         dropped.append(v)

@@ -991,6 +991,70 @@ def test_prune_preserves_pre_ledger_history(spark, tmp_path):
     assert SJ.list_upsert_versions(str(table_dir)) == ["v1", "v2", "v3"]
 
 
+def test_first_publish_does_not_grandfather_preexisting_orphans(
+    spark, tmp_path
+):
+    """A BRAND-NEW table that hard-crashed before its first publish
+    (v* dirs on disk, no _current, no ledger - rmtree cleanup only
+    covers in-process failures): the first successful publish must NOT
+    seed those orphans into the ledger as real history; the next prune
+    deletes them instead of counting them against keep_last
+    (regression: round-11 ADVICE)."""
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    # hard-kill leftovers from two failed first-publish attempts
+    for v in ("v0", "v0r1"):
+        d = table_dir / v / "state"
+        d.mkdir(parents=True)
+        (d / "part-junk.parquet").write_bytes(b"incomplete")
+    assert not (table_dir / "_current").exists()
+
+    batch = spark.createDataFrame([("k0", 0.0)], "event_type string, value double")
+    SJ._apply_refresh_batch(batch, 0, str(table_dir), ["event_type"], specs)
+    with open(table_dir / "_published.log") as f:
+        ledgered = [line.strip() for line in f if line.strip()]
+    assert ledgered == ["v0r2"]  # orphans NOT grandfathered
+
+    dropped = SJ.prune_snapshots(str(table_dir), keep_last=3)
+    assert sorted(dropped) == ["v0", "v0r1"]
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v0r2"]
+    assert SJ.read_agg_table(
+        spark, str(table_dir), ["event_type"], specs
+    ).count() == 1
+
+
+def test_prune_missing_spark_raises_before_any_deletion(spark, tmp_path):
+    """prune_snapshots must pre-scan for bucketed state tables and
+    raise BEFORE deleting anything: the old mid-loop raise handed the
+    caller an exception AND a partially pruned table (regression:
+    round-11 ADVICE)."""
+    import json as _json
+
+    specs = [("n", "1", "count")]
+    table_dir = tmp_path / "gold"
+    table_dir.mkdir()
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(f"k{i}", float(i))], "event_type string, value double"
+        )
+        SJ._apply_refresh_batch(batch, i, str(table_dir), ["event_type"], specs)
+    # make the LATER prunable snapshot bucket-state-shaped, so the
+    # old code would have deleted plain v0 before raising on v1
+    meta_path = table_dir / "v1" / "_meta.json"
+    meta = _json.loads(meta_path.read_text())
+    meta["state_table"] = SJ._state_table_name(str(table_dir), "v1")
+    meta_path.write_text(_json.dumps(meta))
+
+    with pytest.raises(ValueError, match="pass spark"):
+        SJ.prune_snapshots(str(table_dir), keep_last=1)
+    # nothing was deleted - v0 survived the refused prune
+    assert SJ.list_upsert_versions(str(table_dir)) == ["v0", "v1", "v2"]
+
+    dropped = SJ.prune_snapshots(str(table_dir), keep_last=1, spark=spark)
+    assert dropped == ["v0", "v1"]
+
+
 def test_ledger_append_precedes_pointer_swap(spark, tmp_path, monkeypatch):
     """_publish_pointer must ledger the snapshot BEFORE the pointer
     swap: a crash between the two then leaves a fully-written ledgered
