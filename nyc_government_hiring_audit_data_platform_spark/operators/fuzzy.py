@@ -35,6 +35,8 @@ the same candidate pairs (identical published algorithm, C++ kernel,
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -852,3 +854,216 @@ def extend_title_index(
     return fresh.join(F.broadcast(present), "right_title", "left_anti").select(
         *index.columns
     )
+
+
+# ---------------------------------------------------------------------------
+# index persistence: the production on-disk shapes of a title index
+# ---------------------------------------------------------------------------
+#
+# Layouts read_title_index understands, newest first:
+#   - managed: ``{index_dir}/_index_meta.json`` + ``{index_dir}/base``
+#     (plain parquet, or an external BUCKETED table on the blocking key)
+#     + zero or more ``{index_dir}/g{batch_id}`` append generations
+#     written by the streaming maintenance sink;
+#   - legacy: plain parquet files at ``{index_dir}`` itself (what every
+#     pre-round-12 caller wrote with ``df.write.parquet(index_dir)``).
+#
+# The bucketed shape is the 100 TB probe shape: the weekly delta
+# probe's blocking-key equi-join then moves only the delta's exploded
+# keys - the index side is a bucketed table scan with NO Exchange
+# (plan-gated in tests/test_fuzzy.py) - while a plain-parquet index
+# re-shuffles its full key domain on every weekly run. Append
+# generations ride as plain parquet and DO shuffle (a union hides the
+# bucketing from the planner); compact_title_index folds them back
+# into the base to restore the shuffle-free shape - the compaction
+# cadence bounds how long the probe pays the generation tax.
+
+_INDEX_META = "_index_meta.json"
+
+
+def _index_table_name(index_dir: str) -> str:
+    """Deterministic catalog identifier for a bucketed title index,
+    derived from the absolute path alone so any session can re-register
+    (or defensively DROP) the entry. Same collision-hardening as the
+    IVM state tables (streaming/jobs.py:_state_table_name): the munged
+    readable form alone collides across distinct dirs, so an md5 of
+    the exact path rides in the name."""
+    import hashlib
+    import os
+    import re
+
+    path = os.path.abspath(index_dir)
+    munged = re.sub(r"[^A-Za-z0-9_]+", "_", path).strip("_").lower()
+    digest = hashlib.md5(path.encode()).hexdigest()[:10]
+    return f"fuzzy_title_index_{munged[-48:].strip('_')}_{digest}".lower()
+
+
+def _index_key_column(index: DataFrame) -> str:
+    """The blocking-key column of either index layout (``blk`` = the
+    WRatio lane, ``tok`` = the tokensort lane)."""
+    if "blk" in index.columns:
+        return "blk"
+    if "tok" in index.columns:
+        return "tok"
+    raise ValueError(
+        f"unrecognized title-index layout {index.columns}; expected a "
+        "blk (WRatio) or tok (tokensort) blocking-key column"
+    )
+
+
+def write_title_index(
+    index: DataFrame,
+    index_dir: str,
+    index_format: str = "parquet",
+    n_buckets: int | None = None,
+) -> None:
+    """Persist a ``build_*_title_index`` output as the production index
+    at ``index_dir``, replacing whatever was there (a REBUILD - also
+    what compaction calls to fold append generations back in; existing
+    ``g*`` generation dirs are removed because the fresh base subsumes
+    them only when the caller built it over the union, so the writer
+    refuses to guess and clears them).
+
+    ``index_format="parquet"``: plain parquet under ``{index_dir}/base``.
+    ``index_format="bucketed"``: an EXTERNAL bucketed table on the
+    blocking key (``n_buckets`` defaulting to the session's shuffle
+    partitions), the shape under which a delta probe never shuffles
+    the index side. ``_index_meta.json`` records the layout for
+    :func:`read_title_index`; it lands LAST (write-then-rename), so a
+    crash mid-write leaves a directory the reader refuses (no meta,
+    base/ present -> error) rather than a silently partial index."""
+    import json
+    import os
+    import shutil
+
+    if index_format not in ("parquet", "bucketed"):
+        raise ValueError(
+            f"index_format must be 'parquet' or 'bucketed', got {index_format!r}"
+        )
+    key = _index_key_column(index)
+    meta: dict = {"format": index_format, "key": key}
+    # a rebuild subsumes prior append generations: clear them so the
+    # reader cannot union stale pre-rebuild rows onto the fresh base
+    if os.path.isdir(index_dir):
+        for d in os.listdir(index_dir):
+            if re.fullmatch(r"g\d+", d) and os.path.isdir(
+                os.path.join(index_dir, d)
+            ):
+                shutil.rmtree(os.path.join(index_dir, d))
+        meta_path = os.path.join(index_dir, _INDEX_META)
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+    base = os.path.join(index_dir, "base")
+    if index_format == "parquet":
+        index.write.mode("overwrite").parquet(base)
+    else:
+        spark = index.sparkSession
+        if n_buckets is None:
+            n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        tname = _index_table_name(index_dir)
+        # defensive: a manually-deleted index dir can leave a stale
+        # catalog entry under the (deterministic) name
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        (
+            index.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .option("path", base)
+            .saveAsTable(tname)
+        )
+        meta.update({"table": tname, "n_buckets": n_buckets})
+    tmp = os.path.join(index_dir, _INDEX_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _INDEX_META))
+
+
+def _resolve_index_table(spark, index_dir: str, meta: dict) -> DataFrame:
+    """The bucketed base as a catalog table, re-registering it when
+    this session's catalog has never seen it (the default catalog is
+    in-memory and session-scoped - session.py - and the weekly probe's
+    normal cadence is repeated short-lived runs, so after a restart the
+    files are all that survives). Mirrors
+    streaming/jobs.py:_resolve_state_table."""
+    import os
+
+    tname = meta["table"]
+    if not spark.catalog.tableExists(tname):
+        path = os.path.join(index_dir, "base")
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        loc = path.replace("'", "''")
+        spark.sql(
+            f"CREATE TABLE {tname} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{meta['key']}`) INTO {meta['n_buckets']} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+    return spark.table(tname)
+
+
+def list_index_generations(index_dir: str) -> list[int]:
+    """Sorted batch ids of the ``g{batch_id}`` append generations the
+    maintenance sink has landed at ``index_dir``. The ingest sinks
+    snapshot this BEFORE reading, record it in their per-batch meta,
+    and re-read the SAME set on replay - the exactly-once bookkeeping
+    that keeps a replayed postings batch from re-probing against
+    generations that landed after its original run (which the payroll
+    maintenance probe already covered)."""
+    import os
+
+    if not os.path.isdir(index_dir):
+        return []
+    out = []
+    for d in os.listdir(index_dir):
+        m = re.fullmatch(r"g(\d+)", d)
+        if m and os.path.isdir(os.path.join(index_dir, d)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_title_index(
+    spark, index_dir: str, generations: list[int] | None = None
+) -> DataFrame:
+    """The production index at ``index_dir``: the base (plain parquet,
+    or the bucketed catalog table - re-registered on demand) unioned
+    with ``g{batch_id}`` append generations. Directories with no
+    ``_index_meta.json`` read as the legacy layout (plain parquet at
+    the root; no generations possible).
+
+    ``generations`` - None reads every generation on disk; an explicit
+    list reads exactly those (the sinks' replay hook: a replayed batch
+    re-reads the generation set its ORIGINAL run recorded, and the
+    maintenance sink reads "everything except my own id" so a replay
+    reproduces its original delta instead of seeing its prior output
+    and emitting an empty one, which the overwrite would persist as a
+    LOST generation)."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, _INDEX_META)
+    if not os.path.exists(meta_path):
+        if os.path.isdir(os.path.join(index_dir, "base")):
+            raise ValueError(
+                f"{index_dir} has a base/ directory but no {_INDEX_META}: "
+                "a write_title_index crashed before publishing its meta - "
+                "rebuild the index"
+            )
+        if generations:
+            raise ValueError(
+                "a legacy (meta-less) index has no append generations"
+            )
+        return spark.read.parquet(index_dir)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta["format"] == "bucketed":
+        out = _resolve_index_table(spark, index_dir, meta)
+    else:
+        out = spark.read.parquet(os.path.join(index_dir, "base"))
+    if generations is None:
+        generations = list_index_generations(index_dir)
+    for gid in sorted(generations):
+        out = out.unionByName(
+            spark.read.parquet(os.path.join(index_dir, f"g{gid}"))
+        )
+    return out

@@ -800,9 +800,118 @@ def gold_tables_sql(
 # ---------------------------------------------------------------------------
 
 
+def _checkpoint_identity(checkpoint_dir: str) -> str | None:
+    """The streaming query id Spark pins in ``{checkpoint}/metadata``
+    at first start - the durable identity of a checkpoint's batch
+    numbering. None when the checkpoint has never run a query."""
+    import json
+    import os
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return json.load(f).get("id")
+
+
+def _guard_checkpoint(out_dir: str, checkpoint_dir: str, marker: str) -> None:
+    """Refuse to extend an output directory under a DIFFERENT
+    checkpoint than the one that built it. The per-batch overwrite
+    sinks are replay-idempotent only under the SAME checkpoint: a
+    fresh checkpoint (or changed trigger/file layout) re-partitions
+    the source files into different batch ids, leaving stale ``b{id}``
+    subdirectories whose rows the read-back would double-count
+    (round-11 ADVICE). The first run records the checkpoint's query id
+    in ``{out_dir}/{marker}``; later runs must present the same id."""
+    import os
+
+    path = os.path.join(out_dir, marker)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        recorded = f.read().strip()
+    current = _checkpoint_identity(checkpoint_dir)
+    if current != recorded:
+        raise ValueError(
+            f"{out_dir} was built under checkpoint id {recorded}; "
+            f"checkpoint {checkpoint_dir} has id {current} - a replay "
+            "under a different checkpoint re-partitions batches and "
+            "would double-count stale per-batch subdirectories. Reuse "
+            "the original checkpoint, or start a fresh output dir"
+        )
+
+
+def _record_checkpoint(out_dir: str, checkpoint_dir: str, marker: str) -> None:
+    """Pin the checkpoint identity after a successful run (first run
+    only; later runs are guarded against a different identity)."""
+    import os
+
+    path = os.path.join(out_dir, marker)
+    current = _checkpoint_identity(checkpoint_dir)
+    if os.path.exists(path) or current is None:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(current)
+    os.replace(tmp, path)
+
+
+def _read_batch_meta(matches_dir: str, name: str) -> dict | None:
+    """The ``_meta.json`` a sink stamped into one per-batch output
+    subdirectory (``b{id}`` / ``p{id}``), or None pre-first-write."""
+    import json
+    import os
+
+    path = os.path.join(matches_dir, name, "_meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_batch_meta(matches_dir: str, name: str, meta: dict) -> None:
+    import json
+    import os
+
+    path = os.path.join(matches_dir, name, "_meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def read_payroll_corpus(
+    spark: SparkSession, payroll_dir: str, generations: list[int] | None = None
+) -> DataFrame:
+    """The payroll rows at ``payroll_dir``: the caller-written ``base``
+    plus the ``d{batch_id}`` deltas the maintenance sink archived.
+    ``generations`` pins an explicit delta set (None = all on disk) -
+    the same replay bookkeeping as
+    ``operators.fuzzy.read_title_index``; the ``d{j}`` archives pair
+    1:1 with the index's ``g{j}`` generations (same maintenance batch
+    writes both)."""
+    import os
+    import re as _re
+
+    out = spark.read.parquet(os.path.join(payroll_dir, "base"))
+    if generations is None:
+        generations = sorted(
+            int(m.group(1))
+            for d in os.listdir(payroll_dir)
+            if (m := _re.fullmatch(r"d(\d+)", d))
+            and os.path.isdir(os.path.join(payroll_dir, d))
+        )
+    for j in sorted(generations):
+        out = out.unionByName(
+            spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
+        )
+    return out
+
+
 def run_fuzzy_match_ingest(
     stream_postings: DataFrame,
-    payroll: DataFrame,
+    payroll: DataFrame | str,
     index_dir: str,
     matches_dir: str,
     checkpoint_dir: str,
@@ -822,25 +931,94 @@ def run_fuzzy_match_ingest(
     O(|batch| + matched index blocks), the payroll blocking work paid
     once at index-build time, never per week.
 
-    Writes are REPLAY-IDEMPOTENT by construction (the dedup-ingest
-    sink's recipe, streaming/curation.py:run_dedup_ingest): a batch's
-    matches are a pure function of (batch, index, payroll), and each
-    batch overwrites its own ``b{batch_id}`` subdirectory - a replay
-    recomputes identical content. availableNow + awaitTermination.
-    Read the accumulated matches back with
-    :func:`read_ingested_matches`; totals equal the one-shot full
-    re-match over the same postings (tested)."""
+    The index reads through ``operators.fuzzy.read_title_index``, so
+    every persisted shape works unchanged: the legacy plain-parquet
+    dir, the managed parquet layout, and the PRODUCTION
+    ``index_format="bucketed"`` table - under which the probe's
+    blocking-key equi-join moves only the batch's exploded keys, the
+    index side scanning with NO Exchange (each batch's ``_meta.json``
+    records the probe plan's exchange count as the audit trail,
+    asserted on this sink's own plan in tests/test_fuzzy.py).
+
+    ``payroll`` - a frozen DataFrame (the weekly cadence: payroll
+    lands yearly), or a ``read_payroll_corpus`` directory when the
+    payroll side also grows mid-stream via
+    :func:`run_fuzzy_index_maintenance`; a frozen DataFrame combined
+    with a maintained (generation-carrying) index refuses loudly -
+    probed titles from new payroll could not re-attach rows and
+    matches would silently drop.
+
+    Writes are REPLAY-IDEMPOTENT under the SAME checkpoint (identity
+    recorded in ``{matches_dir}/_checkpoint_id``; a different
+    checkpoint refuses - it would re-partition batches and leave
+    stale subdirectories the read-back double-counts): a batch's
+    matches are a pure function of (batch, index generations recorded
+    in its meta, payroll), and each batch overwrites its own
+    ``b{batch_id}`` subdirectory. The raw batch rows archive to
+    ``{matches_dir}/src/b{batch_id}`` - the corpus the payroll
+    maintenance probe re-reads (at 100 TB point this at the lake's
+    postings table partitioned by ingest batch instead).
+    availableNow + awaitTermination. Read the accumulated matches
+    back with :func:`read_ingested_matches`; totals equal the
+    one-shot full re-match over the same postings (tested)."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.plans import (
+        inspect as PI,
+    )
+
+    _guard_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        index = spark.read.parquet(index_dir)
+        bname = f"b{batch_id}"
+        # replay re-reads the generation set the original run recorded:
+        # generations that landed since were already cross-probed
+        # against this batch by the maintenance sink, and re-probing
+        # them here would double-count those pairs
+        prior = _read_batch_meta(matches_dir, bname)
+        gens = (
+            prior["generations"]
+            if prior is not None
+            else FZ.list_index_generations(index_dir)
+        )
+        index = FZ.read_title_index(spark, index_dir, generations=gens)
+        if isinstance(payroll, str):
+            pay = read_payroll_corpus(spark, payroll, generations=gens)
+        elif gens:
+            raise ValueError(
+                "the index carries append generations "
+                f"{gens} but payroll is a frozen DataFrame - pass the "
+                "read_payroll_corpus directory so new payroll rows can "
+                "re-attach"
+            )
+        else:
+            pay = payroll
         matches = incremental_fuzzy_match_salary(
-            payroll, index, batch_df,
+            pay, index, batch_df,
             year_start=year_start, year_end=year_end,
             prefilter_cutoff=prefilter_cutoff, score_cutoff=score_cutoff,
             limit=limit, probe_fn=probe_fn, row_key=row_key,
         )
-        matches.write.mode("overwrite").parquet(f"{matches_dir}/b{batch_id}")
+        exchanges = PI.shuffle_count(matches)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(matches_dir, "src", bname)
+        )
+        matches.write.mode("overwrite").parquet(
+            os.path.join(matches_dir, bname)
+        )
+        _write_batch_meta(
+            matches_dir, bname,
+            {
+                "batch_id": batch_id,
+                "generations": gens,
+                "exchanges": exchanges,
+                "limit": limit,
+            },
+        )
 
     q = (
         stream_postings.writeStream.foreachBatch(apply)
@@ -849,9 +1027,169 @@ def run_fuzzy_match_ingest(
         .start()
     )
     q.awaitTermination()
+    _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
+
+
+def run_fuzzy_index_maintenance(
+    stream_payroll: DataFrame,
+    payroll_dir: str,
+    index_dir: str,
+    matches_dir: str,
+    checkpoint_dir: str,
+    year_start: int = 2024,
+    year_end: int = 2025,
+    prefilter_cutoff: int = 85,
+    score_cutoff: int = 85,
+    probe_fn=None,
+    index_fn=None,
+    row_key: str | None = None,
+    max_block: int | None = None,
+) -> None:
+    """Index maintenance IN the ingest loop (round-11 VERDICT ask #6):
+    payroll deltas landing mid-stream extend the persisted title index
+    and back-fill the matches the postings probes could not have seen.
+    Per payroll micro-batch ``j``:
+
+    1. ``operators.fuzzy.extend_title_index`` computes the index
+       append-delta against the index as of the OTHER generations and
+       overwrites ``{index_dir}/g{j}`` (replay reproduces identical
+       content - reading its own prior output would emit an empty
+       delta and lose the generation under the overwrite);
+    2. the raw batch rows archive to ``{payroll_dir}/d{j}`` so later
+       postings probes can re-attach them;
+    3. the CROSS TERM lands: this is the ΔP side of the bilinear
+       Δ(A⋈P) = ΔA⋈P ∪ A⋈ΔP decomposition - the batch's titles
+       (ALL of them, not only index-new ones: a new payroll ROW under
+       an existing title is still a new match) probe every archived
+       postings batch whose recorded generation set predates ``j``,
+       re-attaching ONLY this batch's rows, and the matches overwrite
+       ``{matches_dir}/p{j}``. Postings batches that arrive later see
+       generation ``j`` in their own probe, so each (posting, payroll
+       row) pair lands exactly once - interleaved postings/payroll
+       batches reproduce the one-shot re-match over the unions
+       row-for-row (tested).
+
+    Per-batch cost: O(|Δpayroll| index build + archived-postings keys
+    ⋈ batch-sized title index) - the batch-title index is tiny, so AQE
+    broadcasts it and the postings side never shuffles by key.
+
+    Single-writer assumption (same as the IVM sinks): alternate this
+    sink with ``run_fuzzy_match_ingest`` (availableNow cadences), never
+    run the two concurrently - the exactly-once bookkeeping reads the
+    other sink's on-disk state. Per-posting-row ``limit`` does NOT
+    compose with payroll deltas (a new payroll row can displace an
+    earlier top-N member), so this sink refuses matches_dir batches
+    that were produced with one. Same checkpoint-identity guard as the
+    ingest sink (marker ``_checkpoint_id_maintenance``)."""
+    import os
+    import re as _re
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
+    _guard_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id_maintenance")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pname = f"p{batch_id}"
+        gens_before = [
+            g for g in FZ.list_index_generations(index_dir) if g != batch_id
+        ]
+        index_before = FZ.read_title_index(
+            spark, index_dir, generations=gens_before
+        )
+        prepped = _prep_payroll(batch_df, year_start, year_end)
+        delta_idx = FZ.extend_title_index(
+            index_before, prepped, "title_description", index_fn=index_fn,
+            max_block=max_block,
+        )
+        delta_idx.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"g{batch_id}")
+        )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(payroll_dir, f"d{batch_id}")
+        )
+        # cross term: postings batches whose probe predates this
+        # generation (replay re-reads the set the original run pinned)
+        prior = _read_batch_meta(matches_dir, pname)
+        if prior is not None:
+            covered = prior["covered_batches"]
+        else:
+            covered = []
+            if os.path.isdir(matches_dir):
+                for d in sorted(os.listdir(matches_dir)):
+                    m = _re.fullmatch(r"b(\d+)", d)
+                    if not m:
+                        continue
+                    bmeta = _read_batch_meta(matches_dir, d)
+                    if bmeta is None:
+                        raise ValueError(
+                            f"postings batch {d} has no _meta.json - "
+                            "written by a pre-maintenance sink? rebuild "
+                            "the matches dir with the current ingest"
+                        )
+                    if bmeta.get("limit") is not None:
+                        raise ValueError(
+                            f"postings batch {d} was probed with a "
+                            "per-posting-row limit, which does not "
+                            "compose with payroll deltas (a new payroll "
+                            "row can displace an earlier top-N member) - "
+                            "re-ingest without limit to maintain"
+                        )
+                    if batch_id not in bmeta["generations"]:
+                        covered.append(int(m.group(1)))
+        if covered:
+            posts = spark.read.parquet(
+                *[os.path.join(matches_dir, "src", f"b{i}") for i in covered]
+            )
+            # ALL batch titles, not the stored dedup delta: a new
+            # payroll ROW under an existing title is still a new match.
+            # extend-against-empty builds the batch-title index in
+            # whichever layout the persisted index uses (inferred from
+            # its columns), capped like the base when max_block is set.
+            batch_index = FZ.extend_title_index(
+                index_before.limit(0), prepped, "title_description",
+                index_fn=index_fn, max_block=max_block,
+            )
+            matches = incremental_fuzzy_match_salary(
+                batch_df, batch_index, posts,
+                year_start=year_start, year_end=year_end,
+                prefilter_cutoff=prefilter_cutoff,
+                score_cutoff=score_cutoff,
+                limit=None, probe_fn=probe_fn, row_key=row_key,
+            )
+            matches.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, pname)
+            )
+            _write_batch_meta(
+                matches_dir, pname,
+                {"batch_id": batch_id, "covered_batches": covered},
+            )
+
+    q = (
+        stream_payroll.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id_maintenance")
 
 
 def read_ingested_matches(spark: SparkSession, matches_dir: str) -> DataFrame:
-    """All matches produced by ``run_fuzzy_match_ingest`` (union of the
-    per-batch subdirectories)."""
-    return spark.read.parquet(f"{matches_dir}/b*")
+    """All matches produced by ``run_fuzzy_match_ingest`` plus the
+    payroll-delta back-fills from ``run_fuzzy_index_maintenance``
+    (union of the ``b{id}`` and ``p{id}`` per-batch subdirectories)."""
+    import os
+    import re as _re
+
+    dirs = sorted(
+        d
+        for d in os.listdir(matches_dir)
+        if _re.fullmatch(r"[bp]\d+", d)
+        and os.path.isdir(os.path.join(matches_dir, d))
+    )
+    if not dirs:
+        raise ValueError(f"no ingested match batches under {matches_dir}")
+    return spark.read.parquet(*[os.path.join(matches_dir, d) for d in dirs])

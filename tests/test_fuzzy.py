@@ -928,8 +928,11 @@ def test_fuzzy_match_ingest_stream_equals_full_rematch(spark, tmp_path):
     """The streaming form of the weekly loop: postings arriving as file
     micro-batches are matched at ingest time by probing the persisted
     index; the accumulated per-batch matches equal the one-shot full
-    re-match, and a replayed batch (fresh checkpoint) overwrites its
-    own subdirectory with identical content - no duplicates."""
+    re-match. Replay under the SAME checkpoint overwrites each batch's
+    own subdirectory with identical content - no duplicates - while a
+    FRESH checkpoint over the same matches dir refuses (it would
+    re-partition batches and double-count stale subdirectories;
+    round-11 ADVICE)."""
     import shutil
 
     from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
@@ -986,16 +989,28 @@ def test_fuzzy_match_ingest_stream_equals_full_rematch(spark, tmp_path):
     )
     assert got == want and len(got) > 0
 
-    # replay: a FRESH checkpoint re-delivers batch 0; the overwrite is
-    # content-identical, so accumulated matches are unchanged
+    # replay under the SAME checkpoint: all batches already applied;
+    # accumulated matches unchanged
     HA.run_fuzzy_match_ingest(
-        stream(), payroll, idx_path, matches_dir, str(tmp_path / "ck2"),
+        stream(), payroll, idx_path, matches_dir, str(tmp_path / "ck"),
         prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
     )
     again = sorted(
         map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
     )
     assert again == want
+
+    # a FRESH checkpoint over the same matches dir refuses up front:
+    # its re-partitioned batch ids would leave stale b{id} subdirs that
+    # the read-back double-counts
+    with pytest.raises(ValueError, match="different checkpoint"):
+        HA.run_fuzzy_match_ingest(
+            stream(), payroll, idx_path, matches_dir, str(tmp_path / "ck2"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+    assert sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    ) == want
 
 
 def test_bucketed_index_probe_never_shuffles_index(spark, tmp_path):
@@ -1118,3 +1133,219 @@ def test_extend_title_index_caps_delta_and_plan_shape(spark):
         assert "SortMergeJoin" not in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldconf)
+
+
+def test_title_index_layouts_roundtrip(spark, tmp_path):
+    """write_title_index/read_title_index: the managed parquet and
+    bucketed layouts, the legacy plain-parquet dir, the crashed-write
+    refusal, catalog re-registration after a session-restart-shaped
+    catalog wipe, and rebuild clearing stale generations."""
+    import json
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 300)
+    idx = HA.build_payroll_title_index(payroll)
+    want = sorted(map(tuple, idx.collect()))
+
+    # legacy: plain parquet at the root still reads
+    legacy = str(tmp_path / "legacy")
+    idx.write.parquet(legacy)
+    assert sorted(map(tuple, FZ.read_title_index(spark, legacy).collect())) == want
+
+    # managed parquet
+    managed = str(tmp_path / "managed")
+    FZ.write_title_index(idx, managed, "parquet")
+    assert sorted(map(tuple, FZ.read_title_index(spark, managed).collect())) == want
+
+    # bucketed: external table, rows identical, meta records the layout
+    bucketed = str(tmp_path / "bucketed")
+    FZ.write_title_index(idx, bucketed, "bucketed", n_buckets=8)
+    with open(os.path.join(bucketed, "_index_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["format"] == "bucketed" and meta["n_buckets"] == 8
+    assert meta["key"] == "tok"
+    got = sorted(map(tuple, FZ.read_title_index(spark, bucketed).collect()))
+    assert got == want
+
+    # session restart: catalog entry gone, files remain - re-registers
+    spark.sql(f"DROP TABLE IF EXISTS {meta['table']}")
+    got = sorted(map(tuple, FZ.read_title_index(spark, bucketed).collect()))
+    assert got == want
+    spark.sql(f"DROP TABLE IF EXISTS {meta['table']}")
+
+    # crashed write: base/ without meta refuses instead of serving a
+    # possibly partial index
+    crashed = tmp_path / "crashed"
+    (crashed / "base").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no _index_meta.json"):
+        FZ.read_title_index(spark, str(crashed))
+
+    # a rebuild clears stale append generations (the fresh base
+    # subsumes them only when built over the union - the writer must
+    # not let the reader union pre-rebuild rows onto it)
+    stale = idx.limit(5)
+    stale.write.parquet(os.path.join(managed, "g7"))
+    assert FZ.list_index_generations(managed) == [7]
+    FZ.write_title_index(idx, managed, "parquet")
+    assert FZ.list_index_generations(managed) == []
+    assert sorted(map(tuple, FZ.read_title_index(spark, managed).collect())) == want
+
+    with pytest.raises(ValueError, match="parquet.*bucketed|bucketed.*parquet"):
+        FZ.write_title_index(idx, str(tmp_path / "x"), "csv")
+
+
+def test_bucketed_index_ingest_sink_never_shuffles_index(spark, tmp_path):
+    """Round-11 VERDICT ask #1, the production gate: with the title
+    index persisted index_format='bucketed', run_fuzzy_match_ingest's
+    OWN per-batch probe plan carries no index-side Exchange - asserted
+    via the exchange count each batch's _meta.json records - and the
+    matches are row-identical to the plain-parquet-index ingest."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 400)
+    postings = HA.make_postings_fixture(spark, 60).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    idx = HA.build_payroll_title_index(payroll)
+    plain_dir = str(tmp_path / "idx_plain")
+    buck_dir = str(tmp_path / "idx_buck")
+    FZ.write_title_index(idx, plain_dir, "parquet")
+    FZ.write_title_index(idx, buck_dir, "bucketed", n_buckets=8)
+
+    src = tmp_path / "postings_src"
+    src.mkdir()
+    postings.coalesce(1).write.parquet(str(tmp_path / "w"))
+    for i, f in enumerate((tmp_path / "w").glob("*.parquet")):
+        shutil.copy(f, src / f"a{i}.parquet")
+
+    def stream():
+        return spark.readStream.schema(postings.schema).parquet(str(src))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        results = {}
+        for tag, idx_dir in (("plain", plain_dir), ("bucketed", buck_dir)):
+            mdir = str(tmp_path / f"matches_{tag}")
+            HA.run_fuzzy_match_ingest(
+                stream(), payroll, idx_dir, mdir, str(tmp_path / f"ck_{tag}"),
+                prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+            )
+            meta = HA._read_batch_meta(mdir, "b0")
+            rows = sorted(
+                map(tuple, HA.read_ingested_matches(spark, mdir).collect())
+            )
+            results[tag] = (meta["exchanges"], rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    (ex_b, rows_b), (ex_p, rows_p) = results["bucketed"], results["plain"]
+    assert ex_b < ex_p, (ex_b, ex_p)  # the index-side Exchange is gone
+    assert rows_b == rows_p and len(rows_b) > 0
+
+
+def test_fuzzy_index_maintenance_interleaved_equals_one_shot(spark, tmp_path):
+    """Round-11 VERDICT ask #6: payroll deltas landing mid-stream
+    extend the index AND back-fill the cross-term matches. Interleaved
+    postings/payroll batches (A0, ΔP0, A1, ΔP1) reproduce the one-shot
+    re-match over the unions row-for-row: each (posting, payroll row)
+    pair lands exactly once across the b{i} probes (ΔA ⋈ P-so-far) and
+    the p{j} back-fills (A-before-j ⋈ ΔP). Replays under the same
+    checkpoints are no-ops; fresh checkpoints refuse."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll_all = HA.make_payroll_fixture(spark, 500).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 5 < 3).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 5 == 3).drop("rid")
+    d1 = payroll_all.filter(F.col("rid") % 5 == 4).drop("rid")
+    postings = HA.make_postings_fixture(spark, 80).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    a0 = postings.filter(F.col("post_id") % 2 == 0)
+    a1 = postings.filter(F.col("post_id") % 2 == 1)
+
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    def ingest():
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(post_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_post"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    def maintain():
+        HA.run_fuzzy_index_maintenance(
+            spark.readStream.schema(base.schema).parquet(str(pay_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    land(a0, post_src, "a0"); ingest()       # b0: A0 x base
+    land(d0, pay_src, "d0"); maintain()      # g0/d0 + p0: A0 x d0
+    land(a1, post_src, "a1"); ingest()       # b1: A1 x (base u d0)
+    land(d1, pay_src, "d1"); maintain()      # g1/d1 + p1: (A0 u A1) x d1
+
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                base.unionByName(d0).unionByName(d1),
+                postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # replays under the same checkpoints: no new batches, no changes
+    ingest(); maintain()
+    assert sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    ) == want
+
+    # fresh maintenance checkpoint over the same matches dir refuses
+    with pytest.raises(ValueError, match="different checkpoint"):
+        HA.run_fuzzy_index_maintenance(
+            spark.readStream.schema(base.schema).parquet(str(pay_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay2"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    # a frozen-DataFrame payroll with a maintained index refuses: new
+    # payroll rows could not re-attach and matches would silently drop
+    # (the ValueError raised inside foreachBatch surfaces wrapped in a
+    # StreamingQueryException - match the message, not the type)
+    land(postings.filter(F.col("post_id") == 0), post_src, "a2")
+    with pytest.raises(Exception, match="frozen DataFrame"):
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(post_src)),
+            base, index_dir, matches_dir, str(tmp_path / "ck_post"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
