@@ -819,9 +819,12 @@ def extend_title_index(
     but truncation is GENERATION-LOCAL: the unioned occupancy is
     bounded by generations x max_block, not max_block, and the exact
     capped-rebuild parity (lowest members of old ∪ new) does NOT hold
-    under append maintenance. Rebuild the index (compaction cadence)
-    to restore the exact bound; leaving ``max_block`` unset on a
-    capped index silently regrows hot keys uncapped.
+    under append maintenance. :func:`compact_title_index` restores the
+    exact bound (proven == a fresh capped rebuild; trigger on
+    :func:`title_index_occupancy`'s ``keys_over_cap``), and
+    :func:`compact_persisted_title_index` is its production form;
+    leaving ``max_block`` unset on a capped index silently regrows hot
+    keys uncapped.
 
     PLAN SHAPE (the reason for the two-step membership probe below):
     a plain ``fresh ANTI-JOIN index-titles`` cannot broadcast - Spark's
@@ -1067,3 +1070,121 @@ def read_title_index(
             spark.read.parquet(os.path.join(index_dir, f"g{gid}"))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# index compaction: restore the exact capped bound after append maintenance
+# ---------------------------------------------------------------------------
+#
+# extend_title_index's per-key cap is GENERATION-LOCAL (its docstring):
+# N appended generations bound a hot key at N x max_block, not
+# max_block, so a year of weekly appends on a hot-key index silently
+# regrows toward uncapped occupancy. Compaction closes the loop: cap
+# the UNIONED rows once, restoring exactly the fresh-capped-rebuild
+# bound. The equality is not approximate - for any key, an element of
+# the union's max_block lowest members has fewer than max_block smaller
+# members WITHIN its own generation too, so a generation-local cap at
+# >= max_block (or an uncapped append) can never have dropped it; the
+# union therefore still CONTAINS every row the fresh rebuild would
+# keep, and one more cap selects exactly those (property-tested both
+# lanes against index_fn(union_of_titles, max_block)).
+
+
+def _index_order_cols(index: DataFrame) -> tuple[str, list[str]]:
+    """(key column, deterministic member-rank columns) for either index
+    layout - exactly the builders' _cap_block_occupancy arguments."""
+    key = _index_key_column(index)
+    return key, (
+        ["right_norm", "right_title"] if key == "blk"
+        else ["right_key", "right_title"]
+    )
+
+
+def compact_title_index(index: DataFrame, max_block: int) -> DataFrame:
+    """Re-cap an appended index at ``max_block``: each blocking key
+    keeps its ``max_block`` lowest-ranked members across ALL
+    generations - row-identical to ``index_fn(union_of_titles,
+    max_block=max_block)``, the fresh capped rebuild, PROVIDED every
+    append was uncapped or capped at >= ``max_block`` (a tighter past
+    cap may have dropped rows the rebuild would keep; compaction
+    cannot resurrect them - it can only narrow). Works on either lane
+    (layout inferred from the columns)."""
+    key, order_cols = _index_order_cols(index)
+    return _cap_block_occupancy(index, key, order_cols, max_block)
+
+
+def title_index_occupancy(index: DataFrame, max_block: int | None = None) -> dict:
+    """One-pass occupancy stats the compaction cadence triggers on:
+    ``{"n_rows", "n_keys", "max_per_key", "keys_over_cap"}`` (the last
+    None without ``max_block``). One map-side-combined aggregation over
+    the index - O(|index|) with group-sized state, cheap enough to run
+    after every append. Trigger recipe: compact when ``keys_over_cap``
+    > 0 (exactness of the capped bound lost) or when ``max_per_key``
+    crosses the probe-latency budget the cap was sized for."""
+    key = _index_key_column(index)
+    per_key = index.groupBy(key).agg(F.count(F.lit(1)).alias("occ"))
+    aggs = [
+        F.sum("occ").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("occ").alias("max_per_key"),
+    ]
+    if max_block is not None:
+        aggs.append(
+            F.sum((F.col("occ") > max_block).cast("long")).alias("keys_over_cap")
+        )
+    row = per_key.agg(*aggs).first()
+    out = {
+        "n_rows": row["n_rows"] or 0,
+        "n_keys": row["n_keys"],
+        "max_per_key": row["max_per_key"] or 0,
+        "keys_over_cap": row["keys_over_cap"] if max_block is not None else None,
+    }
+    return out
+
+
+def compact_persisted_title_index(
+    spark,
+    index_dir: str,
+    max_block: int | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """The production compaction step: fold ``index_dir``'s append
+    generations back into its base - re-capped at ``max_block`` when
+    given - preserving the persisted format the meta records. For a
+    BUCKETED index this also restores the shuffle-free probe shape
+    (append generations ride as plain parquet whose union hides the
+    bucketing from the planner; after compaction the probe is a single
+    bucketed scan again - the generation tax the compaction cadence
+    bounds). Single-writer: run from the job that owns the index, not
+    concurrently with a maintenance batch.
+
+    The fold materializes through a STAGING parquet dir before
+    ``write_title_index`` clears the old layout: the compacted plan
+    reads the very files the rebuild overwrites, and Spark's lazy scan
+    would otherwise read back its own half-overwritten inputs."""
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(index_dir, _INDEX_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{index_dir} is a legacy plain-parquet index (no "
+            f"{_INDEX_META}); rewrite it with write_title_index first"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    folded = read_title_index(spark, index_dir)
+    if max_block is not None:
+        folded = compact_title_index(folded, max_block)
+    staging = os.path.join(index_dir, "_compact_staging")
+    folded.write.mode("overwrite").parquet(staging)
+    try:
+        write_title_index(
+            spark.read.parquet(staging),
+            index_dir,
+            index_format=meta["format"],
+            n_buckets=n_buckets or meta.get("n_buckets"),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

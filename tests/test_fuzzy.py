@@ -1349,3 +1349,125 @@ def test_fuzzy_index_maintenance_interleaved_equals_one_shot(spark, tmp_path):
             base, index_dir, matches_dir, str(tmp_path / "ck_post"),
             prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
         )
+
+
+def test_compact_title_index_equals_fresh_capped_rebuild(spark):
+    """Round-11 VERDICT ask #2, the exactness property: N generations of
+    append maintenance followed by compact_title_index(max_block) is
+    row-identical to a fresh capped build over the union of titles -
+    both lanes, for uncapped appends AND generation-local capped
+    appends (a union element among a key's max_block lowest members has
+    fewer than max_block smaller members within its own generation, so
+    no append at cap >= max_block can have dropped it)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 600).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    gens = [payroll.filter(F.col("rid") % 3 == k).drop("rid") for k in range(3)]
+    union = gens[0].unionByName(gens[1]).unionByName(gens[2])
+    cap = 3
+
+    for index_fn in (FZ.build_tokensort_title_index, FZ.build_fuzzy_title_index):
+        for gen_cap in (None, cap, cap + 2):
+            idx = index_fn(gens[0], "title_description", max_block=gen_cap)
+            for g in gens[1:]:
+                delta = FZ.extend_title_index(
+                    idx, g, "title_description", index_fn, max_block=gen_cap
+                )
+                idx = idx.unionByName(delta)
+            compacted = sorted(
+                map(tuple, FZ.compact_title_index(idx, cap).collect())
+            )
+            want = sorted(
+                map(
+                    tuple,
+                    index_fn(union, "title_description", max_block=cap).collect(),
+                )
+            )
+            assert compacted == want and len(want) > 0, (index_fn, gen_cap)
+
+
+def test_title_index_occupancy_stats_trigger(spark):
+    """The compaction trigger stats: occupancy regrows past the cap
+    under generation-local capped appends (the honest caveat in
+    extend_title_index's docstring), keys_over_cap detects it, and
+    compaction restores max_per_key <= cap."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 600).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    gens = [payroll.filter(F.col("rid") % 3 == k).drop("rid") for k in range(3)]
+    cap = 2
+    idx = FZ.build_tokensort_title_index(gens[0], "title_description", max_block=cap)
+    for g in gens[1:]:
+        idx = idx.unionByName(
+            FZ.extend_title_index(idx, g, "title_description", max_block=cap)
+        )
+    stats = FZ.title_index_occupancy(idx, max_block=cap)
+    assert stats["max_per_key"] > cap          # regrown past the cap
+    assert stats["max_per_key"] <= cap * 3     # but bounded by gens x cap
+    assert stats["keys_over_cap"] > 0          # the trigger fires
+    assert stats["n_rows"] >= stats["n_keys"] > 0
+
+    compacted = FZ.compact_title_index(idx, cap)
+    after = FZ.title_index_occupancy(compacted, max_block=cap)
+    assert after["max_per_key"] <= cap and after["keys_over_cap"] == 0
+    assert FZ.title_index_occupancy(idx)["keys_over_cap"] is None
+
+
+def test_compact_persisted_index_restores_bucketed_no_shuffle(spark, tmp_path):
+    """Production compaction: generations fold back into the bucketed
+    base (format preserved, g* dirs cleared), the probe's no-shuffle
+    shape returns, and the probe output equals the pre-compaction
+    (generation-unioned) probe when compaction is lossless."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    payroll = HA.make_payroll_fixture(spark, 400).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base, d0 = (
+        payroll.filter(F.col("rid") % 4 < 3).drop("rid"),
+        payroll.filter(F.col("rid") % 4 == 3).drop("rid"),
+    )
+    delta_posts = HA.make_postings_fixture(spark, 40)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(
+        HA.build_payroll_title_index(base), index_dir, "bucketed", n_buckets=8
+    )
+    # one maintenance generation lands as plain parquet
+    idx_before = FZ.read_title_index(spark, index_dir)
+    FZ.extend_title_index(
+        idx_before, HA._prep_payroll(d0, 2024, 2025), "title_description"
+    ).write.parquet(os.path.join(index_dir, "g0"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def probe():
+            return FZ.incremental_fuzzy_pairs_tokensort(
+                FZ.read_title_index(spark, index_dir), delta_posts,
+                "business_title", 1, 85,
+            )
+
+        with_gen = probe()
+        n_with_gen = PI.shuffle_count(with_gen)
+        want = sorted(map(tuple, with_gen.collect()))
+
+        FZ.compact_persisted_title_index(spark, index_dir)
+        assert FZ.list_index_generations(index_dir) == []
+        assert not os.path.exists(os.path.join(index_dir, "_compact_staging"))
+        after = probe()
+        assert PI.shuffle_count(after) < n_with_gen  # bucketed shape is back
+        assert sorted(map(tuple, after.collect())) == want and len(want) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        import json
+
+        with open(os.path.join(index_dir, "_index_meta.json")) as f:
+            spark.sql(f"DROP TABLE IF EXISTS {json.load(f)['table']}")

@@ -27,8 +27,22 @@ postings and (b) the index probe of just the delta (index read from
 parquet; its build cost reported once, separately - the one-time
 linear pass).
 
+- ``--shapes``: the round-12 index-shape axis (mirror of the r11
+  merge-shapes panel): at a fixed 1% delta, persist the SAME index
+  plain-parquet vs BUCKETED on the blocking key and measure what the
+  weekly probe plan actually moves (shuffle WRITE bytes via the UI
+  REST counter, exchange count, wall seconds) as the payroll side
+  grows. The plan measured here is the production sink's own per-batch
+  plan (run_fuzzy_match_ingest compiles exactly this
+  incremental_fuzzy_match_salary over read_title_index; the sink's
+  meta-recorded exchange count is plan-gated in tests/test_fuzzy.py).
+  autoBroadcastJoinThreshold is disabled for this axis: it models the
+  100 TB regime where the weekly delta is too big to broadcast - with
+  broadcast on, small deltas broadcast and NEITHER shape shuffles.
+
 Usage: python tools/fuzzy_incr_probe.py [--fracs 0.01,0.1,1.0]
                                         [--paymults 1,8,64]
+                                        [--shapes]
 Prints markdown tables to append to SCALING.md (curated by hand).
 """
 
@@ -112,16 +126,70 @@ def _build_index(spark, payroll, tag: str):
     return index, index.count(), t_build
 
 
+def _index_shape_axis(spark, payroll, postings, paymults, delta, n_delta) -> None:
+    """Plain-parquet vs bucketed index: bytes the probe plan moves."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.plans import (
+        inspect as PI,
+    )
+
+    print(
+        f"\nindex-shape axis (fixed delta = {n_delta} rows; "
+        "autoBroadcastJoinThreshold=-1 models a non-broadcastable "
+        "weekly delta). 'pairs moved' isolates the stage the bucketed "
+        "layout changes - the delta-keys x index equi-join (shuffle "
+        "WRITE bytes of one pairs action, UI REST diff, single job at "
+        "a time); the e2e row re-attach downstream is pairs-sized and "
+        "broadcasts under AQE in production, identically for both "
+        "shapes:"
+    )
+    print("| payroll | index rows | shape | exchanges | pairs moved | pairs s |")
+    print("|---|---|---|---|---|---|")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        delta_prep = HA._prep_postings(delta)
+        for m in paymults:
+            pay_m = _mult_payroll(payroll, m)
+            idx = HA.build_payroll_title_index(pay_m)
+            n_idx = idx.count()
+            for shape in ("parquet", "bucketed"):
+                idx_dir = os.path.join(WORK, f"shape_{shape}_x{m}")
+                shutil.rmtree(idx_dir, ignore_errors=True)
+                FZ.write_title_index(idx, idx_dir, shape)
+                pairs = FZ.incremental_fuzzy_pairs_tokensort(
+                    FZ.read_title_index(spark, idx_dir), delta_prep,
+                    "business_title", 1, 85,
+                )
+                exchanges = PI.shuffle_count(pairs)
+                _noop(pairs)  # warm
+                before = PI.shuffle_write_bytes(spark)
+                t = _noop(pairs)
+                moved = PI.shuffle_write_bytes(spark) - before
+                print(
+                    f"| x{m} | {n_idx:,} | {shape} | {exchanges} "
+                    f"| {moved / 1024:.0f} KB | {t:.2f} |",
+                    flush=True,
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fracs", default="0.01,0.1,1.0")
     ap.add_argument("--paymults", default="1,8,64")
+    ap.add_argument("--shapes", action="store_true")
     args = ap.parse_args()
     fracs = [float(f) for f in args.fracs.split(",")]
     paymults = [int(m) for m in args.paymults.split(",")]
 
     os.makedirs(WORK, exist_ok=True)
-    spark = get_spark(app_name="fuzzy-incr-probe")
+    spark = get_spark(
+        app_name="fuzzy-incr-probe",
+        extra_conf={"spark.ui.enabled": "true"} if args.shapes else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     payroll = DQD.payroll_from_part(spark, SF_DIR)
@@ -132,6 +200,12 @@ def main() -> None:
         mod = max(1, round(1 / frac))
         d = postings.filter((F.col("post_id") / 4) % mod == 0)
         return d, d.count()
+
+    if args.shapes:
+        delta, n_delta = delta_of(fracs[0])
+        _index_shape_axis(spark, payroll, postings, paymults, delta, n_delta)
+        spark.stop()
+        return
 
     index, n_idx, t_build = _build_index(spark, payroll, "x1")
     print(
