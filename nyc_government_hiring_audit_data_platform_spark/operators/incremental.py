@@ -100,6 +100,22 @@ def _with_synopsis_col(state: DataFrame, synopsis_r: int) -> DataFrame:
     return state.withColumn(_SYNOPSIS_COL, F.lit(synopsis_r).cast("int"))
 
 
+def _with_dropped_cols(state: DataFrame, specs: list[AggSpec]) -> DataFrame:
+    """Legacy normalization for the overflow counter: a state persisted
+    before ``{out}__dropped`` existed gets NULL - "unknown", NOT zero:
+    its deletion side may genuinely have overflowed, so the certificate
+    for such groups falls back to the conservative size-at-cap test
+    instead of trusting a fabricated clean counter. NULL propagates
+    through every merge (unknown + anything = unknown) until the group
+    is rebuilt from facts."""
+    for out, _, kind in specs:
+        if kind in ("retractable_max", "retractable_min"):
+            col = f"{out}__dropped"
+            if col not in state.columns:
+                state = state.withColumn(col, F.lit(None).cast("long"))
+    return state
+
+
 def _synopsis_mismatch_error(synopsis_r: int) -> str:
     return (
         f"state was built with a different synopsis_r than the {synopsis_r} "
@@ -137,6 +153,7 @@ def state_columns(specs: list[AggSpec]) -> list[str]:
         if kind in ("retractable_max", "retractable_min"):
             cols.append(f"{out}__topi")
             cols.append(f"{out}__topd")
+            cols.append(f"{out}__dropped")
         if kind == "approx_median":
             cols.append(f"{out}__kll")
     if _has_retractable(specs):
@@ -193,6 +210,20 @@ def partial_agg_state(
             ins_e, del_e = (top, empty) if sign == 1 else (empty, top)
             aggs.append(F.expr(ins_e).alias(f"{out}__topi"))
             aggs.append(F.expr(del_e).alias(f"{out}__topd"))
+            # the overflow counter (round-11 VERDICT ask #5): exact
+            # per-group count of DELETION-side values the synopsis cap
+            # sliced off - the retractions the certificate can no
+            # longer account for. Insert-side overflow is the horizon
+            # design, not degradation, so sign=1 contributes 0.
+            # Production monitors it from the STATE between refreshes
+            # (synopsis_overflow_stats) instead of discovering ok=false
+            # at finalize.
+            dropped = (
+                f"CAST(greatest(0, count({src}) - {synopsis_r}) AS LONG)"
+                if sign == -1
+                else "CAST(0 AS LONG)"
+            )
+            aggs.append(F.expr(dropped).alias(f"{out}__dropped"))
         if kind in ("min", "max", "approx_distinct", "approx_median"):
             if sign == -1:
                 raise ValueError(
@@ -238,7 +269,10 @@ def merge_agg_states(
         # taken to have been built at the CALLER-supplied depth - else
         # the union below fails on the missing column and a running
         # production table bricks on upgrade instead of merging
-        states = [_with_synopsis_col(s, synopsis_r) for s in states]
+        states = [
+            _with_dropped_cols(_with_synopsis_col(s, synopsis_r), specs)
+            for s in states
+        ]
     unioned = reduce(DataFrame.unionByName, states)
     aggs: list[Column] = []
     for out, _, kind in specs:
@@ -263,6 +297,18 @@ def merge_agg_states(
                         f", {asc}), 1, {synopsis_r})"
                     ).alias(f"{out}__{side}")
                 )
+            # overflow counter: carried drops plus what THIS merge's
+            # deletion-side re-truncation slices off. A NULL (unknown,
+            # legacy) part poisons the sum to NULL - sum() alone would
+            # skip it and launder unknown into clean
+            aggs.append(
+                F.expr(
+                    f"CASE WHEN count(CASE WHEN {out}__dropped IS NULL "
+                    f"THEN 1 END) > 0 THEN CAST(NULL AS LONG) ELSE "
+                    f"sum({out}__dropped) + greatest(0, "
+                    f"sum(size({out}__topd)) - {synopsis_r}) END"
+                ).alias(f"{out}__dropped")
+            )
     if _has_retractable(specs):
         # every merged row must carry the SAME build-time R as this
         # call's truncation depth, else the re-truncated synopsis and
@@ -314,8 +360,8 @@ def merge_states_joined(
 
     if _has_retractable(specs):
         # same legacy normalization as merge_agg_states
-        left = _with_synopsis_col(left, synopsis_r)
-        right = _with_synopsis_col(right, synopsis_r)
+        left = _with_dropped_cols(_with_synopsis_col(left, synopsis_r), specs)
+        right = _with_dropped_cols(_with_synopsis_col(right, synopsis_r), specs)
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, c + "__r")
@@ -365,6 +411,25 @@ def merge_states_joined(
                     f"{out}__{side}__r), {asc}), 1, {synopsis_r})"
                 )
                 cols.append(_nn(a, b, comb).alias(f"{out}__{side}"))
+            # carried drops + this merge's deletion-side slice loss.
+            # Presence is tested on topd (an array, never NULL for a
+            # present group), NOT on the counter: a present group's
+            # NULL counter means UNKNOWN (legacy state) and must
+            # propagate - _nn on the counter itself would launder it
+            # into the other side's clean count
+            da, db = _pair("dropped")
+            ta, tb = _pair("topd")
+            comb_d = da + db + F.greatest(
+                F.lit(0).cast("long"),
+                (F.size(ta) + F.size(tb) - F.lit(synopsis_r)).cast("long"),
+            )
+            cols.append(
+                F.when(ta.isNull(), db)
+                .when(tb.isNull(), da)
+                .otherwise(comb_d)
+                .cast("long")
+                .alias(f"{out}__dropped")
+            )
     if _has_retractable(specs):
         ra, rb = left[_SYNOPSIS_COL], r[_SYNOPSIS_COL + "__r"]
         bad = (ra.isNotNull() & (ra != F.lit(synopsis_r))) | (
@@ -426,8 +491,15 @@ def finalize_agg_state(
     in the state's ``__synopsis_r`` column, never the caller-supplied
     ``synopsis_r`` (which only serves states persisted before the
     column existed): a state built at R=4 finalized with the default 8
-    must not certify a cap-hit deletion side as exact."""
+    must not certify a cap-hit deletion side as exact.
+
+    The ``{out}__dropped`` overflow counter (NULL = legacy/unknown)
+    TIGHTENS the certificate where it is known: a deletion side that
+    reached the cap without ever slicing a value off (dropped = 0) is
+    still exact - the size-at-cap test alone would conservatively
+    degrade it; an unknown counter falls back to that size test."""
     _check_specs(specs)
+    state = _with_dropped_cols(state, specs)
     if drop_empty:
         cnt_cols = [
             f"{out}__cnt" for out, _, kind in specs if kind in ("count", "avg")
@@ -492,7 +564,9 @@ def finalize_agg_state(
             )
             ok = (
                 f"__{out}_res.ok AND size(__{out}_res.arr) > 0 "
-                f"AND size({out}__topd) < {cap}"
+                f"AND (CASE WHEN {out}__dropped IS NULL "
+                f"THEN size({out}__topd) < {cap} "
+                f"ELSE {out}__dropped = 0 END)"
             )
             cols.append(
                 F.expr(f"IF({ok}, get(__{out}_res.arr, 0), NULL)").alias(out)
@@ -536,3 +610,104 @@ def reaggregate_state(
     fact table untouched). Exact for every supported kind because the
     state is partials, not finalized values."""
     return merge_agg_states([state], coarser_keys, specs, synopsis_r=synopsis_r)
+
+
+# ---------------------------------------------------------------------------
+# synopsis sizing + overflow monitoring (round-11 VERDICT ask #5)
+# ---------------------------------------------------------------------------
+#
+# The sizing recipe, start to finish:
+#   1. r = suggest_synopsis_r(facts, keys, quantile=0.999) - one pass
+#      over the facts for the per-group multiplicity distribution; a
+#      group can retract at most every row it ever inserted, so the
+#      multiplicity quantile IS the retraction bound for all but the
+#      (1 - quantile) heaviest groups. Headroom multiplies it for
+#      growth between re-sizings.
+#   2. Build/refresh state at that R. Groups beyond the quantile can
+#      degrade - by design, boundedly, and LOUDLY (ok=false at
+#      finalize; the sf0.1 battery catch that motivated this recipe
+#      was an R hardcoded below the data's real bound).
+#   3. Between refreshes, production watches
+#      synopsis_overflow_stats(state, specs): the overflow counter the
+#      state itself carries says WHICH fraction of groups already
+#      sliced off retractions - the signal to re-size R and rebuild
+#      those groups BEFORE a consumer sees their ok=false finalize.
+
+
+def suggest_synopsis_r(
+    df: DataFrame,
+    keys: list[str],
+    quantile: float = 0.999,
+    headroom: float = 1.5,
+) -> int:
+    """Size ``synopsis_r`` from the data instead of a guess: the
+    DISCRETE ``quantile`` of the per-group row multiplicity - the
+    largest observed multiplicity m such that a ``quantile`` fraction
+    of groups carry at most m rows (cume_dist, never an interpolated
+    value a whale group would inflate) - times ``headroom``,
+    ceilinged. One map-side-combined count pass over ``df``; the
+    quantile itself runs over the GROUP-SIZED count relation (a single
+    unpartitioned window - fine for an offline sizing pass, the only
+    place this helper belongs). Groups at or under the quantile can
+    never overflow a synopsis this deep - even if every one of their
+    rows retracts - because a group's retractions are bounded by its
+    inserts."""
+    import math
+
+    from pyspark.sql import Window
+
+    if not 0 < quantile <= 1:
+        raise ValueError(f"quantile must be in (0, 1], got {quantile}")
+    if headroom < 1:
+        raise ValueError(f"headroom must be >= 1, got {headroom}")
+    per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = per.select(
+        "__n", F.cume_dist().over(Window.orderBy("__n")).alias("__cd")
+    )
+    q = ranked.where(F.col("__cd") <= quantile).agg(F.max("__n")).first()[0]
+    if q is None:
+        # every group is heavier than the quantile cut (tiny quantile
+        # or uniform multiplicities): the smallest group is the honest
+        # floor; None again means df had no groups at all
+        q = per.agg(F.min("__n")).first()[0]
+    if q is None:
+        return 1
+    return max(1, int(math.ceil(float(q) * headroom)))
+
+
+def synopsis_overflow_stats(
+    state: DataFrame, specs: list[AggSpec]
+) -> dict[str, dict]:
+    """Per retractable spec, what the state's own overflow counters say
+    - one group-sized scan, no facts, no finalize:
+    ``{"n_groups", "groups_overflowed", "groups_unknown",
+    "overflow_rate"}`` where overflowed = the deletion-side cap sliced
+    off at least one retraction (those groups WILL finalize ok=false;
+    rebuild them from facts and re-size R), unknown = legacy states
+    whose counter predates the column (counted separately, not assumed
+    clean). The production cadence: run after every refresh, alert on
+    overflow_rate > 0."""
+    _check_specs(specs)
+    state = _with_dropped_cols(state, specs)
+    rets = [
+        out for out, _, kind in specs
+        if kind in ("retractable_max", "retractable_min")
+    ]
+    if not rets:
+        raise ValueError("no retractable_max/retractable_min spec to monitor")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for out in rets:
+        d = F.col(f"{out}__dropped")
+        aggs.append(F.sum((d > 0).cast("long")).alias(f"__over_{out}"))
+        aggs.append(F.sum(d.isNull().cast("long")).alias(f"__unk_{out}"))
+    row = state.agg(*aggs).first()
+    n = row["__n"]
+    return {
+        out: {
+            "n_groups": n,
+            "groups_overflowed": row[f"__over_{out}"] or 0,
+            "groups_unknown": row[f"__unk_{out}"] or 0,
+            "overflow_rate": ((row[f"__over_{out}"] or 0) / n) if n else 0.0,
+        }
+        for out in rets
+    }

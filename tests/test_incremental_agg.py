@@ -112,7 +112,7 @@ def test_retractable_extremes_exact_within_synopsis(spark):
     }
     assert got == {("a", 5, True, 1, True, 2), ("b", 10, True, 10, True, 1)}
     assert IVM.state_columns(specs[:1]) == [
-        "mx__topi", "mx__topd", "__synopsis_r",
+        "mx__topi", "mx__topd", "mx__dropped", "__synopsis_r",
     ]
 
 
@@ -504,3 +504,114 @@ def test_legacy_states_without_synopsis_col_still_merge(spark):
         ).collect()
     }
     assert got_2legacy == want
+
+
+def test_overflow_counter_tightens_certificate_and_monitors(spark):
+    """Round-11 VERDICT ask #5: (a) a deletion side that reached its R
+    cap WITHOUT slicing anything off is still exact - the old
+    size-at-cap test conservatively degraded it; (b) actual slice
+    losses count exactly in the state's {out}__dropped column and
+    synopsis_overflow_stats reads them off the STATE, before finalize;
+    (c) a legacy state (no counter column) reports unknown and falls
+    back to the conservative size test."""
+    specs = [("mx", "v", "retractable_max")]
+    r = 2
+
+    # (a) inserts 9,8,7,6; retract 7,6 - topd holds exactly R=2 values,
+    # none dropped; the maintained max 9 is provably exact
+    ins = _facts(spark, [("a", v) for v in (9, 8, 7, 6)])
+    st = IVM.partial_agg_state(ins, ["k"], specs, synopsis_r=r)
+    st = IVM.incremental_agg_refresh(
+        st, _facts(spark, [("a", 7), ("a", 6)]), ["k"], specs, sign=-1,
+        synopsis_r=r,
+    )
+    row = IVM.finalize_agg_state(st, ["k"], specs, synopsis_r=r).collect()[0]
+    assert row["mx"] == 9 and row["mx_ok"] is True
+    stats = IVM.synopsis_overflow_stats(st, specs)["mx"]
+    assert stats == {
+        "n_groups": 1, "groups_overflowed": 0, "groups_unknown": 0,
+        "overflow_rate": 0.0,
+    }
+
+    # (b) retract three values: one slices off - dropped counts it
+    # exactly, the certificate degrades, and the monitor sees it from
+    # the state alone
+    st2 = IVM.partial_agg_state(ins, ["k"], specs, synopsis_r=r)
+    st2 = IVM.incremental_agg_refresh(
+        st2, _facts(spark, [("a", 7), ("a", 6), ("a", 8)]), ["k"], specs,
+        sign=-1, synopsis_r=r,
+    )
+    assert st2.collect()[0]["mx__dropped"] == 1
+    row = IVM.finalize_agg_state(st2, ["k"], specs, synopsis_r=r).collect()[0]
+    assert row["mx"] is None and row["mx_ok"] is False
+    stats = IVM.synopsis_overflow_stats(st2, specs)["mx"]
+    assert stats["groups_overflowed"] == 1 and stats["overflow_rate"] == 1.0
+
+    # (c) legacy state: counter unknown -> conservative size-at-cap
+    # fallback (case (a)'s exact-but-at-cap group degrades again), and
+    # the monitor counts it as unknown, never as clean
+    legacy = st.drop("mx__dropped")
+    row = IVM.finalize_agg_state(legacy, ["k"], specs, synopsis_r=r).collect()[0]
+    assert row["mx"] is None and row["mx_ok"] is False
+    stats = IVM.synopsis_overflow_stats(legacy, specs)["mx"]
+    assert stats["groups_unknown"] == 1 and stats["groups_overflowed"] == 0
+    # unknown survives merging with a clean delta (never laundered)
+    merged = IVM.incremental_agg_refresh(
+        legacy, _facts(spark, [("a", 1)]), ["k"], specs, synopsis_r=r
+    )
+    assert merged.collect()[0]["mx__dropped"] is None
+    mergedj = IVM.incremental_agg_refresh_joined(
+        legacy, _facts(spark, [("a", 1)]), ["k"], specs, synopsis_r=r
+    )
+    assert mergedj.collect()[0]["mx__dropped"] is None
+    with pytest.raises(ValueError, match="no retractable"):
+        IVM.synopsis_overflow_stats(st, [("n", "1", "count")])
+
+
+def test_suggest_synopsis_r_sizes_from_multiplicity_quantile(spark):
+    """The sizing recipe: R from the per-group multiplicity quantile.
+    At quantile 1.0 no group can ever overflow (retractions are bounded
+    by inserts); at a lower quantile exactly the heavier-than-quantile
+    groups degrade - to null, loudly - when fully retracted (the
+    degrade-to-null path pinned at a chosen quantile)."""
+    import math
+
+    # group sizes: g0..g8 have 2 rows, g9 has 40 (the hot group)
+    rows = [(f"g{i}", v) for i in range(9) for v in (1, 2)]
+    rows += [("g9", v) for v in range(40)]
+    facts = _facts(spark, rows)
+    specs = [("mx", "v", "retractable_max"), ("n", "1", "count")]
+
+    r_all = IVM.suggest_synopsis_r(facts, ["k"], quantile=1.0, headroom=1.0)
+    assert r_all == 40
+    r_p90 = IVM.suggest_synopsis_r(facts, ["k"], quantile=0.9, headroom=1.0)
+    assert r_p90 == math.ceil(2)  # the 90th-percentile group has 2 rows
+    assert IVM.suggest_synopsis_r(facts, ["k"], quantile=0.9, headroom=1.5) == 3
+
+    # retract EVERYTHING: at R=r_all every group cancels exactly and
+    # drops (zombie count 0); at R=r_p90 the hot group's deletion side
+    # overflows -> dropped > 0, and a partial retraction of just its
+    # extremes finalizes to (null, false) - degrade-to-null, pinned
+    st = IVM.partial_agg_state(facts, ["k"], specs, synopsis_r=r_all)
+    st = IVM.incremental_agg_refresh(
+        st, facts, ["k"], specs, sign=-1, synopsis_r=r_all
+    )
+    assert IVM.finalize_agg_state(st, ["k"], specs, synopsis_r=r_all).count() == 0
+
+    st = IVM.partial_agg_state(facts, ["k"], specs, synopsis_r=r_p90)
+    hot_rets = _facts(spark, [("g9", v) for v in range(30, 40)])
+    st = IVM.incremental_agg_refresh(
+        st, hot_rets, ["k"], specs, sign=-1, synopsis_r=r_p90
+    )
+    stats = IVM.synopsis_overflow_stats(st, specs)["mx"]
+    assert stats["groups_overflowed"] == 1 and stats["n_groups"] == 10
+    fin = {r["k"]: r for r in IVM.finalize_agg_state(
+        st, ["k"], specs, synopsis_r=r_p90
+    ).collect()}
+    assert fin["g9"]["mx"] is None and fin["g9"]["mx_ok"] is False
+    assert all(fin[f"g{i}"]["mx_ok"] is True for i in range(9))
+
+    with pytest.raises(ValueError, match="quantile"):
+        IVM.suggest_synopsis_r(facts, ["k"], quantile=1.5)
+    with pytest.raises(ValueError, match="headroom"):
+        IVM.suggest_synopsis_r(facts, ["k"], headroom=0.5)
