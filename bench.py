@@ -166,6 +166,10 @@ BENCH_QUERIES = [
     # prior, unioned; the weekly-cadence alternative to the reference's
     # full re-match).
     "fuzzy_incremental_union",
+    # round-12 addition: capped index append maintenance + compaction
+    # probed end-to-end (the hot-key occupancy lever's exactness story;
+    # same plan family as fuzzy_incremental_union plus the cap window).
+    "fuzzy_index_compaction",
 ]
 
 

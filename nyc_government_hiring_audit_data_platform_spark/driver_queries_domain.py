@@ -822,3 +822,94 @@ def q_wratio_kernel(spark, sf_dir):
     return pr.select(
         "pair_id", "a", "b", wratio_udf(F.col("a"), F.col("b")).alias("wr")
     )
+
+
+_INDEX_CAP = 4
+
+_CAPPED_CTES = f"""
+rtok_capped AS (
+  SELECT title_description, rkey, tok FROM (
+    SELECT title_description, rkey, tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY tok ORDER BY rkey, title_description
+           ) AS occ
+    FROM rtok
+  ) WHERE occ <= {_INDEX_CAP}
+),
+cand_capped AS (
+  SELECT business_title, lkey, title_description, rkey
+  FROM ltok JOIN rtok_capped USING (tok)
+  GROUP BY business_title, lkey, title_description, rkey
+),
+pairs_capped AS (
+  SELECT business_title, title_description,
+         CAST(ROUND({_LEV_SIM.format(a='lkey', b='rkey')}) AS INT) AS score
+  FROM cand_capped
+  WHERE {_LEV_SIM.format(a='lkey', b='rkey')} >= 85
+),
+matches_capped AS (
+  SELECT po.post_id, po.business_title, po.salary_range_from, po.salary_range_to,
+         po.posting_date, po.post_until,
+         pa.title_description, pa.base_salary, pa.pay_basis,
+         pa.regular_gross_paid, pa.total_ot_paid, pa.total_other_pay, pr.score
+  FROM postings po
+  JOIN pairs_capped pr USING (business_title)
+  JOIN payroll pa USING (title_description)
+  WHERE pa.base_salary >= po.salary_range_from
+    AND pa.base_salary <= po.salary_range_to
+    AND po.post_id % 8 = 4
+)
+"""
+
+
+@query(
+    "fuzzy_index_compaction",
+    f"WITH {_BASE_CTES}, {_CAPPED_CTES} "
+    f"SELECT {_MATCH_COLS} FROM matches_capped",
+)
+def q_fuzzy_index_compaction(spark, sf_dir):
+    """Index compaction exactness on real data (round-11 VERDICT ask
+    #2): the payroll-title index is built CAPPED at R={cap} in two
+    generations (base over even-hash titles + a capped append delta for
+    the rest - generation-local truncation, so unioned occupancy can
+    exceed the cap), then operators.fuzzy.compact_title_index re-caps
+    the union, and a delta postings batch probes the result. The oracle
+    is an INDEPENDENT SQL rendering of the fresh capped rebuild
+    (ROW_NUMBER per token over (rkey, title), kept <= cap - exactly
+    _cap_block_occupancy's deterministic lowest-members rule): hash
+    equality IS the append+compact == capped-rebuild claim, end to end
+    through candidate generation, scoring, band filter and row
+    re-attach. Subset-recall semantics are SHARED by construction -
+    both sides drop the same above-cap candidates. Deliberately NOT
+    reusing the uncapped oracle: at cap 4 the hot name-word tokens
+    really truncate, so this row's matches are a strict subset of
+    fuzzy_incremental_union's."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
+    payroll = payroll_from_part(spark, sf_dir)
+    postings = postings_from_part(spark, sf_dir)
+    delta_batch = postings.filter(F.col("post_id") % 8 == 4)
+    h = F.xxhash64("title_description")
+    base_index = HA.build_payroll_title_index(
+        payroll.filter(h % 2 == 0), year_start=2024, year_end=2025,
+        max_block=_INDEX_CAP,
+    ).persist()
+    new_titles = HA._prep_payroll(payroll.filter(h % 4 != 0), 2024, 2025)
+    appended = base_index.unionByName(
+        FZ.extend_title_index(
+            base_index, new_titles, "title_description",
+            max_block=_INDEX_CAP,
+        )
+    )
+    index = FZ.compact_title_index(appended, _INDEX_CAP)
+    return HA.incremental_fuzzy_match_salary(
+        payroll, index, delta_batch, prefilter_cutoff=1, score_cutoff=85,
+        row_key="post_id",
+    )
+
+
+q_fuzzy_index_compaction.__doc__ = q_fuzzy_index_compaction.__doc__.replace(
+    "{cap}", str(_INDEX_CAP)
+)
