@@ -893,7 +893,6 @@ def _index_table_name(index_dir: str) -> str:
     the exact path rides in the name."""
     import hashlib
     import os
-    import re
 
     path = os.path.abspath(index_dir)
     munged = re.sub(r"[^A-Za-z0-9_]+", "_", path).strip("_").lower()
@@ -919,6 +918,7 @@ def write_title_index(
     index_dir: str,
     index_format: str = "parquet",
     n_buckets: int | None = None,
+    folded_generations: list[int] | None = None,
 ) -> None:
     """Persist a ``build_*_title_index`` output as the production index
     at ``index_dir``, replacing whatever was there (a REBUILD - also
@@ -934,7 +934,13 @@ def write_title_index(
     the index side. ``_index_meta.json`` records the layout for
     :func:`read_title_index`; it lands LAST (write-then-rename), so a
     crash mid-write leaves a directory the reader refuses (no meta,
-    base/ present -> error) rather than a silently partial index."""
+    base/ present -> error) rather than a silently partial index.
+
+    ``folded_generations`` - internal, set by
+    :func:`compact_persisted_title_index`: the generation ids a
+    compaction folded into this base. The ingest sink's frozen-payroll
+    guard reads it so a compaction cannot launder a maintained index
+    back into looking never-maintained."""
     import json
     import os
     import shutil
@@ -945,6 +951,8 @@ def write_title_index(
         )
     key = _index_key_column(index)
     meta: dict = {"format": index_format, "key": key}
+    if folded_generations:
+        meta["folded_generations"] = sorted(folded_generations)
     # a rebuild subsumes prior append generations: clear them so the
     # reader cannot union stale pre-rebuild rows onto the fresh base
     if os.path.isdir(index_dir):
@@ -957,16 +965,19 @@ def write_title_index(
         if os.path.exists(meta_path):
             os.remove(meta_path)
     base = os.path.join(index_dir, "base")
+    spark = index.sparkSession
+    tname = _index_table_name(index_dir)
+    # BOTH formats drop any stale catalog entry under the deterministic
+    # name: rewriting a previously-bucketed dir as plain parquet would
+    # otherwise leave a table declaring CLUSTERED BY over unbucketed
+    # files - a later catalog-table join would trust false bucketing,
+    # skip its exchange, and return wrong rows
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
     if index_format == "parquet":
         index.write.mode("overwrite").parquet(base)
     else:
-        spark = index.sparkSession
         if n_buckets is None:
             n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        tname = _index_table_name(index_dir)
-        # defensive: a manually-deleted index dir can leave a stale
-        # catalog entry under the (deterministic) name
-        spark.sql(f"DROP TABLE IF EXISTS {tname}")
         (
             index.write.mode("overwrite")
             .bucketBy(n_buckets, key)
@@ -1023,6 +1034,23 @@ def list_index_generations(index_dir: str) -> list[int]:
         if m and os.path.isdir(os.path.join(index_dir, d)):
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def title_index_folded_generations(index_dir: str) -> list[int]:
+    """Generation ids a past compaction folded into ``index_dir``'s
+    base (empty for never-compacted or legacy indexes). The ingest
+    sink's frozen-payroll guard needs this: after a compaction the
+    live ``g*`` dirs are gone, but the base still carries maintained
+    titles whose payroll rows live only in the ``d{j}`` archives - a
+    frozen payroll DataFrame would silently drop their matches."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, _INDEX_META)
+    if not os.path.exists(meta_path):
+        return []
+    with open(meta_path) as f:
+        return sorted(json.load(f).get("folded_generations", []))
 
 
 def read_title_index(
@@ -1137,7 +1165,12 @@ def title_index_occupancy(index: DataFrame, max_block: int | None = None) -> dic
         "n_rows": row["n_rows"] or 0,
         "n_keys": row["n_keys"],
         "max_per_key": row["max_per_key"] or 0,
-        "keys_over_cap": row["keys_over_cap"] if max_block is not None else None,
+        # `or 0` matters on an EMPTY index: sum() over no rows is NULL,
+        # and the documented `keys_over_cap > 0` trigger would TypeError
+        # on None instead of reading 0
+        "keys_over_cap": (
+            (row["keys_over_cap"] or 0) if max_block is not None else None
+        ),
     }
     return out
 
@@ -1179,12 +1212,21 @@ def compact_persisted_title_index(
         folded = compact_title_index(folded, max_block)
     staging = os.path.join(index_dir, "_compact_staging")
     folded.write.mode("overwrite").parquet(staging)
+    # the folded ids stay on record (cumulatively): the base now holds
+    # maintained titles whose payroll rows live only in the d{j}
+    # archives, and the ingest's frozen-payroll guard must keep firing
+    # after the live g* dirs are gone
+    all_folded = sorted(
+        set(meta.get("folded_generations", []))
+        | set(list_index_generations(index_dir))
+    )
     try:
         write_title_index(
             spark.read.parquet(staging),
             index_dir,
             index_format=meta["format"],
             n_buckets=n_buckets or meta.get("n_buckets"),
+            folded_generations=all_folded,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -896,17 +896,32 @@ def read_payroll_corpus(
 
     out = spark.read.parquet(os.path.join(payroll_dir, "base"))
     if generations is None:
-        generations = sorted(
-            int(m.group(1))
-            for d in os.listdir(payroll_dir)
-            if (m := _re.fullmatch(r"d(\d+)", d))
-            and os.path.isdir(os.path.join(payroll_dir, d))
-        )
+        generations = list_payroll_deltas(payroll_dir)
     for j in sorted(generations):
         out = out.unionByName(
             spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
         )
     return out
+
+
+def list_payroll_deltas(payroll_dir: str) -> list[int]:
+    """Sorted batch ids of the ``d{batch_id}`` payroll archives the
+    maintenance sink landed at ``payroll_dir`` (pairs with
+    ``operators.fuzzy.list_index_generations``, but tracked SEPARATELY:
+    index compaction folds ``g{j}`` dirs away while the payroll
+    archives stay - payroll-delta selection keyed off index generations
+    would silently shrink the re-attach corpus after a compaction)."""
+    import os
+    import re as _re
+
+    if not os.path.isdir(payroll_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(payroll_dir)
+        if (m := _re.fullmatch(r"d(\d+)", d))
+        and os.path.isdir(os.path.join(payroll_dir, d))
+    )
 
 
 def run_fuzzy_match_ingest(
@@ -975,25 +990,44 @@ def run_fuzzy_match_ingest(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bname = f"b{batch_id}"
-        # replay re-reads the generation set the original run recorded:
-        # generations that landed since were already cross-probed
-        # against this batch by the maintenance sink, and re-probing
-        # them here would double-count those pairs
+        # pin the checkpoint identity from the FIRST batch, not after
+        # awaitTermination: a first run killed mid-stream has already
+        # written b{id} dirs, and an unmarked matches dir would let a
+        # fresh-checkpoint restart re-partition around them - the exact
+        # double-count hole the guard exists to close
+        _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
+        # replay re-reads the generation/delta sets the original run
+        # recorded: generations that landed since were already
+        # cross-probed against this batch by the maintenance sink, and
+        # re-probing them here would double-count those pairs.
+        # Generations a compaction has since folded into the base are
+        # dropped from the replay set - the base subsumes their rows
+        # (byte-stable for lossless compaction; a re-CAPPING compaction
+        # makes replays emit the documented capped subset instead).
         prior = _read_batch_meta(matches_dir, bname)
-        gens = (
-            prior["generations"]
-            if prior is not None
-            else FZ.list_index_generations(index_dir)
-        )
+        if prior is not None:
+            on_disk = set(FZ.list_index_generations(index_dir))
+            gens = [g for g in prior["generations"] if g in on_disk]
+            pdeltas = prior.get("payroll_deltas", prior["generations"])
+        else:
+            gens = FZ.list_index_generations(index_dir)
+            pdeltas = (
+                list_payroll_deltas(payroll)
+                if isinstance(payroll, str)
+                else []
+            )
         index = FZ.read_title_index(spark, index_dir, generations=gens)
+        maintained = bool(gens) or bool(
+            FZ.title_index_folded_generations(index_dir)
+        )
         if isinstance(payroll, str):
-            pay = read_payroll_corpus(spark, payroll, generations=gens)
-        elif gens:
+            pay = read_payroll_corpus(spark, payroll, generations=pdeltas)
+        elif maintained:
             raise ValueError(
-                "the index carries append generations "
-                f"{gens} but payroll is a frozen DataFrame - pass the "
-                "read_payroll_corpus directory so new payroll rows can "
-                "re-attach"
+                "the index carries maintenance generations (live or "
+                "compacted-in) but payroll is a frozen DataFrame - pass "
+                "the read_payroll_corpus directory so new payroll rows "
+                "can re-attach"
             )
         else:
             pay = payroll
@@ -1015,6 +1049,7 @@ def run_fuzzy_match_ingest(
             {
                 "batch_id": batch_id,
                 "generations": gens,
+                "payroll_deltas": pdeltas,
                 "exchanges": exchanges,
                 "limit": limit,
             },
@@ -1093,25 +1128,17 @@ def run_fuzzy_index_maintenance(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         pname = f"p{batch_id}"
-        gens_before = [
-            g for g in FZ.list_index_generations(index_dir) if g != batch_id
-        ]
-        index_before = FZ.read_title_index(
-            spark, index_dir, generations=gens_before
+        # same first-batch checkpoint pinning as the ingest sink
+        _record_checkpoint(
+            matches_dir, checkpoint_dir, "_checkpoint_id_maintenance"
         )
-        prepped = _prep_payroll(batch_df, year_start, year_end)
-        delta_idx = FZ.extend_title_index(
-            index_before, prepped, "title_description", index_fn=index_fn,
-            max_block=max_block,
-        )
-        delta_idx.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"g{batch_id}")
-        )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(payroll_dir, f"d{batch_id}")
-        )
-        # cross term: postings batches whose probe predates this
-        # generation (replay re-reads the set the original run pinned)
+        # cross-term bookkeeping FIRST - it validates the matches dir
+        # (no-meta batches, limit-probed batches). Validating after the
+        # g{j}/d{j} writes would leave a LIVE generation whose
+        # back-fill never lands: later postings probes would see (and
+        # record) generation j while the (old postings x d{j}) pairs
+        # stay permanently missing. Replay re-reads the set the
+        # original run pinned.
         prior = _read_batch_meta(matches_dir, pname)
         if prior is not None:
             covered = prior["covered_batches"]
@@ -1139,6 +1166,23 @@ def run_fuzzy_index_maintenance(
                         )
                     if batch_id not in bmeta["generations"]:
                         covered.append(int(m.group(1)))
+        gens_before = [
+            g for g in FZ.list_index_generations(index_dir) if g != batch_id
+        ]
+        index_before = FZ.read_title_index(
+            spark, index_dir, generations=gens_before
+        )
+        prepped = _prep_payroll(batch_df, year_start, year_end)
+        delta_idx = FZ.extend_title_index(
+            index_before, prepped, "title_description", index_fn=index_fn,
+            max_block=max_block,
+        )
+        delta_idx.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"g{batch_id}")
+        )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(payroll_dir, f"d{batch_id}")
+        )
         if covered:
             posts = spark.read.parquet(
                 *[os.path.join(matches_dir, "src", f"b{i}") for i in covered]

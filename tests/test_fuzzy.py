@@ -1471,3 +1471,222 @@ def test_compact_persisted_index_restores_bucketed_no_shuffle(spark, tmp_path):
 
         with open(os.path.join(index_dir, "_index_meta.json")) as f:
             spark.sql(f"DROP TABLE IF EXISTS {json.load(f)['table']}")
+
+
+def test_compaction_does_not_shrink_payroll_corpus(spark, tmp_path):
+    """Review finding (r12): payroll-delta selection must not key off
+    LIVE index generations - compaction deletes the g* dirs while the
+    d* payroll archives stay, so a post-compaction postings batch must
+    still re-attach maintained payroll rows (recorded per batch as
+    payroll_deltas), and the frozen-DataFrame guard must keep firing
+    off the meta's folded_generations."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll_all = HA.make_payroll_fixture(spark, 400).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 4 < 3).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 4 == 3).drop("rid")
+    postings = HA.make_postings_fixture(spark, 60).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    a0 = postings.filter(F.col("post_id") % 2 == 0)
+    a1 = postings.filter(F.col("post_id") % 2 == 1)
+
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    def ingest(payroll_arg=payroll_dir):
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(post_src)),
+            payroll_arg, index_dir, matches_dir, str(tmp_path / "ck_post"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    land(a0, post_src, "a0"); ingest()
+    land(d0, pay_src, "d0")
+    HA.run_fuzzy_index_maintenance(
+        spark.readStream.schema(base.schema).parquet(str(pay_src)),
+        payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    # COMPACT: g0 folds into the base, d0 stays
+    FZ.compact_persisted_title_index(spark, index_dir)
+    assert FZ.list_index_generations(index_dir) == []
+    assert FZ.title_index_folded_generations(index_dir) == [0]
+    assert HA.list_payroll_deltas(payroll_dir) == [0]
+
+    # a post-compaction postings batch still matches d0 payroll rows
+    land(a1, post_src, "a1"); ingest()
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                base.unionByName(d0), postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # b1's meta records the decoupled payroll-delta set
+    assert HA._read_batch_meta(matches_dir, "b1")["payroll_deltas"] == [0]
+
+    # frozen-DataFrame payroll still refuses AFTER compaction (the
+    # live generations are gone; folded_generations carries the truth)
+    land(postings.filter(F.col("post_id") == 1), post_src, "a2")
+    with pytest.raises(Exception, match="frozen DataFrame"):
+        ingest(payroll_arg=base)
+
+
+def test_maintenance_validates_before_writing_generation(spark, tmp_path):
+    """Review finding (r12): the maintenance sink must validate the
+    matches dir BEFORE writing g{j}/d{j} - a post-write refusal leaves
+    a live generation whose cross-term back-fill never lands (later
+    postings probes record generation j; the old-postings x d{j} pairs
+    go permanently missing)."""
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 200)
+    postings = HA.make_postings_fixture(spark, 30).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(payroll), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    payroll.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    # a batch probed WITH limit - maintenance must refuse it
+    land(postings, post_src, "a0")
+    HA.run_fuzzy_match_ingest(
+        spark.readStream.schema(postings.schema).parquet(str(post_src)),
+        payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_post"),
+        prefilter_cutoff=1, score_cutoff=85, limit=1, row_key="post_id",
+    )
+    land(payroll.limit(20), pay_src, "d0")
+    with pytest.raises(Exception, match="limit"):
+        HA.run_fuzzy_index_maintenance(
+            spark.readStream.schema(payroll.schema).parquet(str(pay_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+    # the refusal left NO live generation and NO payroll archive
+    assert FZ.list_index_generations(index_dir) == []
+    assert HA.list_payroll_deltas(payroll_dir) == []
+    assert not os.path.isdir(os.path.join(matches_dir, "p0"))
+
+
+def test_checkpoint_identity_pinned_from_first_batch(spark, tmp_path, monkeypatch):
+    """Review finding (r12): the checkpoint identity must be recorded
+    from the FIRST batch, not after awaitTermination - a first run
+    killed mid-stream has already written b{id} dirs, and an unmarked
+    matches dir would let a fresh-checkpoint restart re-partition
+    around them (the exact double-count hole the guard closes)."""
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.pipelines import (
+        hiring_audit as HAmod,
+    )
+
+    payroll = HA.make_payroll_fixture(spark, 200)
+    postings = HA.make_postings_fixture(spark, 30).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(payroll), index_dir, "parquet")
+    matches_dir = str(tmp_path / "matches")
+    src = tmp_path / "post_src"
+    src.mkdir()
+    for i, half in enumerate(
+        (postings.filter(F.col("post_id") % 2 == 0),
+         postings.filter(F.col("post_id") % 2 == 1))
+    ):
+        half.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, src / f"a{i}.parquet")
+
+    real = HAmod.incremental_fuzzy_match_salary
+    calls = {"n": 0}
+
+    def crash_on_second(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated mid-stream kill")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(
+        HAmod, "incremental_fuzzy_match_salary", crash_on_second
+    )
+    with pytest.raises(Exception, match="simulated mid-stream kill"):
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema)
+            .option("maxFilesPerTrigger", "1").parquet(str(src)),
+            payroll, index_dir, matches_dir, str(tmp_path / "ck"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+    monkeypatch.undo()
+    # b0 landed, the stream died - and the identity is ALREADY pinned
+    assert os.path.isdir(os.path.join(matches_dir, "b0"))
+    assert os.path.exists(os.path.join(matches_dir, "_checkpoint_id"))
+    # so a fresh-checkpoint restart refuses instead of double-counting
+    with pytest.raises(ValueError, match="different checkpoint"):
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(src)),
+            payroll, index_dir, matches_dir, str(tmp_path / "ck_fresh"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+
+def test_title_index_edge_regressions(spark, tmp_path):
+    """Review findings (r12), small-bore: (a) keys_over_cap reads 0 -
+    not None - on an empty index so the documented trigger comparison
+    works; (b) rewriting a bucketed index dir as plain parquet drops
+    the stale catalog entry (a CLUSTERED BY table over unbucketed
+    files would let a later join trust false bucketing)."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 100)
+    idx = HA.build_payroll_title_index(payroll)
+    empty = idx.limit(0)
+    stats = FZ.title_index_occupancy(empty, max_block=2)
+    assert stats["keys_over_cap"] == 0 and stats["max_per_key"] == 0
+
+    d = str(tmp_path / "idx")
+    FZ.write_title_index(idx, d, "bucketed", n_buckets=4)
+    tname = FZ._index_table_name(d)
+    assert spark.catalog.tableExists(tname)
+    FZ.write_title_index(idx, d, "parquet")
+    assert not spark.catalog.tableExists(tname)
+    got = sorted(map(tuple, FZ.read_title_index(spark, d).collect()))
+    assert got == sorted(map(tuple, idx.collect()))

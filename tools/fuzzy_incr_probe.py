@@ -126,7 +126,7 @@ def _build_index(spark, payroll, tag: str):
     return index, index.count(), t_build
 
 
-def _index_shape_axis(spark, payroll, postings, paymults, delta, n_delta) -> None:
+def _index_shape_axis(spark, payroll, paymults, delta, n_delta) -> None:
     """Plain-parquet vs bucketed index: bytes the probe plan moves."""
     import shutil
 
@@ -203,7 +203,7 @@ def main() -> None:
 
     if args.shapes:
         delta, n_delta = delta_of(fracs[0])
-        _index_shape_axis(spark, payroll, postings, paymults, delta, n_delta)
+        _index_shape_axis(spark, payroll, paymults, delta, n_delta)
         spark.stop()
         return
 
