@@ -814,23 +814,47 @@ def _checkpoint_identity(checkpoint_dir: str) -> str | None:
         return json.load(f).get("id")
 
 
-def _guard_checkpoint(out_dir: str, checkpoint_dir: str, marker: str) -> None:
+def _guard_checkpoint(
+    out_dir: str, checkpoint_dir: str, marker: str, batch_dir_re: str
+) -> None:
     """Refuse to extend an output directory under a DIFFERENT
     checkpoint than the one that built it. The per-batch overwrite
     sinks are replay-idempotent only under the SAME checkpoint: a
     fresh checkpoint (or changed trigger/file layout) re-partitions
     the source files into different batch ids, leaving stale ``b{id}``
     subdirectories whose rows the read-back would double-count
-    (round-11 ADVICE). The first run records the checkpoint's query id
-    in ``{out_dir}/{marker}``; later runs must present the same id."""
+    (round-11 ADVICE). The first batch records the checkpoint's query
+    id in ``{out_dir}/{marker}``; later runs must present the same id.
+
+    A MARKER-LESS dir that already holds per-batch subdirectories
+    (``batch_dir_re``; a pre-marker-era sink wrote it, or the marker
+    file was lost) is only extendable by a checkpoint that has already
+    run - a FRESH checkpoint (no metadata yet) refuses, because its
+    renumbered batches are exactly the double-count hazard; a resumed
+    checkpoint adopts the dir and pins its id from the first batch."""
     import os
+    import re as _re
 
     path = os.path.join(out_dir, marker)
+    current = _checkpoint_identity(checkpoint_dir)
     if not os.path.exists(path):
+        has_batches = os.path.isdir(out_dir) and any(
+            _re.fullmatch(batch_dir_re, d)
+            and os.path.isdir(os.path.join(out_dir, d))
+            for d in os.listdir(out_dir)
+        )
+        if has_batches and current is None:
+            raise ValueError(
+                f"{out_dir} holds per-batch output but no {marker} "
+                f"marker, and checkpoint {checkpoint_dir} is fresh - a "
+                "fresh checkpoint renumbers batches and would "
+                "double-count the existing subdirectories. Resume the "
+                "original checkpoint (its id is adopted and pinned), "
+                "or start a fresh output dir"
+            )
         return
     with open(path) as f:
         recorded = f.read().strip()
-    current = _checkpoint_identity(checkpoint_dir)
     if current != recorded:
         raise ValueError(
             f"{out_dir} was built under checkpoint id {recorded}; "
@@ -892,7 +916,6 @@ def read_payroll_corpus(
     1:1 with the index's ``g{j}`` generations (same maintenance batch
     writes both)."""
     import os
-    import re as _re
 
     out = spark.read.parquet(os.path.join(payroll_dir, "base"))
     if generations is None:
@@ -902,6 +925,69 @@ def read_payroll_corpus(
             spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
         )
     return out
+
+
+def _covered_postings_batches(matches_dir: str, batch_id: int) -> list[int]:
+    """The postings batches maintenance batch ``batch_id``'s cross-term
+    back-fill must cover: every archived batch that has NOT yet seen
+    this payroll delta - neither as a live generation (its meta's
+    ``generations``) nor compacted into the base it probed (its meta's
+    ``payroll_deltas``, which record the d{j} archives it re-attached;
+    missing either check would double-count the (batch x d{j}) pairs).
+    Validates the matches dir (no-meta or limit-probed batches refuse)
+    BEFORE the caller writes anything."""
+    import os
+    import re as _re
+
+    covered: list[int] = []
+    if not os.path.isdir(matches_dir):
+        return covered
+    for d in sorted(os.listdir(matches_dir)):
+        m = _re.fullmatch(r"b(\d+)", d)
+        if not m:
+            continue
+        bmeta = _read_batch_meta(matches_dir, d)
+        if bmeta is None:
+            raise ValueError(
+                f"postings batch {d} has no _meta.json - written by a "
+                "pre-maintenance sink? rebuild the matches dir with the "
+                "current ingest"
+            )
+        if bmeta.get("limit") is not None:
+            raise ValueError(
+                f"postings batch {d} was probed with a per-posting-row "
+                "limit, which does not compose with payroll deltas (a "
+                "new payroll row can displace an earlier top-N member) "
+                "- re-ingest without limit to maintain"
+            )
+        if batch_id not in bmeta["generations"] and (
+            batch_id not in bmeta.get("payroll_deltas", [])
+        ):
+            covered.append(int(m.group(1)))
+    return covered
+
+
+def _visible_maintenance(index_dir: str, payroll_dir: str) -> tuple[list[int], list[int]]:
+    """(live index generations, payroll deltas) of the COMMITTED
+    maintenance batches: a batch is visible only when BOTH its index
+    side (a live ``g{j}`` dir, or ``j`` compacted into the base) and
+    its payroll archive ``d{j}`` exist. The pairing rule is what makes
+    the maintenance sink's two writes crash-safe without a transaction:
+    ``g{j}`` lands first, ``d{j}`` is the atomic commit point (a dir
+    rename), so a crash between them leaves ``g{j}`` INVISIBLE to the
+    ingest - its new titles neither probe (no pairs without payroll
+    rows to re-attach) nor get recorded as seen, and the maintenance
+    replay's back-fill covers the batch exactly once."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
+    d_ids = set(list_payroll_deltas(payroll_dir))
+    live = [g for g in FZ.list_index_generations(index_dir) if g in d_ids]
+    folded = [
+        g for g in FZ.title_index_folded_generations(index_dir) if g in d_ids
+    ]
+    return sorted(live), sorted(set(live) | set(folded))
 
 
 def list_payroll_deltas(payroll_dir: str) -> list[int]:
@@ -985,7 +1071,9 @@ def run_fuzzy_match_ingest(
         inspect as PI,
     )
 
-    _guard_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
+    # b{id} dirs carry THIS flow's numbering; p{id} back-fills belong
+    # to the maintenance flow's checkpoint and do not gate this one
+    _guard_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id", r"b\d+")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1009,13 +1097,16 @@ def run_fuzzy_match_ingest(
             on_disk = set(FZ.list_index_generations(index_dir))
             gens = [g for g in prior["generations"] if g in on_disk]
             pdeltas = prior.get("payroll_deltas", prior["generations"])
+        elif isinstance(payroll, str):
+            # only COMMITTED maintenance batches are visible (g{j} and
+            # d{j} both on disk, or j compacted into the base with its
+            # d{j} present): a half-landed batch from a maintenance
+            # crash must neither probe title-less payroll nor be
+            # recorded as seen - its replay back-fills this batch
+            gens, pdeltas = _visible_maintenance(index_dir, payroll)
         else:
             gens = FZ.list_index_generations(index_dir)
-            pdeltas = (
-                list_payroll_deltas(payroll)
-                if isinstance(payroll, str)
-                else []
-            )
+            pdeltas = []
         index = FZ.read_title_index(spark, index_dir, generations=gens)
         maintained = bool(gens) or bool(
             FZ.title_index_folded_generations(index_dir)
@@ -1117,21 +1208,34 @@ def run_fuzzy_index_maintenance(
     that were produced with one. Same checkpoint-identity guard as the
     ingest sink (marker ``_checkpoint_id_maintenance``)."""
     import os
-    import re as _re
 
     from nyc_government_hiring_audit_data_platform_spark.operators import (
         fuzzy as FZ,
     )
 
-    _guard_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id_maintenance")
+    # the maintenance sink's batch numbering lives in THREE dirs: its
+    # matches back-fills (p{id}), the index generations (g{id}) and the
+    # payroll archives (d{id}) - a fresh checkpoint over any of them
+    # renumbers batches against existing state (e.g. a new matches_dir
+    # with a reused index/payroll pair would overwrite d0 with
+    # re-batched rows while stale d1 doubles its payroll), so identity
+    # is pinned and checked on all three
+    _guard_checkpoint(
+        matches_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"p\d+"
+    )
+    _guard_checkpoint(
+        index_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"g\d+"
+    )
+    _guard_checkpoint(
+        payroll_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"d\d+"
+    )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         pname = f"p{batch_id}"
         # same first-batch checkpoint pinning as the ingest sink
-        _record_checkpoint(
-            matches_dir, checkpoint_dir, "_checkpoint_id_maintenance"
-        )
+        for d in (matches_dir, index_dir, payroll_dir):
+            _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
         # cross-term bookkeeping FIRST - it validates the matches dir
         # (no-meta batches, limit-probed batches). Validating after the
         # g{j}/d{j} writes would leave a LIVE generation whose
@@ -1143,29 +1247,7 @@ def run_fuzzy_index_maintenance(
         if prior is not None:
             covered = prior["covered_batches"]
         else:
-            covered = []
-            if os.path.isdir(matches_dir):
-                for d in sorted(os.listdir(matches_dir)):
-                    m = _re.fullmatch(r"b(\d+)", d)
-                    if not m:
-                        continue
-                    bmeta = _read_batch_meta(matches_dir, d)
-                    if bmeta is None:
-                        raise ValueError(
-                            f"postings batch {d} has no _meta.json - "
-                            "written by a pre-maintenance sink? rebuild "
-                            "the matches dir with the current ingest"
-                        )
-                    if bmeta.get("limit") is not None:
-                        raise ValueError(
-                            f"postings batch {d} was probed with a "
-                            "per-posting-row limit, which does not "
-                            "compose with payroll deltas (a new payroll "
-                            "row can displace an earlier top-N member) - "
-                            "re-ingest without limit to maintain"
-                        )
-                    if batch_id not in bmeta["generations"]:
-                        covered.append(int(m.group(1)))
+            covered = _covered_postings_batches(matches_dir, batch_id)
         gens_before = [
             g for g in FZ.list_index_generations(index_dir) if g != batch_id
         ]
@@ -1177,12 +1259,23 @@ def run_fuzzy_index_maintenance(
             index_before, prepped, "title_description", index_fn=index_fn,
             max_block=max_block,
         )
+        # g{j} first, then d{j} as the atomic COMMIT POINT (staging
+        # write + dir rename): a crash in between leaves g{j} without
+        # d{j}, which _visible_maintenance hides from the ingest, and
+        # the replay overwrites both - no torn batch is ever readable
         delta_idx.write.mode("overwrite").parquet(
             os.path.join(index_dir, f"g{batch_id}")
         )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(payroll_dir, f"d{batch_id}")
-        )
+        staged = os.path.join(payroll_dir, f"_d{batch_id}.staging")
+        final = os.path.join(payroll_dir, f"d{batch_id}")
+        batch_df.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(final):
+            import shutil
+
+            # removed-then-renamed: the brief d-less window reads as
+            # "uncommitted" (safe direction), never as partial rows
+            shutil.rmtree(final)
+        os.rename(staged, final)
         if covered:
             posts = spark.read.parquet(
                 *[os.path.join(matches_dir, "src", f"b{i}") for i in covered]
@@ -1218,7 +1311,8 @@ def run_fuzzy_index_maintenance(
         .start()
     )
     q.awaitTermination()
-    _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id_maintenance")
+    for d in (matches_dir, index_dir, payroll_dir):
+        _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
 
 
 def read_ingested_matches(spark: SparkSession, matches_dir: str) -> DataFrame:

@@ -1690,3 +1690,193 @@ def test_title_index_edge_regressions(spark, tmp_path):
     assert not spark.catalog.tableExists(tname)
     got = sorted(map(tuple, FZ.read_title_index(spark, d).collect()))
     assert got == sorted(map(tuple, idx.collect()))
+
+
+def test_torn_maintenance_batch_invisible_until_committed(spark, tmp_path):
+    """Review finding (r12, pass 2): a maintenance crash between the
+    g{j} write and the d{j} commit must not lose matches. The torn
+    batch (g0 on disk, d0 missing) is INVISIBLE to the ingest - its
+    titles neither probe payroll-less nor get recorded as seen - and
+    the maintenance replay commits both and back-fills the postings
+    batch exactly once: the final corpus equals the one-shot re-match."""
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll_all = HA.make_payroll_fixture(spark, 300).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 4 < 3).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 4 == 3).drop("rid")
+    postings = HA.make_postings_fixture(spark, 50).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    # fabricate the torn batch exactly as the crash leaves it: the
+    # checkpoint metadata and the three pinned markers landed (apply
+    # records them before writing), g0 was written, d0 never committed,
+    # and the checkpoint never committed batch 0 - the maintenance run
+    # below IS the replay, resuming the same checkpoint identity
+    import json
+
+    ck_pay = tmp_path / "ck_pay"
+    ck_pay.mkdir()
+    (ck_pay / "metadata").write_text(json.dumps({"id": "8f14e45f-ceea-467f-9575-7b7f8e4a3f21"}))
+    for d in (matches_dir, index_dir, payroll_dir):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_checkpoint_id_maintenance"), "w") as f:
+            f.write("8f14e45f-ceea-467f-9575-7b7f8e4a3f21")
+    land(d0, pay_src, "d0")
+    FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir),
+        HA._prep_payroll(d0, 2024, 2025),
+        "title_description",
+    ).write.parquet(os.path.join(index_dir, "g0"))
+    assert FZ.list_index_generations(index_dir) == [0]
+    assert HA._visible_maintenance(index_dir, payroll_dir) == ([], [])
+
+    # postings land while the batch is torn: the probe must ignore g0
+    land(postings, post_src, "a0")
+    HA.run_fuzzy_match_ingest(
+        spark.readStream.schema(postings.schema).parquet(str(post_src)),
+        payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_post"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    bmeta = HA._read_batch_meta(matches_dir, "b0")
+    assert bmeta["generations"] == [] and bmeta["payroll_deltas"] == []
+
+    # the maintenance replay commits g0+d0 and back-fills b0 x d0
+    HA.run_fuzzy_index_maintenance(
+        spark.readStream.schema(base.schema).parquet(str(pay_src)),
+        payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    assert HA._visible_maintenance(index_dir, payroll_dir) == ([0], [0])
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                base.unionByName(d0), postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_covered_batches_skip_compacted_in_deltas(tmp_path):
+    """Review finding (r12, pass 2): the cross-term covered test must
+    skip a postings batch that re-attached d{j} via a COMPACTED-IN
+    generation (meta payroll_deltas), not only via a live one (meta
+    generations) - else a maintenance replay after a crash-then-compact
+    double-counts every (batch x d{j}) pair."""
+    import pytest as _pytest
+
+    m = str(tmp_path / "matches")
+    (tmp_path / "matches" / "b0").mkdir(parents=True)
+    (tmp_path / "matches" / "b1").mkdir()
+    (tmp_path / "matches" / "b2").mkdir()
+    HA._write_batch_meta(m, "b0", {
+        "batch_id": 0, "generations": [0], "payroll_deltas": [0],
+        "limit": None,
+    })  # saw g0 live
+    HA._write_batch_meta(m, "b1", {
+        "batch_id": 1, "generations": [], "payroll_deltas": [0],
+        "limit": None,
+    })  # saw d0 via the compacted base
+    HA._write_batch_meta(m, "b2", {
+        "batch_id": 2, "generations": [], "payroll_deltas": [],
+        "limit": None,
+    })  # never saw the delta: the only one to back-fill
+    assert HA._covered_postings_batches(m, 0) == [2]
+    assert HA._covered_postings_batches(m, 1) == [0, 1, 2]
+
+    HA._write_batch_meta(m, "b2", {
+        "batch_id": 2, "generations": [], "payroll_deltas": [], "limit": 1,
+    })
+    with _pytest.raises(ValueError, match="limit"):
+        HA._covered_postings_batches(m, 0)
+
+
+def test_guard_refuses_fresh_checkpoint_over_markerless_batches(tmp_path):
+    """Review finding (r12, pass 2): a marker-LESS output dir that
+    already holds per-batch subdirectories (pre-marker-era sink, or a
+    lost marker file) must refuse a FRESH checkpoint - renumbered
+    batches are the double-count hazard - while a RESUMED checkpoint
+    (metadata on disk) adopts the dir."""
+    import json
+    import os
+
+    out = tmp_path / "matches"
+    (out / "b0").mkdir(parents=True)
+    fresh_ck = str(tmp_path / "ck_fresh")  # no metadata: never ran
+    with pytest.raises(ValueError, match="fresh"):
+        HA._guard_checkpoint(str(out), fresh_ck, "_checkpoint_id", r"b\d+")
+    # a resumed checkpoint (metadata exists) adopts the legacy dir
+    resumed = tmp_path / "ck_resumed"
+    resumed.mkdir()
+    (resumed / "metadata").write_text(json.dumps({"id": "q-123"}))
+    HA._guard_checkpoint(str(out), str(resumed), "_checkpoint_id", r"b\d+")
+    # an EMPTY output dir accepts a fresh checkpoint (first run)
+    HA._guard_checkpoint(
+        str(tmp_path / "empty"), fresh_ck, "_checkpoint_id", r"b\d+"
+    )
+    os.makedirs(tmp_path / "empty", exist_ok=True)
+    HA._guard_checkpoint(
+        str(tmp_path / "empty"), fresh_ck, "_checkpoint_id", r"b\d+"
+    )
+
+
+def test_maintenance_guards_index_and_payroll_dirs(spark, tmp_path):
+    """Review finding (r12, pass 2): the maintenance batch numbering
+    lives in index_dir (g*) and payroll_dir (d*) too - starting over
+    with a NEW matches dir and fresh checkpoint while reusing those
+    dirs must refuse, else re-batched d0 plus stale d1 doubles payroll
+    rows in every later probe."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 200)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(payroll), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    payroll.write.parquet(f"{payroll_dir}/base")
+    pay_src = tmp_path / "pay_src"
+    pay_src.mkdir()
+    payroll.limit(30).coalesce(1).write.parquet(str(tmp_path / "w"))
+    for f in (tmp_path / "w").glob("*.parquet"):
+        shutil.copy(f, pay_src / "d0.parquet")
+
+    def maintain(mdir, ck):
+        HA.run_fuzzy_index_maintenance(
+            spark.readStream.schema(payroll.schema).parquet(str(pay_src)),
+            payroll_dir, index_dir, str(tmp_path / mdir), str(tmp_path / ck),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    maintain("m1", "ck1")
+    # new matches dir + FRESH checkpoint + reused index/payroll dirs:
+    # the index/payroll markers from ck1 refuse the renumbering
+    with pytest.raises(ValueError, match="different checkpoint"):
+        maintain("m2", "ck2")
