@@ -936,11 +936,15 @@ def write_title_index(
     crash mid-write leaves a directory the reader refuses (no meta,
     base/ present -> error) rather than a silently partial index.
 
-    ``folded_generations`` - internal, set by
-    :func:`compact_persisted_title_index`: the generation ids a
-    compaction folded into this base. The ingest sink's frozen-payroll
-    guard reads it so a compaction cannot launder a maintained index
-    back into looking never-maintained."""
+    ``folded_generations`` - the generation ids whose rows live in this
+    base (set by :func:`compact_persisted_title_index`; the ingest
+    sink's frozen-payroll guard and payroll-delta selection read it).
+    None (the default) PRESERVES the existing meta's record - a rebuild
+    of a previously-maintained dir must not launder it back into
+    looking never-maintained while the ``d{j}`` payroll archives still
+    hold rows the base's titles need to re-attach. Pass ``[]``
+    explicitly only when the payroll corpus was folded into its base at
+    the same time."""
     import json
     import os
     import shutil
@@ -951,10 +955,17 @@ def write_title_index(
         )
     key = _index_key_column(index)
     meta: dict = {"format": index_format, "key": key}
+    if folded_generations is None:
+        folded_generations = title_index_folded_generations(index_dir)
     if folded_generations:
         meta["folded_generations"] = sorted(folded_generations)
     # a rebuild subsumes prior append generations: clear them so the
-    # reader cannot union stale pre-rebuild rows onto the fresh base
+    # reader cannot union stale pre-rebuild rows onto the fresh base.
+    # The old meta is replaced by a TOMBSTONE (not removed): readers
+    # refuse it like a crashed write, but a crash mid-rebuild keeps the
+    # folded_generations record durable for the recovery rebuild to
+    # preserve - losing it would silently shrink the ingest's
+    # re-attach corpus (review r12 pass 3).
     if os.path.isdir(index_dir):
         for d in os.listdir(index_dir):
             if re.fullmatch(r"g\d+", d) and os.path.isdir(
@@ -963,7 +974,13 @@ def write_title_index(
                 shutil.rmtree(os.path.join(index_dir, d))
         meta_path = os.path.join(index_dir, _INDEX_META)
         if os.path.exists(meta_path):
-            os.remove(meta_path)
+            tomb = {"rebuilding": True}
+            if folded_generations:
+                tomb["folded_generations"] = sorted(folded_generations)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(tomb, f)
+            os.replace(tmp, meta_path)
     base = os.path.join(index_dir, "base")
     spark = index.sparkSession
     tname = _index_table_name(index_dir)
@@ -1087,6 +1104,13 @@ def read_title_index(
         return spark.read.parquet(index_dir)
     with open(meta_path) as f:
         meta = json.load(f)
+    if meta.get("rebuilding"):
+        raise ValueError(
+            f"{index_dir} holds a rebuild tombstone: a write_title_index "
+            "crashed between clearing the old layout and publishing the "
+            "new meta - rebuild the index (the tombstone preserves its "
+            "folded_generations record for the rebuild to keep)"
+        )
     if meta["format"] == "bucketed":
         out = _resolve_index_table(spark, index_dir, meta)
     else:
@@ -1180,6 +1204,7 @@ def compact_persisted_title_index(
     index_dir: str,
     max_block: int | None = None,
     n_buckets: int | None = None,
+    payroll_dir: str | None = None,
 ) -> None:
     """The production compaction step: fold ``index_dir``'s append
     generations back into its base - re-capped at ``max_block`` when
@@ -1194,7 +1219,18 @@ def compact_persisted_title_index(
     The fold materializes through a STAGING parquet dir before
     ``write_title_index`` clears the old layout: the compacted plan
     reads the very files the rebuild overwrites, and Spark's lazy scan
-    would otherwise read back its own half-overwritten inputs."""
+    would otherwise read back its own half-overwritten inputs.
+
+    ``payroll_dir`` - pass the maintenance flow's payroll archive dir
+    so only COMMITTED generations fold (a ``g{j}`` whose ``d{j}``
+    never landed is a torn maintenance batch: folding it would bake
+    titles with no payroll rows into the base - and, under a re-cap,
+    let torn rows displace committed ones. Torn generations stay on
+    disk as live ``g`` dirs, still invisible to the ingest, for the
+    maintenance replay to overwrite). Without ``payroll_dir`` every
+    live generation folds - only safe when no maintenance run is
+    mid-crash, which a standalone (non-maintained) index trivially
+    satisfies."""
     import json
     import os
     import shutil
@@ -1207,19 +1243,45 @@ def compact_persisted_title_index(
         )
     with open(meta_path) as f:
         meta = json.load(f)
-    folded = read_title_index(spark, index_dir)
+    if meta.get("rebuilding"):
+        raise ValueError(
+            f"{index_dir} holds a rebuild tombstone - rebuild the index "
+            "before compacting"
+        )
+    live = list_index_generations(index_dir)
+    if payroll_dir is not None:
+        committed = {
+            int(m.group(1))
+            for d in (
+                os.listdir(payroll_dir) if os.path.isdir(payroll_dir) else []
+            )
+            if (m := re.fullmatch(r"d(\d+)", d))
+            and os.path.isdir(os.path.join(payroll_dir, d))
+        }
+        fold_gens = [g for g in live if g in committed]
+    else:
+        fold_gens = live
+    torn = sorted(set(live) - set(fold_gens))
+    folded = read_title_index(spark, index_dir, generations=fold_gens)
     if max_block is not None:
         folded = compact_title_index(folded, max_block)
     staging = os.path.join(index_dir, "_compact_staging")
     folded.write.mode("overwrite").parquet(staging)
+    # torn generations must SURVIVE the rebuild's g*-clearing for the
+    # maintenance replay to overwrite - stash them through the staging
+    # area with the fold
+    torn_stash = []
+    for g in torn:
+        src = os.path.join(index_dir, f"g{g}")
+        dst = os.path.join(index_dir, f"_torn_g{g}.staging")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(src, dst)
+        torn_stash.append((g, dst))
     # the folded ids stay on record (cumulatively): the base now holds
     # maintained titles whose payroll rows live only in the d{j}
     # archives, and the ingest's frozen-payroll guard must keep firing
     # after the live g* dirs are gone
-    all_folded = sorted(
-        set(meta.get("folded_generations", []))
-        | set(list_index_generations(index_dir))
-    )
+    all_folded = sorted(set(meta.get("folded_generations", [])) | set(fold_gens))
     try:
         write_title_index(
             spark.read.parquet(staging),
@@ -1230,3 +1292,5 @@ def compact_persisted_title_index(
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+        for g, dst in torn_stash:
+            os.rename(dst, os.path.join(index_dir, f"g{g}"))

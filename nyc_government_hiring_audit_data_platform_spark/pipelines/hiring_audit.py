@@ -831,18 +831,24 @@ def _guard_checkpoint(
     file was lost) is only extendable by a checkpoint that has already
     run - a FRESH checkpoint (no metadata yet) refuses, because its
     renumbered batches are exactly the double-count hazard; a resumed
-    checkpoint adopts the dir and pins its id from the first batch."""
+    checkpoint adopts the dir and pins its id from the first batch.
+
+    Residual limitation (documented, not closed): if the marker is
+    LOST while batch dirs remain, a checkpoint that has run before
+    (metadata present) adopts the dir - only fresh checkpoints refuse.
+    Closing that would need cross-checking the existing batch ids
+    against the adopted checkpoint's committed offsets."""
     import os
     import re as _re
 
     path = os.path.join(out_dir, marker)
     current = _checkpoint_identity(checkpoint_dir)
+    has_batches = os.path.isdir(out_dir) and any(
+        _re.fullmatch(batch_dir_re, d)
+        and os.path.isdir(os.path.join(out_dir, d))
+        for d in os.listdir(out_dir)
+    )
     if not os.path.exists(path):
-        has_batches = os.path.isdir(out_dir) and any(
-            _re.fullmatch(batch_dir_re, d)
-            and os.path.isdir(os.path.join(out_dir, d))
-            for d in os.listdir(out_dir)
-        )
         if has_batches and current is None:
             raise ValueError(
                 f"{out_dir} holds per-batch output but no {marker} "
@@ -856,6 +862,13 @@ def _guard_checkpoint(
     with open(path) as f:
         recorded = f.read().strip()
     if current != recorded:
+        if not has_batches:
+            # a marker without any of THIS flow's batch output (e.g. a
+            # run refused by validation after pinning, then the output
+            # dir rebuilt): nothing can be double-counted - release
+            # the stale pin instead of a false permanent lockout
+            os.remove(path)
+            return
         raise ValueError(
             f"{out_dir} was built under checkpoint id {recorded}; "
             f"checkpoint {checkpoint_dir} has id {current} - a replay "
@@ -1182,7 +1195,13 @@ def run_fuzzy_index_maintenance(
        content - reading its own prior output would emit an empty
        delta and lose the generation under the overwrite);
     2. the raw batch rows archive to ``{payroll_dir}/d{j}`` so later
-       postings probes can re-attach them;
+       postings probes can re-attach them. ``d{j}`` is the batch's
+       ATOMIC COMMIT POINT (staging write + dir rename, after
+       ``g{j}``): until it lands the ingest treats the whole batch as
+       nonexistent (``_visible_maintenance``'s pairing rule), so a
+       crash between the two writes tears nothing - the replay
+       overwrites both and the back-fill still covers every batch
+       exactly once;
     3. the CROSS TERM lands: this is the ΔP side of the bilinear
        Δ(A⋈P) = ΔA⋈P ∪ A⋈ΔP decomposition - the batch's titles
        (ALL of them, not only index-new ones: a new payroll ROW under
@@ -1233,21 +1252,29 @@ def run_fuzzy_index_maintenance(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         pname = f"p{batch_id}"
-        # same first-batch checkpoint pinning as the ingest sink
-        for d in (matches_dir, index_dir, payroll_dir):
-            _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
         # cross-term bookkeeping FIRST - it validates the matches dir
         # (no-meta batches, limit-probed batches). Validating after the
         # g{j}/d{j} writes would leave a LIVE generation whose
         # back-fill never lands: later postings probes would see (and
         # record) generation j while the (old postings x d{j}) pairs
-        # stay permanently missing. Replay re-reads the set the
-        # original run pinned.
+        # stay permanently missing.
+        # On replay the pinned set UNIONS with a recompute, it does not
+        # replace it: a postings batch that landed while a crashed
+        # replay attempt had this batch torn (d{j} briefly absent)
+        # recorded neither the generation nor the delta, so only the
+        # recompute can pick it up - and batches that DID see the delta
+        # are excluded by their own metas, so the union never
+        # double-covers (review r12 pass 3).
+        covered = _covered_postings_batches(matches_dir, batch_id)
         prior = _read_batch_meta(matches_dir, pname)
         if prior is not None:
-            covered = prior["covered_batches"]
-        else:
-            covered = _covered_postings_batches(matches_dir, batch_id)
+            covered = sorted(set(prior["covered_batches"]) | set(covered))
+        # checkpoint pinning AFTER validation (a refused run must not
+        # leave markers in dirs it never wrote - a later legitimate
+        # fresh start would hit a false 'different checkpoint' lockout)
+        # but BEFORE any write (the crash-window pinning rule)
+        for d in (matches_dir, index_dir, payroll_dir):
+            _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
         gens_before = [
             g for g in FZ.list_index_generations(index_dir) if g != batch_id
         ]

@@ -1880,3 +1880,143 @@ def test_maintenance_guards_index_and_payroll_dirs(spark, tmp_path):
     # the index/payroll markers from ck1 refuse the renumbering
     with pytest.raises(ValueError, match="different checkpoint"):
         maintain("m2", "ck2")
+
+
+def test_rebuild_preserves_folded_generations(spark, tmp_path):
+    """Review finding (r12, pass 3): a rebuild of a maintained index
+    must not launder folded_generations away while d{j} payroll
+    archives still exist - write_title_index preserves the record by
+    default (explicit [] clears it), and a crash mid-rebuild leaves a
+    TOMBSTONE meta that keeps it durable and refuses reads."""
+    import json
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 150)
+    idx = HA.build_payroll_title_index(payroll)
+    d = str(tmp_path / "idx")
+    FZ.write_title_index(idx, d, "parquet", folded_generations=[0, 2])
+    assert FZ.title_index_folded_generations(d) == [0, 2]
+
+    # plain rebuild: the record survives
+    FZ.write_title_index(idx, d, "parquet")
+    assert FZ.title_index_folded_generations(d) == [0, 2]
+    # explicit clear (payroll corpus folded at the same time)
+    FZ.write_title_index(idx, d, "parquet", folded_generations=[])
+    assert FZ.title_index_folded_generations(d) == []
+
+    # crash simulation: tombstone meta on disk mid-rebuild
+    FZ.write_title_index(idx, d, "parquet", folded_generations=[1])
+    meta_path = os.path.join(d, "_index_meta.json")
+    with open(meta_path) as f:
+        saved = json.load(f)
+    tomb = {"rebuilding": True, "folded_generations": [1]}
+    with open(meta_path, "w") as f:
+        json.dump(tomb, f)
+    with pytest.raises(ValueError, match="tombstone"):
+        FZ.read_title_index(spark, d)
+    with pytest.raises(ValueError, match="tombstone"):
+        FZ.compact_persisted_title_index(spark, d)
+    # the recovery rebuild preserves the tombstone's record
+    FZ.write_title_index(idx, d, "parquet")
+    assert FZ.title_index_folded_generations(d) == [1]
+    assert json.loads(open(meta_path).read())["format"] == saved["format"]
+
+
+def test_compaction_skips_torn_generations(spark, tmp_path):
+    """Review finding (r12, pass 3): with payroll_dir supplied,
+    compaction folds only COMMITTED generations - a torn g{j} (no
+    d{j}) stays a live g dir for the maintenance replay to overwrite,
+    never baked into the base."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll_all = HA.make_payroll_fixture(spark, 300).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 3 == 0).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 3 == 1).drop("rid")
+    d1 = payroll_all.filter(F.col("rid") % 3 == 2).drop("rid")
+    index_dir = str(tmp_path / "idx")
+    payroll_dir = str(tmp_path / "payroll")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    base.write.parquet(os.path.join(payroll_dir, "base"))
+
+    # committed generation 0 (g0 + d0) and TORN generation 1 (g1 only)
+    prep = lambda df: HA._prep_payroll(df, 2024, 2025)  # noqa: E731
+    g0 = FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir), prep(d0), "title_description"
+    )
+    g0.write.parquet(os.path.join(index_dir, "g0"))
+    d0.write.parquet(os.path.join(payroll_dir, "d0"))
+    g1 = FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir), prep(d1), "title_description"
+    )
+    g1.write.parquet(os.path.join(index_dir, "g1"))
+
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+    # g0 folded and recorded; torn g1 survives as a live generation
+    assert FZ.title_index_folded_generations(index_dir) == [0]
+    assert FZ.list_index_generations(index_dir) == [1]
+    got = sorted(
+        map(
+            tuple,
+            FZ.read_title_index(spark, index_dir, generations=[]).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.build_payroll_title_index(base.unionByName(d0)).collect(),
+        )
+    )
+    assert got == want  # the base == exactly base+d0, no torn rows
+
+
+def test_maintenance_replay_covers_batches_landed_mid_replay(tmp_path):
+    """Review finding (r12, pass 3): a maintenance replay unions its
+    pinned covered set with a recompute - a postings batch that landed
+    while a crashed replay attempt had the batch torn saw neither the
+    generation nor the delta, and only the recompute can pick it up;
+    batches that did see the delta are excluded by their own metas."""
+    m = str(tmp_path / "matches")
+    for b, meta in (
+        ("b0", {"batch_id": 0, "generations": [0], "payroll_deltas": [0],
+                "limit": None}),       # saw the delta: never re-covered
+        ("b1", {"batch_id": 1, "generations": [], "payroll_deltas": [],
+                "limit": None}),       # originally covered
+        ("b2", {"batch_id": 2, "generations": [], "payroll_deltas": [],
+                "limit": None}),       # landed mid-replay: ONLY recompute sees it
+    ):
+        (tmp_path / "matches" / b).mkdir(parents=True)
+        HA._write_batch_meta(m, b, meta)
+    pinned = [1]
+    recomputed = HA._covered_postings_batches(m, 0)
+    assert recomputed == [1, 2]
+    assert sorted(set(pinned) | set(recomputed)) == [1, 2]
+
+
+def test_guard_releases_stale_marker_without_batches(tmp_path):
+    """Review finding (r12, pass 3): a marker left by a run that was
+    refused before writing anything (no batch dirs of this flow) must
+    not permanently lock the dir against a legitimate fresh start."""
+    import json
+    import os
+
+    out = tmp_path / "state"
+    out.mkdir()
+    (out / "_checkpoint_id").write_text("11111111-1111-1111-1111-111111111111")
+    fresh = str(tmp_path / "ck_fresh")
+    # no b* dirs: the stale pin releases and the run proceeds
+    HA._guard_checkpoint(str(out), fresh, "_checkpoint_id", r"b\d+")
+    assert not os.path.exists(out / "_checkpoint_id")
+    # with batch dirs present the mismatch still refuses
+    (out / "_checkpoint_id").write_text("11111111-1111-1111-1111-111111111111")
+    (out / "b0").mkdir()
+    ck2 = tmp_path / "ck2"
+    ck2.mkdir()
+    (ck2 / "metadata").write_text(json.dumps({"id": "22222222-2222-2222-2222-222222222222"}))
+    with pytest.raises(ValueError, match="different checkpoint"):
+        HA._guard_checkpoint(str(out), str(ck2), "_checkpoint_id", r"b\d+")

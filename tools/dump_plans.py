@@ -117,6 +117,15 @@ SHOWCASE = {
         "blocking join; plan-gated never to rescan the payroll source "
         "(SCALING.md r11)."
     ),
+    "fuzzy_index_compaction": (
+        "Capped index append maintenance + compaction probed end to "
+        "end: two generation-locally-capped index builds union, one "
+        "WindowGroupLimit re-cap (map-side partial truncation below "
+        "the window exchange) restores the exact fresh-rebuild bound, "
+        "and the delta probe runs the shared candidate/scoring stages "
+        "- hash-verified against an independent ROW_NUMBER-capped SQL "
+        "rebuild (r12)."
+    ),
     "token_set_kernel": (
         "The published fuzzy scorer runs as ONE ArrowEvalPython node "
         "over the blocked pair set - Python touches candidates only, "
