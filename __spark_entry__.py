@@ -119,7 +119,27 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # 36-query r6 tier == the driver's 50-slot budget exactly.
 # r12 open: all 12 r11 pins were re-hashed green in CORRECTNESS_r11 and
 # left the set (verified by the judge's independent audit re-run).
-REWRITTEN: set[str] = set()
+# r12 close: `python tools/stale_audit.py compare 06c9425
+# --hashed-round 11` -> 7 STALE-GREEN (the IVM family re-plans through
+# the {out}__dropped overflow counter and the tightened exactness
+# certificate) + 1 ADDED (fuzzy_index_compaction, never-checked, sorts
+# first on its own). fuzzy_incremental_union is pinned MANUALLY on top:
+# its closure calls operators.fuzzy.extend_title_index through a
+# local-import alias the audit's attribute walk cannot resolve (the
+# documented dynamic-dispatch under-approximation), and that function's
+# source changed this round. Rotation: 8 pins + 1 ADDED + the full
+# 38-query r7 tier = 47 of the 50-slot budget (floor lands at r8, the
+# r11 ask #4 criterion; 3 spare slots fall to the oldest r8 queries).
+REWRITTEN: set[str] = {
+    "fuzzy_incremental_union",
+    "incremental_agg_refresh",
+    "incremental_agg_retraction",
+    "incremental_distinct_refresh",
+    "incremental_median_refresh",
+    "incremental_refresh_joined",
+    "retractable_extremes_refresh",
+    "rollup_reaggregate",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
