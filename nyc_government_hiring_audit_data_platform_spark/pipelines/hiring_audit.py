@@ -918,26 +918,134 @@ def _write_batch_meta(matches_dir: str, name: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+_PAYROLL_MANIFEST = "_payroll_manifest.json"
+
+
+def _payroll_manifest(payroll_dir: str) -> dict:
+    """The payroll corpus' commit record: which directory is the
+    current base (``base`` for a never-compacted corpus, ``base_v{n}``
+    after :func:`compact_payroll_corpus`) and which delta ids that
+    base already contains (``folded_deltas``). Replaced atomically -
+    this ONE json swap is the compaction's commit point."""
+    import json
+    import os
+
+    path = os.path.join(payroll_dir, _PAYROLL_MANIFEST)
+    if not os.path.exists(path):
+        return {"base": "base", "folded_deltas": []}
+    with open(path) as f:
+        return json.load(f)
+
+
 def read_payroll_corpus(
     spark: SparkSession, payroll_dir: str, generations: list[int] | None = None
 ) -> DataFrame:
-    """The payroll rows at ``payroll_dir``: the caller-written ``base``
+    """The payroll rows at ``payroll_dir``: the manifest's current base
     plus the ``d{batch_id}`` deltas the maintenance sink archived.
-    ``generations`` pins an explicit delta set (None = all on disk) -
-    the same replay bookkeeping as
+    ``generations`` pins an explicit delta set (None = every committed
+    delta) - the same replay bookkeeping as
     ``operators.fuzzy.read_title_index``; the ``d{j}`` archives pair
     1:1 with the index's ``g{j}`` generations (same maintenance batch
-    writes both)."""
+    writes both). Deltas the manifest records as FOLDED read through
+    the base (their archive dirs are gone, their rows are not - the
+    multiset is unchanged: base_v{n+1} = old base ⊎ folded d rows); a
+    pinned id that is neither on disk nor folded raises rather than
+    silently shrinking a replay's corpus."""
     import os
 
-    out = spark.read.parquet(os.path.join(payroll_dir, "base"))
+    man = _payroll_manifest(payroll_dir)
+    folded = set(man["folded_deltas"])
+    out = spark.read.parquet(os.path.join(payroll_dir, man["base"]))
     if generations is None:
         generations = list_payroll_deltas(payroll_dir)
-    for j in sorted(generations):
-        out = out.unionByName(
+    for j in sorted(set(generations) - folded):
+        d = os.path.join(payroll_dir, f"d{j}")
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"payroll delta d{j} is pinned by a replay but neither "
+                "on disk nor folded into the base - the corpus cannot "
+                "be reconstructed"
+            )
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def compact_payroll_corpus(
+    spark: SparkSession, payroll_dir: str, index_dir: str
+) -> list[int]:
+    """Fold payroll delta archives into the corpus base - the payroll
+    side of the compaction cadence (the index side is
+    ``operators.fuzzy.compact_persisted_title_index``; run that FIRST:
+    only deltas the INDEX meta records as folded are eligible here,
+    because a delta still carried by a live ``g{j}`` must keep its
+    ``d{j}`` archive for the committed-batch pairing rule, and a torn
+    batch has no business in the base at all). Returns the ids folded.
+
+    Crash-safe via a versioned base + one atomic manifest swap:
+
+    1. stale unreferenced ``base_v*`` leftovers from a previous crash
+       are GC'd;
+    2. the new base (current base ⊎ eligible delta rows - a multiset
+       union, content identical to what readers already assembled)
+       writes COMPLETELY to a fresh ``base_v{n}`` directory;
+    3. the manifest swaps atomically to name it and record the folded
+       ids - before the swap readers see the old layout, after it the
+       new one, never a mixture (the double-count/missing-rows window
+       a plain base overwrite would open);
+    4. the old base and the folded ``d{j}`` dirs are removed (a crash
+       here leaves garbage the manifest no longer references - the
+       next run's GC and the folded-record reads are unaffected).
+
+    Replays of postings batches whose metas pin folded ids read their
+    rows through the new base (``read_payroll_corpus`` filters pinned
+    ids against the manifest; the multiset is unchanged). Single-writer
+    like every sink here: not concurrent with a maintenance batch."""
+    import json
+    import os
+    import re as _re
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
+    man = _payroll_manifest(payroll_dir)
+    # GC: base_v* dirs a crashed prior run wrote but never committed
+    for d in os.listdir(payroll_dir):
+        if (
+            _re.fullmatch(r"base_v\d+", d)
+            and d != man["base"]
+            and os.path.isdir(os.path.join(payroll_dir, d))
+        ):
+            shutil.rmtree(os.path.join(payroll_dir, d))
+    eligible = sorted(
+        (set(FZ.title_index_folded_generations(index_dir))
+         & set(list_payroll_deltas(payroll_dir)))
+        - set(man["folded_deltas"])
+    )
+    if not eligible:
+        return []
+    new_folded = sorted(set(man["folded_deltas"]) | set(eligible))
+    n = max(
+        [int(m.group(1)) for d in os.listdir(payroll_dir)
+         if (m := _re.fullmatch(r"base_v(\d+)", d))] + [0]
+    ) + 1
+    new_base = f"base_v{n}"
+    corpus = spark.read.parquet(os.path.join(payroll_dir, man["base"]))
+    for j in eligible:
+        corpus = corpus.unionByName(
             spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
         )
-    return out
+    corpus.write.parquet(os.path.join(payroll_dir, new_base))
+    tmp = os.path.join(payroll_dir, _PAYROLL_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"base": new_base, "folded_deltas": new_folded}, f)
+    os.replace(tmp, os.path.join(payroll_dir, _PAYROLL_MANIFEST))
+    # cleanup past the commit point: unreferenced, safe to lose
+    shutil.rmtree(os.path.join(payroll_dir, man["base"]), ignore_errors=True)
+    for j in eligible:
+        shutil.rmtree(os.path.join(payroll_dir, f"d{j}"), ignore_errors=True)
+    return eligible
 
 
 def _covered_postings_batches(matches_dir: str, batch_id: int) -> list[int]:
@@ -990,12 +1098,18 @@ def _visible_maintenance(index_dir: str, payroll_dir: str) -> tuple[list[int], l
     rename), so a crash between them leaves ``g{j}`` INVISIBLE to the
     ingest - its new titles neither probe (no pairs without payroll
     rows to re-attach) nor get recorded as seen, and the maintenance
-    replay's back-fill covers the batch exactly once."""
+    replay's back-fill covers the batch exactly once. A delta the
+    payroll manifest records as folded COUNTS as committed: its rows
+    now live in the payroll base (compact_payroll_corpus only folds
+    index-folded, d-present deltas, so the pairing held when it
+    ran)."""
     from nyc_government_hiring_audit_data_platform_spark.operators import (
         fuzzy as FZ,
     )
 
-    d_ids = set(list_payroll_deltas(payroll_dir))
+    d_ids = set(list_payroll_deltas(payroll_dir)) | set(
+        _payroll_manifest(payroll_dir)["folded_deltas"]
+    )
     live = [g for g in FZ.list_index_generations(index_dir) if g in d_ids]
     folded = [
         g for g in FZ.title_index_folded_generations(index_dir) if g in d_ids

@@ -2020,3 +2020,220 @@ def test_guard_releases_stale_marker_without_batches(tmp_path):
     (ck2 / "metadata").write_text(json.dumps({"id": "22222222-2222-2222-2222-222222222222"}))
     with pytest.raises(ValueError, match="different checkpoint"):
         HA._guard_checkpoint(str(out), str(ck2), "_checkpoint_id", r"b\d+")
+
+
+def test_payroll_corpus_compaction_lifecycle(spark, tmp_path):
+    """compact_payroll_corpus completes the compaction cadence: after
+    the INDEX compaction folds g*, the payroll side folds the matching
+    d* archives into a versioned base behind one atomic manifest swap.
+    Post-compaction postings batches still re-attach every maintained
+    row (exact vs the one-shot re-match), metas record folded ids as
+    payroll_deltas, replayed pins read through the base, ineligible
+    deltas (live generations) refuse to fold, and a crashed run's
+    orphan base version GCs."""
+    import json
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll_all = HA.make_payroll_fixture(spark, 400).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 4 < 3).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 4 == 3).drop("rid")
+    postings = HA.make_postings_fixture(spark, 60).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    a0 = postings.filter(F.col("post_id") % 2 == 0)
+    a1 = postings.filter(F.col("post_id") % 2 == 1)
+
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    def ingest():
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(post_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_post"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    land(a0, post_src, "a0"); ingest()
+    land(d0, pay_src, "d0")
+    HA.run_fuzzy_index_maintenance(
+        spark.readStream.schema(base.schema).parquet(str(pay_src)),
+        payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    # live generation: the payroll side refuses to fold ahead of the
+    # index side
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == []
+
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+    # plant a crashed prior run's orphan base version: GC'd on entry
+    orphan = tmp_path / "payroll" / "base_v7"
+    orphan.mkdir()
+    (orphan / "junk").write_bytes(b"x")
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == [0]
+    assert not orphan.exists()
+    man = HA._payroll_manifest(payroll_dir)
+    assert man["folded_deltas"] == [0] and man["base"].startswith("base_v")
+    assert HA.list_payroll_deltas(payroll_dir) == []  # d0 dir gone
+    assert not (tmp_path / "payroll" / "base").exists()  # old base GC'd
+    # idempotent: nothing left to fold
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == []
+
+    # a post-compaction postings batch still matches d0's rows
+    land(a1, post_src, "a1"); ingest()
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                base.unionByName(d0), postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the batch's meta still records the folded delta as read
+    assert HA._read_batch_meta(matches_dir, "b1")["payroll_deltas"] == [0]
+
+    # replay: b0's pinned (pre-compaction) sets reproduce identical
+    # content with d0's rows now reading through the base
+    b0_before = sorted(
+        map(tuple, spark.read.parquet(f"{matches_dir}/b0").collect())
+    )
+    ingest()  # same checkpoint: replays nothing new, b0 content stable
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{matches_dir}/b0").collect())
+    ) == b0_before
+
+    # a pinned id that is neither on disk nor folded refuses
+    with pytest.raises(ValueError, match="neither on disk nor folded"):
+        HA.read_payroll_corpus(spark, payroll_dir, generations=[9]).collect()
+
+    # corpus content is multiset-identical through the fold (string
+    # sort key: the payroll fixture carries None titles/salaries)
+    key = lambda r: tuple(map(str, r))  # noqa: E731
+    corpus = sorted(
+        map(tuple, HA.read_payroll_corpus(spark, payroll_dir).collect()),
+        key=key,
+    )
+    assert corpus == sorted(
+        map(tuple, base.unionByName(d0).collect()), key=key
+    )
+    json.loads((tmp_path / "payroll" / "_payroll_manifest.json").read_text())
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
+    """Randomized property over the exactly-once bookkeeping: payroll
+    and postings split into random batches, applied in a random
+    interleave order (each sink resumes its own checkpoint per step),
+    with the index and payroll compactions fired at a random point -
+    the accumulated matches always equal the one-shot re-match over
+    the full unions."""
+    import random
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    rng = random.Random(seed)
+    n_pay_batches = rng.randint(1, 3)
+    n_post_batches = rng.randint(1, 3)
+
+    payroll_all = HA.make_payroll_fixture(spark, 360).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    splits = n_pay_batches + 2
+    base = payroll_all.filter(F.col("rid") % splits < 2).drop("rid")
+    pay_batches = [
+        payroll_all.filter(F.col("rid") % splits == 2 + k).drop("rid")
+        for k in range(n_pay_batches)
+    ]
+    postings = HA.make_postings_fixture(spark, 60).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    post_batches = [
+        postings.filter(F.col("post_id") % n_post_batches == k)
+        for k in range(n_post_batches)
+    ]
+
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    steps = [("post", b) for b in post_batches] + [
+        ("pay", b) for b in pay_batches
+    ]
+    rng.shuffle(steps)
+    compact_after = rng.randrange(len(steps) + 1)
+    for i, (kind, df) in enumerate(steps):
+        if kind == "post":
+            land(df, post_src, f"a{i}")
+            HA.run_fuzzy_match_ingest(
+                spark.readStream.schema(postings.schema).parquet(str(post_src)),
+                payroll_dir, index_dir, matches_dir,
+                str(tmp_path / "ck_post"),
+                prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+            )
+        else:
+            land(df, pay_src, f"d{i}")
+            HA.run_fuzzy_index_maintenance(
+                spark.readStream.schema(base.schema).parquet(str(pay_src)),
+                payroll_dir, index_dir, matches_dir,
+                str(tmp_path / "ck_pay"),
+                prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+            )
+        if i + 1 == compact_after:
+            FZ.compact_persisted_title_index(
+                spark, index_dir, payroll_dir=payroll_dir
+            )
+            HA.compact_payroll_corpus(spark, payroll_dir, index_dir)
+
+    full_payroll = base
+    for b in pay_batches:
+        full_payroll = full_payroll.unionByName(b)
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                full_payroll, postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0, (seed, len(got), len(want))
