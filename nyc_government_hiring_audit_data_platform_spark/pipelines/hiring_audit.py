@@ -1010,14 +1010,25 @@ def compact_payroll_corpus(
     )
 
     man = _payroll_manifest(payroll_dir)
-    # GC: base_v* dirs a crashed prior run wrote but never committed
+    # GC, both crash directions: base versions a prior run wrote but
+    # never committed, AND leftovers a crash AFTER the commit point
+    # stranded - the superseded base (including the literal original
+    # 'base' dir, which the version regex alone would never match) and
+    # delta archives the manifest already records as folded (their
+    # rows live in the current base; a maintenance replay may also
+    # have re-created one - equally dead). Single-writer makes this
+    # safe to do on entry.
+    dead = set()
     for d in os.listdir(payroll_dir):
-        if (
-            _re.fullmatch(r"base_v\d+", d)
-            and d != man["base"]
-            and os.path.isdir(os.path.join(payroll_dir, d))
-        ):
-            shutil.rmtree(os.path.join(payroll_dir, d))
+        if not os.path.isdir(os.path.join(payroll_dir, d)):
+            continue
+        if (_re.fullmatch(r"base_v\d+", d) or d == "base") and d != man["base"]:
+            dead.add(d)
+        m = _re.fullmatch(r"d(\d+)", d)
+        if m and int(m.group(1)) in set(man["folded_deltas"]):
+            dead.add(d)
+    for d in dead:
+        shutil.rmtree(os.path.join(payroll_dir, d))
     eligible = sorted(
         (set(FZ.title_index_folded_generations(index_dir))
          & set(list_payroll_deltas(payroll_dir)))
@@ -1118,12 +1129,15 @@ def _visible_maintenance(index_dir: str, payroll_dir: str) -> tuple[list[int], l
 
 
 def list_payroll_deltas(payroll_dir: str) -> list[int]:
-    """Sorted batch ids of the ``d{batch_id}`` payroll archives the
-    maintenance sink landed at ``payroll_dir`` (pairs with
+    """Sorted batch ids of the ``d{batch_id}`` payroll archive dirs ON
+    DISK at ``payroll_dir`` (pairs with
     ``operators.fuzzy.list_index_generations``, but tracked SEPARATELY:
-    index compaction folds ``g{j}`` dirs away while the payroll
-    archives stay - payroll-delta selection keyed off index generations
-    would silently shrink the re-attach corpus after a compaction)."""
+    INDEX compaction folds ``g{j}`` dirs away while these archives stay
+    until :func:`compact_payroll_corpus` folds them too - after which
+    the manifest's ``folded_deltas``, not this listing, is the source
+    of truth for rows now living in the base; corpus readers must go
+    through :func:`read_payroll_corpus` / ``_visible_maintenance``,
+    which consult both)."""
     import os
     import re as _re
 
@@ -1211,20 +1225,21 @@ def run_fuzzy_match_ingest(
         # fresh-checkpoint restart re-partition around them - the exact
         # double-count hole the guard exists to close
         _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
-        # replay re-reads the generation/delta sets the original run
-        # recorded: generations that landed since were already
-        # cross-probed against this batch by the maintenance sink, and
-        # re-probing them here would double-count those pairs.
-        # Generations a compaction has since folded into the base are
-        # dropped from the replay set - the base subsumes their rows
-        # (byte-stable for lossless compaction; a re-CAPPING compaction
-        # makes replays emit the documented capped subset instead).
-        prior = _read_batch_meta(matches_dir, bname)
-        if prior is not None:
-            on_disk = set(FZ.list_index_generations(index_dir))
-            gens = [g for g in prior["generations"] if g in on_disk]
-            pdeltas = prior.get("payroll_deltas", prior["generations"])
-        elif isinstance(payroll, str):
+        # a COMPLETED batch skips its replay outright: the meta lands
+        # last, so meta-present means src + matches are fully written,
+        # and the content is already the pure function of the inputs
+        # the original run saw. Recomputing instead would have to
+        # reconstruct those inputs exactly - impossible once the
+        # compaction cadence has folded later generations/deltas into
+        # the index and payroll BASES (a replayed early batch would
+        # probe titles and attach rows it never saw, re-emitting pairs
+        # the maintenance back-fill already holds; review r12 pass 4).
+        # A crash mid-batch leaves no meta and replays from scratch
+        # with fresh sets - safe, because the maintenance sink refuses
+        # to cover meta-less batches.
+        if _read_batch_meta(matches_dir, bname) is not None:
+            return
+        if isinstance(payroll, str):
             # only COMMITTED maintenance batches are visible (g{j} and
             # d{j} both on disk, or j compacted into the base with its
             # d{j} present): a half-landed batch from a maintenance
@@ -1372,17 +1387,17 @@ def run_fuzzy_index_maintenance(
         # back-fill never lands: later postings probes would see (and
         # record) generation j while the (old postings x d{j}) pairs
         # stay permanently missing.
-        # On replay the pinned set UNIONS with a recompute, it does not
-        # replace it: a postings batch that landed while a crashed
-        # replay attempt had this batch torn (d{j} briefly absent)
-        # recorded neither the generation nor the delta, so only the
-        # recompute can pick it up - and batches that DID see the delta
-        # are excluded by their own metas, so the union never
-        # double-covers (review r12 pass 3).
+        # a COMPLETED maintenance batch skips its replay outright (same
+        # rule as the ingest: the p-meta lands last, so its presence
+        # means g{j}, d{j}, the back-fill matches and the meta are all
+        # complete, and recomputing after a compaction mutated the
+        # bases would reconstruct the wrong inputs). The covered-empty
+        # case writes no p-meta and recomputes from scratch - safe:
+        # the recompute excludes by each batch's OWN meta, so batches
+        # that saw the delta (live or compacted-in) never re-cover.
+        if _read_batch_meta(matches_dir, pname) is not None:
+            return
         covered = _covered_postings_batches(matches_dir, batch_id)
-        prior = _read_batch_meta(matches_dir, pname)
-        if prior is not None:
-            covered = sorted(set(prior["covered_batches"]) | set(covered))
         # checkpoint pinning AFTER validation (a refused run must not
         # leave markers in dirs it never wrote - a later legitimate
         # fresh start would hit a false 'different checkpoint' lockout)

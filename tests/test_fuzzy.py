@@ -2196,7 +2196,11 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
         ("pay", b) for b in pay_batches
     ]
     rng.shuffle(steps)
-    compact_after = rng.randrange(len(steps) + 1)
+    # the compaction point lands AFTER some payroll step, so every seed
+    # exercises a real fold (a point before any maintenance batch would
+    # compact nothing and silently test only the no-compaction path)
+    pay_positions = [i for i, (k, _) in enumerate(steps) if k == "pay"]
+    compact_after = rng.choice(pay_positions) + 1
     for i, (kind, df) in enumerate(steps):
         if kind == "post":
             land(df, post_src, f"a{i}")
@@ -2237,3 +2241,149 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
         )
     )
     assert got == want and len(got) > 0, (seed, len(got), len(want))
+
+
+def test_completed_batch_replay_skips_after_compaction(spark, tmp_path, monkeypatch):
+    """Review finding (r12, pass 4): a replayed COMPLETED batch (meta
+    on disk, checkpoint uncommitted) must SKIP, not recompute - after
+    the compaction cadence folded later deltas into the index/payroll
+    BASES, a recompute would probe titles and attach rows the original
+    run never saw, re-emitting pairs the maintenance back-fill already
+    holds. Crash is injected right after the meta write; the resumed
+    ingest replays the batch against fully-compacted state and the
+    corpus stays exact."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+    from nyc_government_hiring_audit_data_platform_spark.pipelines import (
+        hiring_audit as HAmod,
+    )
+
+    payroll_all = HA.make_payroll_fixture(spark, 300).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 4 < 3).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 4 == 3).drop("rid")
+    postings = HA.make_postings_fixture(spark, 50).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    def ingest():
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(post_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_post"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    # batch 0 completes on disk (src + matches + meta) but the
+    # checkpoint never commits: crash injected right after the meta
+    real_meta = HAmod._write_batch_meta
+    fired = {"n": 0}
+
+    def crash_after_meta(mdir, name, meta):
+        real_meta(mdir, name, meta)
+        if name == "b0" and fired["n"] == 0:
+            fired["n"] += 1
+            raise RuntimeError("simulated crash after meta write")
+
+    land(postings, post_src, "a0")
+    monkeypatch.setattr(HAmod, "_write_batch_meta", crash_after_meta)
+    with pytest.raises(Exception, match="simulated crash after meta"):
+        ingest()
+    monkeypatch.undo()
+    assert HA._read_batch_meta(matches_dir, "b0") is not None
+
+    # maintenance covers b0 x d0 (b0's meta says it never saw d0),
+    # then the FULL compaction cadence mutates both bases
+    land(d0, pay_src, "d0")
+    HA.run_fuzzy_index_maintenance(
+        spark.readStream.schema(base.schema).parquet(str(pay_src)),
+        payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == [0]
+
+    # the resumed ingest replays batch 0 against the compacted state:
+    # the completed batch SKIPS and the corpus stays exact (the old
+    # recompute would have re-attached d0's rows and double-counted
+    # every pair p0 already holds)
+    ingest()
+    got = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                base.unionByName(d0), postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_payroll_gc_reclaims_post_commit_crash_leftovers(spark, tmp_path):
+    """Review finding (r12, pass 4): a crash between the manifest swap
+    and the cleanup strands the old base and the folded d{j} dirs; the
+    next run's entry GC must reclaim BOTH (the literal 'base' dir the
+    version regex alone never matches, and already-folded archives)."""
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll_all = HA.make_payroll_fixture(spark, 200).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 3 < 2).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 3 == 2).drop("rid")
+    index_dir = str(tmp_path / "index")
+    payroll_dir = str(tmp_path / "payroll")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    base.write.parquet(os.path.join(payroll_dir, "base"))
+    prep = HA._prep_payroll(d0, 2024, 2025)
+    FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir), prep, "title_description"
+    ).write.parquet(os.path.join(index_dir, "g0"))
+    d0.write.parquet(os.path.join(payroll_dir, "d0"))
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+
+    # run the fold but simulate the crash AFTER the commit point by
+    # restoring the stranded leftovers the cleanup removed
+    keep_base = str(tmp_path / "stash_base")
+    keep_d0 = str(tmp_path / "stash_d0")
+    shutil.copytree(os.path.join(payroll_dir, "base"), keep_base)
+    shutil.copytree(os.path.join(payroll_dir, "d0"), keep_d0)
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == [0]
+    shutil.copytree(keep_base, os.path.join(payroll_dir, "base"))
+    shutil.copytree(keep_d0, os.path.join(payroll_dir, "d0"))
+    assert HA.list_payroll_deltas(payroll_dir) == [0]  # the stranded dir
+
+    # next run (nothing left to fold) reclaims both leftovers
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == []
+    assert not os.path.exists(os.path.join(payroll_dir, "base"))
+    assert HA.list_payroll_deltas(payroll_dir) == []
+    key = lambda r: tuple(map(str, r))  # noqa: E731
+    got = sorted(
+        map(tuple, HA.read_payroll_corpus(spark, payroll_dir).collect()),
+        key=key,
+    )
+    assert got == sorted(map(tuple, base.unionByName(d0).collect()), key=key)
