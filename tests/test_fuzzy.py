@@ -2387,3 +2387,39 @@ def test_payroll_gc_reclaims_post_commit_crash_leftovers(spark, tmp_path):
         key=key,
     )
     assert got == sorted(map(tuple, base.unionByName(d0).collect()), key=key)
+
+
+def test_maintenance_backfill_broadcasts_batch_index(spark, tmp_path):
+    """The 100 TB shape of the cross-term back-fill: the payroll
+    batch's title index is batch-sized, so its probe into the archived
+    postings corpus must BROADCAST - the postings side (the big side:
+    every archived batch) streams through with no blocking-key
+    Exchange. Asserted on the exact plan the maintenance sink compiles
+    (incremental_fuzzy_match_salary over an extend-against-empty batch
+    index), with the default broadcast threshold."""
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    payroll = HA.make_payroll_fixture(spark, 400)
+    batch = payroll.limit(40)
+    posts = HA.make_postings_fixture(spark, 200).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    base_index = HA.build_payroll_title_index(payroll)
+    batch_index = FZ.extend_title_index(
+        base_index.limit(0), HA._prep_payroll(batch, 2024, 2025),
+        "title_description",
+    )
+    matches = HA.incremental_fuzzy_match_salary(
+        batch, batch_index, posts,
+        prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+    )
+    plan = PI.physical_plan(matches)
+    assert "BroadcastExchange" in plan
+    # the only shuffle Exchanges allowed are the candidate-dedup
+    # aggregations (distinct pairs / distinct titles), never a
+    # token-keyed repartition of the postings corpus: with the batch
+    # index broadcast, the blocking equi-join itself moves nothing
+    blocks = PI.exchange_blocks(matches)
+    assert all("tok" not in b and "ltok" not in b for b in blocks), blocks
+    assert len(sorted(map(tuple, matches.collect()))) > 0
