@@ -798,6 +798,33 @@ def gold_tables_sql(
 # ---------------------------------------------------------------------------
 # EP2a streaming: weekly postings batches matched at ingest time
 # ---------------------------------------------------------------------------
+#
+# The operational lifecycle (single writer per step; every step is
+# individually crash-safe and replay-exact, property-tested end to end
+# under random interleavings in tests/test_fuzzy.py):
+#
+#   setup    build_payroll_title_index(base payroll)
+#            -> operators.fuzzy.write_title_index(index_dir,
+#               index_format="bucketed")   # the 100 TB probe shape
+#            base payroll rows -> {payroll_dir}/base
+#   weekly   run_fuzzy_match_ingest(postings stream, payroll_dir, ...)
+#            - probes the index per batch, no index-side shuffle
+#   payroll  run_fuzzy_index_maintenance(payroll stream, ...)
+#   lands    - extends the index (g{j}) + archives rows (d{j}) +
+#              back-fills (archived postings x new payroll) exactly once
+#   monitor  operators.fuzzy.title_index_occupancy(index)
+#            - compact when keys_over_cap > 0 (capped indexes) or the
+#              generation count makes the probe's union tax noticeable
+#   compact  operators.fuzzy.compact_persisted_title_index(
+#                spark, index_dir, payroll_dir=payroll_dir)  # FIRST
+#            compact_payroll_corpus(spark, payroll_dir, index_dir)
+#            - restores the bucketed no-shuffle probe and the exact
+#              per-key occupancy bound; folded deltas read through the
+#              versioned payroll base
+#
+# Both sinks refuse foreign/fresh checkpoints over existing state (the
+# pinned-identity guards) and skip replays of completed batches; the
+# maintenance sink refuses matches built with a per-posting-row limit.
 
 
 def _checkpoint_identity(checkpoint_dir: str) -> str | None:
