@@ -130,16 +130,11 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # source changed this round. Rotation: 8 pins + 1 ADDED + the full
 # 38-query r7 tier = 47 of the 50-slot budget (floor lands at r8, the
 # r11 ask #4 criterion; 3 spare slots fall to the oldest r8 queries).
-REWRITTEN: set[str] = {
-    "fuzzy_incremental_union",
-    "incremental_agg_refresh",
-    "incremental_agg_retraction",
-    "incremental_distinct_refresh",
-    "incremental_median_refresh",
-    "incremental_refresh_joined",
-    "retractable_extremes_refresh",
-    "rollup_reaggregate",
-}
+# r13 open: all 8 r12 pins were re-hashed green in CORRECTNESS_r12 and
+# left the set (verified at round open against the file). The set is
+# refilled at r13 close from
+# `python tools/stale_audit.py compare a6a8b69 --hashed-round 12`.
+REWRITTEN: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
