@@ -642,9 +642,12 @@ def suggest_synopsis_r(
 ) -> int:
     """Size ``synopsis_r`` from the data instead of a guess: the
     DISCRETE ``quantile`` of the per-group row multiplicity - the
-    largest observed multiplicity m such that a ``quantile`` fraction
-    of groups carry at most m rows (cume_dist, never an interpolated
-    value a whale group would inflate) - times ``headroom``,
+    SMALLEST observed multiplicity m such that AT LEAST a ``quantile``
+    fraction of groups carry at most m rows (min ``__n`` with
+    cume_dist >= quantile; never an interpolated value a whale group
+    would inflate, and never the largest value strictly BELOW the cut,
+    which with discrete gaps covers fewer groups than the quantile
+    promises - round-12 ADVICE) - times ``headroom``,
     ceilinged. One map-side-combined count pass over ``df``; the
     quantile itself runs over the GROUP-SIZED count relation (a single
     unpartitioned window - fine for an offline sizing pass, the only
@@ -664,12 +667,12 @@ def suggest_synopsis_r(
     ranked = per.select(
         "__n", F.cume_dist().over(Window.orderBy("__n")).alias("__cd")
     )
-    q = ranked.where(F.col("__cd") <= quantile).agg(F.max("__n")).first()[0]
+    q = ranked.where(F.col("__cd") >= quantile).agg(F.min("__n")).first()[0]
     if q is None:
-        # every group is heavier than the quantile cut (tiny quantile
-        # or uniform multiplicities): the smallest group is the honest
-        # floor; None again means df had no groups at all
-        q = per.agg(F.min("__n")).first()[0]
+        # unreachable for non-empty data (cume_dist tops out at 1.0 >=
+        # any valid quantile); None means df had no groups at all, and
+        # the max-multiplicity fallback keeps the guarantee vacuously
+        q = per.agg(F.max("__n")).first()[0]
     if q is None:
         return 1
     return max(1, int(math.ceil(float(q) * headroom)))

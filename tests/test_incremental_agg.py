@@ -615,3 +615,20 @@ def test_suggest_synopsis_r_sizes_from_multiplicity_quantile(spark):
         IVM.suggest_synopsis_r(facts, ["k"], quantile=1.5)
     with pytest.raises(ValueError, match="headroom"):
         IVM.suggest_synopsis_r(facts, ["k"], headroom=0.5)
+
+
+def test_suggest_synopsis_r_discrete_gap_covers_quantile(spark):
+    """Regression (round-12 ADVICE): with a GAP in the multiplicity
+    distribution the quantile must round UP across it - the smallest m
+    with cume_dist >= q, never the largest m strictly below the cut.
+    Sizes [1,1,1,10]: cume_dist is 0.75 at m=1 and 1.0 at m=10, so
+    q=0.9 must return 10 (covering 100% >= 90% of groups); the old
+    max-where-cd<=q selection returned 1, under which a fully-retracted
+    m=10 group - inside the promised quantile - would overflow."""
+    rows = [(f"g{i}", 1) for i in range(3)] + [("g3", v) for v in range(10)]
+    facts = _facts(spark, rows)
+    assert IVM.suggest_synopsis_r(facts, ["k"], quantile=0.9, headroom=1.0) == 10
+    # at/below the covered mass the cut stays tight
+    assert IVM.suggest_synopsis_r(facts, ["k"], quantile=0.75, headroom=1.0) == 1
+    # empty facts: honest floor of 1
+    assert IVM.suggest_synopsis_r(facts.limit(0), ["k"], quantile=0.9) == 1
