@@ -1235,6 +1235,33 @@ def compact_persisted_title_index(
     import os
     import shutil
 
+    # entry-time GC (round-12 VERDICT ask #5): a hard kill between the
+    # torn-generation stash renames below and the finally-restore skips
+    # the finally, stranding _torn_g{j}.staging dirs (and possibly a
+    # _compact_staging) that no reader ever sees and no replay ever
+    # reclaims - permanent disk leakage on exactly the crash path
+    # compaction exists to survive. Mirror compact_payroll_corpus'
+    # entry GC: restore a stash whose g{j} is ABSENT (the rename-away
+    # happened, the restore did not - status quo ante, the torn batch
+    # stays live for the maintenance replay), remove one whose g{j}
+    # the replay already rewrote (a dead duplicate). A stranded
+    # _compact_staging is always dead: its content either committed
+    # through write_title_index or this run recomputes the fold.
+    # Single-writer makes the sweep safe on entry.
+    if os.path.isdir(index_dir):
+        for d in os.listdir(index_dir):
+            m = re.fullmatch(r"_torn_g(\d+)\.staging", d)
+            if not m or not os.path.isdir(os.path.join(index_dir, d)):
+                continue
+            live = os.path.join(index_dir, f"g{m.group(1)}")
+            if os.path.isdir(live):
+                shutil.rmtree(os.path.join(index_dir, d))
+            else:
+                os.rename(os.path.join(index_dir, d), live)
+        shutil.rmtree(
+            os.path.join(index_dir, "_compact_staging"), ignore_errors=True
+        )
+
     meta_path = os.path.join(index_dir, _INDEX_META)
     if not os.path.exists(meta_path):
         raise ValueError(

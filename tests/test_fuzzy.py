@@ -1975,6 +1975,81 @@ def test_compaction_skips_torn_generations(spark, tmp_path):
     assert got == want  # the base == exactly base+d0, no torn rows
 
 
+def test_compaction_entry_gc_reclaims_stranded_staging(spark, tmp_path):
+    """Round-12 VERDICT ask #5: a hard kill between compaction's
+    torn-stash rename and the finally-restore strands
+    ``_torn_g{j}.staging`` (and possibly ``_compact_staging``); the
+    next compaction's entry GC must reclaim both directions - RESTORE
+    a stash whose g{j} is absent (the torn generation stays live for
+    the maintenance replay), REMOVE one whose g{j} a replay already
+    rewrote."""
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll_all = HA.make_payroll_fixture(spark, 300).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 3 == 0).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 3 == 1).drop("rid")
+    d1 = payroll_all.filter(F.col("rid") % 3 == 2).drop("rid")
+    index_dir = str(tmp_path / "idx")
+    payroll_dir = str(tmp_path / "payroll")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    base.write.parquet(os.path.join(payroll_dir, "base"))
+    prep = lambda df: HA._prep_payroll(df, 2024, 2025)  # noqa: E731
+    g0 = FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir), prep(d0), "title_description"
+    )
+    g0.write.parquet(os.path.join(index_dir, "g0"))
+    d0.write.parquet(os.path.join(payroll_dir, "d0"))
+    g1 = FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir), prep(d1), "title_description"
+    )
+    g1.write.parquet(os.path.join(index_dir, "g1"))
+    g1_rows = sorted(map(tuple, spark.read.parquet(
+        os.path.join(index_dir, "g1")).collect()))
+
+    # direction 1: the kill landed after the stash rename, before the
+    # restore - g1 is gone, _torn_g1.staging holds it, and the fold's
+    # own staging dir is also stranded
+    os.rename(
+        os.path.join(index_dir, "g1"),
+        os.path.join(index_dir, "_torn_g1.staging"),
+    )
+    os.makedirs(os.path.join(index_dir, "_compact_staging"))
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+    leftovers = [d for d in os.listdir(index_dir) if d.startswith("_torn")]
+    assert leftovers == []
+    assert not os.path.isdir(os.path.join(index_dir, "_compact_staging"))
+    # the torn generation was restored, then rode through this run's
+    # own stash/restore cycle: still live, never folded, rows intact
+    assert FZ.title_index_folded_generations(index_dir) == [0]
+    assert FZ.list_index_generations(index_dir) == [1]
+    assert sorted(map(tuple, spark.read.parquet(
+        os.path.join(index_dir, "g1")).collect())) == g1_rows
+
+    # direction 2: the maintenance replay rewrote g1 after the crash -
+    # the stranded stash is a dead duplicate and must be removed, the
+    # live (replayed) g1 kept
+    shutil.copytree(
+        os.path.join(index_dir, "g1"),
+        os.path.join(index_dir, "_torn_g1.staging"),
+    )
+    d1.write.parquet(os.path.join(payroll_dir, "d1"))  # commit batch 1
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+    assert [d for d in os.listdir(index_dir) if d.startswith("_torn")] == []
+    # with d1 now committed the generation folded for real
+    assert FZ.title_index_folded_generations(index_dir) == [0, 1]
+    assert FZ.list_index_generations(index_dir) == []
+    got = sorted(map(tuple, FZ.read_title_index(
+        spark, index_dir, generations=[]).collect()))
+    want = sorted(map(tuple, HA.build_payroll_title_index(
+        base.unionByName(d0).unionByName(d1)).collect()))
+    assert got == want
+
+
 def test_maintenance_replay_covers_batches_landed_mid_replay(tmp_path):
     """Review finding (r12, pass 3): a maintenance replay unions its
     pinned covered set with a recompute - a postings batch that landed
