@@ -842,7 +842,11 @@ def _checkpoint_identity(checkpoint_dir: str) -> str | None:
 
 
 def _guard_checkpoint(
-    out_dir: str, checkpoint_dir: str, marker: str, batch_dir_re: str
+    out_dir: str,
+    checkpoint_dir: str,
+    marker: str,
+    batch_dir_re: str,
+    folded: bool = False,
 ) -> None:
     """Refuse to extend an output directory under a DIFFERENT
     checkpoint than the one that built it. The per-batch overwrite
@@ -864,44 +868,64 @@ def _guard_checkpoint(
     LOST while batch dirs remain, a checkpoint that has run before
     (metadata present) adopts the dir - only fresh checkpoints refuse.
     Closing that would need cross-checking the existing batch ids
-    against the adopted checkpoint's committed offsets."""
+    against the adopted checkpoint's committed offsets.
+
+    ``folded`` - True when a compaction has folded this flow's batches
+    into a base the live dirs no longer evidence (the index meta's
+    ``folded_generations``, the payroll manifest's ``folded_deltas``,
+    the matches manifest's folded b/p ids). Folded records COUNT as
+    batch evidence (round-12 ADVICE): after a full compaction cadence
+    the live ``g{j}``/``d{j}`` dirs are all gone, and releasing the
+    pin here would let a fresh checkpoint renumber from 0 straight
+    into the folded id space - the new ``d0``'s rows are invisible to
+    ``read_payroll_corpus`` (the manifest already lists 0 as folded)
+    and the next ``compact_payroll_corpus`` GC deletes the new archive
+    as dead, silently losing them."""
     import os
     import re as _re
 
     path = os.path.join(out_dir, marker)
     current = _checkpoint_identity(checkpoint_dir)
-    has_batches = os.path.isdir(out_dir) and any(
-        _re.fullmatch(batch_dir_re, d)
-        and os.path.isdir(os.path.join(out_dir, d))
-        for d in os.listdir(out_dir)
+    has_batches = folded or (
+        os.path.isdir(out_dir)
+        and any(
+            _re.fullmatch(batch_dir_re, d)
+            and os.path.isdir(os.path.join(out_dir, d))
+            for d in os.listdir(out_dir)
+        )
     )
     if not os.path.exists(path):
         if has_batches and current is None:
             raise ValueError(
-                f"{out_dir} holds per-batch output but no {marker} "
-                f"marker, and checkpoint {checkpoint_dir} is fresh - a "
-                "fresh checkpoint renumbers batches and would "
-                "double-count the existing subdirectories. Resume the "
-                "original checkpoint (its id is adopted and pinned), "
-                "or start a fresh output dir"
+                f"{out_dir} holds per-batch output (live subdirectories "
+                f"or batches folded into a compacted base) but no "
+                f"{marker} marker, and checkpoint {checkpoint_dir} is "
+                "fresh - a fresh checkpoint renumbers batches and would "
+                "collide with the existing batch ids (double-counted "
+                "live dirs, or rows invisible behind a folded-id "
+                "record). Resume the original checkpoint (its id is "
+                "adopted and pinned), or start a fresh output dir"
             )
         return
     with open(path) as f:
         recorded = f.read().strip()
     if current != recorded:
         if not has_batches:
-            # a marker without any of THIS flow's batch output (e.g. a
-            # run refused by validation after pinning, then the output
-            # dir rebuilt): nothing can be double-counted - release
-            # the stale pin instead of a false permanent lockout
+            # a marker without any of THIS flow's batch output, live
+            # OR folded (e.g. a run refused by validation after
+            # pinning, then the output dir rebuilt): nothing can be
+            # double-counted - release the stale pin instead of a
+            # false permanent lockout
             os.remove(path)
             return
         raise ValueError(
             f"{out_dir} was built under checkpoint id {recorded}; "
             f"checkpoint {checkpoint_dir} has id {current} - a replay "
             "under a different checkpoint re-partitions batches and "
-            "would double-count stale per-batch subdirectories. Reuse "
-            "the original checkpoint, or start a fresh output dir"
+            "would double-count stale per-batch subdirectories (or "
+            "renumber into ids a compaction already folded, whose rows "
+            "readers resolve through the base). Reuse the original "
+            "checkpoint, or start a fresh output dir"
         )
 
 
@@ -943,6 +967,30 @@ def _write_batch_meta(matches_dir: str, name: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, path)
+
+
+_MATCHES_MANIFEST = "_matches_manifest.json"
+
+
+def _matches_manifest(matches_dir: str) -> dict:
+    """The matches corpus' commit record: which directory holds the
+    compacted match rows (``mbase_v{n}`` after
+    :func:`compact_matches_corpus`; None for a never-compacted dir)
+    and which per-batch subdirectories that base already contains
+    (``folded`` - dir NAMES like ``b0``/``p1``, since the ingest and
+    maintenance numbering spaces are independent). Replaced atomically
+    - the one json swap that is the matches compaction's commit
+    point. Folded batches keep their ``_meta.json`` on disk (the
+    covered-set and replay-skip bookkeeping reads them; folding rows
+    must not launder batch history)."""
+    import json
+    import os
+
+    path = os.path.join(matches_dir, _MATCHES_MANIFEST)
+    if not os.path.exists(path):
+        return {"base": None, "folded": []}
+    with open(path) as f:
+        return json.load(f)
 
 
 _PAYROLL_MANIFEST = "_payroll_manifest.json"
@@ -1240,8 +1288,15 @@ def run_fuzzy_match_ingest(
     )
 
     # b{id} dirs carry THIS flow's numbering; p{id} back-fills belong
-    # to the maintenance flow's checkpoint and do not gate this one
-    _guard_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id", r"b\d+")
+    # to the maintenance flow's checkpoint and do not gate this one.
+    # Folded b-ids in the matches manifest count as evidence too - a
+    # compaction may have absorbed every live b{id} into the base
+    _guard_checkpoint(
+        matches_dir, checkpoint_dir, "_checkpoint_id", r"b\d+",
+        folded=any(
+            n.startswith("b") for n in _matches_manifest(matches_dir)["folded"]
+        ),
+    )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1394,15 +1449,25 @@ def run_fuzzy_index_maintenance(
     # renumbers batches against existing state (e.g. a new matches_dir
     # with a reused index/payroll pair would overwrite d0 with
     # re-batched rows while stale d1 doubles its payroll), so identity
-    # is pinned and checked on all three
+    # is pinned and checked on all three. FOLDED batches count as
+    # evidence (round-12 ADVICE): after a full compaction cadence the
+    # live g{j}/d{j}/p{j} dirs are gone but their ids live on in the
+    # bases - a fresh checkpoint's renumbered batch 0 would collide
+    # with a folded id, its d0 rows invisible to read_payroll_corpus
+    # and GC'd as dead by the next compact_payroll_corpus
     _guard_checkpoint(
-        matches_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"p\d+"
+        matches_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"p\d+",
+        folded=any(
+            n.startswith("p") for n in _matches_manifest(matches_dir)["folded"]
+        ),
     )
     _guard_checkpoint(
-        index_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"g\d+"
+        index_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"g\d+",
+        folded=bool(FZ.title_index_folded_generations(index_dir)),
     )
     _guard_checkpoint(
-        payroll_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"d\d+"
+        payroll_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"d\d+",
+        folded=bool(_payroll_manifest(payroll_dir)["folded_deltas"]),
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:

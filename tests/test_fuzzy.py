@@ -2050,6 +2050,79 @@ def test_compaction_entry_gc_reclaims_stranded_staging(spark, tmp_path):
     assert got == want
 
 
+def test_folded_batches_keep_maintenance_checkpoint_pinned(spark, tmp_path):
+    """Round-12 ADVICE (medium): after the full compaction cadence
+    folds every g{j}/d{j} away, the maintenance checkpoint guards must
+    COUNT the folded records as batch evidence - releasing the pin
+    would let a fresh checkpoint renumber batch 0 into the folded id
+    space, where the new d0's rows are invisible to
+    read_payroll_corpus (manifest lists 0 as folded) and the next
+    compact_payroll_corpus GC deletes the archive as dead, losing the
+    payroll rows permanently."""
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll_all = HA.make_payroll_fixture(spark, 200).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 2 == 0).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 2 == 1).drop("rid")
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    pay_src = tmp_path / "pay_src"
+    pay_src.mkdir()
+
+    def land(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, pay_src / f"{name}.parquet")
+
+    def maintain(ck):
+        HA.run_fuzzy_index_maintenance(
+            spark.readStream.schema(base.schema).parquet(str(pay_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / ck),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    # maintenance with NO archived postings: covered is empty, so no
+    # p{id} dir ever lands - exactly the shape where the old guards
+    # had zero live evidence after compaction
+    land(d0, "d0")
+    maintain("ck_pay")
+    FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+    assert HA.compact_payroll_corpus(spark, payroll_dir, index_dir) == [0]
+    assert FZ.list_index_generations(index_dir) == []
+    assert HA.list_payroll_deltas(payroll_dir) == []
+
+    # a fresh checkpoint must REFUSE - the folded records are the
+    # evidence now (pre-fix: all guards released and batch 0 collided)
+    land(d0.limit(5), "d1")
+    with pytest.raises(ValueError, match="different checkpoint"):
+        maintain("ck_pay_fresh")
+    # and the payroll corpus is still exactly base + d0
+    got = HA.read_payroll_corpus(spark, payroll_dir).count()
+    assert got == base.count() + d0.count()
+
+    # the ORIGINAL checkpoint keeps working after compaction
+    maintain("ck_pay")
+    assert HA.list_payroll_deltas(payroll_dir) == [1]
+
+    # unit level: a marker-LESS dir (lost marker) with only folded
+    # evidence still refuses a fresh checkpoint
+    import os
+
+    os.remove(os.path.join(payroll_dir, "_checkpoint_id_maintenance"))
+    with pytest.raises(ValueError, match="fresh"):
+        HA._guard_checkpoint(
+            payroll_dir, str(tmp_path / "ck_never_ran"),
+            "_checkpoint_id_maintenance", r"NOMATCH\d+", folded=True,
+        )
+
+
 def test_maintenance_replay_covers_batches_landed_mid_replay(tmp_path):
     """Review finding (r12, pass 3): a maintenance replay unions its
     pinned covered set with a recompute - a postings batch that landed
