@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     # probed end-to-end (the hot-key occupancy lever's exactness story;
     # same plan family as fuzzy_incremental_union plus the cap window).
     "fuzzy_index_compaction",
+    # round-13 addition: matches-corpus fold (per-batch ingest outputs
+    # -> versioned base + manifest, read through base+unfolded; the
+    # small-files retirement on the matches side of the lifecycle).
+    "matches_corpus_compaction",
 ]
 
 

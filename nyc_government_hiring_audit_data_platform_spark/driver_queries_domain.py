@@ -913,3 +913,58 @@ def q_fuzzy_index_compaction(spark, sf_dir):
 q_fuzzy_index_compaction.__doc__ = q_fuzzy_index_compaction.__doc__.replace(
     "{cap}", str(_INDEX_CAP)
 )
+
+
+@query(
+    "matches_corpus_compaction",
+    f"WITH {_BASE_CTES} SELECT {_MATCH_COLS} FROM matches",
+)
+def q_matches_corpus_compaction(spark, sf_dir):
+    """Matches-corpus compaction exactness on real data (round-12
+    VERDICT ask #1): the weekly ingest's per-batch match outputs are
+    laid out exactly as run_fuzzy_match_ingest writes them (b{id}
+    parquet + meta-lands-last _meta.json), then
+    pipelines.hiring_audit.compact_matches_corpus folds them into the
+    versioned base through BOTH lanes - b0 folds into mbase_v1, b1
+    lands afterwards and folds incrementally into mbase_v2 (base ⊎ new
+    batch, the production cadence) - and read_ingested_matches reads
+    the result back through the manifest. The oracle is the one-shot
+    full re-match SQL (fuzzy_incremental_union's oracle, unchanged):
+    hash equality IS the fold-preserves-the-multiset claim, end to end
+    through the manifest swap, the meta-only folded dirs and the
+    base+unfolded read. Batches split on post_id % 8 (postings ids are
+    % 4 == 0, so {0,4} mod 8 partitions them in two). Corpus dirs land
+    under a per-sf temp dir, WIPED at entry - the lifecycle
+    bookkeeping (completed-batch metas, the manifest) must start
+    fresh each run."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    matches_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_matches_fold",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(matches_dir, ignore_errors=True)
+
+    payroll = payroll_from_part(spark, sf_dir)
+    postings = postings_from_part(spark, sf_dir)
+    for bid, batch in enumerate(
+        postings.filter(F.col("post_id") % 8 == k) for k in (0, 4)
+    ):
+        HA.fuzzy_match_salary(
+            payroll, batch, prefilter_cutoff=1, score_cutoff=85,
+            join_fn=fuzzy_join_tokensort, row_key="post_id",
+        ).write.mode("overwrite").parquet(
+            os.path.join(matches_dir, f"b{bid}")
+        )
+        HA._write_batch_meta(
+            matches_dir, f"b{bid}",
+            {"batch_id": bid, "generations": [], "payroll_deltas": [],
+             "exchanges": None, "limit": None},
+        )
+        folded = HA.compact_matches_corpus(spark, matches_dir)
+        assert folded == [f"b{bid}"], folded
+    return HA.read_ingested_matches(spark, matches_dir)

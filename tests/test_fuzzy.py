@@ -2123,6 +2123,125 @@ def test_folded_batches_keep_maintenance_checkpoint_pinned(spark, tmp_path):
         )
 
 
+def test_compact_matches_corpus_folds_batches_preserving_history(spark, tmp_path):
+    """Round-12 VERDICT ask #1: fold completed b/p match batches into
+    a versioned base + manifest. The read-back multiset is unchanged,
+    folded dirs keep exactly their _meta.json (covered-set and
+    replay-skip bookkeeping must not be laundered), later batches keep
+    landing and fold incrementally, and the entry GC reclaims both
+    crash directions."""
+    import json
+    import os
+    import shutil
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.operators.fuzzy import (
+        fuzzy_join_tokensort,
+    )
+
+    payroll_all = HA.make_payroll_fixture(spark, 300).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base = payroll_all.filter(F.col("rid") % 3 < 2).drop("rid")
+    d0 = payroll_all.filter(F.col("rid") % 3 == 2).drop("rid")
+    postings = HA.make_postings_fixture(spark, 60).withColumn(
+        "post_id", F.monotonically_increasing_id()
+    )
+    a0 = postings.filter(F.col("post_id") % 2 == 0)
+    a1 = postings.filter(F.col("post_id") % 2 == 1)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(base), index_dir, "parquet")
+    payroll_dir = str(tmp_path / "payroll")
+    base.write.parquet(f"{payroll_dir}/base")
+    matches_dir = str(tmp_path / "matches")
+    post_src, pay_src = tmp_path / "post_src", tmp_path / "pay_src"
+    post_src.mkdir(), pay_src.mkdir()
+
+    def land(df, dest, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        for f in (tmp_path / "w").glob("*.parquet"):
+            shutil.copy(f, dest / f"{name}.parquet")
+
+    def ingest():
+        HA.run_fuzzy_match_ingest(
+            spark.readStream.schema(postings.schema).parquet(str(post_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_post"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    def maintain():
+        HA.run_fuzzy_index_maintenance(
+            spark.readStream.schema(base.schema).parquet(str(pay_src)),
+            payroll_dir, index_dir, matches_dir, str(tmp_path / "ck_pay"),
+            prefilter_cutoff=1, score_cutoff=85, row_key="post_id",
+        )
+
+    land(a0, post_src, "a0"); ingest()       # b0
+    land(d0, pay_src, "d0"); maintain()      # g0/d0 + p0
+    before = sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    )
+    b0_meta = HA._read_batch_meta(matches_dir, "b0")
+    p0_meta = HA._read_batch_meta(matches_dir, "p0")
+
+    assert HA.compact_matches_corpus(spark, matches_dir) == ["b0", "p0"]
+    man = HA._matches_manifest(matches_dir)
+    assert man["base"] == "mbase_v1" and man["folded"] == ["b0", "p0"]
+    # multiset unchanged; folded dirs hold exactly their meta; the
+    # bookkeeping reads come out identical
+    assert sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    ) == before
+    for d in ("b0", "p0"):
+        assert os.listdir(os.path.join(matches_dir, d)) == ["_meta.json"]
+    assert HA._read_batch_meta(matches_dir, "b0") == b0_meta
+    assert HA._read_batch_meta(matches_dir, "p0") == p0_meta
+    # nothing eligible: idempotent no-op
+    assert HA.compact_matches_corpus(spark, matches_dir) == []
+
+    # later batches land (same checkpoints) and fold incrementally;
+    # the covered-set bookkeeping on the folded b0 meta still excludes
+    # it from re-coverage (b0 saw g0 live)
+    land(a1, post_src, "a1"); ingest()       # b1 probes base+g0
+    assert HA.compact_matches_corpus(spark, matches_dir) == ["b1"]
+    man = HA._matches_manifest(matches_dir)
+    assert man["base"] == "mbase_v2" and man["folded"] == ["b0", "b1", "p0"]
+    assert not os.path.isdir(os.path.join(matches_dir, "mbase_v1"))
+    want = sorted(
+        map(
+            tuple,
+            HA.fuzzy_match_salary(
+                base.unionByName(d0), postings,
+                prefilter_cutoff=1, score_cutoff=85,
+                join_fn=fuzzy_join_tokensort, row_key="post_id",
+            ).collect(),
+        )
+    )
+    assert sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    ) == want and len(want) > 0
+
+    # crash-leftover GC, both directions: an uncommitted mbase version
+    # and parquet leftovers inside a folded dir are reclaimed on entry
+    os.makedirs(os.path.join(matches_dir, "mbase_v9"))
+    with open(os.path.join(matches_dir, "b0", "leftover.parquet"), "w") as f:
+        f.write("junk")
+    assert HA.compact_matches_corpus(spark, matches_dir) == []
+    assert not os.path.isdir(os.path.join(matches_dir, "mbase_v9"))
+    assert os.listdir(os.path.join(matches_dir, "b0")) == ["_meta.json"]
+    # a TORN batch dir (no meta: crash mid-batch) never folds
+    os.makedirs(os.path.join(matches_dir, "b7"))
+    assert HA.compact_matches_corpus(spark, matches_dir) == []
+    assert "b7" not in HA._matches_manifest(matches_dir)["folded"]
+    shutil.rmtree(os.path.join(matches_dir, "b7"))
+
+    # the manifest swap is the commit point: a manifest pointing at a
+    # committed base plus stale leftovers reads clean after GC
+    assert json.load(
+        open(os.path.join(matches_dir, "_matches_manifest.json"))
+    )["base"] == "mbase_v2"
+
+
 def test_maintenance_replay_covers_batches_landed_mid_replay(tmp_path):
     """Review finding (r12, pass 3): a maintenance replay unions its
     pinned covered set with a recompute - a postings batch that landed
@@ -2349,6 +2468,10 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
     # compact nothing and silently test only the no-compaction path)
     pay_positions = [i for i, (k, _) in enumerate(steps) if k == "pay"]
     compact_after = rng.choice(pay_positions) + 1
+    # the MATCHES fold can land after any step (it depends on neither
+    # side's cadence); folded batches keep their metas, so the
+    # covered-set and replay bookkeeping must come out identical
+    matches_compact_after = rng.randint(1, len(steps))
     for i, (kind, df) in enumerate(steps):
         if kind == "post":
             land(df, post_src, f"a{i}")
@@ -2371,6 +2494,8 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
                 spark, index_dir, payroll_dir=payroll_dir
             )
             HA.compact_payroll_corpus(spark, payroll_dir, index_dir)
+        if i + 1 == matches_compact_after:
+            HA.compact_matches_corpus(spark, matches_dir)
 
     full_payroll = base
     for b in pay_batches:
@@ -2389,6 +2514,12 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
         )
     )
     assert got == want and len(got) > 0, (seed, len(got), len(want))
+
+    # folding EVERYTHING at the end reads back the same multiset
+    HA.compact_matches_corpus(spark, matches_dir)
+    assert sorted(
+        map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
+    ) == want, seed
 
 
 def test_completed_batch_replay_skips_after_compaction(spark, tmp_path, monkeypatch):
