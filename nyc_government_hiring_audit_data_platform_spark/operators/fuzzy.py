@@ -1205,6 +1205,7 @@ def compact_persisted_title_index(
     max_block: int | None = None,
     n_buckets: int | None = None,
     payroll_dir: str | None = None,
+    lease_stale_after: float = 3600.0,
 ) -> None:
     """The production compaction step: fold ``index_dir``'s append
     generations back into its base - re-capped at ``max_block`` when
@@ -1214,7 +1215,10 @@ def compact_persisted_title_index(
     bucketing from the planner; after compaction the probe is a single
     bucketed scan again - the generation tax the compaction cadence
     bounds). Single-writer: run from the job that owns the index, not
-    concurrently with a maintenance batch.
+    concurrently with a maintenance batch - mechanically enforced by
+    the shared lifecycle lease at ``index_dir``
+    (``lease.lifecycle_lease``: live holder refuses, stale holder
+    taken over after ``lease_stale_after``).
 
     The fold materializes through a STAGING parquet dir before
     ``write_title_index`` clears the old layout: the compacted plan
@@ -1235,89 +1239,94 @@ def compact_persisted_title_index(
     import os
     import shutil
 
-    # entry-time GC (round-12 VERDICT ask #5): a hard kill between the
-    # torn-generation stash renames below and the finally-restore skips
-    # the finally, stranding _torn_g{j}.staging dirs (and possibly a
-    # _compact_staging) that no reader ever sees and no replay ever
-    # reclaims - permanent disk leakage on exactly the crash path
-    # compaction exists to survive. Mirror compact_payroll_corpus'
-    # entry GC: restore a stash whose g{j} is ABSENT (the rename-away
-    # happened, the restore did not - status quo ante, the torn batch
-    # stays live for the maintenance replay), remove one whose g{j}
-    # the replay already rewrote (a dead duplicate). A stranded
-    # _compact_staging is always dead: its content either committed
-    # through write_title_index or this run recomputes the fold.
-    # Single-writer makes the sweep safe on entry.
-    if os.path.isdir(index_dir):
-        for d in os.listdir(index_dir):
-            m = re.fullmatch(r"_torn_g(\d+)\.staging", d)
-            if not m or not os.path.isdir(os.path.join(index_dir, d)):
-                continue
-            live = os.path.join(index_dir, f"g{m.group(1)}")
-            if os.path.isdir(live):
-                shutil.rmtree(os.path.join(index_dir, d))
-            else:
-                os.rename(os.path.join(index_dir, d), live)
-        shutil.rmtree(
-            os.path.join(index_dir, "_compact_staging"), ignore_errors=True
-        )
+    from nyc_government_hiring_audit_data_platform_spark import lease as LS
 
-    meta_path = os.path.join(index_dir, _INDEX_META)
-    if not os.path.exists(meta_path):
-        raise ValueError(
-            f"{index_dir} is a legacy plain-parquet index (no "
-            f"{_INDEX_META}); rewrite it with write_title_index first"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
-    if meta.get("rebuilding"):
-        raise ValueError(
-            f"{index_dir} holds a rebuild tombstone - rebuild the index "
-            "before compacting"
-        )
-    live = list_index_generations(index_dir)
-    if payroll_dir is not None:
-        committed = {
-            int(m.group(1))
-            for d in (
-                os.listdir(payroll_dir) if os.path.isdir(payroll_dir) else []
+    with LS.lifecycle_lease(
+        index_dir, "compact_persisted_title_index", lease_stale_after
+    ):
+        # entry-time GC (round-12 VERDICT ask #5): a hard kill between the
+        # torn-generation stash renames below and the finally-restore skips
+        # the finally, stranding _torn_g{j}.staging dirs (and possibly a
+        # _compact_staging) that no reader ever sees and no replay ever
+        # reclaims - permanent disk leakage on exactly the crash path
+        # compaction exists to survive. Mirror compact_payroll_corpus'
+        # entry GC: restore a stash whose g{j} is ABSENT (the rename-away
+        # happened, the restore did not - status quo ante, the torn batch
+        # stays live for the maintenance replay), remove one whose g{j}
+        # the replay already rewrote (a dead duplicate). A stranded
+        # _compact_staging is always dead: its content either committed
+        # through write_title_index or this run recomputes the fold.
+        # Single-writer makes the sweep safe on entry.
+        if os.path.isdir(index_dir):
+            for d in os.listdir(index_dir):
+                m = re.fullmatch(r"_torn_g(\d+)\.staging", d)
+                if not m or not os.path.isdir(os.path.join(index_dir, d)):
+                    continue
+                live = os.path.join(index_dir, f"g{m.group(1)}")
+                if os.path.isdir(live):
+                    shutil.rmtree(os.path.join(index_dir, d))
+                else:
+                    os.rename(os.path.join(index_dir, d), live)
+            shutil.rmtree(
+                os.path.join(index_dir, "_compact_staging"), ignore_errors=True
             )
-            if (m := re.fullmatch(r"d(\d+)", d))
-            and os.path.isdir(os.path.join(payroll_dir, d))
-        }
-        fold_gens = [g for g in live if g in committed]
-    else:
-        fold_gens = live
-    torn = sorted(set(live) - set(fold_gens))
-    folded = read_title_index(spark, index_dir, generations=fold_gens)
-    if max_block is not None:
-        folded = compact_title_index(folded, max_block)
-    staging = os.path.join(index_dir, "_compact_staging")
-    folded.write.mode("overwrite").parquet(staging)
-    # torn generations must SURVIVE the rebuild's g*-clearing for the
-    # maintenance replay to overwrite - stash them through the staging
-    # area with the fold
-    torn_stash = []
-    for g in torn:
-        src = os.path.join(index_dir, f"g{g}")
-        dst = os.path.join(index_dir, f"_torn_g{g}.staging")
-        shutil.rmtree(dst, ignore_errors=True)
-        os.rename(src, dst)
-        torn_stash.append((g, dst))
-    # the folded ids stay on record (cumulatively): the base now holds
-    # maintained titles whose payroll rows live only in the d{j}
-    # archives, and the ingest's frozen-payroll guard must keep firing
-    # after the live g* dirs are gone
-    all_folded = sorted(set(meta.get("folded_generations", [])) | set(fold_gens))
-    try:
-        write_title_index(
-            spark.read.parquet(staging),
-            index_dir,
-            index_format=meta["format"],
-            n_buckets=n_buckets or meta.get("n_buckets"),
-            folded_generations=all_folded,
-        )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
-        for g, dst in torn_stash:
-            os.rename(dst, os.path.join(index_dir, f"g{g}"))
+
+        meta_path = os.path.join(index_dir, _INDEX_META)
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"{index_dir} is a legacy plain-parquet index (no "
+                f"{_INDEX_META}); rewrite it with write_title_index first"
+            )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("rebuilding"):
+            raise ValueError(
+                f"{index_dir} holds a rebuild tombstone - rebuild the index "
+                "before compacting"
+            )
+        live = list_index_generations(index_dir)
+        if payroll_dir is not None:
+            committed = {
+                int(m.group(1))
+                for d in (
+                    os.listdir(payroll_dir) if os.path.isdir(payroll_dir) else []
+                )
+                if (m := re.fullmatch(r"d(\d+)", d))
+                and os.path.isdir(os.path.join(payroll_dir, d))
+            }
+            fold_gens = [g for g in live if g in committed]
+        else:
+            fold_gens = live
+        torn = sorted(set(live) - set(fold_gens))
+        folded = read_title_index(spark, index_dir, generations=fold_gens)
+        if max_block is not None:
+            folded = compact_title_index(folded, max_block)
+        staging = os.path.join(index_dir, "_compact_staging")
+        folded.write.mode("overwrite").parquet(staging)
+        # torn generations must SURVIVE the rebuild's g*-clearing for the
+        # maintenance replay to overwrite - stash them through the staging
+        # area with the fold
+        torn_stash = []
+        for g in torn:
+            src = os.path.join(index_dir, f"g{g}")
+            dst = os.path.join(index_dir, f"_torn_g{g}.staging")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+            torn_stash.append((g, dst))
+        # the folded ids stay on record (cumulatively): the base now holds
+        # maintained titles whose payroll rows live only in the d{j}
+        # archives, and the ingest's frozen-payroll guard must keep firing
+        # after the live g* dirs are gone
+        all_folded = sorted(set(meta.get("folded_generations", [])) | set(fold_gens))
+        try:
+            write_title_index(
+                spark.read.parquet(staging),
+                index_dir,
+                index_format=meta["format"],
+                n_buckets=n_buckets or meta.get("n_buckets"),
+                folded_generations=all_folded,
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+            for g, dst in torn_stash:
+                os.rename(dst, os.path.join(index_dir, f"g{g}"))

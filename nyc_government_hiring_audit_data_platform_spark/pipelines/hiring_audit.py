@@ -799,9 +799,13 @@ def gold_tables_sql(
 # EP2a streaming: weekly postings batches matched at ingest time
 # ---------------------------------------------------------------------------
 #
-# The operational lifecycle (single writer per step; every step is
-# individually crash-safe and replay-exact, property-tested end to end
-# under random interleavings in tests/test_fuzzy.py):
+# The operational lifecycle (single writer per step - MECHANICALLY
+# enforced since round 13 by the shared lease at {index_dir}/
+# _lifecycle_lease.json, see lease.lifecycle_lease: concurrent entry
+# points refuse, crashed holders are taken over after lease_stale_after;
+# every step is individually crash-safe and replay-exact,
+# property-tested end to end under random interleavings in
+# tests/test_fuzzy.py):
 #
 #   setup    build_payroll_title_index(base payroll)
 #            -> operators.fuzzy.write_title_index(index_dir,
@@ -1046,7 +1050,10 @@ def read_payroll_corpus(
 
 
 def compact_payroll_corpus(
-    spark: SparkSession, payroll_dir: str, index_dir: str
+    spark: SparkSession,
+    payroll_dir: str,
+    index_dir: str,
+    lease_stale_after: float = 3600.0,
 ) -> list[int]:
     """Fold payroll delta archives into the corpus base - the payroll
     side of the compaction cadence (the index side is
@@ -1074,7 +1081,11 @@ def compact_payroll_corpus(
     Replays of postings batches whose metas pin folded ids read their
     rows through the new base (``read_payroll_corpus`` filters pinned
     ids against the manifest; the multiset is unchanged). Single-writer
-    like every sink here: not concurrent with a maintenance batch."""
+    like every sink here: not concurrent with a maintenance batch -
+    MECHANICALLY enforced since round 13 by the lifecycle lease at
+    ``index_dir`` (``lease.lifecycle_lease``: a live holder refuses
+    with LeaseHeldError, a holder stale past ``lease_stale_after`` is
+    taken over)."""
     import json
     import os
     import re as _re
@@ -1084,54 +1095,59 @@ def compact_payroll_corpus(
         fuzzy as FZ,
     )
 
-    man = _payroll_manifest(payroll_dir)
-    # GC, both crash directions: base versions a prior run wrote but
-    # never committed, AND leftovers a crash AFTER the commit point
-    # stranded - the superseded base (including the literal original
-    # 'base' dir, which the version regex alone would never match) and
-    # delta archives the manifest already records as folded (their
-    # rows live in the current base; a maintenance replay may also
-    # have re-created one - equally dead). Single-writer makes this
-    # safe to do on entry.
-    dead = set()
-    for d in os.listdir(payroll_dir):
-        if not os.path.isdir(os.path.join(payroll_dir, d)):
-            continue
-        if (_re.fullmatch(r"base_v\d+", d) or d == "base") and d != man["base"]:
-            dead.add(d)
-        m = _re.fullmatch(r"d(\d+)", d)
-        if m and int(m.group(1)) in set(man["folded_deltas"]):
-            dead.add(d)
-    for d in dead:
-        shutil.rmtree(os.path.join(payroll_dir, d))
-    eligible = sorted(
-        (set(FZ.title_index_folded_generations(index_dir))
-         & set(list_payroll_deltas(payroll_dir)))
-        - set(man["folded_deltas"])
-    )
-    if not eligible:
-        return []
-    new_folded = sorted(set(man["folded_deltas"]) | set(eligible))
-    n = max(
-        [int(m.group(1)) for d in os.listdir(payroll_dir)
-         if (m := _re.fullmatch(r"base_v(\d+)", d))] + [0]
-    ) + 1
-    new_base = f"base_v{n}"
-    corpus = spark.read.parquet(os.path.join(payroll_dir, man["base"]))
-    for j in eligible:
-        corpus = corpus.unionByName(
-            spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
+    from nyc_government_hiring_audit_data_platform_spark import lease as LS
+
+    with LS.lifecycle_lease(
+        index_dir, "compact_payroll_corpus", lease_stale_after
+    ):
+        man = _payroll_manifest(payroll_dir)
+        # GC, both crash directions: base versions a prior run wrote but
+        # never committed, AND leftovers a crash AFTER the commit point
+        # stranded - the superseded base (including the literal original
+        # 'base' dir, which the version regex alone would never match) and
+        # delta archives the manifest already records as folded (their
+        # rows live in the current base; a maintenance replay may also
+        # have re-created one - equally dead). Single-writer makes this
+        # safe to do on entry.
+        dead = set()
+        for d in os.listdir(payroll_dir):
+            if not os.path.isdir(os.path.join(payroll_dir, d)):
+                continue
+            if (_re.fullmatch(r"base_v\d+", d) or d == "base") and d != man["base"]:
+                dead.add(d)
+            m = _re.fullmatch(r"d(\d+)", d)
+            if m and int(m.group(1)) in set(man["folded_deltas"]):
+                dead.add(d)
+        for d in dead:
+            shutil.rmtree(os.path.join(payroll_dir, d))
+        eligible = sorted(
+            (set(FZ.title_index_folded_generations(index_dir))
+             & set(list_payroll_deltas(payroll_dir)))
+            - set(man["folded_deltas"])
         )
-    corpus.write.parquet(os.path.join(payroll_dir, new_base))
-    tmp = os.path.join(payroll_dir, _PAYROLL_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"base": new_base, "folded_deltas": new_folded}, f)
-    os.replace(tmp, os.path.join(payroll_dir, _PAYROLL_MANIFEST))
-    # cleanup past the commit point: unreferenced, safe to lose
-    shutil.rmtree(os.path.join(payroll_dir, man["base"]), ignore_errors=True)
-    for j in eligible:
-        shutil.rmtree(os.path.join(payroll_dir, f"d{j}"), ignore_errors=True)
-    return eligible
+        if not eligible:
+            return []
+        new_folded = sorted(set(man["folded_deltas"]) | set(eligible))
+        n = max(
+            [int(m.group(1)) for d in os.listdir(payroll_dir)
+             if (m := _re.fullmatch(r"base_v(\d+)", d))] + [0]
+        ) + 1
+        new_base = f"base_v{n}"
+        corpus = spark.read.parquet(os.path.join(payroll_dir, man["base"]))
+        for j in eligible:
+            corpus = corpus.unionByName(
+                spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
+            )
+        corpus.write.parquet(os.path.join(payroll_dir, new_base))
+        tmp = os.path.join(payroll_dir, _PAYROLL_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"base": new_base, "folded_deltas": new_folded}, f)
+        os.replace(tmp, os.path.join(payroll_dir, _PAYROLL_MANIFEST))
+        # cleanup past the commit point: unreferenced, safe to lose
+        shutil.rmtree(os.path.join(payroll_dir, man["base"]), ignore_errors=True)
+        for j in eligible:
+            shutil.rmtree(os.path.join(payroll_dir, f"d{j}"), ignore_errors=True)
+        return eligible
 
 
 def _covered_postings_batches(matches_dir: str, batch_id: int) -> list[int]:
@@ -1239,6 +1255,7 @@ def run_fuzzy_match_ingest(
     limit: int | None = None,
     probe_fn=None,
     row_key: str | None = None,
+    lease_stale_after: float = 3600.0,
 ) -> None:
     """The reference's weekly cron re-match (src/fuzzy_flows.py:16-23)
     as a streaming ingest loop: each postings micro-batch is scored by
@@ -1277,7 +1294,13 @@ def run_fuzzy_match_ingest(
     postings table partitioned by ingest batch instead).
     availableNow + awaitTermination. Read the accumulated matches
     back with :func:`read_ingested_matches`; totals equal the
-    one-shot full re-match over the same postings (tested)."""
+    one-shot full re-match over the same postings (tested).
+
+    Single-writer is MECHANICAL (round-13): the shared lifecycle lease
+    at ``index_dir`` is acquired for the run and heartbeated per
+    micro-batch - a concurrent maintenance/compaction step refuses
+    with LeaseHeldError, and a lease whose heartbeat is older than
+    ``lease_stale_after`` (a crashed run) is taken over."""
     import os
 
     from nyc_government_hiring_audit_data_platform_spark.operators import (
@@ -1287,97 +1310,105 @@ def run_fuzzy_match_ingest(
         inspect as PI,
     )
 
-    # b{id} dirs carry THIS flow's numbering; p{id} back-fills belong
-    # to the maintenance flow's checkpoint and do not gate this one.
-    # Folded b-ids in the matches manifest count as evidence too - a
-    # compaction may have absorbed every live b{id} into the base
-    _guard_checkpoint(
-        matches_dir, checkpoint_dir, "_checkpoint_id", r"b\d+",
-        folded=any(
-            n.startswith("b") for n in _matches_manifest(matches_dir)["folded"]
-        ),
-    )
+    from nyc_government_hiring_audit_data_platform_spark import lease as LS
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        bname = f"b{batch_id}"
-        # pin the checkpoint identity from the FIRST batch, not after
-        # awaitTermination: a first run killed mid-stream has already
-        # written b{id} dirs, and an unmarked matches dir would let a
-        # fresh-checkpoint restart re-partition around them - the exact
-        # double-count hole the guard exists to close
-        _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
-        # a COMPLETED batch skips its replay outright: the meta lands
-        # last, so meta-present means src + matches are fully written,
-        # and the content is already the pure function of the inputs
-        # the original run saw. Recomputing instead would have to
-        # reconstruct those inputs exactly - impossible once the
-        # compaction cadence has folded later generations/deltas into
-        # the index and payroll BASES (a replayed early batch would
-        # probe titles and attach rows it never saw, re-emitting pairs
-        # the maintenance back-fill already holds; review r12 pass 4).
-        # A crash mid-batch leaves no meta and replays from scratch
-        # with fresh sets - safe, because the maintenance sink refuses
-        # to cover meta-less batches.
-        if _read_batch_meta(matches_dir, bname) is not None:
-            return
-        if isinstance(payroll, str):
-            # only COMMITTED maintenance batches are visible (g{j} and
-            # d{j} both on disk, or j compacted into the base with its
-            # d{j} present): a half-landed batch from a maintenance
-            # crash must neither probe title-less payroll nor be
-            # recorded as seen - its replay back-fills this batch
-            gens, pdeltas = _visible_maintenance(index_dir, payroll)
-        else:
-            gens = FZ.list_index_generations(index_dir)
-            pdeltas = []
-        index = FZ.read_title_index(spark, index_dir, generations=gens)
-        maintained = bool(gens) or bool(
-            FZ.title_index_folded_generations(index_dir)
+    with LS.lifecycle_lease(
+        index_dir, "run_fuzzy_match_ingest", lease_stale_after
+    ) as _lease:
+        # b{id} dirs carry THIS flow's numbering; p{id} back-fills belong
+        # to the maintenance flow's checkpoint and do not gate this one.
+        # Folded b-ids in the matches manifest count as evidence too - a
+        # compaction may have absorbed every live b{id} into the base
+        _guard_checkpoint(
+            matches_dir, checkpoint_dir, "_checkpoint_id", r"b\d+",
+            folded=any(
+                n.startswith("b") for n in _matches_manifest(matches_dir)["folded"]
+            ),
         )
-        if isinstance(payroll, str):
-            pay = read_payroll_corpus(spark, payroll, generations=pdeltas)
-        elif maintained:
-            raise ValueError(
-                "the index carries maintenance generations (live or "
-                "compacted-in) but payroll is a frozen DataFrame - pass "
-                "the read_payroll_corpus directory so new payroll rows "
-                "can re-attach"
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            # per-batch heartbeat: the lease's staleness clock must
+            # outlive the longest batch, not the longest run
+            _lease.heartbeat()
+            spark = batch_df.sparkSession
+            bname = f"b{batch_id}"
+            # pin the checkpoint identity from the FIRST batch, not after
+            # awaitTermination: a first run killed mid-stream has already
+            # written b{id} dirs, and an unmarked matches dir would let a
+            # fresh-checkpoint restart re-partition around them - the exact
+            # double-count hole the guard exists to close
+            _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
+            # a COMPLETED batch skips its replay outright: the meta lands
+            # last, so meta-present means src + matches are fully written,
+            # and the content is already the pure function of the inputs
+            # the original run saw. Recomputing instead would have to
+            # reconstruct those inputs exactly - impossible once the
+            # compaction cadence has folded later generations/deltas into
+            # the index and payroll BASES (a replayed early batch would
+            # probe titles and attach rows it never saw, re-emitting pairs
+            # the maintenance back-fill already holds; review r12 pass 4).
+            # A crash mid-batch leaves no meta and replays from scratch
+            # with fresh sets - safe, because the maintenance sink refuses
+            # to cover meta-less batches.
+            if _read_batch_meta(matches_dir, bname) is not None:
+                return
+            if isinstance(payroll, str):
+                # only COMMITTED maintenance batches are visible (g{j} and
+                # d{j} both on disk, or j compacted into the base with its
+                # d{j} present): a half-landed batch from a maintenance
+                # crash must neither probe title-less payroll nor be
+                # recorded as seen - its replay back-fills this batch
+                gens, pdeltas = _visible_maintenance(index_dir, payroll)
+            else:
+                gens = FZ.list_index_generations(index_dir)
+                pdeltas = []
+            index = FZ.read_title_index(spark, index_dir, generations=gens)
+            maintained = bool(gens) or bool(
+                FZ.title_index_folded_generations(index_dir)
             )
-        else:
-            pay = payroll
-        matches = incremental_fuzzy_match_salary(
-            pay, index, batch_df,
-            year_start=year_start, year_end=year_end,
-            prefilter_cutoff=prefilter_cutoff, score_cutoff=score_cutoff,
-            limit=limit, probe_fn=probe_fn, row_key=row_key,
-        )
-        exchanges = PI.shuffle_count(matches)
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(matches_dir, "src", bname)
-        )
-        matches.write.mode("overwrite").parquet(
-            os.path.join(matches_dir, bname)
-        )
-        _write_batch_meta(
-            matches_dir, bname,
-            {
-                "batch_id": batch_id,
-                "generations": gens,
-                "payroll_deltas": pdeltas,
-                "exchanges": exchanges,
-                "limit": limit,
-            },
-        )
+            if isinstance(payroll, str):
+                pay = read_payroll_corpus(spark, payroll, generations=pdeltas)
+            elif maintained:
+                raise ValueError(
+                    "the index carries maintenance generations (live or "
+                    "compacted-in) but payroll is a frozen DataFrame - pass "
+                    "the read_payroll_corpus directory so new payroll rows "
+                    "can re-attach"
+                )
+            else:
+                pay = payroll
+            matches = incremental_fuzzy_match_salary(
+                pay, index, batch_df,
+                year_start=year_start, year_end=year_end,
+                prefilter_cutoff=prefilter_cutoff, score_cutoff=score_cutoff,
+                limit=limit, probe_fn=probe_fn, row_key=row_key,
+            )
+            exchanges = PI.shuffle_count(matches)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, "src", bname)
+            )
+            matches.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, bname)
+            )
+            _write_batch_meta(
+                matches_dir, bname,
+                {
+                    "batch_id": batch_id,
+                    "generations": gens,
+                    "payroll_deltas": pdeltas,
+                    "exchanges": exchanges,
+                    "limit": limit,
+                },
+            )
 
-    q = (
-        stream_postings.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
+        q = (
+            stream_postings.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_checkpoint(matches_dir, checkpoint_dir, "_checkpoint_id")
 
 
 def run_fuzzy_index_maintenance(
@@ -1394,6 +1425,7 @@ def run_fuzzy_index_maintenance(
     index_fn=None,
     row_key: str | None = None,
     max_block: int | None = None,
+    lease_stale_after: float = 3600.0,
 ) -> None:
     """Index maintenance IN the ingest loop (round-11 VERDICT ask #6):
     payroll deltas landing mid-stream extend the persisted title index
@@ -1429,10 +1461,16 @@ def run_fuzzy_index_maintenance(
     ⋈ batch-sized title index) - the batch-title index is tiny, so AQE
     broadcasts it and the postings side never shuffles by key.
 
-    Single-writer assumption (same as the IVM sinks): alternate this
-    sink with ``run_fuzzy_match_ingest`` (availableNow cadences), never
-    run the two concurrently - the exactly-once bookkeeping reads the
-    other sink's on-disk state. Per-posting-row ``limit`` does NOT
+    Single-writer RULE (same as the IVM sinks): alternate this sink
+    with ``run_fuzzy_match_ingest`` (availableNow cadences), never run
+    the two concurrently - the exactly-once bookkeeping reads the
+    other sink's on-disk state. Since round 13 the rule is MECHANICAL:
+    every lifecycle entry point acquires the shared lease at
+    ``index_dir`` (``lease.lifecycle_lease``), heartbeats it per
+    micro-batch, and refuses with LeaseHeldError while another step
+    holds it; a holder stale past ``lease_stale_after`` (a crashed
+    cron) is taken over, so a dead writer never wedges the weekly
+    cadence. Per-posting-row ``limit`` does NOT
     compose with payroll deltas (a new payroll row can displace an
     earlier top-N member), so this sink refuses matches_dir batches
     that were produced with one. Same checkpoint-identity guard as the
@@ -1443,127 +1481,138 @@ def run_fuzzy_index_maintenance(
         fuzzy as FZ,
     )
 
-    # the maintenance sink's batch numbering lives in THREE dirs: its
-    # matches back-fills (p{id}), the index generations (g{id}) and the
-    # payroll archives (d{id}) - a fresh checkpoint over any of them
-    # renumbers batches against existing state (e.g. a new matches_dir
-    # with a reused index/payroll pair would overwrite d0 with
-    # re-batched rows while stale d1 doubles its payroll), so identity
-    # is pinned and checked on all three. FOLDED batches count as
-    # evidence (round-12 ADVICE): after a full compaction cadence the
-    # live g{j}/d{j}/p{j} dirs are gone but their ids live on in the
-    # bases - a fresh checkpoint's renumbered batch 0 would collide
-    # with a folded id, its d0 rows invisible to read_payroll_corpus
-    # and GC'd as dead by the next compact_payroll_corpus
-    _guard_checkpoint(
-        matches_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"p\d+",
-        folded=any(
-            n.startswith("p") for n in _matches_manifest(matches_dir)["folded"]
-        ),
-    )
-    _guard_checkpoint(
-        index_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"g\d+",
-        folded=bool(FZ.title_index_folded_generations(index_dir)),
-    )
-    _guard_checkpoint(
-        payroll_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"d\d+",
-        folded=bool(_payroll_manifest(payroll_dir)["folded_deltas"]),
-    )
+    from nyc_government_hiring_audit_data_platform_spark import lease as LS
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        pname = f"p{batch_id}"
-        # cross-term bookkeeping FIRST - it validates the matches dir
-        # (no-meta batches, limit-probed batches). Validating after the
-        # g{j}/d{j} writes would leave a LIVE generation whose
-        # back-fill never lands: later postings probes would see (and
-        # record) generation j while the (old postings x d{j}) pairs
-        # stay permanently missing.
-        # a COMPLETED maintenance batch skips its replay outright (same
-        # rule as the ingest: the p-meta lands last, so its presence
-        # means g{j}, d{j}, the back-fill matches and the meta are all
-        # complete, and recomputing after a compaction mutated the
-        # bases would reconstruct the wrong inputs). The covered-empty
-        # case writes no p-meta and recomputes from scratch - safe:
-        # the recompute excludes by each batch's OWN meta, so batches
-        # that saw the delta (live or compacted-in) never re-cover.
-        if _read_batch_meta(matches_dir, pname) is not None:
-            return
-        covered = _covered_postings_batches(matches_dir, batch_id)
-        # checkpoint pinning AFTER validation (a refused run must not
-        # leave markers in dirs it never wrote - a later legitimate
-        # fresh start would hit a false 'different checkpoint' lockout)
-        # but BEFORE any write (the crash-window pinning rule)
+    with LS.lifecycle_lease(
+        index_dir, "run_fuzzy_index_maintenance", lease_stale_after
+    ) as _lease:
+        # the maintenance sink's batch numbering lives in THREE dirs: its
+        # matches back-fills (p{id}), the index generations (g{id}) and the
+        # payroll archives (d{id}) - a fresh checkpoint over any of them
+        # renumbers batches against existing state (e.g. a new matches_dir
+        # with a reused index/payroll pair would overwrite d0 with
+        # re-batched rows while stale d1 doubles its payroll), so identity
+        # is pinned and checked on all three. FOLDED batches count as
+        # evidence (round-12 ADVICE): after a full compaction cadence the
+        # live g{j}/d{j}/p{j} dirs are gone but their ids live on in the
+        # bases - a fresh checkpoint's renumbered batch 0 would collide
+        # with a folded id, its d0 rows invisible to read_payroll_corpus
+        # and GC'd as dead by the next compact_payroll_corpus
+        _guard_checkpoint(
+            matches_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"p\d+",
+            folded=any(
+                n.startswith("p") for n in _matches_manifest(matches_dir)["folded"]
+            ),
+        )
+        _guard_checkpoint(
+            index_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"g\d+",
+            folded=bool(FZ.title_index_folded_generations(index_dir)),
+        )
+        _guard_checkpoint(
+            payroll_dir, checkpoint_dir, "_checkpoint_id_maintenance", r"d\d+",
+            folded=bool(_payroll_manifest(payroll_dir)["folded_deltas"]),
+        )
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            _lease.heartbeat()  # staleness clock per batch, not per run
+            spark = batch_df.sparkSession
+            pname = f"p{batch_id}"
+            # cross-term bookkeeping FIRST - it validates the matches dir
+            # (no-meta batches, limit-probed batches). Validating after the
+            # g{j}/d{j} writes would leave a LIVE generation whose
+            # back-fill never lands: later postings probes would see (and
+            # record) generation j while the (old postings x d{j}) pairs
+            # stay permanently missing.
+            # a COMPLETED maintenance batch skips its replay outright (same
+            # rule as the ingest: the p-meta lands last, so its presence
+            # means g{j}, d{j}, the back-fill matches and the meta are all
+            # complete, and recomputing after a compaction mutated the
+            # bases would reconstruct the wrong inputs). The covered-empty
+            # case writes no p-meta and recomputes from scratch - safe:
+            # the recompute excludes by each batch's OWN meta, so batches
+            # that saw the delta (live or compacted-in) never re-cover.
+            if _read_batch_meta(matches_dir, pname) is not None:
+                return
+            covered = _covered_postings_batches(matches_dir, batch_id)
+            # checkpoint pinning AFTER validation (a refused run must not
+            # leave markers in dirs it never wrote - a later legitimate
+            # fresh start would hit a false 'different checkpoint' lockout)
+            # but BEFORE any write (the crash-window pinning rule)
+            for d in (matches_dir, index_dir, payroll_dir):
+                _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
+            gens_before = [
+                g for g in FZ.list_index_generations(index_dir) if g != batch_id
+            ]
+            index_before = FZ.read_title_index(
+                spark, index_dir, generations=gens_before
+            )
+            prepped = _prep_payroll(batch_df, year_start, year_end)
+            delta_idx = FZ.extend_title_index(
+                index_before, prepped, "title_description", index_fn=index_fn,
+                max_block=max_block,
+            )
+            # g{j} first, then d{j} as the atomic COMMIT POINT (staging
+            # write + dir rename): a crash in between leaves g{j} without
+            # d{j}, which _visible_maintenance hides from the ingest, and
+            # the replay overwrites both - no torn batch is ever readable
+            delta_idx.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"g{batch_id}")
+            )
+            staged = os.path.join(payroll_dir, f"_d{batch_id}.staging")
+            final = os.path.join(payroll_dir, f"d{batch_id}")
+            batch_df.write.mode("overwrite").parquet(staged)
+            if os.path.isdir(final):
+                import shutil
+
+                # removed-then-renamed: the brief d-less window reads as
+                # "uncommitted" (safe direction), never as partial rows
+                shutil.rmtree(final)
+            os.rename(staged, final)
+            if covered:
+                posts = spark.read.parquet(
+                    *[os.path.join(matches_dir, "src", f"b{i}") for i in covered]
+                )
+                # ALL batch titles, not the stored dedup delta: a new
+                # payroll ROW under an existing title is still a new match.
+                # extend-against-empty builds the batch-title index in
+                # whichever layout the persisted index uses (inferred from
+                # its columns), capped like the base when max_block is set.
+                batch_index = FZ.extend_title_index(
+                    index_before.limit(0), prepped, "title_description",
+                    index_fn=index_fn, max_block=max_block,
+                )
+                matches = incremental_fuzzy_match_salary(
+                    batch_df, batch_index, posts,
+                    year_start=year_start, year_end=year_end,
+                    prefilter_cutoff=prefilter_cutoff,
+                    score_cutoff=score_cutoff,
+                    limit=None, probe_fn=probe_fn, row_key=row_key,
+                )
+                matches.write.mode("overwrite").parquet(
+                    os.path.join(matches_dir, pname)
+                )
+                _write_batch_meta(
+                    matches_dir, pname,
+                    {"batch_id": batch_id, "covered_batches": covered},
+                )
+
+        q = (
+            stream_payroll.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         for d in (matches_dir, index_dir, payroll_dir):
             _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
-        gens_before = [
-            g for g in FZ.list_index_generations(index_dir) if g != batch_id
-        ]
-        index_before = FZ.read_title_index(
-            spark, index_dir, generations=gens_before
-        )
-        prepped = _prep_payroll(batch_df, year_start, year_end)
-        delta_idx = FZ.extend_title_index(
-            index_before, prepped, "title_description", index_fn=index_fn,
-            max_block=max_block,
-        )
-        # g{j} first, then d{j} as the atomic COMMIT POINT (staging
-        # write + dir rename): a crash in between leaves g{j} without
-        # d{j}, which _visible_maintenance hides from the ingest, and
-        # the replay overwrites both - no torn batch is ever readable
-        delta_idx.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"g{batch_id}")
-        )
-        staged = os.path.join(payroll_dir, f"_d{batch_id}.staging")
-        final = os.path.join(payroll_dir, f"d{batch_id}")
-        batch_df.write.mode("overwrite").parquet(staged)
-        if os.path.isdir(final):
-            import shutil
-
-            # removed-then-renamed: the brief d-less window reads as
-            # "uncommitted" (safe direction), never as partial rows
-            shutil.rmtree(final)
-        os.rename(staged, final)
-        if covered:
-            posts = spark.read.parquet(
-                *[os.path.join(matches_dir, "src", f"b{i}") for i in covered]
-            )
-            # ALL batch titles, not the stored dedup delta: a new
-            # payroll ROW under an existing title is still a new match.
-            # extend-against-empty builds the batch-title index in
-            # whichever layout the persisted index uses (inferred from
-            # its columns), capped like the base when max_block is set.
-            batch_index = FZ.extend_title_index(
-                index_before.limit(0), prepped, "title_description",
-                index_fn=index_fn, max_block=max_block,
-            )
-            matches = incremental_fuzzy_match_salary(
-                batch_df, batch_index, posts,
-                year_start=year_start, year_end=year_end,
-                prefilter_cutoff=prefilter_cutoff,
-                score_cutoff=score_cutoff,
-                limit=None, probe_fn=probe_fn, row_key=row_key,
-            )
-            matches.write.mode("overwrite").parquet(
-                os.path.join(matches_dir, pname)
-            )
-            _write_batch_meta(
-                matches_dir, pname,
-                {"batch_id": batch_id, "covered_batches": covered},
-            )
-
-    q = (
-        stream_payroll.writeStream.foreachBatch(apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    for d in (matches_dir, index_dir, payroll_dir):
-        _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
 
 
-def compact_matches_corpus(spark: SparkSession, matches_dir: str) -> list[str]:
+def compact_matches_corpus(
+    spark: SparkSession,
+    matches_dir: str,
+    lease_dir: str | None = None,
+    lease_stale_after: float = 3600.0,
+) -> list[str]:
     """Fold completed per-batch match outputs into a versioned base -
     the matches side of the compaction cadence (round-12 VERDICT ask
     #1: ``read_ingested_matches`` otherwise unions every ``b{id}`` /
@@ -1590,78 +1639,93 @@ def compact_matches_corpus(spark: SparkSession, matches_dir: str) -> list[str]:
     (:func:`_covered_postings_batches`) and both sinks' completed-
     batch replay skip read those metas, and the checkpoint guards
     count the dirs as batch evidence. Single-writer like every
-    lifecycle step: never concurrent with either sink."""
+    lifecycle step: never concurrent with either sink - pass
+    ``lease_dir=<the lifecycle's index_dir>`` to enforce that through
+    the shared mechanical lease (None skips it: a standalone matches
+    dir outside any live lifecycle has no concurrent writers)."""
     import json
     import os
     import re as _re
     import shutil
 
-    man = _matches_manifest(matches_dir)
-    # entry GC, both crash directions: mbase versions written but never
-    # committed (or superseded by a later commit), and parquet leftovers
-    # inside dirs the manifest already folded (a crash mid-cleanup)
-    for d in os.listdir(matches_dir) if os.path.isdir(matches_dir) else []:
-        if (
-            _re.fullmatch(r"mbase_v\d+", d)
-            and d != man["base"]
-            and os.path.isdir(os.path.join(matches_dir, d))
-        ):
-            shutil.rmtree(os.path.join(matches_dir, d))
-    for name in man["folded"]:
-        p = os.path.join(matches_dir, name)
-        if not os.path.isdir(p):
-            continue
-        for f in os.listdir(p):
-            if f == "_meta.json":
-                continue
-            fp = os.path.join(p, f)
-            shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
-    eligible = sorted(
-        d
-        for d in (os.listdir(matches_dir) if os.path.isdir(matches_dir) else [])
-        if _re.fullmatch(r"[bp]\d+", d)
-        and os.path.isdir(os.path.join(matches_dir, d))
-        and d not in set(man["folded"])
-        and _read_batch_meta(matches_dir, d) is not None
-    )
-    if not eligible:
-        return []
-    corpus = None
-    if man["base"] is not None:
-        corpus = spark.read.parquet(os.path.join(matches_dir, man["base"]))
-    for d in eligible:
-        rows = spark.read.parquet(os.path.join(matches_dir, d))
-        corpus = rows if corpus is None else corpus.unionByName(rows)
-    n = max(
-        [int(m.group(1)) for d in os.listdir(matches_dir)
-         if (m := _re.fullmatch(r"mbase_v(\d+)", d))] + [0]
-    ) + 1
-    new_base = f"mbase_v{n}"
-    corpus.write.parquet(os.path.join(matches_dir, new_base))
-    new_man = {
-        "base": new_base,
-        "folded": sorted(set(man["folded"]) | set(eligible)),
-    }
-    tmp = os.path.join(matches_dir, _MATCHES_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(new_man, f)
-    os.replace(tmp, os.path.join(matches_dir, _MATCHES_MANIFEST))
-    # cleanup past the commit point: the superseded base is
-    # unreferenced, and each folded dir keeps ONLY its meta
-    if man["base"] is not None:
-        shutil.rmtree(
-            os.path.join(matches_dir, man["base"]), ignore_errors=True
+    from contextlib import nullcontext
+
+    from nyc_government_hiring_audit_data_platform_spark import lease as LS
+
+    ctx = (
+        LS.lifecycle_lease(
+            lease_dir, "compact_matches_corpus", lease_stale_after
         )
-    for d in eligible:
-        p = os.path.join(matches_dir, d)
-        for f in os.listdir(p):
-            if f == "_meta.json":
+        if lease_dir is not None
+        else nullcontext()
+    )
+    with ctx:
+        man = _matches_manifest(matches_dir)
+        # entry GC, both crash directions: mbase versions written but never
+        # committed (or superseded by a later commit), and parquet leftovers
+        # inside dirs the manifest already folded (a crash mid-cleanup)
+        for d in os.listdir(matches_dir) if os.path.isdir(matches_dir) else []:
+            if (
+                _re.fullmatch(r"mbase_v\d+", d)
+                and d != man["base"]
+                and os.path.isdir(os.path.join(matches_dir, d))
+            ):
+                shutil.rmtree(os.path.join(matches_dir, d))
+        for name in man["folded"]:
+            p = os.path.join(matches_dir, name)
+            if not os.path.isdir(p):
                 continue
-            fp = os.path.join(p, f)
-            shutil.rmtree(fp, ignore_errors=True) if os.path.isdir(
-                fp
-            ) else os.remove(fp)
-    return eligible
+            for f in os.listdir(p):
+                if f == "_meta.json":
+                    continue
+                fp = os.path.join(p, f)
+                shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
+        eligible = sorted(
+            d
+            for d in (os.listdir(matches_dir) if os.path.isdir(matches_dir) else [])
+            if _re.fullmatch(r"[bp]\d+", d)
+            and os.path.isdir(os.path.join(matches_dir, d))
+            and d not in set(man["folded"])
+            and _read_batch_meta(matches_dir, d) is not None
+        )
+        if not eligible:
+            return []
+        corpus = None
+        if man["base"] is not None:
+            corpus = spark.read.parquet(os.path.join(matches_dir, man["base"]))
+        for d in eligible:
+            rows = spark.read.parquet(os.path.join(matches_dir, d))
+            corpus = rows if corpus is None else corpus.unionByName(rows)
+        n = max(
+            [int(m.group(1)) for d in os.listdir(matches_dir)
+             if (m := _re.fullmatch(r"mbase_v(\d+)", d))] + [0]
+        ) + 1
+        new_base = f"mbase_v{n}"
+        corpus.write.parquet(os.path.join(matches_dir, new_base))
+        new_man = {
+            "base": new_base,
+            "folded": sorted(set(man["folded"]) | set(eligible)),
+        }
+        tmp = os.path.join(matches_dir, _MATCHES_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_man, f)
+        os.replace(tmp, os.path.join(matches_dir, _MATCHES_MANIFEST))
+        # cleanup past the commit point: the superseded base is
+        # unreferenced, and each folded dir keeps ONLY its meta
+        if man["base"] is not None:
+            shutil.rmtree(
+                os.path.join(matches_dir, man["base"]), ignore_errors=True
+            )
+        for d in eligible:
+            p = os.path.join(matches_dir, d)
+            for f in os.listdir(p):
+                if f == "_meta.json":
+                    continue
+                fp = os.path.join(p, f)
+                shutil.rmtree(fp, ignore_errors=True) if os.path.isdir(
+                    fp
+                ) else os.remove(fp)
+        return eligible
 
 
 def read_ingested_matches(spark: SparkSession, matches_dir: str) -> DataFrame:
