@@ -1199,11 +1199,115 @@ def title_index_occupancy(index: DataFrame, max_block: int | None = None) -> dic
     return out
 
 
+# Default sizing target for suggest_index_buckets. Index rows are
+# narrow (blocking key + normalized title + raw title, ~100-200 B on
+# disk after encoding), so 2M rows/bucket lands each bucket's file in
+# the 128-512 MB scan-task sweet spot - big enough to amortize footer
+# and open costs, small enough that one bucket is one comfortable task.
+_ROWS_PER_BUCKET_TARGET = 2_000_000
+
+
+def title_index_bucket_stats(index_dir: str) -> dict:
+    """Per-bucket row/byte occupancy of a persisted BUCKETED index -
+    the sizing signal :func:`write_title_index` freezes away at first
+    write (``n_buckets`` is fixed then; at 100x index growth every
+    bucket's file grows 100x and, before this, nothing surfaced it).
+    Driver-side metadata only: directory listing for bytes, parquet
+    FOOTERS for rows (no Spark job, no data pages read) - cheap enough
+    for every compaction-cadence tick, same cost class as
+    :func:`title_index_occupancy`.
+
+    Returns ``{"n_buckets", "rows", "bytes", "per_bucket": {bucket_id:
+    {"rows", "bytes", "files"}}, "max_bucket_rows", "max_bucket_bytes",
+    "generation_rows"}`` - ``generation_rows`` counts the pending
+    ``g{j}`` append generations a compaction would fold in, so the
+    re-bucket decision sees the POST-fold size, not the stale base.
+    Raises on a plain-parquet or legacy layout (no bucket files to
+    measure; ``n_buckets`` is not a knob there)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(index_dir, _INDEX_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{index_dir} has no {_INDEX_META} - legacy plain-parquet "
+            "indexes have no bucket layout to measure"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format") != "bucketed":
+        raise ValueError(
+            f"{index_dir} is format={meta.get('format')!r}; bucket stats "
+            "apply only to index_format='bucketed'"
+        )
+    base = os.path.join(index_dir, "base")
+    per_bucket: dict[int, dict] = {}
+    for fn in os.listdir(base):
+        m = re.fullmatch(r"part-\d+-.+_(\d+)\.c\d+.*\.parquet", fn)
+        if not m:
+            continue
+        path = os.path.join(base, fn)
+        b = per_bucket.setdefault(
+            int(m.group(1)), {"rows": 0, "bytes": 0, "files": 0}
+        )
+        b["rows"] += pq.ParquetFile(path).metadata.num_rows
+        b["bytes"] += os.path.getsize(path)
+        b["files"] += 1
+    gen_rows = 0
+    for g in list_index_generations(index_dir):
+        gdir = os.path.join(index_dir, f"g{g}")
+        for fn in os.listdir(gdir):
+            if fn.endswith(".parquet") and not fn.startswith("."):
+                gen_rows += pq.ParquetFile(
+                    os.path.join(gdir, fn)
+                ).metadata.num_rows
+    return {
+        "n_buckets": meta["n_buckets"],
+        "rows": sum(b["rows"] for b in per_bucket.values()),
+        "bytes": sum(b["bytes"] for b in per_bucket.values()),
+        "per_bucket": per_bucket,
+        "max_bucket_rows": max(
+            (b["rows"] for b in per_bucket.values()), default=0
+        ),
+        "max_bucket_bytes": max(
+            (b["bytes"] for b in per_bucket.values()), default=0
+        ),
+        "generation_rows": gen_rows,
+    }
+
+
+def suggest_index_buckets(
+    index_dir: str,
+    target_rows_per_bucket: int = _ROWS_PER_BUCKET_TARGET,
+    stats: dict | None = None,
+) -> int:
+    """The re-bucket recipe: the bucket count that holds the POST-fold
+    index (base + pending generations) at or under
+    ``target_rows_per_bucket`` rows per bucket, rounded UP to a power
+    of two. Power-of-two rounding is the hysteresis: the suggestion
+    only moves when the index roughly doubles or halves, so the weekly
+    cadence is not re-bucketing (= rewriting every index byte) over
+    noise. Callers pass the result as
+    ``compact_persisted_title_index(..., n_buckets=...)`` - or just
+    ``n_buckets="auto"`` there, which calls this. The cap-aware caveat:
+    generation rows count pre-cap, so a ``max_block`` fold may come out
+    smaller than sized for - an overshoot in bucket count, never an
+    overfull bucket."""
+    import math
+
+    s = stats if stats is not None else title_index_bucket_stats(index_dir)
+    total = s["rows"] + s["generation_rows"]
+    need = max(1, math.ceil(total / max(1, target_rows_per_bucket)))
+    return 2 ** math.ceil(math.log2(need))
+
+
 def compact_persisted_title_index(
     spark,
     index_dir: str,
     max_block: int | None = None,
-    n_buckets: int | None = None,
+    n_buckets: int | str | None = None,
     payroll_dir: str | None = None,
     lease_stale_after: float = 3600.0,
 ) -> None:
@@ -1219,6 +1323,17 @@ def compact_persisted_title_index(
     the shared lifecycle lease at ``index_dir``
     (``lease.lifecycle_lease``: live holder refuses, stale holder
     taken over after ``lease_stale_after``).
+
+    ``n_buckets`` - None keeps the persisted bucket count; an int
+    re-buckets the fold (the ONLY place the count can evolve - the
+    base is being rewritten anyway, so re-bucketing is free here and
+    a full-index rewrite anywhere else); the string ``"auto"`` applies
+    :func:`suggest_index_buckets`'s rows-per-bucket recipe to the
+    post-fold size. The cadence: check
+    :func:`title_index_bucket_stats` alongside
+    :func:`title_index_occupancy` each tick, compact with
+    ``n_buckets="auto"`` when the suggestion differs from the meta's
+    count.
 
     The fold materializes through a STAGING parquet dir before
     ``write_title_index`` clears the old layout: the compacted plan
@@ -1284,6 +1399,11 @@ def compact_persisted_title_index(
                 f"{index_dir} holds a rebuild tombstone - rebuild the index "
                 "before compacting"
             )
+        if n_buckets == "auto":
+            # resolved BEFORE any mutation below: a plain-parquet layout
+            # has no bucket knob, and its refusal (raised by the stats
+            # read) must land with the dir untouched
+            n_buckets = suggest_index_buckets(index_dir)
         live = list_index_generations(index_dir)
         if payroll_dir is not None:
             committed = {

@@ -819,9 +819,15 @@ def gold_tables_sql(
 #   monitor  operators.fuzzy.title_index_occupancy(index)
 #            - compact when keys_over_cap > 0 (capped indexes) or the
 #              generation count makes the probe's union tax noticeable
+#            operators.fuzzy.title_index_bucket_stats(index_dir)
+#            - per-bucket rows/bytes; when suggest_index_buckets()
+#              differs from the persisted count, the next compaction
+#              re-buckets (n_buckets="auto") - bucket-count evolution
+#              rides the fold's rewrite, never a standalone rewrite
 #   compact  operators.fuzzy.compact_persisted_title_index(
 #                spark, index_dir, payroll_dir=payroll_dir)  # FIRST
 #            compact_payroll_corpus(spark, payroll_dir, index_dir)
+#            compact_matches_corpus(spark, matches_dir, lease_dir=...)
 #            - restores the bucketed no-shuffle probe and the exact
 #              per-key occupancy bound; folded deltas read through the
 #              versioned payroll base

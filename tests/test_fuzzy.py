@@ -1473,6 +1473,145 @@ def test_compact_persisted_index_restores_bucketed_no_shuffle(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {json.load(f)['table']}")
 
 
+def test_bucket_stats_and_suggest_recipe(spark, tmp_path):
+    """round-12 VERDICT ask #6: write_title_index freezes n_buckets at
+    first write; title_index_bucket_stats surfaces per-bucket rows and
+    bytes (footer/listing metadata only) and suggest_index_buckets
+    turns it into the re-bucket count - power-of-two rounded, sized on
+    the POST-fold index (base + pending generations)."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 300).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base, d0 = (
+        payroll.filter(F.col("rid") % 3 < 2).drop("rid"),
+        payroll.filter(F.col("rid") % 3 == 2).drop("rid"),
+    )
+    index_dir = str(tmp_path / "index")
+    idx = HA.build_payroll_title_index(base)
+    n_index_rows = idx.count()
+    FZ.write_title_index(idx, index_dir, "bucketed", n_buckets=4)
+    try:
+        stats = FZ.title_index_bucket_stats(index_dir)
+        assert stats["n_buckets"] == 4
+        assert stats["rows"] == n_index_rows
+        assert set(stats["per_bucket"]) <= set(range(4))
+        assert sum(b["rows"] for b in stats["per_bucket"].values()) == n_index_rows
+        assert stats["bytes"] > 0 and stats["max_bucket_bytes"] > 0
+        assert stats["max_bucket_rows"] == max(
+            b["rows"] for b in stats["per_bucket"].values()
+        )
+        assert stats["generation_rows"] == 0
+
+        # a pending generation counts toward the post-fold sizing
+        gen = FZ.extend_title_index(
+            FZ.read_title_index(spark, index_dir),
+            HA._prep_payroll(d0, 2024, 2025),
+            "title_description",
+        )
+        n_gen_rows = gen.count()
+        gen.write.parquet(os.path.join(index_dir, "g0"))
+        stats = FZ.title_index_bucket_stats(index_dir)
+        assert stats["generation_rows"] == n_gen_rows
+
+        total = n_index_rows + n_gen_rows
+        # tiny target: every row its own bucket, rounded up to 2^k
+        got = FZ.suggest_index_buckets(index_dir, target_rows_per_bucket=1)
+        assert got >= total and got & (got - 1) == 0 and got < 2 * total
+        # huge target: one bucket suffices
+        assert FZ.suggest_index_buckets(index_dir, 10**9) == 1
+        # pure-arithmetic lane on a synthetic stats dict
+        assert (
+            FZ.suggest_index_buckets(
+                index_dir, 100, stats={"rows": 500, "generation_rows": 12}
+            )
+            == 8
+        )
+    finally:
+        import json
+
+        with open(os.path.join(index_dir, "_index_meta.json")) as f:
+            spark.sql(f"DROP TABLE IF EXISTS {json.load(f)['table']}")
+
+    # plain-parquet layouts have no bucket knob: stats refuse
+    plain_dir = str(tmp_path / "plain")
+    FZ.write_title_index(idx, plain_dir, "parquet")
+    with pytest.raises(ValueError, match="bucketed"):
+        FZ.title_index_bucket_stats(plain_dir)
+
+
+def test_rebucket_compaction_preserves_probe_shape_and_rows(spark, tmp_path):
+    """Bucket-count evolution rides the compaction fold: compacting
+    with n_buckets="auto" (or an explicit int) rewrites the base at the
+    suggested count, the meta records it, the catalog table re-declares
+    it, and the probe keeps BOTH its no-index-shuffle shape and its
+    exact rows (the fuzzy_index_compaction driver row's property, here
+    asserted across a bucket-count change)."""
+    import json
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+    from nyc_government_hiring_audit_data_platform_spark.plans import inspect as PI
+
+    payroll = HA.make_payroll_fixture(spark, 400).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    base, d0 = (
+        payroll.filter(F.col("rid") % 4 < 3).drop("rid"),
+        payroll.filter(F.col("rid") % 4 == 3).drop("rid"),
+    )
+    delta_posts = HA.make_postings_fixture(spark, 40)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(
+        HA.build_payroll_title_index(base), index_dir, "bucketed", n_buckets=4
+    )
+    FZ.extend_title_index(
+        FZ.read_title_index(spark, index_dir),
+        HA._prep_payroll(d0, 2024, 2025),
+        "title_description",
+    ).write.parquet(os.path.join(index_dir, "g0"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def probe():
+            return FZ.incremental_fuzzy_pairs_tokensort(
+                FZ.read_title_index(spark, index_dir), delta_posts,
+                "business_title", 1, 85,
+            )
+
+        with_gen = probe()
+        n_with_gen = PI.shuffle_count(with_gen)
+        want = sorted(map(tuple, with_gen.collect()))
+
+        # "auto" at the tiny test size suggests 1 bucket - a real change
+        # from the written 4, exercising the evolution path end to end
+        FZ.compact_persisted_title_index(spark, index_dir, n_buckets="auto")
+        with open(os.path.join(index_dir, "_index_meta.json")) as f:
+            meta = json.load(f)
+        assert meta["n_buckets"] == 1 and meta["format"] == "bucketed"
+        after = probe()
+        assert PI.shuffle_count(after) < n_with_gen  # no-shuffle shape kept
+        assert sorted(map(tuple, after.collect())) == want and len(want) > 0
+
+        # explicit int lane: grow the count on a second compaction
+        FZ.compact_persisted_title_index(spark, index_dir, n_buckets=8)
+        with open(os.path.join(index_dir, "_index_meta.json")) as f:
+            assert json.load(f)["n_buckets"] == 8
+        again = probe()
+        assert PI.shuffle_count(again) < n_with_gen
+        assert sorted(map(tuple, again.collect())) == want
+        assert FZ.title_index_bucket_stats(index_dir)["n_buckets"] == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        with open(os.path.join(index_dir, "_index_meta.json")) as f:
+            spark.sql(f"DROP TABLE IF EXISTS {json.load(f)['table']}")
+
+
 def test_compaction_does_not_shrink_payroll_corpus(spark, tmp_path):
     """Review finding (r12): payroll-delta selection must not key off
     LIVE index generations - compaction deletes the g* dirs while the
