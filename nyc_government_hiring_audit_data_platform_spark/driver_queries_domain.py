@@ -965,6 +965,7 @@ def q_matches_corpus_compaction(spark, sf_dir):
             {"batch_id": bid, "generations": [], "payroll_deltas": [],
              "exchanges": None, "limit": None},
         )
-        folded = HA.compact_matches_corpus(spark, matches_dir)
+        # standalone corpus (no live lifecycle writers): explicit opt-out
+        folded = HA.compact_matches_corpus(spark, matches_dir, lease_dir=None)
         assert folded == [f"b{bid}"], folded
     return HA.read_ingested_matches(spark, matches_dir)

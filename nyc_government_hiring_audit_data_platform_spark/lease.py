@@ -19,13 +19,19 @@ turns the docstring rule into a mechanism (round-12 VERDICT ask #2):
   heartbeat or at release and raises :class:`LeaseLostError` - the
   signal that ``stale_after`` was sized below a real batch duration.
 
-Residual window (documented, standard for file leases): between a
-releasing owner's read-verify and its ``os.remove`` a takeover could
-slip in and lose the new holder's lease file; the window is a few
-syscalls wide and only reachable when the owner is ALREADY past
-``stale_after``, i.e. misconfigured. Size ``stale_after`` above the
-longest micro-batch (heartbeats land per batch) - the 3600 s default
-fits the reference's weekly cadence (src/fuzzy_flows.py:16-23).
+Residual windows (documented, standard for file leases; each a few
+syscalls wide and only reachable when a holder is ALREADY past
+``stale_after``, i.e. misconfigured): (a) between a releasing owner's
+read-verify and its ``os.remove``, a takeover could slip in and lose
+the new holder's lease file; (b) a takeover that renamed away a
+just-refreshed lease restores it via a link that refuses to clobber -
+if a third contender claimed in that gap, the deposed holder learns at
+its next heartbeat. Size ``stale_after`` above the longest interval
+between heartbeats: the sinks heartbeat per micro-batch, the
+compaction steps once per fold (after materializing, before their
+commit swaps) - so above the longest batch OR fold, whichever is
+longer. The 3600 s default fits the reference's weekly cadence
+(src/fuzzy_flows.py:16-23).
 
 The underscore prefix keeps the lease file invisible to Spark's file
 listings (parquet readers skip ``_``/``.`` paths), so it can live in
@@ -81,7 +87,17 @@ class Lease:
                 "stale_after is sized below a real batch duration; stop "
                 "and re-run"
             )
-        os.utime(self.path)
+        try:
+            os.utime(self.path)
+        except OSError:
+            # a takeover renamed the file between the holder check and
+            # the touch: same diagnosis, same designed error - never a
+            # bare FileNotFoundError out of a sink's foreachBatch
+            raise LeaseLostError(
+                f"lifecycle lease at {self.path} was taken over while "
+                f"{self.step!r} ran - stale_after is sized below a real "
+                "batch duration; stop and re-run"
+            )
 
     def release(self, raise_on_lost: bool = True) -> bool:
         held = self._holder()
@@ -101,6 +117,20 @@ class Lease:
 def _acquire(lease_dir: str, step: str, stale_after: float) -> Lease:
     os.makedirs(lease_dir, exist_ok=True)
     path = os.path.join(lease_dir, _LEASE)
+    # crash-litter sweep: a contender hard-killed between its takeover
+    # rename and the remove (or between claim write and unlink) strands
+    # `.takeover.*` / `.claim.*` files no other path reclaims. Live ones
+    # are syscalls old; anything past stale_after is dead.
+    for fn in os.listdir(lease_dir):
+        if fn.startswith(_LEASE + ".takeover.") or fn.startswith(
+            _LEASE + ".claim."
+        ):
+            p = os.path.join(lease_dir, fn)
+            try:
+                if time.time() - os.path.getmtime(p) > stale_after:
+                    os.remove(p)
+            except OSError:
+                pass
     owner = uuid.uuid4().hex
     claim = path + f".claim.{owner}"
     with open(claim, "w") as f:
@@ -127,13 +157,42 @@ def _acquire(lease_dir: str, step: str, stale_after: float) -> Lease:
                     "- wait for it to finish, or raise stale_after only "
                     "if you are SURE the holder is dead"
                 )
-            # stale: exactly one contender wins this rename
+            seen = Lease(path, "", "")._holder()
             stale = path + f".takeover.{owner}"
             try:
                 os.rename(path, stale)
             except FileNotFoundError:
                 continue  # another contender won; re-contend fresh
-            os.remove(stale)
+            # verify the rename grabbed the SAME stale incarnation the
+            # age check judged: between the stat and the rename the
+            # holder could have heartbeat (mtime fresh), or released
+            # and a new holder acquired (owner changed) - renaming away
+            # a LIVE lease would leave two writers
+            try:
+                with open(stale) as f:
+                    got = json.load(f)
+                renamed_age = time.time() - os.path.getmtime(stale)
+            except (OSError, ValueError):
+                got, renamed_age = None, 0.0
+            if (
+                seen is None
+                or got is None
+                or got.get("owner") != seen.get("owner")
+                or renamed_age <= stale_after
+            ):
+                # deposed a possibly-live holder: restore, but NEVER by
+                # clobbering a third contender that claimed the freed
+                # path meanwhile (link refuses; in that residual
+                # few-syscall window the deposed holder still sees
+                # LeaseLostError at its next heartbeat - the documented
+                # file-lease residue)
+                try:
+                    os.link(stale, path)
+                except FileExistsError:
+                    pass
+                os.remove(stale)
+                continue
+            os.remove(stale)  # verified-stale: this contender freed it
     finally:
         try:
             os.remove(claim)

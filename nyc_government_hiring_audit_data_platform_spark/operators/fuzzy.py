@@ -1018,6 +1018,21 @@ def _resolve_index_table(spark, index_dir: str, meta: dict) -> DataFrame:
     import os
 
     tname = meta["table"]
+    if spark.catalog.tableExists(tname):
+        # a long-lived session's catalog entry can predate a re-bucketed
+        # compaction (n_buckets="auto" evolves the count; the compactor
+        # is another process, so THIS session's in-memory catalog never
+        # saw the DROP). A stale CLUSTERED BY declaration over
+        # differently-bucketed files would let a bucketed join elide its
+        # exchange on a false premise and silently drop matches - verify
+        # the registered bucket count against the meta and re-register
+        # on mismatch.
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tname}").collect()
+        }
+        if int(desc.get("Num Buckets", -1)) != meta["n_buckets"]:
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
     if not spark.catalog.tableExists(tname):
         path = os.path.join(index_dir, "base")
         schema = spark.read.parquet(path).schema
@@ -1358,7 +1373,7 @@ def compact_persisted_title_index(
 
     with LS.lifecycle_lease(
         index_dir, "compact_persisted_title_index", lease_stale_after
-    ):
+    ) as _lease:
         # entry-time GC (round-12 VERDICT ask #5): a hard kill between the
         # torn-generation stash renames below and the finally-restore skips
         # the finally, stranding _torn_g{j}.staging dirs (and possibly a
@@ -1423,6 +1438,11 @@ def compact_persisted_title_index(
             folded = compact_title_index(folded, max_block)
         staging = os.path.join(index_dir, "_compact_staging")
         folded.write.mode("overwrite").parquet(staging)
+        # the fold materialization is the long action and compactions
+        # have no micro-batch cadence to heartbeat on: refresh the
+        # staleness clock (and learn of any takeover) BEFORE the
+        # destructive rebuild below starts renaming generations away
+        _lease.heartbeat()
         # torn generations must SURVIVE the rebuild's g*-clearing for the
         # maintenance replay to overwrite - stash them through the staging
         # area with the fold

@@ -1105,7 +1105,7 @@ def compact_payroll_corpus(
 
     with LS.lifecycle_lease(
         index_dir, "compact_payroll_corpus", lease_stale_after
-    ):
+    ) as _lease:
         man = _payroll_manifest(payroll_dir)
         # GC, both crash directions: base versions a prior run wrote but
         # never committed, AND leftovers a crash AFTER the commit point
@@ -1145,6 +1145,12 @@ def compact_payroll_corpus(
                 spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
             )
         corpus.write.parquet(os.path.join(payroll_dir, new_base))
+        # the base rewrite is the long action and compactions have no
+        # micro-batch cadence to heartbeat on: refresh the staleness
+        # clock (and learn of any takeover) BEFORE the commit swap, so
+        # a fold that outlives stale_after cannot silently commit under
+        # a usurper's concurrent writes
+        _lease.heartbeat()
         tmp = os.path.join(payroll_dir, _PAYROLL_MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump({"base": new_base, "folded_deltas": new_folded}, f)
@@ -1613,10 +1619,30 @@ def run_fuzzy_index_maintenance(
             _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
 
 
+def _strip_to_meta(path: str, ignore_errors: bool = False) -> None:
+    """Remove everything inside a folded batch dir EXCEPT its
+    ``_meta.json`` - the one file the covered-set bookkeeping, the
+    replay skip, and the checkpoint guards keep reading after the fold.
+    Shared by the entry GC and the post-commit cleanup so what a folded
+    dir retains is defined in exactly one place."""
+    import os
+    import shutil
+
+    for f in os.listdir(path):
+        if f == "_meta.json":
+            continue
+        fp = os.path.join(path, f)
+        if os.path.isdir(fp):
+            shutil.rmtree(fp, ignore_errors=ignore_errors)
+        else:
+            os.remove(fp)
+
+
 def compact_matches_corpus(
     spark: SparkSession,
     matches_dir: str,
-    lease_dir: str | None = None,
+    *,
+    lease_dir: str | None,
     lease_stale_after: float = 3600.0,
 ) -> list[str]:
     """Fold completed per-batch match outputs into a versioned base -
@@ -1645,10 +1671,14 @@ def compact_matches_corpus(
     (:func:`_covered_postings_batches`) and both sinks' completed-
     batch replay skip read those metas, and the checkpoint guards
     count the dirs as batch evidence. Single-writer like every
-    lifecycle step: never concurrent with either sink - pass
-    ``lease_dir=<the lifecycle's index_dir>`` to enforce that through
-    the shared mechanical lease (None skips it: a standalone matches
-    dir outside any live lifecycle has no concurrent writers)."""
+    lifecycle step: never concurrent with either sink.
+
+    ``lease_dir`` is a REQUIRED keyword: pass the lifecycle's
+    ``index_dir`` to enforce single-writer through the shared
+    mechanical lease, or an explicit ``None`` ONLY for a standalone
+    matches dir outside any live lifecycle (no sinks that could write
+    concurrently). Making the opt-out explicit keeps this the one
+    lifecycle step that cannot silently run unleased by default."""
     import json
     import os
     import re as _re
@@ -1665,7 +1695,7 @@ def compact_matches_corpus(
         if lease_dir is not None
         else nullcontext()
     )
-    with ctx:
+    with ctx as _lease:
         man = _matches_manifest(matches_dir)
         # entry GC, both crash directions: mbase versions written but never
         # committed (or superseded by a later commit), and parquet leftovers
@@ -1679,13 +1709,8 @@ def compact_matches_corpus(
                 shutil.rmtree(os.path.join(matches_dir, d))
         for name in man["folded"]:
             p = os.path.join(matches_dir, name)
-            if not os.path.isdir(p):
-                continue
-            for f in os.listdir(p):
-                if f == "_meta.json":
-                    continue
-                fp = os.path.join(p, f)
-                shutil.rmtree(fp) if os.path.isdir(fp) else os.remove(fp)
+            if os.path.isdir(p):
+                _strip_to_meta(p)
         eligible = sorted(
             d
             for d in (os.listdir(matches_dir) if os.path.isdir(matches_dir) else [])
@@ -1708,6 +1733,11 @@ def compact_matches_corpus(
         ) + 1
         new_base = f"mbase_v{n}"
         corpus.write.parquet(os.path.join(matches_dir, new_base))
+        if _lease is not None:
+            # the base rewrite is the long action and folds have no
+            # micro-batch cadence: refresh the staleness clock (and
+            # learn of any takeover) BEFORE the commit swap
+            _lease.heartbeat()
         new_man = {
             "base": new_base,
             "folded": sorted(set(man["folded"]) | set(eligible)),
@@ -1723,14 +1753,7 @@ def compact_matches_corpus(
                 os.path.join(matches_dir, man["base"]), ignore_errors=True
             )
         for d in eligible:
-            p = os.path.join(matches_dir, d)
-            for f in os.listdir(p):
-                if f == "_meta.json":
-                    continue
-                fp = os.path.join(p, f)
-                shutil.rmtree(fp, ignore_errors=True) if os.path.isdir(
-                    fp
-                ) else os.remove(fp)
+            _strip_to_meta(os.path.join(matches_dir, d), ignore_errors=True)
         return eligible
 
 

@@ -1612,6 +1612,52 @@ def test_rebucket_compaction_preserves_probe_shape_and_rows(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {json.load(f)['table']}")
 
 
+def test_read_reregisters_catalog_table_after_foreign_rebucket(spark, tmp_path):
+    """Review finding (r13, pass 1): a long-lived reader session's
+    catalog entry can predate a re-bucketed compaction run by ANOTHER
+    process (this session never saw the DROP). Reusing the stale
+    CLUSTERED BY declaration over differently-bucketed files lets a
+    bucketed join elide its exchange on a false premise - wrong rows.
+    read_title_index must verify the registered bucket count against
+    the meta and re-register on mismatch."""
+    import json
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 200)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(
+        HA.build_payroll_title_index(payroll), index_dir, "bucketed", n_buckets=8
+    )
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        _meta = json.load(f)
+    tname, key = _meta["table"], _meta["key"]
+    try:
+        want = sorted(map(tuple, FZ.read_title_index(spark, index_dir).collect()))
+        # simulate the OTHER session's stale cache: this session's entry
+        # declares 4 buckets while the files (and meta) are 8-bucketed
+        schema = spark.read.parquet(os.path.join(index_dir, "base")).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        spark.sql(
+            f"CREATE TABLE {tname} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) INTO 4 BUCKETS "
+            f"LOCATION '{os.path.join(index_dir, 'base')}'"
+        )
+        got_df = FZ.read_title_index(spark, index_dir)
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tname}").collect()
+        }
+        assert int(desc["Num Buckets"]) == 8  # re-registered, not reused
+        assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
 def test_compaction_does_not_shrink_payroll_corpus(spark, tmp_path):
     """Review finding (r12): payroll-delta selection must not key off
     LIVE index generations - compaction deletes the g* dirs while the
@@ -2323,7 +2369,7 @@ def test_compact_matches_corpus_folds_batches_preserving_history(spark, tmp_path
     b0_meta = HA._read_batch_meta(matches_dir, "b0")
     p0_meta = HA._read_batch_meta(matches_dir, "p0")
 
-    assert HA.compact_matches_corpus(spark, matches_dir) == ["b0", "p0"]
+    assert HA.compact_matches_corpus(spark, matches_dir, lease_dir=None) == ["b0", "p0"]
     man = HA._matches_manifest(matches_dir)
     assert man["base"] == "mbase_v1" and man["folded"] == ["b0", "p0"]
     # multiset unchanged; folded dirs hold exactly their meta; the
@@ -2336,13 +2382,13 @@ def test_compact_matches_corpus_folds_batches_preserving_history(spark, tmp_path
     assert HA._read_batch_meta(matches_dir, "b0") == b0_meta
     assert HA._read_batch_meta(matches_dir, "p0") == p0_meta
     # nothing eligible: idempotent no-op
-    assert HA.compact_matches_corpus(spark, matches_dir) == []
+    assert HA.compact_matches_corpus(spark, matches_dir, lease_dir=None) == []
 
     # later batches land (same checkpoints) and fold incrementally;
     # the covered-set bookkeeping on the folded b0 meta still excludes
     # it from re-coverage (b0 saw g0 live)
     land(a1, post_src, "a1"); ingest()       # b1 probes base+g0
-    assert HA.compact_matches_corpus(spark, matches_dir) == ["b1"]
+    assert HA.compact_matches_corpus(spark, matches_dir, lease_dir=None) == ["b1"]
     man = HA._matches_manifest(matches_dir)
     assert man["base"] == "mbase_v2" and man["folded"] == ["b0", "b1", "p0"]
     assert not os.path.isdir(os.path.join(matches_dir, "mbase_v1"))
@@ -2365,12 +2411,12 @@ def test_compact_matches_corpus_folds_batches_preserving_history(spark, tmp_path
     os.makedirs(os.path.join(matches_dir, "mbase_v9"))
     with open(os.path.join(matches_dir, "b0", "leftover.parquet"), "w") as f:
         f.write("junk")
-    assert HA.compact_matches_corpus(spark, matches_dir) == []
+    assert HA.compact_matches_corpus(spark, matches_dir, lease_dir=None) == []
     assert not os.path.isdir(os.path.join(matches_dir, "mbase_v9"))
     assert os.listdir(os.path.join(matches_dir, "b0")) == ["_meta.json"]
     # a TORN batch dir (no meta: crash mid-batch) never folds
     os.makedirs(os.path.join(matches_dir, "b7"))
-    assert HA.compact_matches_corpus(spark, matches_dir) == []
+    assert HA.compact_matches_corpus(spark, matches_dir, lease_dir=None) == []
     assert "b7" not in HA._matches_manifest(matches_dir)["folded"]
     shutil.rmtree(os.path.join(matches_dir, "b7"))
 
@@ -2634,7 +2680,7 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
             )
             HA.compact_payroll_corpus(spark, payroll_dir, index_dir)
         if i + 1 == matches_compact_after:
-            HA.compact_matches_corpus(spark, matches_dir)
+            HA.compact_matches_corpus(spark, matches_dir, lease_dir=index_dir)
 
     full_payroll = base
     for b in pay_batches:
@@ -2655,7 +2701,7 @@ def test_maintenance_random_interleavings_equal_one_shot(spark, tmp_path, seed):
     assert got == want and len(got) > 0, (seed, len(got), len(want))
 
     # folding EVERYTHING at the end reads back the same multiset
-    HA.compact_matches_corpus(spark, matches_dir)
+    HA.compact_matches_corpus(spark, matches_dir, lease_dir=index_dir)
     assert sorted(
         map(tuple, HA.read_ingested_matches(spark, matches_dir).collect())
     ) == want, seed

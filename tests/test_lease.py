@@ -133,6 +133,150 @@ def test_entry_points_refuse_while_lease_held(tmp_path):
     assert HA.compact_matches_corpus(None, str(tmp_path / "m"), lease_dir=idx) == []
 
 
+def test_takeover_verifies_it_renamed_the_stale_incarnation(tmp_path, monkeypatch):
+    """Review finding (r13, pass 1): between the contender's age check
+    and its takeover rename, the holder can heartbeat (or release and a
+    new holder acquire) - renaming away that LIVE lease would leave two
+    writers. The takeover must verify the renamed file is the same
+    stale incarnation it judged, restore it when not, and refuse."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, "_lifecycle_lease.json")
+    with open(path, "w") as f:
+        json.dump({"owner": "alive", "step": "run_fuzzy_match_ingest", "pid": 0}, f)
+    old = time.time() - 7200
+    os.utime(path, (old, old))
+
+    real_rename = os.rename
+
+    def rename_after_heartbeat(src, dst):
+        if src == path:
+            os.utime(path)  # the holder's heartbeat lands first
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_after_heartbeat)
+    with pytest.raises(LS.LeaseHeldError, match="run_fuzzy_match_ingest"):
+        with LS.lifecycle_lease(d, "contender", stale_after=3600):
+            pass
+    monkeypatch.undo()
+    # the live lease survived, owner intact, no takeover litter
+    with open(path) as f:
+        assert json.load(f)["owner"] == "alive"
+    assert [x for x in os.listdir(d) if ".takeover." in x or ".claim." in x] == []
+
+    # owner-changed lane: release + fresh re-acquire between check and
+    # rename - same refusal, the fresh owner's lease restored
+    os.utime(path, (old, old))
+
+    def rename_after_reacquire(src, dst):
+        if src == path:
+            with open(path, "w") as f:
+                json.dump({"owner": "fresh", "step": "maintenance", "pid": 0}, f)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_after_reacquire)
+    with pytest.raises(LS.LeaseHeldError, match="maintenance"):
+        with LS.lifecycle_lease(d, "contender", stale_after=3600):
+            pass
+    monkeypatch.undo()
+    with open(path) as f:
+        assert json.load(f)["owner"] == "fresh"
+    os.remove(path)
+
+
+def test_heartbeat_rename_race_raises_lease_lost(tmp_path, monkeypatch):
+    """Review finding (r13, pass 1): a takeover renaming the file
+    between heartbeat's holder check and its utime must surface the
+    designed LeaseLostError, never a bare FileNotFoundError out of a
+    sink's foreachBatch."""
+    import os
+
+    lease = LS._acquire(str(tmp_path / "idx"), "victim", 3600)
+
+    def gone(*a, **k):
+        raise FileNotFoundError(lease.path)
+
+    monkeypatch.setattr(os, "utime", gone)
+    with pytest.raises(LS.LeaseLostError):
+        lease.heartbeat()
+    monkeypatch.undo()
+    lease.release()
+
+
+def test_acquire_sweeps_dead_takeover_and_claim_litter(tmp_path):
+    """Review finding (r13, pass 1): a contender hard-killed between
+    its takeover rename and remove (or claim write and unlink) strands
+    .takeover.* / .claim.* files nothing reclaimed - acquisition now
+    sweeps any older than stale_after, keeping live ones."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    base = os.path.join(d, "_lifecycle_lease.json")
+    dead_t = base + ".takeover.deadbeef"
+    dead_c = base + ".claim.deadbeef"
+    live_c = base + ".claim.cafef00d"
+    for p in (dead_t, dead_c, live_c):
+        with open(p, "w") as f:
+            json.dump({"owner": "x", "step": "s", "pid": 0}, f)
+    old = time.time() - 7200
+    os.utime(dead_t, (old, old))
+    os.utime(dead_c, (old, old))
+    with LS.lifecycle_lease(d, "sweeper", stale_after=3600):
+        assert not os.path.exists(dead_t) and not os.path.exists(dead_c)
+        assert os.path.exists(live_c)  # seconds old: could be a live race
+    os.remove(live_c)
+
+
+def test_matches_fold_lease_is_an_explicit_decision():
+    """Review finding (r13, pass 1): compact_matches_corpus must not
+    default its single-writer enforcement OFF - lease_dir is a required
+    keyword (index_dir to enforce, an explicit None only for a
+    standalone corpus)."""
+    with pytest.raises(TypeError):
+        HA.compact_matches_corpus(None, "m")  # no lease decision made
+
+
+def test_compaction_deposed_mid_fold_stops_before_destructive_phase(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding (r13, pass 1): the compaction steps held the
+    lease without heartbeating - a fold outliving stale_after would be
+    taken over yet still complete every write. The index compactor now
+    heartbeats after materializing its fold and BEFORE the destructive
+    rebuild: deposed mid-fold, it raises LeaseLostError with the
+    generations (and base) untouched."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 120)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(HA.build_payroll_title_index(payroll), index_dir, "parquet")
+    FZ.read_title_index(spark, index_dir).limit(5).write.parquet(
+        os.path.join(index_dir, "g0")
+    )
+
+    real_read = FZ.read_title_index
+
+    def usurping_read(*a, **k):
+        with open(os.path.join(index_dir, "_lifecycle_lease.json"), "w") as f:
+            json.dump({"owner": "usurper", "step": "takeover", "pid": 0}, f)
+        return real_read(*a, **k)
+
+    monkeypatch.setattr(FZ, "read_title_index", usurping_read)
+    with pytest.raises(LS.LeaseLostError):
+        FZ.compact_persisted_title_index(spark, index_dir)
+    monkeypatch.undo()
+    assert FZ.list_index_generations(index_dir) == [0]  # untouched
+    os.remove(os.path.join(index_dir, "_lifecycle_lease.json"))
+    # the cadence recovers: a normal compaction folds g0 afterwards
+    FZ.compact_persisted_title_index(spark, index_dir)
+    assert FZ.list_index_generations(index_dir) == []
+
+
 def test_stale_lease_never_wedges_the_cadence(spark, tmp_path):
     """Crash-then-takeover end to end: a sink dies holding the lease
     (simulated by a backdated lease file); the next scheduled run takes
