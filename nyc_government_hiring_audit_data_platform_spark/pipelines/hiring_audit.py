@@ -1144,6 +1144,15 @@ def compact_payroll_corpus(
             corpus = corpus.unionByName(
                 spark.read.parquet(os.path.join(payroll_dir, f"d{j}"))
             )
+        # coalesce to byte-sized output files: the union write would
+        # otherwise carry one file per folded delta (plus every old-base
+        # file) into each new base, growing additively per fold cycle
+        corpus = corpus.coalesce(
+            _fold_output_partitions(
+                [os.path.join(payroll_dir, man["base"])]
+                + [os.path.join(payroll_dir, f"d{j}") for j in eligible]
+            )
+        )
         corpus.write.parquet(os.path.join(payroll_dir, new_base))
         # the base rewrite is the long action and compactions have no
         # micro-batch cadence to heartbeat on: refresh the staleness
@@ -1619,6 +1628,27 @@ def run_fuzzy_index_maintenance(
             _record_checkpoint(d, checkpoint_dir, "_checkpoint_id_maintenance")
 
 
+def _fold_output_partitions(
+    paths: list[str], target_bytes: int = 128 << 20
+) -> int:
+    """How many files a corpus fold should write: input bytes (driver-
+    side listing, no Spark job) over a ~128 MB/file target. Without
+    this, the fold's union write PRESERVES its input partitioning - N
+    folded dirs produce N output files, old-base files carry into every
+    new base, and the file count the fold exists to retire instead
+    grows additively per fold cycle (caught by
+    tools/matches_fold_probe.py, round 13)."""
+    import os
+
+    total = 0
+    for p in paths:
+        for dirpath, _dirnames, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith("."):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+    return max(1, -(-total // target_bytes))
+
+
 def _strip_to_meta(path: str, ignore_errors: bool = False) -> None:
     """Remove everything inside a folded batch dir EXCEPT its
     ``_meta.json`` - the one file the covered-set bookkeeping, the
@@ -1732,6 +1762,13 @@ def compact_matches_corpus(
              if (m := _re.fullmatch(r"mbase_v(\d+)", d))] + [0]
         ) + 1
         new_base = f"mbase_v{n}"
+        # coalesce to byte-sized output files: the union write would
+        # otherwise carry one file per input dir into the base, forever
+        n_out = _fold_output_partitions(
+            [os.path.join(matches_dir, d) for d in eligible]
+            + ([os.path.join(matches_dir, man["base"])] if man["base"] else [])
+        )
+        corpus = corpus.coalesce(n_out)
         corpus.write.parquet(os.path.join(matches_dir, new_base))
         if _lease is not None:
             # the base rewrite is the long action and folds have no

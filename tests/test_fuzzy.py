@@ -2308,6 +2308,55 @@ def test_folded_batches_keep_maintenance_checkpoint_pinned(spark, tmp_path):
         )
 
 
+def test_corpus_fold_coalesces_output_files(spark, tmp_path):
+    """Probe finding (r13, tools/matches_fold_probe.py): the fold's
+    union write PRESERVED its input partitioning - one output file per
+    folded dir, plus every old-base file carried into each new base,
+    so the file count the fold exists to retire grew additively per
+    fold cycle. Folds now coalesce to a byte-sized output target."""
+    import json
+    import os
+    import shutil
+
+    matches_dir = str(tmp_path / "matches")
+    os.makedirs(matches_dir)
+    rows = spark.range(50).selectExpr("id", "cast(id as string) as s")
+    rows.coalesce(1).write.parquet(str(tmp_path / "proto"))
+    part = [
+        f for f in os.listdir(tmp_path / "proto") if f.endswith(".parquet")
+    ][0]
+
+    def land(name):
+        bdir = os.path.join(matches_dir, name)
+        os.makedirs(bdir)
+        shutil.copy(
+            os.path.join(tmp_path / "proto", part), os.path.join(bdir, part)
+        )
+        with open(os.path.join(bdir, "_meta.json"), "w") as f:
+            json.dump({"limit": None}, f)
+
+    def base_files():
+        man = HA._matches_manifest(matches_dir)
+        return [
+            f
+            for f in os.listdir(os.path.join(matches_dir, man["base"]))
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    for i in range(6):
+        land(f"b{i}")
+    assert len(HA.compact_matches_corpus(spark, matches_dir, lease_dir=None)) == 6
+    assert len(base_files()) == 1  # not 6
+    assert HA.read_ingested_matches(spark, matches_dir).count() == 300
+
+    # second cycle: old base + 3 new batches still fold to ONE file
+    for i in range(6, 9):
+        land(f"b{i}")
+    assert len(HA.compact_matches_corpus(spark, matches_dir, lease_dir=None)) == 3
+    assert len(base_files()) == 1  # not 1 + 3
+    assert HA.read_ingested_matches(spark, matches_dir).count() == 450
+
+
 def test_compact_matches_corpus_folds_batches_preserving_history(spark, tmp_path):
     """Round-12 VERDICT ask #1: fold completed b/p match batches into
     a versioned base + manifest. The read-back multiset is unchanged,
@@ -2543,6 +2592,13 @@ def test_payroll_corpus_compaction_lifecycle(spark, tmp_path):
     assert not orphan.exists()
     man = HA._payroll_manifest(payroll_dir)
     assert man["folded_deltas"] == [0] and man["base"].startswith("base_v")
+    # the fold coalesces: one byte-sized file, not base-files + deltas
+    assert (
+        len([
+            f for f in os.listdir(os.path.join(payroll_dir, man["base"]))
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]) == 1
+    )
     assert HA.list_payroll_deltas(payroll_dir) == []  # d0 dir gone
     assert not (tmp_path / "payroll" / "base").exists()  # old base GC'd
     # idempotent: nothing left to fold
