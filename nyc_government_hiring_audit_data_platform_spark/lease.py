@@ -119,8 +119,13 @@ def _acquire(lease_dir: str, step: str, stale_after: float) -> Lease:
     path = os.path.join(lease_dir, _LEASE)
     # crash-litter sweep: a contender hard-killed between its takeover
     # rename and the remove (or between claim write and unlink) strands
-    # `.takeover.*` / `.claim.*` files no other path reclaims. Live ones
-    # are syscalls old; anything past stale_after is dead.
+    # `.takeover.*` / `.claim.*` files no other path reclaims. Claim
+    # files are written syscalls before use, so a stale one is dead; a
+    # takeover file INHERITS the stale lease's old mtime (rename
+    # preserves it), so this sweep can hit a peer's in-flight takeover
+    # - which is safe: the takeover path tolerates its file vanishing
+    # at every step (guards below) and simply re-contends, and the
+    # swept content was the dead holder's, worth nothing.
     for fn in os.listdir(lease_dir):
         if fn.startswith(_LEASE + ".takeover.") or fn.startswith(
             _LEASE + ".claim."
@@ -157,30 +162,25 @@ def _acquire(lease_dir: str, step: str, stale_after: float) -> Lease:
                     "- wait for it to finish, or raise stale_after only "
                     "if you are SURE the holder is dead"
                 )
-            seen = Lease(path, "", "")._holder()
             stale = path + f".takeover.{owner}"
             try:
                 os.rename(path, stale)
             except FileNotFoundError:
                 continue  # another contender won; re-contend fresh
-            # verify the rename grabbed the SAME stale incarnation the
-            # age check judged: between the stat and the rename the
-            # holder could have heartbeat (mtime fresh), or released
-            # and a new holder acquired (owner changed) - renaming away
-            # a LIVE lease would leave two writers
+            # verify the rename grabbed a STALE incarnation: between
+            # the age check and the rename the holder could heartbeat,
+            # or release and a new holder acquire - either way the file
+            # would carry a FRESH mtime (a re-acquire links a claim
+            # written syscalls ago), so mtime alone decides. Content is
+            # deliberately NOT consulted: an unreadable-but-stale lease
+            # (torn external write) must still be taken over, never
+            # restored in a spin (review r13, pass 2).
             try:
-                with open(stale) as f:
-                    got = json.load(f)
                 renamed_age = time.time() - os.path.getmtime(stale)
-            except (OSError, ValueError):
-                got, renamed_age = None, 0.0
-            if (
-                seen is None
-                or got is None
-                or got.get("owner") != seen.get("owner")
-                or renamed_age <= stale_after
-            ):
-                # deposed a possibly-live holder: restore, but NEVER by
+            except OSError:
+                continue  # a peer's litter sweep removed it: re-contend
+            if renamed_age <= stale_after:
+                # deposed a live holder: restore, but NEVER by
                 # clobbering a third contender that claimed the freed
                 # path meanwhile (link refuses; in that residual
                 # few-syscall window the deposed holder still sees
@@ -190,9 +190,17 @@ def _acquire(lease_dir: str, step: str, stale_after: float) -> Lease:
                     os.link(stale, path)
                 except FileExistsError:
                     pass
-                os.remove(stale)
+                except FileNotFoundError:
+                    pass  # sweep race: nothing left to restore
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
                 continue
-            os.remove(stale)  # verified-stale: this contender freed it
+            try:
+                os.remove(stale)  # verified-stale: this contender freed it
+            except FileNotFoundError:
+                pass  # a peer's sweep finished it; same outcome
     finally:
         try:
             os.remove(claim)

@@ -883,6 +883,13 @@ def extend_title_index(
 
 _INDEX_META = "_index_meta.json"
 
+# (id(session), table name) -> the bucket count this session last
+# verified/registered for the table. Keeps _resolve_index_table's
+# stale-declaration DESCRIBE off the per-micro-batch hot path: it
+# re-runs only when the on-disk meta's count moves away from what this
+# session verified (the only way the registration can go stale).
+_VERIFIED_BUCKET_SPECS: dict = {}
+
 
 def _index_table_name(index_dir: str) -> str:
     """Deterministic catalog identifier for a bucketed title index,
@@ -1018,7 +1025,10 @@ def _resolve_index_table(spark, index_dir: str, meta: dict) -> DataFrame:
     import os
 
     tname = meta["table"]
-    if spark.catalog.tableExists(tname):
+    cache_key = (id(spark), tname)
+    if spark.catalog.tableExists(tname) and _VERIFIED_BUCKET_SPECS.get(
+        cache_key
+    ) != meta["n_buckets"]:
         # a long-lived session's catalog entry can predate a re-bucketed
         # compaction (n_buckets="auto" evolves the count; the compactor
         # is another process, so THIS session's in-memory catalog never
@@ -1026,7 +1036,9 @@ def _resolve_index_table(spark, index_dir: str, meta: dict) -> DataFrame:
         # differently-bucketed files would let a bucketed join elide its
         # exchange on a false premise and silently drop matches - verify
         # the registered bucket count against the meta and re-register
-        # on mismatch.
+        # on mismatch. The session cache keeps the DESCRIBE off the
+        # per-micro-batch hot path: it re-runs only when the META's
+        # count moves (the only way the registration can go stale).
         desc = {
             r["col_name"]: r["data_type"]
             for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tname}").collect()
@@ -1045,6 +1057,7 @@ def _resolve_index_table(spark, index_dir: str, meta: dict) -> DataFrame:
             f"CLUSTERED BY (`{meta['key']}`) INTO {meta['n_buckets']} BUCKETS "
             f"LOCATION '{loc}'"
         )
+    _VERIFIED_BUCKET_SPECS[cache_key] = meta["n_buckets"]
     return spark.table(tname)
 
 

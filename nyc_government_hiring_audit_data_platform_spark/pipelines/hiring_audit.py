@@ -1664,6 +1664,13 @@ def _strip_to_meta(path: str, ignore_errors: bool = False) -> None:
         fp = os.path.join(path, f)
         if os.path.isdir(fp):
             shutil.rmtree(fp, ignore_errors=ignore_errors)
+        elif ignore_errors:
+            try:
+                os.remove(fp)
+            except OSError:
+                # post-commit cleanup must not fail a fold that already
+                # committed; the next entry GC finishes the job
+                pass
         else:
             os.remove(fp)
 

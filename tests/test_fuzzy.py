@@ -1647,6 +1647,10 @@ def test_read_reregisters_catalog_table_after_foreign_rebucket(spark, tmp_path):
             f"CLUSTERED BY (`{key}`) INTO 4 BUCKETS "
             f"LOCATION '{os.path.join(index_dir, 'base')}'"
         )
+        # ... including that session's verification cache: it verified 4
+        # back when its meta said 4; the foreign re-bucket moved meta to
+        # 8, which is exactly what re-arms the DESCRIBE
+        FZ._VERIFIED_BUCKET_SPECS[(id(spark), tname)] = 4
         got_df = FZ.read_title_index(spark, index_dir)
         desc = {
             r["col_name"]: r["data_type"]
@@ -1654,6 +1658,52 @@ def test_read_reregisters_catalog_table_after_foreign_rebucket(spark, tmp_path):
         }
         assert int(desc["Num Buckets"]) == 8  # re-registered, not reused
         assert sorted(map(tuple, got_df.collect())) == want and len(want) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_bucket_spec_verification_cached_off_hot_path(spark, tmp_path, monkeypatch):
+    """Review finding (r13, pass 2): the stale-declaration DESCRIBE ran
+    on EVERY bucketed read - a catalog round trip per micro-batch probe
+    guarding against a drift that only a compaction can cause. It now
+    runs only when the meta's bucket count moves away from what this
+    session last verified."""
+    import json
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 150)
+    index_dir = str(tmp_path / "index")
+    FZ.write_title_index(
+        HA.build_payroll_title_index(payroll), index_dir, "bucketed", n_buckets=4
+    )
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        tname = json.load(f)["table"]
+    try:
+        FZ.read_title_index(spark, index_dir).count()  # registers + caches
+        calls = []
+        real_sql = spark.sql
+
+        def spy(q, *a, **k):
+            calls.append(q)
+            return real_sql(q, *a, **k)
+
+        monkeypatch.setattr(spark, "sql", spy)
+        FZ.read_title_index(spark, index_dir).count()
+        assert not [q for q in calls if q.startswith("DESCRIBE")]
+        # the meta's count moving re-arms the verification
+        monkeypatch.undo()
+        meta_path = os.path.join(index_dir, "_index_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["n_buckets"] = 8  # simulate a foreign re-bucket's meta
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        calls.clear()
+        monkeypatch.setattr(spark, "sql", spy)
+        FZ.read_title_index(spark, index_dir).count()
+        assert [q for q in calls if q.startswith("DESCRIBE")]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
 

@@ -186,6 +186,85 @@ def test_takeover_verifies_it_renamed_the_stale_incarnation(tmp_path, monkeypatc
     os.remove(path)
 
 
+def test_unreadable_stale_lease_is_taken_over_not_spun_on(tmp_path):
+    """Review finding (r13, pass 2): an unreadable (torn/corrupt) lease
+    file with a stale mtime sent the takeover-verify into an infinite
+    restore loop. mtime alone decides staleness now: unreadable+stale
+    is taken over; unreadable+fresh refuses like any live holder."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, "_lifecycle_lease.json")
+    with open(path, "w") as f:
+        f.write("{not json")
+    old = time.time() - 7200
+    os.utime(path, (old, old))
+    with LS.lifecycle_lease(d, "next_cron", stale_after=60) as lease:
+        with open(path) as f:
+            assert json.load(f)["owner"] == lease.owner
+    # fresh-but-unreadable: refuse loudly, never spin
+    with open(path, "w") as f:
+        f.write("{not json")
+    with pytest.raises(LS.LeaseHeldError, match="unreadable"):
+        with LS.lifecycle_lease(d, "next_cron", stale_after=3600):
+            pass
+    os.remove(path)
+
+
+def test_takeover_survives_peer_sweep_race(tmp_path, monkeypatch):
+    """Review finding (r13, pass 2): a takeover file inherits the stale
+    lease's old mtime, so a peer's entry-time litter sweep can delete
+    it mid-protocol - every step must tolerate the file vanishing and
+    re-contend instead of crashing with FileNotFoundError."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, "_lifecycle_lease.json")
+    with open(path, "w") as f:
+        json.dump({"owner": "dead", "step": "crashed", "pid": 0}, f)
+    old = time.time() - 7200
+    os.utime(path, (old, old))
+
+    real_rename = os.rename
+
+    def rename_then_peer_sweeps(src, dst):
+        real_rename(src, dst)
+        if ".takeover." in dst:
+            os.remove(dst)  # the peer's sweep wins the race
+
+    monkeypatch.setattr(os, "rename", rename_then_peer_sweeps)
+    with LS.lifecycle_lease(d, "next_cron", stale_after=60) as lease:
+        with open(path) as f:
+            assert json.load(f)["owner"] == lease.owner
+    monkeypatch.undo()
+    assert not os.path.exists(path)
+
+
+def test_strip_to_meta_honors_ignore_errors_for_files(tmp_path, monkeypatch):
+    """Review finding (r13, pass 2): _strip_to_meta's ignore_errors was
+    honored only for subdirectories - a file-removal failure in the
+    post-commit cleanup would fail a fold that already committed."""
+    import os
+
+    p = tmp_path / "b0"
+    p.mkdir()
+    (p / "_meta.json").write_text("{}")
+    (p / "rows.parquet").write_bytes(b"x")
+
+    def denied(_):
+        raise PermissionError("EACCES")
+
+    monkeypatch.setattr(os, "remove", denied)
+    HA._strip_to_meta(str(p), ignore_errors=True)  # must not raise
+    with pytest.raises(PermissionError):
+        HA._strip_to_meta(str(p), ignore_errors=False)
+    monkeypatch.undo()
+    HA._strip_to_meta(str(p))
+    assert sorted(x.name for x in p.iterdir()) == ["_meta.json"]
+
+
 def test_heartbeat_rename_race_raises_lease_lost(tmp_path, monkeypatch):
     """Review finding (r13, pass 1): a takeover renaming the file
     between heartbeat's holder check and its utime must surface the

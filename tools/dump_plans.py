@@ -126,6 +126,14 @@ SHOWCASE = {
         "- hash-verified against an independent ROW_NUMBER-capped SQL "
         "rebuild (r12)."
     ),
+    "matches_corpus_compaction": (
+        "Matches-corpus fold read back through the manifest: completed "
+        "per-batch dirs fold into ONE coalesced mbase_v{n} base (byte-"
+        "sized output files, no per-dir small-file tax), and the "
+        "production read is a single base scan unioned with the "
+        "still-unfolded tail - hash-verified against the one-shot "
+        "re-match SQL (r13)."
+    ),
     "token_set_kernel": (
         "The published fuzzy scorer runs as ONE ArrowEvalPython node "
         "over the blocked pair set - Python touches candidates only, "
