@@ -816,7 +816,11 @@ def gold_tables_sql(
 #   payroll  run_fuzzy_index_maintenance(payroll stream, ...)
 #   lands    - extends the index (g{j}) + archives rows (d{j}) +
 #              back-fills (archived postings x new payroll) exactly once
-#   monitor  operators.fuzzy.title_index_occupancy(index)
+#   monitor  lifecycle_status(index_dir, payroll_dir, matches_dir)
+#            - the whole deployment's state + recommended actions in
+#              one METADATA-ONLY call (no SparkSession); the detailed
+#              signals it aggregates:
+#            operators.fuzzy.title_index_occupancy(index)
 #            - compact when keys_over_cap > 0 (capped indexes) or the
 #              generation count makes the probe's union tax noticeable
 #            operators.fuzzy.title_index_bucket_stats(index_dir)
@@ -1826,3 +1830,136 @@ def read_ingested_matches(spark: SparkSession, matches_dir: str) -> DataFrame:
     if not paths:
         raise ValueError(f"no ingested match batches under {matches_dir}")
     return spark.read.parquet(*paths)
+
+
+def lifecycle_status(
+    index_dir: str,
+    payroll_dir: str | None = None,
+    matches_dir: str | None = None,
+) -> dict:
+    """One driver-side view of a whole lifecycle deployment - the
+    runbook's monitor step as a function. METADATA ONLY: file
+    listings, json manifests and parquet footers; no SparkSession, no
+    jobs - safe from any monitor at any cadence (same cost class as
+    ``title_index_occupancy``'s caller-side checks, minus the Spark
+    session).
+
+    Returns ``{"lease", "index", "payroll", "matches", "actions"}``:
+    each section is raw state; ``actions`` is the recommended next
+    moves in runbook order (``compact_index`` when generations are
+    pending, ``rebucket_on_next_compaction`` when
+    :func:`~..operators.fuzzy.suggest_index_buckets` disagrees with
+    the persisted count, ``fold_payroll`` / ``fold_matches`` when
+    eligible batches await, ``investigate_lease`` when the lease file
+    is unreadable or stale - a crashed writer the next cron will take
+    over, or a clock problem)."""
+    import json
+    import os
+    import re as _re
+    import time as _time
+
+    from nyc_government_hiring_audit_data_platform_spark.lease import _LEASE
+    from nyc_government_hiring_audit_data_platform_spark.operators import (
+        fuzzy as FZ,
+    )
+
+    actions: list[str] = []
+
+    lease_path = os.path.join(index_dir, _LEASE)
+    lease: dict | None = None
+    if os.path.exists(lease_path):
+        try:
+            with open(lease_path) as f:
+                holder = json.load(f)
+        except (OSError, ValueError):
+            holder = None
+        age = _time.time() - os.path.getmtime(lease_path)
+        lease = {"holder": holder, "heartbeat_age_s": round(age, 1)}
+        if holder is None or age > 3600.0:
+            actions.append("investigate_lease")
+
+    meta_path = os.path.join(index_dir, FZ._INDEX_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        meta = None  # legacy plain-parquet layout (or not an index dir)
+    live_gens = FZ.list_index_generations(index_dir)
+    staging = sorted(
+        d
+        for d in (os.listdir(index_dir) if os.path.isdir(index_dir) else [])
+        if d == "_compact_staging" or _re.fullmatch(r"_torn_g\d+\.staging", d)
+    )
+    index: dict = {
+        "format": (meta or {}).get("format", "legacy"),
+        "rebuilding": bool((meta or {}).get("rebuilding")),
+        "generations_pending": live_gens,
+        "folded_generations": FZ.title_index_folded_generations(index_dir),
+        "staging_litter": staging,
+    }
+    if live_gens:
+        actions.append("compact_index")
+    if staging:
+        # harmless (entry-time GC reclaims) but worth surfacing: it
+        # means the last compaction crashed mid-fold
+        actions.append("compact_index_crashed_previously")
+    if meta and meta.get("format") == "bucketed" and not meta.get("rebuilding"):
+        stats = FZ.title_index_bucket_stats(index_dir)
+        suggestion = FZ.suggest_index_buckets(index_dir, stats=stats)
+        index.update({
+            "n_buckets": stats["n_buckets"],
+            "rows": stats["rows"],
+            "bytes": stats["bytes"],
+            "max_bucket_rows": stats["max_bucket_rows"],
+            "generation_rows": stats["generation_rows"],
+            "suggested_n_buckets": suggestion,
+        })
+        if suggestion != stats["n_buckets"]:
+            actions.append("rebucket_on_next_compaction")
+
+    payroll: dict | None = None
+    if payroll_dir is not None:
+        man = _payroll_manifest(payroll_dir)
+        live = list_payroll_deltas(payroll_dir)
+        eligible = sorted(
+            (set(index["folded_generations"]) & set(live))
+            - set(man["folded_deltas"])
+        )
+        payroll = {
+            "base": man["base"],
+            "folded_deltas": man["folded_deltas"],
+            "deltas_pending": live,
+            "fold_eligible": eligible,
+        }
+        if eligible:
+            actions.append("fold_payroll")
+
+    matches: dict | None = None
+    if matches_dir is not None:
+        man = _matches_manifest(matches_dir)
+        batch_dirs = sorted(
+            d
+            for d in (
+                os.listdir(matches_dir) if os.path.isdir(matches_dir) else []
+            )
+            if _re.fullmatch(r"[bp]\d+", d)
+            and os.path.isdir(os.path.join(matches_dir, d))
+        )
+        unfolded = [d for d in batch_dirs if d not in set(man["folded"])]
+        torn = [d for d in unfolded if _read_batch_meta(matches_dir, d) is None]
+        matches = {
+            "base": man["base"],
+            "folded": len(man["folded"]),
+            "unfolded": unfolded,
+            "torn": torn,
+        }
+        if [d for d in unfolded if d not in set(torn)]:
+            actions.append("fold_matches")
+
+    return {
+        "lease": lease,
+        "index": index,
+        "payroll": payroll,
+        "matches": matches,
+        "actions": actions,
+    }

@@ -356,6 +356,139 @@ def test_compaction_deposed_mid_fold_stops_before_destructive_phase(
     assert FZ.list_index_generations(index_dir) == []
 
 
+def test_lifecycle_status_doctor(spark, tmp_path):
+    """lifecycle_status = the runbook's monitor step as one metadata-
+    only call: raw state per store plus recommended actions in runbook
+    order. No SparkSession is touched (it is not even a parameter)."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    payroll = HA.make_payroll_fixture(spark, 150)
+    index_dir = str(tmp_path / "index")
+    idx = HA.build_payroll_title_index(payroll)
+    FZ.write_title_index(idx, index_dir, "bucketed", n_buckets=1)
+    payroll_dir = str(tmp_path / "payroll")
+    payroll.write.parquet(f"{payroll_dir}/base")
+    try:
+        st = HA.lifecycle_status(index_dir, payroll_dir)
+        assert st["lease"] is None and st["actions"] == []
+        assert st["index"]["format"] == "bucketed"
+        assert st["index"]["n_buckets"] == 1
+        assert st["index"]["suggested_n_buckets"] == 1  # tiny data
+        assert st["index"]["rows"] > 0 and st["index"]["generation_rows"] == 0
+        assert st["payroll"]["fold_eligible"] == []
+        assert st["matches"] is None  # not asked about
+
+        # a pending generation + its committed payroll archive
+        FZ.read_title_index(spark, index_dir).limit(7).write.parquet(
+            os.path.join(index_dir, "g3")
+        )
+        payroll.limit(3).write.parquet(os.path.join(payroll_dir, "d3"))
+        st = HA.lifecycle_status(index_dir, payroll_dir)
+        assert st["index"]["generations_pending"] == [3]
+        assert st["index"]["generation_rows"] == 7
+        assert st["actions"] == ["compact_index"]  # payroll not yet eligible
+
+        # matches state: one complete batch, one torn (meta-less)
+        matches_dir = str(tmp_path / "matches")
+        for name, with_meta in (("b0", True), ("b1", False)):
+            bdir = os.path.join(matches_dir, name)
+            payroll.limit(2).write.parquet(bdir)  # the sink's flat layout
+            if with_meta:
+                with open(os.path.join(bdir, "_meta.json"), "w") as f:
+                    json.dump({"limit": None}, f)
+        # a stale lease from a crashed writer
+        lease_path = os.path.join(index_dir, "_lifecycle_lease.json")
+        with open(lease_path, "w") as f:
+            json.dump({"owner": "dead", "step": "crashed", "pid": 0}, f)
+        old = time.time() - 7200
+        os.utime(lease_path, (old, old))
+
+        st = HA.lifecycle_status(index_dir, payroll_dir, matches_dir)
+        assert st["lease"]["holder"]["step"] == "crashed"
+        assert st["lease"]["heartbeat_age_s"] > 3600
+        assert st["matches"]["unfolded"] == ["b0", "b1"]
+        assert st["matches"]["torn"] == ["b1"]
+        assert st["actions"] == [
+            "investigate_lease", "compact_index", "fold_matches",
+        ]
+        os.remove(lease_path)
+
+        # after the compaction pair runs, the payroll fold is eligible
+        # then everything settles
+        FZ.compact_persisted_title_index(spark, index_dir, payroll_dir=payroll_dir)
+        st = HA.lifecycle_status(index_dir, payroll_dir, matches_dir)
+        assert st["index"]["generations_pending"] == []
+        assert st["index"]["folded_generations"] == [3]
+        assert st["payroll"]["fold_eligible"] == [3]
+        assert "fold_payroll" in st["actions"] and "compact_index" not in st["actions"]
+        HA.compact_payroll_corpus(spark, payroll_dir, index_dir)
+        HA.compact_matches_corpus(spark, matches_dir, lease_dir=index_dir)
+        st = HA.lifecycle_status(index_dir, payroll_dir, matches_dir)
+        assert st["payroll"]["folded_deltas"] == [3]
+        assert st["matches"]["folded"] == 1 and st["matches"]["torn"] == ["b1"]
+        assert st["actions"] == []  # b1 stays torn until its replay
+    finally:
+        import json as _json
+
+        with open(os.path.join(index_dir, "_index_meta.json")) as f:
+            m = _json.load(f)
+        if "table" in m:
+            spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+
+
+def test_concurrent_contention_yields_exactly_one_holder(tmp_path):
+    """The protocol's core claim under REAL concurrency: many threads
+    contending for the same dir (over a stale crashed lease, and over
+    nothing) always produce exactly one holder; losers refuse with
+    LeaseHeldError, never crash, never corrupt the lease file."""
+    import os
+    import threading
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    path = os.path.join(d, "_lifecycle_lease.json")
+
+    for round_no, plant_stale in enumerate([False, True, True, False]):
+        if plant_stale:
+            with open(path, "w") as f:
+                json.dump({"owner": "dead", "step": "crashed", "pid": 0}, f)
+            old = time.time() - 7200
+            os.utime(path, (old, old))
+        won, refused, crashed = [], [], []
+        barrier = threading.Barrier(8)
+        hold = threading.Event()
+
+        def contend(i):
+            barrier.wait()
+            try:
+                with LS.lifecycle_lease(d, f"step{i}", stale_after=60) as lease:
+                    won.append(lease.owner)
+                    hold.wait(timeout=10)  # stay held until all finished
+            except LS.LeaseHeldError:
+                refused.append(i)
+            except BaseException as e:  # noqa: BLE001 - the assert target
+                crashed.append((i, repr(e)))
+
+        threads = [
+            threading.Thread(target=contend, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        # wait until every loser refused, then let the winner release
+        deadline = time.time() + 10
+        while len(won) + len(refused) + len(crashed) < 8 and time.time() < deadline:
+            time.sleep(0.01)
+        hold.set()
+        for t in threads:
+            t.join(timeout=15)
+        assert crashed == [], (round_no, crashed)
+        assert len(won) == 1 and len(refused) == 7, (round_no, won, refused)
+        assert not os.path.exists(path), round_no
+        assert [x for x in os.listdir(d) if x != "_lifecycle_lease.json"] == []
+
+
 def test_stale_lease_never_wedges_the_cadence(spark, tmp_path):
     """Crash-then-takeover end to end: a sink dies holding the lease
     (simulated by a backdated lease file); the next scheduled run takes
