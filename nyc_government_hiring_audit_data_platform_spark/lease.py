@@ -102,8 +102,16 @@ class Lease:
     def release(self, raise_on_lost: bool = True) -> bool:
         held = self._holder()
         if held is not None and held.get("owner") == self.owner:
-            os.remove(self.path)
-            return True
+            try:
+                os.remove(self.path)
+                return True
+            except FileNotFoundError:
+                # a takeover renamed the file between the read-verify
+                # and the remove: same diagnosis as heartbeat's race -
+                # the designed error, never a bare FileNotFoundError
+                # (which would also mask an in-flight batch exception
+                # in lifecycle_lease's except-branch release)
+                held = None
         if raise_on_lost:
             raise LeaseLostError(
                 f"lifecycle lease at {self.path} was taken over by "

@@ -883,11 +883,15 @@ def extend_title_index(
 
 _INDEX_META = "_index_meta.json"
 
-# (id(session), table name) -> the bucket count this session last
-# verified/registered for the table. Keeps _resolve_index_table's
+# (applicationId, table name) -> the bucket count this application
+# last verified/registered for the table. Keeps _resolve_index_table's
 # stale-declaration DESCRIBE off the per-micro-batch hot path: it
-# re-runs only when the on-disk meta's count moves away from what this
-# session verified (the only way the registration can go stale).
+# re-runs only when the on-disk meta's count moves away from what was
+# verified (the only way the registration can go stale). applicationId
+# is the right granularity: table registrations live in the app-level
+# SharedState catalog, and unlike id(session) it can never alias a
+# GC'd session's verification onto a new one. Bounded by the number of
+# distinct index tables an app touches.
 _VERIFIED_BUCKET_SPECS: dict = {}
 
 
@@ -1025,7 +1029,7 @@ def _resolve_index_table(spark, index_dir: str, meta: dict) -> DataFrame:
     import os
 
     tname = meta["table"]
-    cache_key = (id(spark), tname)
+    cache_key = (spark.sparkContext.applicationId, tname)
     if spark.catalog.tableExists(tname) and _VERIFIED_BUCKET_SPECS.get(
         cache_key
     ) != meta["n_buckets"]:

@@ -1752,12 +1752,13 @@ def compact_matches_corpus(
             p = os.path.join(matches_dir, name)
             if os.path.isdir(p):
                 _strip_to_meta(p)
+        already_folded = set(man["folded"])
         eligible = sorted(
             d
             for d in (os.listdir(matches_dir) if os.path.isdir(matches_dir) else [])
             if _re.fullmatch(r"[bp]\d+", d)
             and os.path.isdir(os.path.join(matches_dir, d))
-            and d not in set(man["folded"])
+            and d not in already_folded
             and _read_batch_meta(matches_dir, d) is not None
         )
         if not eligible:
@@ -1836,6 +1837,7 @@ def lifecycle_status(
     index_dir: str,
     payroll_dir: str | None = None,
     matches_dir: str | None = None,
+    lease_stale_after: float = 3600.0,
 ) -> dict:
     """One driver-side view of a whole lifecycle deployment - the
     runbook's monitor step as a function. METADATA ONLY: file
@@ -1851,8 +1853,14 @@ def lifecycle_status(
     :func:`~..operators.fuzzy.suggest_index_buckets` disagrees with
     the persisted count, ``fold_payroll`` / ``fold_matches`` when
     eligible batches await, ``investigate_lease`` when the lease file
-    is unreadable or stale - a crashed writer the next cron will take
-    over, or a clock problem)."""
+    is unreadable or older than ``lease_stale_after`` - pass the SAME
+    value the entry points use; the advice is sized by it - meaning a
+    crashed writer the next cron will take over, or a clock problem).
+
+    The monitor holds no lease, so a compaction can move the index
+    under the read: transient races surface as
+    ``index["stats_unavailable"] = True`` for that tick (bucket
+    fields absent), never as a crash."""
     import json
     import os
     import re as _re
@@ -1867,16 +1875,22 @@ def lifecycle_status(
 
     lease_path = os.path.join(index_dir, _LEASE)
     lease: dict | None = None
-    if os.path.exists(lease_path):
+    try:
+        with open(lease_path) as f:
+            holder = json.load(f)
+    except FileNotFoundError:
+        holder = False  # no lease at all (also: released mid-read)
+    except (OSError, ValueError):
+        holder = None  # present but unreadable
+    if holder is not False:
         try:
-            with open(lease_path) as f:
-                holder = json.load(f)
-        except (OSError, ValueError):
-            holder = None
-        age = _time.time() - os.path.getmtime(lease_path)
-        lease = {"holder": holder, "heartbeat_age_s": round(age, 1)}
-        if holder is None or age > 3600.0:
-            actions.append("investigate_lease")
+            age = _time.time() - os.path.getmtime(lease_path)
+        except OSError:
+            age = None  # released between the read and the stat
+        if age is not None:
+            lease = {"holder": holder, "heartbeat_age_s": round(age, 1)}
+            if holder is None or age > lease_stale_after:
+                actions.append("investigate_lease")
 
     meta_path = os.path.join(index_dir, FZ._INDEX_META)
     if os.path.exists(meta_path):
@@ -1904,18 +1918,25 @@ def lifecycle_status(
         # means the last compaction crashed mid-fold
         actions.append("compact_index_crashed_previously")
     if meta and meta.get("format") == "bucketed" and not meta.get("rebuilding"):
-        stats = FZ.title_index_bucket_stats(index_dir)
-        suggestion = FZ.suggest_index_buckets(index_dir, stats=stats)
-        index.update({
-            "n_buckets": stats["n_buckets"],
-            "rows": stats["rows"],
-            "bytes": stats["bytes"],
-            "max_bucket_rows": stats["max_bucket_rows"],
-            "generation_rows": stats["generation_rows"],
-            "suggested_n_buckets": suggestion,
-        })
-        if suggestion != stats["n_buckets"]:
-            actions.append("rebucket_on_next_compaction")
+        try:
+            stats = FZ.title_index_bucket_stats(index_dir)
+            suggestion = FZ.suggest_index_buckets(index_dir, stats=stats)
+        except (OSError, ValueError):
+            # the monitor holds no lease: a concurrent compaction can
+            # clear generations / rewrite the base under this read.
+            # One stale tick beats a crashed monitor.
+            index["stats_unavailable"] = True
+        else:
+            index.update({
+                "n_buckets": stats["n_buckets"],
+                "rows": stats["rows"],
+                "bytes": stats["bytes"],
+                "max_bucket_rows": stats["max_bucket_rows"],
+                "generation_rows": stats["generation_rows"],
+                "suggested_n_buckets": suggestion,
+            })
+            if suggestion != stats["n_buckets"]:
+                actions.append("rebucket_on_next_compaction")
 
     payroll: dict | None = None
     if payroll_dir is not None:
@@ -1945,7 +1966,8 @@ def lifecycle_status(
             if _re.fullmatch(r"[bp]\d+", d)
             and os.path.isdir(os.path.join(matches_dir, d))
         )
-        unfolded = [d for d in batch_dirs if d not in set(man["folded"])]
+        folded_names = set(man["folded"])
+        unfolded = [d for d in batch_dirs if d not in folded_names]
         torn = [d for d in unfolded if _read_batch_meta(matches_dir, d) is None]
         matches = {
             "base": man["base"],
@@ -1953,7 +1975,7 @@ def lifecycle_status(
             "unfolded": unfolded,
             "torn": torn,
         }
-        if [d for d in unfolded if d not in set(torn)]:
+        if set(unfolded) - set(torn):
             actions.append("fold_matches")
 
     return {

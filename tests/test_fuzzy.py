@@ -1650,7 +1650,9 @@ def test_read_reregisters_catalog_table_after_foreign_rebucket(spark, tmp_path):
         # ... including that session's verification cache: it verified 4
         # back when its meta said 4; the foreign re-bucket moved meta to
         # 8, which is exactly what re-arms the DESCRIBE
-        FZ._VERIFIED_BUCKET_SPECS[(id(spark), tname)] = 4
+        FZ._VERIFIED_BUCKET_SPECS[
+            (spark.sparkContext.applicationId, tname)
+        ] = 4
         got_df = FZ.read_title_index(spark, index_dir)
         desc = {
             r["col_name"]: r["data_type"]

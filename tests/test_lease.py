@@ -438,6 +438,80 @@ def test_lifecycle_status_doctor(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
 
 
+def test_release_takeover_race_raises_lease_lost(tmp_path, monkeypatch):
+    """Review finding (r13, pass 3): a takeover renaming the lease
+    between release()'s read-verify and its os.remove must surface the
+    designed LeaseLostError - a bare FileNotFoundError would also MASK
+    an in-flight batch exception in lifecycle_lease's except-branch
+    release."""
+    import os
+
+    lease = LS._acquire(str(tmp_path / "idx"), "victim", 3600)
+
+    def gone(_):
+        raise FileNotFoundError(lease.path)
+
+    monkeypatch.setattr(os, "remove", gone)
+    with pytest.raises(LS.LeaseLostError):
+        lease.release()
+    # the except-branch shape: swallowed, reported as not-released
+    assert lease.release(raise_on_lost=False) is False
+    monkeypatch.undo()
+    os.remove(lease.path)
+
+
+def test_lifecycle_status_tolerates_concurrent_writers(tmp_path, monkeypatch):
+    """Review finding (r13, pass 3): the doctor holds no lease, so a
+    sink can release the lease (getmtime race) and a compaction can
+    move the index (bucket-stats race) under its read - one stale tick,
+    never a crash. Also: the staleness advice is sized by the SAME
+    lease_stale_after the deployment's entry points use."""
+    import os
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import fuzzy as FZ
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir)
+    with open(os.path.join(index_dir, FZ._INDEX_META), "w") as f:
+        json.dump({"format": "bucketed", "key": "blk", "table": "t", "n_buckets": 4}, f)
+    os.makedirs(os.path.join(index_dir, "base"))
+
+    # a healthy long-fold deployment: 2h-old heartbeat, 3h stale_after
+    lease_path = os.path.join(index_dir, "_lifecycle_lease.json")
+    with open(lease_path, "w") as f:
+        json.dump({"owner": "x", "step": "compact", "pid": 0}, f)
+    old = time.time() - 7200
+    os.utime(lease_path, (old, old))
+    st = HA.lifecycle_status(index_dir, lease_stale_after=10800)
+    assert "investigate_lease" not in st["actions"]
+    st = HA.lifecycle_status(index_dir)  # default 3600: genuinely stale
+    assert "investigate_lease" in st["actions"]
+
+    # the lease releasing between the read and the stat: one stale tick
+    real_getmtime = os.path.getmtime
+
+    def released_under_us(p):
+        if p == lease_path:
+            raise FileNotFoundError(p)
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", released_under_us)
+    st = HA.lifecycle_status(index_dir)
+    assert st["lease"] is None
+    monkeypatch.undo()
+
+    # a compaction moving the base under the stats read: surfaced, not
+    # crashed, and no bucket advice emitted off torn state
+    def moving_target(*a, **k):
+        raise FileNotFoundError("base rewritten under the monitor")
+
+    monkeypatch.setattr(FZ, "title_index_bucket_stats", moving_target)
+    st = HA.lifecycle_status(index_dir)
+    assert st["index"]["stats_unavailable"] is True
+    assert "suggested_n_buckets" not in st["index"]
+    assert "rebucket_on_next_compaction" not in st["actions"]
+
+
 def test_concurrent_contention_yields_exactly_one_holder(tmp_path):
     """The protocol's core claim under REAL concurrency: many threads
     contending for the same dir (over a stale crashed lease, and over
