@@ -1041,10 +1041,19 @@ def q_ann_ivfadc_residual_topk(spark, sf_dir):
     Cross-engine exactness: float32-widened members make every Lloyd
     AVG order-independent; all distances are sequential single-IEEE-op
     folds; (d, id) struct-sort tie-breaks mirror ORDER BY d, cluster.
-    No corpus fan-out here: training's first agg spreads the work."""
+    Corpus fan-out at the input edge (r13): training's aggregates
+    spread their SHUFFLE side, but every per-row pass (Lloyd
+    assignment x2, residual PQ encode - ~2k interpreted HOF ops/row)
+    runs IN the scan partitions, and the local fixture is ONE row
+    group = one task (profiled 2.3-2.5 s serial per encode pass).
+    Same pattern and scale story as q_ann_pq_adc_topk: a production
+    corpus scan is already thousands of splits, so the explicit
+    spread is a local-fixture device, budgeted by the plan gate."""
     emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
     return ANN.ivfadc_residual_topk(
-        emb.filter(F.col("vec_id") < 20), emb.select("vec_id", "embedding"),
+        emb.filter(F.col("vec_id") < 20),
+        emb.select("vec_id", "embedding").repartition(par),
         "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
     )
 
@@ -1108,7 +1117,10 @@ def q_ann_ivfadc_residual_recall(spark, sf_dir):
 
     res = milli(
         ANN.ivfadc_residual_topk(
-            q, c.select("vec_id", "embedding"),
+            # input-edge fan-out (r13): the per-row train/encode passes
+            # run in the scan partitions - one task on the single-row-
+            # group fixture without it (see q_ann_ivfadc_residual_topk)
+            q, c.select("vec_id", "embedding").repartition(par),
             "vec_id", "embedding", "vec_id", "embedding", 100, nprobe=4,
         ),
         "res_milli",
@@ -1142,10 +1154,14 @@ def q_ann_ivfadc_rerank_topk(spark, sf_dir):
     re-scored with exact squared L2, so quantization error is confined
     to shortlist membership and the output ordering is exact. Output is
     (query_id, neighbor_id, d2, rank) - d2 the exact distance, not the
-    ADC approximation."""
+    ADC approximation. Corpus fanned out once at the input edge (r13,
+    see q_ann_ivfadc_residual_topk); the rerank fetch rides the same
+    spread relation - still a broadcast id join, no second move."""
     emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
     return ANN.ivfadc_rerank_topk(
-        emb.filter(F.col("vec_id") < 20), emb.select("vec_id", "embedding"),
+        emb.filter(F.col("vec_id") < 20),
+        emb.select("vec_id", "embedding").repartition(par),
         "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
     )
 
@@ -1210,7 +1226,9 @@ def q_ann_ivfadc_rerank_recall(spark, sf_dir):
             ).alias(name),
         )
 
-    corpus = c.select("vec_id", "embedding")
+    # input-edge fan-out (r13): the per-row train/encode passes run in
+    # the scan partitions (see q_ann_ivfadc_residual_topk)
+    corpus = c.select("vec_id", "embedding").repartition(par)
     # ONE 100-deep shortlist feeds all three lanes (persisted: rerank,
     # ADC-order and membership views would otherwise re-run the whole
     # train+encode chain each)

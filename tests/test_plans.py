@@ -784,14 +784,21 @@ def test_pq_driver_queries_single_documented_input_fanout(spark, sf_dir):
         ("ann_pq_adc_topk", 1),
         ("ann_ivfadc_topk", 1),
         ("ann_pq_recall_bound", 2),  # + the exact lane's panel fan-out
-        # trained-residual IVFADC: training's first agg spreads the
-        # work, so not even the input fan-out is needed
-        ("ann_ivfadc_residual_topk", 0),
-        ("ann_ivfadc_residual_recall", 3),  # exact + raw-twin fan-outs
-        ("ann_ivfadc_rerank_topk", 0),  # rerank fetch is broadcast-join
-        # ONE corpus edge fan-out, re-embedded per consumer (the exact
+        # trained-residual IVFADC gained the input fan-out in r13: the
+        # training aggs spread their SHUFFLE side only - the per-row
+        # Lloyd-assignment/encode passes run in the scan partitions,
+        # one task on the single-row-group fixture (profiled 2.3-2.5 s
+        # serial per encode pass before the fan-out)
+        ("ann_ivfadc_residual_topk", 1),
+        ("ann_ivfadc_residual_recall", 4),  # + exact/raw-twin fan-outs
+        # the one input fan-out prints twice: the shortlist subtree and
+        # the rerank's raw-vector fetch re-embed the SAME spread corpus
+        # (identical subplans - ReuseExchange dedups them at runtime;
+        # the fetch itself is still a broadcast id join)
+        ("ann_ivfadc_rerank_topk", 2),
+        # ONE corpus edge fan-out per consumer re-embed (the exact
         # lane feeds three milli lanes + the rerank fetch re-reads it)
-        ("ann_ivfadc_rerank_recall", 4),
+        ("ann_ivfadc_rerank_recall", 5),
     ]:
         vex = _vector_exchanges(QUERIES[name](spark, sf_dir))
         assert len(vex) == allowed, f"{name}: {len(vex)} vector exchanges\n{vex}"
