@@ -520,9 +520,20 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N)
-    syms.unpersist()
+    # Input-edge fan-out (r13): the single-row-group local fixture
+    # makes the scan ONE task, and the training loop's persisted
+    # symbol state inherits that layout - every per-round tokenize/
+    # rewrite/pair-explode pass then runs serial (profiled: every
+    # map stage `(0+1)/1`). Same local-layout device as the IVFADC
+    # and duplicate-span queries; a production corpus scan is already
+    # thousands of splits. Merge counts/winners are partitioning-
+    # independent (total order (cnt DESC, a, b)), so results are
+    # unchanged.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N, materialize_final=False)
+    del syms  # lazy, never executed (r13: one corpus pass saved)
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, a string, b string",
@@ -592,9 +603,14 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N)
-    syms.unpersist()
+    # Input-edge fan-out + lazy final state (r13): see
+    # q_bpe_train_merges - same serial-scan-partition profile, same
+    # partitioning-independent results.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N, materialize_final=False)
+    del syms  # lazy, never executed (r13: one corpus pass saved)
 
     def _q(s: str) -> str:  # Spark SQL literal escape (backslash first)
         return s.replace("\\", "\\\\").replace("'", "''")

@@ -82,7 +82,10 @@ def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def train_bpe(
-    docs: DataFrame, text_col: str, n_merges: int
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    materialize_final: bool = True,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``n_merges`` BPE merges over whitespace tokens of
     ``text_col``; initial symbols are single characters.
@@ -91,6 +94,14 @@ def train_bpe(
     Each round: one pair-count shuffle + a 1-row winner collect + a
     map-only rewrite; the symbol state is persisted per round and the
     previous round's state unpersisted (the graph-loop protocol).
+
+    ``materialize_final=False`` returns the last round's symbol state
+    LAZY (unpersisted, recomputable from source): callers that only
+    want the merge table (the training loop's actual deliverable)
+    skip one full corpus rewrite pass - the merges themselves are
+    identical either way, since the final state is never read by the
+    winner selection (r13 optimization; guide §1.2 "don't compute
+    things you throw away").
     """
     toks = docs.select(
         F.explode(
@@ -126,11 +137,18 @@ def train_bpe(
     while len(merges) < n_merges and top and top[0]["cnt"] >= 2:
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        nxt = _apply_merge(syms, a, b).persist()
-        if len(merges) < n_merges:
-            top = _winner(nxt)  # materializes nxt as a side effect
+        last = len(merges) >= n_merges
+        if last and not materialize_final:
+            # Caller discards the state: hand back the lazy rewrite
+            # (lineage reaches the source tables, so it stays valid
+            # after the parent unpersists) without the extra pass.
+            nxt = _apply_merge(syms, a, b)
         else:
-            nxt.count()  # last round: materialize before dropping parent
+            nxt = _apply_merge(syms, a, b).persist()
+            if not last:
+                top = _winner(nxt)  # materializes nxt as a side effect
+            else:
+                nxt.count()  # last round: materialize before dropping parent
         syms.unpersist()
         syms = nxt
     return merges, syms
