@@ -951,15 +951,26 @@ def q_matches_corpus_compaction(spark, sf_dir):
 
     payroll = payroll_from_part(spark, sf_dir)
     postings = postings_from_part(spark, sf_dir)
-    for bid, batch in enumerate(
-        postings.filter(F.col("post_id") % 8 == k) for k in (0, 4)
-    ):
-        HA.fuzzy_match_salary(
-            payroll, batch, prefilter_cutoff=1, score_cutoff=85,
-            join_fn=fuzzy_join_tokensort, row_key="post_id",
-        ).write.mode("overwrite").parquet(
-            os.path.join(matches_dir, f"b{bid}")
-        )
+    # One match pass, split at the write edge (r13, guide §8: decide
+    # once on the full relation, attach the batch split cheaply).
+    # Matching is per-posting-row independent - prep is row-local, the
+    # blocking join and the per-row top-N window never look across
+    # posting rows - so filter∘match == match∘filter and each b{id}
+    # holds byte-identical rows to a per-batch match, while the
+    # payroll-side prep + blocking index build runs ONCE instead of
+    # once per batch (measured: 1.7 s per per-batch match lap, fixed
+    # cost dominated by the payroll side). The fold lanes (meta,
+    # per-batch dirs, incremental base ⊎ batch) are untouched - the
+    # exactness claim this query hashes is about the FOLD, and the
+    # folded multiset is identical either way.
+    matched = HA.fuzzy_match_salary(
+        payroll, postings, prefilter_cutoff=1, score_cutoff=85,
+        join_fn=fuzzy_join_tokensort, row_key="post_id",
+    ).persist()
+    for bid, k in enumerate((0, 4)):
+        matched.filter(F.col("post_id") % 8 == k).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(matches_dir, f"b{bid}"))
         HA._write_batch_meta(
             matches_dir, f"b{bid}",
             {"batch_id": bid, "generations": [], "payroll_deltas": [],
@@ -968,4 +979,5 @@ def q_matches_corpus_compaction(spark, sf_dir):
         # standalone corpus (no live lifecycle writers): explicit opt-out
         folded = HA.compact_matches_corpus(spark, matches_dir, lease_dir=None)
         assert folded == [f"b{bid}"], folded
+    matched.unpersist()
     return HA.read_ingested_matches(spark, matches_dir)
