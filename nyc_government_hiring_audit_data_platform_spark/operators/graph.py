@@ -40,20 +40,30 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    from pyspark.sql import Observation
+
     e = e.localCheckpoint(eager=True)
+    # Convergence metric rides the SAME job that materializes each
+    # round's labels (observe() collects during the eager checkpoint's
+    # action - the fuzzy pipeline's zero-extra-job metrics pattern),
+    # instead of a second agg+collect job per round (r13: halves the
+    # loop's job count; labels and fixpoint test are unchanged).
+    obs = Observation()
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .observe(obs, F.sum("label").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = obs.get["s"]
     for _ in range(max_iter):
         neighbor_min = (
             e.join(labels, e["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        obs = Observation()
         labels = (
             labels.alias("l")
             .join(neighbor_min.alias("n"), "node", "left")
@@ -63,9 +73,10 @@ def connected_components(
                     F.col("l.label"), F.coalesce(F.col("n.nlabel"), F.col("l.label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
