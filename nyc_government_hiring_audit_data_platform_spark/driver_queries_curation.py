@@ -1507,6 +1507,12 @@ def q_record_linkage_scores(spark, sf_dir):
     scoring is a pure expression chain (JVM levenshtein, single IEEE
     ops - bit-identical in DuckDB). Extends the reference's
     single-field fuzzy title match to the multi-evidence setting."""
+    # Input-edge fan-out (r13): the probe side of the blocked self-join
+    # evaluates the levenshtein kernel per candidate PAIR, and the
+    # single-row-group fixture runs that in ONE scan task. Heavy
+    # per-row work is exactly where the fan-out pays (the bpe/IVFADC
+    # boundary measured in OPTIMIZATION_r13.md); join output is
+    # partitioning-independent.
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1514,7 +1520,7 @@ def q_record_linkage_scores(spark, sf_dir):
         "c_acctbal",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_bucket"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     pairs = c.alias("a").join(
         c.alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
