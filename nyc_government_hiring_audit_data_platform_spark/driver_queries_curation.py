@@ -1984,7 +1984,13 @@ def q_corpus_mix_plan(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").repartition(par)
 
     base, dd = _mix_ingest_dedup(docs)
-    dd = dd.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint, not persist (r13): dd is re-referenced by the
+    # classifier chain, the domain gate, and stage 7 - under persist
+    # each reference re-embedded the dedup lineage in the analyzed
+    # tree (see _mix_funnel_tail's note); as a leaf the whole funnel's
+    # driver-side planning collapses. Same rows, computed once either
+    # way.
+    dd = dd.localCheckpoint(eager=True)
 
     # stage 3: domain reputation gate over dedup survivors (the shared
     # _domain_rep stage; reputation keyed on NULL-coalesced source, the
@@ -2025,10 +2031,14 @@ def q_corpus_mix_plan(spark, sf_dir):
     keep_src = spark.createDataFrame(
         [(s,) for s in kept], "_rsrc string"
     )
+    # rep's two driver syncs (median + keep-list) are done; nothing
+    # downstream references it - release its blocks now instead of
+    # carrying them through the funnel's own materializations (r13).
+    rep.unpersist()
     dgate = (
         dd.join(F.broadcast(keep_src), F.col("source") == F.col("_rsrc"), "leftsemi")
         .select("doc_id", "source", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     return _mix_funnel_tail(spark, base, dd, dgate)
@@ -2044,15 +2054,27 @@ def _mix_funnel_tail(spark, base, dd, dgate):
 
     Inputs: ``base`` (stage-1 ingest relation, NULL-free source),
     ``dd`` (exact-dedup survivors), ``dgate`` (domain-gate survivors);
-    each (doc_id, source, text)."""
-    from pyspark import StorageLevel
+    each (doc_id, source, text).
+
+    Multi-consumer frames are materialized with ``localCheckpoint``
+    (eager) rather than ``persist`` (r13, guide §3.3): persist dedups
+    EXECUTION but leaves the full upstream lineage in the analyzed
+    tree, and this funnel's fan-out (six stage-7 aggregates each
+    re-referencing the whole prefix) multiplied that tree to 1.9 MB
+    formatted / ~12 s of flat driver analysis+planning PER ACTION.
+    Checkpointing replaces each materialized frame with a leaf, so
+    the tree stays proportional to ONE funnel pass. Each frame was
+    already computed exactly once under persist; rows are unchanged
+    (oracle hash-verified), only the plan shrinks. Recompute-on-
+    executor-loss is traded away locally; the staged twin keeps the
+    restartable parquet-table shape that production uses."""
     from pyspark.sql import Window as W
 
     # stage 4: curation flags over domain-gate survivors
     tk = _token_df(dgate)
     ex = tk.select(
         "doc_id", F.explode(_word_grams(F.col("_tk"), _BP_N)).alias("g")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     boiler = (
         ex.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -2112,12 +2134,12 @@ def _mix_funnel_tail(spark, base, dd, dgate):
             & (F.coalesce(F.col("n_tok"), F.lit(0)) <= _LEN_MAX)
         )
         .select("doc_id", "source", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     # stage 5: duplicate-span removal over curated docs
-    ctk = _token_df(cur).persist(StorageLevel.MEMORY_AND_DISK)
-    sp = _span_df(ctk).persist(StorageLevel.MEMORY_AND_DISK)
+    ctk = _token_df(cur).localCheckpoint(eager=True)
+    sp = _span_df(ctk).localCheckpoint(eager=True)
     agg = sp.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt2"),
         F.min(
@@ -2155,7 +2177,7 @@ def _mix_funnel_tail(spark, base, dd, dgate):
             .alias("final_tokens"),
         )
         .filter(F.col("final_tokens") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     # stage 6: per-source quota in deterministic hash order
@@ -2287,8 +2309,6 @@ def q_corpus_mix_plan_staged(spark, sf_dir):
     import os
     import tempfile
 
-    from pyspark import StorageLevel
-
     from nyc_government_hiring_audit_data_platform_spark.functions.classifier import (
         _domain_rep,
     )
@@ -2329,6 +2349,6 @@ def q_corpus_mix_plan_staged(spark, sf_dir):
     dgate = (
         dd.join(F.broadcast(keep_src), F.col("source") == F.col("_rsrc"), "leftsemi")
         .select("doc_id", "source", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     return _mix_funnel_tail(spark, base, dd, dgate)

@@ -1052,10 +1052,15 @@ def kmeans_train(corpus: DataFrame, vec_col: str, iters: int = KM_ITERS) -> Data
             "cluster", F.coalesce("ncv", "cv").alias("cv")
         )
     # 16 rows, but its lineage is `iters` full corpus passes and BOTH
-    # sides of a residual search broadcast it - persist so the training
-    # chain executes once, not once per consumer (callers run under the
-    # module clearCache contract; measured ~8% on the sf0.1 slot)
-    return cent.persist(StorageLevel.MEMORY_AND_DISK)
+    # sides of a residual search broadcast it. localCheckpoint, not
+    # persist (r13, guide §3.3): persist ran the training once but
+    # left the Lloyd-pass lineage (64 avg-agg expressions x iters) in
+    # the analyzed tree, re-embedded at EVERY consumer reference - the
+    # residual family's plans ran 77-332 KB formatted with seconds of
+    # flat driver analysis/planning per action. As a 16-row leaf the
+    # training still executes exactly once and the same centroid rows
+    # feed every consumer (oracle hash-verified).
+    return cent.localCheckpoint(eager=True)
 
 
 def kmeans_train_ctes_sql(

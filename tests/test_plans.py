@@ -1017,20 +1017,21 @@ def test_containment_probe_side_is_rare_prefix_subset(spark, sf_dir):
 
 
 def test_corpus_mix_plan_tree_bounded(spark, sf_dir):
-    """Regression gate for the round-6 analyzed-tree blowup: the
-    capstone's keep-list lineage truncation keeps the analyzed plan
-    ~4k nodes (measured 3,980); without it the re-referenced
-    classifier subtree multiplies to 11.4k+ and adds ~20s of flat
-    planning per action. The staged variant must be strictly shallower
-    still (measured 2,972): its re-referenced relations are parquet
-    LEAVES, so a blowup there means a phase boundary stopped
-    materializing."""
+    """Regression gate for the round-6 analyzed-tree blowup, tightened
+    by the r13 localCheckpoint truncation: every multi-consumer funnel
+    frame is now a materialized LEAF (composed: checkpoint leaves;
+    staged: parquet leaves + checkpoint leaves in the shared tail), so
+    BOTH analyzed trees must stay ~dozens of node lines (measured 68
+    each; they share _mix_funnel_tail, hence equal). Pre-r13 the
+    persist-based composed tree was 3,980 lines / 1.9 MB formatted and
+    cost ~12 s of flat driver analysis+planning per action; a return
+    above the bound means a truncation point stopped materializing."""
     df = QUERIES["corpus_mix_plan"](spark, sf_dir)
     lines = PI.analyzed_tree_lines(df)
-    assert lines < 5000, f"analyzed tree blew up: {lines} node lines"
+    assert lines < 300, f"analyzed tree blew up: {lines} node lines"
     spark.catalog.clearCache()
     staged = QUERIES["corpus_mix_plan_staged"](spark, sf_dir)
     slines = PI.analyzed_tree_lines(staged)
-    assert slines < lines, f"staged ({slines}) not shallower than composed ({lines})"
-    assert slines < 4000, f"staged tree blew up: {slines} node lines"
+    assert slines <= lines, f"staged ({slines}) deeper than composed ({lines})"
+    assert slines < 300, f"staged tree blew up: {slines} node lines"
     spark.catalog.clearCache()
