@@ -309,6 +309,30 @@ def _probe_list_sql(dots_expr: str, nprobe: int) -> str:
     )
 
 
+def _cent_rel(spark) -> DataFrame:
+    """ONE-row relation: the pinned CENTROIDS seed packed into the same
+    cluster-sorted ``arr`` column :func:`_cent_arr` produces for trained
+    centroids (r13). Broadcast and referenced as a column the 16 x 64
+    literal block stays OUT of the expression tree - the same flat
+    driver-analysis saving as :func:`_pq_cb_rel`; values round-trip
+    createDataFrame exactly (Python floats ARE doubles)."""
+    return _cent_arr(
+        spark.createDataFrame(
+            [(i, CENTROIDS[i]) for i in range(NUM_CENTROIDS)],
+            "cluster int, cv array<double>",
+        )
+    )
+
+
+def _arr_dotprods(v: str, arr: str) -> Column:
+    """Array of dot products of column ``v`` with every centroid in the
+    packed ``arr`` column - the broadcast-relation twin of
+    :func:`_centroid_dots` (identical sequential fold per element:
+    zip_with product then left-fold add, each evaluated once)."""
+    dot = f"aggregate(zip_with({v}, s.cv, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    return F.expr(f"transform({arr}, s -> {dot})")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -737,13 +761,32 @@ def pq_topk(
     shuffle is pure loss). A caller feeding a single-file local
     fixture can pre-repartition the corpus input if encode needs the
     cores; tests/test_plans.py gates that no Exchange in this
-    operator's plan carries a vector column."""
-    c = corpus.select(
-        _c(corpus_id).alias("neighbor_id"), *_pq_subvectors(_c(corpus_vec))
-    ).select("neighbor_id", _pq_codes().alias("codes"))
-    q = queries.select(
-        _c(query_id).alias("query_id"), *_pq_subvectors(_c(query_vec))
-    ).select("query_id", _pq_lut().alias("lut"))
+    operator's plan carries a vector column.
+
+    The codebook arrives as the ONE-row broadcast ``cb`` relation
+    (r13, like the residual family - see :func:`_pq_cb_rel`): the
+    inline-literal form carried 256 four-literal distance folds per
+    side (~200 KB of formatted plan) and paid flat driver
+    analysis/planning per action; codes and LUT values are
+    bit-identical (same distance definition, evaluation order and
+    tie-break - :func:`_pq_codes_rel` notes)."""
+    model = _pq_cb_rel(corpus.sparkSession)
+    c = (
+        corpus.select(
+            _c(corpus_id).alias("neighbor_id"),
+            _c(corpus_vec).cast("array<double>").alias("cv"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select("neighbor_id", _pq_codes_rel("cv").alias("codes"))
+    )
+    q = (
+        queries.select(
+            _c(query_id).alias("query_id"),
+            _c(query_vec).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select("query_id", _pq_lut_rel("qv").alias("lut"))
+    )
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id", _pq_adist().alias("adist"))
@@ -807,24 +850,47 @@ def ivfadc_topk(
 
     Like :func:`pq_topk`, cluster assignment + encoding run IN the
     corpus's scan partitions (no repartition): anything else would
-    shuffle raw vectors, defeating the 8-byte-code design."""
-    c = corpus.select(
-        _c(corpus_id).alias("neighbor_id"),
-        _c(corpus_vec).alias("cv"),
-        *_pq_subvectors(_c(corpus_vec)),
-    ).select(
-        "neighbor_id",
-        _probe_list(_centroid_dots("cv"), 1)[0].alias("cluster"),
-        _pq_codes().alias("codes"),
+    shuffle raw vectors, defeating the 8-byte-code design.
+
+    Both model halves - the pinned CENTROIDS and PQ_CODEBOOKS - arrive
+    as ONE broadcast one-row relation (r13, the residual family's
+    shape): the inline-literal form carried ~240 KB of formatted plan
+    and paid flat driver analysis/planning per action; dots, codes and
+    LUT values are bit-identical (:func:`_cent_rel`,
+    :func:`_pq_codes_rel` notes)."""
+    spark = corpus.sparkSession
+    model = _cent_rel(spark).crossJoin(_pq_cb_rel(spark))
+    c = (
+        corpus.select(
+            _c(corpus_id).alias("neighbor_id"),
+            _c(corpus_vec).cast("array<double>").alias("cv"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "neighbor_id", "cv", "cb",
+            _arr_dotprods("cv", "arr").alias("dots"),
+        )
+        .select(
+            "neighbor_id",
+            _probe_list(F.col("dots"), 1)[0].alias("cluster"),
+            _pq_codes_rel("cv").alias("codes"),
+        )
     )
-    q = queries.select(
-        _c(query_id).alias("query_id"),
-        _c(query_vec).alias("qv"),
-        *_pq_subvectors(_c(query_vec)),
-    ).select(
-        "query_id",
-        F.explode(_probe_list(_centroid_dots("qv"), nprobe)).alias("cluster"),
-        _pq_lut().alias("lut"),
+    q = (
+        queries.select(
+            _c(query_id).alias("query_id"),
+            _c(query_vec).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "query_id", "qv", "cb",
+            _arr_dotprods("qv", "arr").alias("dots"),
+        )
+        .select(
+            "query_id",
+            F.explode(_probe_list(F.col("dots"), nprobe)).alias("cluster"),
+            _pq_lut_rel("qv").alias("lut"),
+        )
     )
     scored = c.join(
         F.broadcast(q),

@@ -759,7 +759,12 @@ def test_ivfadc_operator_no_vector_exchange_cluster_equijoin(spark, sf_dir):
     """ivfadc_topk given a plain corpus scan: zero vector-carrying
     exchanges (cluster assignment + PQ encode are map-side), and the
     candidate cut is a real hash equi-join on cluster - never a nested
-    loop over the corpus."""
+    loop over the corpus. Since r13 the centroid/codebook model rides
+    as a ONE-row broadcast relation (the residual family's shape), so
+    the plan carries exactly the two model-attach nested loops (corpus
+    side + query side) - a nested loop against a 1-row build relation
+    is a per-row column bind, not a corpus x corpus scan, which the
+    zero-vector-exchange and BroadcastHashJoin gates still preclude."""
     from nyc_government_hiring_audit_data_platform_spark.operators import ann as ANN
     from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
 
@@ -771,7 +776,12 @@ def test_ivfadc_operator_no_vector_exchange_cluster_equijoin(spark, sf_dir):
     assert _vector_exchanges(df) == []
     plan = PI.physical_plan(df)
     assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # 4 one-row nested-loop nodes (the arr x cb model composition and
+    # the model attach, on each of corpus/query side), each printed
+    # twice by the formatted explain (tree + details)
+    assert plan.count("BroadcastNestedLoopJoin") <= 8, (
+        "more nested loops than the one-row model attaches"
+    )
     assert "CartesianProduct" not in plan
 
 
