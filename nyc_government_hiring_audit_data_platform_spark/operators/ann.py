@@ -315,12 +315,13 @@ def _cent_rel(spark) -> DataFrame:
     centroids (r13). Broadcast and referenced as a column the 16 x 64
     literal block stays OUT of the expression tree - the same flat
     driver-analysis saving as :func:`_pq_cb_rel`; values round-trip
-    createDataFrame exactly (Python floats ARE doubles)."""
-    return _cent_arr(
-        spark.createDataFrame(
-            [(i, CENTROIDS[i]) for i in range(NUM_CENTROIDS)],
-            "cluster int, cv array<double>",
-        )
+    createDataFrame exactly (Python floats ARE doubles). Built as one
+    LOCAL row (not an agg over a 16-row relation): the seed is already
+    cluster-ordered, and an agg would add an Exchange to every
+    consumer's plan."""
+    return spark.createDataFrame(
+        [([(i, CENTROIDS[i]) for i in range(NUM_CENTROIDS)],)],
+        "arr array<struct<cluster:int,cv:array<double>>>",
     )
 
 
@@ -351,7 +352,14 @@ def ivf_topk(
     (queries x nprobe) probe rows broadcast - and candidate volume is
     ~nprobe/NUM_CENTROIDS of the corpus. Recall < 1 by design; raise
     nprobe toward NUM_CENTROIDS to trade speed for recall (nprobe =
-    NUM_CENTROIDS is exact brute force)."""
+    NUM_CENTROIDS is exact brute force).
+
+    The 16 x 64 centroid literals stay INLINE here (unlike the PQ
+    codebook relation in ivfadc_topk): an r13 A/B of the broadcast-
+    relation form measured a flat ~0.3-0.4 s REGRESSION on this
+    family's slots - the literal block is only ~13 KB of plan (vs
+    ~200 KB for the codebooks), so the analysis saving is negligible
+    while the one-row attach adds a real broadcast build + bind."""
     c = corpus.select(
         _c(corpus_id).alias("neighbor_id"), _c(corpus_vec).alias("cv")
     ).select(  # 16-centroid fold runs in the scan partitions
@@ -859,7 +867,7 @@ def ivfadc_topk(
     LUT values are bit-identical (:func:`_cent_rel`,
     :func:`_pq_codes_rel` notes)."""
     spark = corpus.sparkSession
-    model = _cent_rel(spark).crossJoin(_pq_cb_rel(spark))
+    model = _cent_rel(spark).crossJoin(F.broadcast(_pq_cb_rel(spark)))
     c = (
         corpus.select(
             _c(corpus_id).alias("neighbor_id"),
