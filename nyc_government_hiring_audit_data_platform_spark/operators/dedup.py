@@ -804,8 +804,25 @@ def incremental_neardup(
             F.col("n.hs").alias("hs_a"),
             F.col("c.hs").alias("hs_b"),
         )
-        .dropDuplicates(["new_id", "corpus_id"])
     )
-    return jaccard_verify(cand, jaccard_threshold).select(
-        "new_id", "corpus_id", "jaccard"
+    # Verify BEFORE the pair dedup, not after: the candidate join's
+    # output lives in the index-side scan partitions (broadcast join),
+    # so the exact-Jaccard fold runs map-side there, and the only
+    # exchange in the operator then carries (new_id, corpus_id,
+    # jaccard) - 24 bytes/pair - instead of both shingle-hash sets.
+    # Deduping first looked cheaper (one verify per pair instead of one
+    # per shared band), but dropDuplicates over array payloads plans as
+    # Sort + SortAggregate(first(hs_a), first(hs_b)) AROUND the
+    # exchange: every candidate row is sorted WITH its arrays and the
+    # arrays cross the wire (measured sf0.1: the verify save stage at
+    # 24.5 s task CPU, the operator's hottest stage). jaccard is a
+    # pure function of the pair, identical in every band copy, so
+    # grouping on all three columns is the same row set - and with no
+    # array in grouping keys or buffer the dedup is a plain
+    # HashAggregate. Extra cost: pairs sharing k bands fold k
+    # intersects map-side (k <= BANDS, overwhelmingly 1).
+    return (
+        jaccard_verify(cand, jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+        .dropDuplicates(["new_id", "corpus_id", "jaccard"])
     )

@@ -980,6 +980,33 @@ def test_incremental_probe_never_shuffles_the_index(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_incremental_probe_dedup_exchange_ships_no_shingle_arrays(spark, sf_dir):
+    """incremental_neardup's ONE shuffle (the pair dedup) must carry
+    only (new_id, corpus_id, jaccard) - the exact verify runs map-side
+    in the index scan partitions BEFORE the exchange (r13, guide §2.3:
+    shuffle metadata, not payloads). The pre-r13 shape deduped first
+    with dropDuplicates over the array payloads, which planned as
+    Sort + SortAggregate(first(hs_a), first(hs_b)) around an exchange
+    whose rows carried both shingle-hash sets (its first() buffers
+    surface as valueSet columns in the Exchange block) - measured as
+    the operator's hottest stage (24.5 s task CPU at sf0.1)."""
+    import re
+
+    from nyc_government_hiring_audit_data_platform_spark.operators import dedup as D
+    from nyc_government_hiring_audit_data_platform_spark.driver_queries import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = D.build_band_index(docs.filter(F.col("doc_id") % 5 == 1), "text", "doc_id")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    df = D.incremental_neardup(batch, idx, "text", "doc_id", 0.25)
+    assert "SortAggregate" not in PI.physical_plan(df)
+    for b in PI.exchange_blocks(df):
+        assert not re.search(r"\bhs(_a|_b)?#|valueSet#", b), (
+            "pair-dedup exchange carries shingle arrays:\n" + b
+        )
+    spark.catalog.clearCache()
+
+
 def test_rerank_fetch_is_broadcast_id_join(spark, sf_dir):
     """The exact-rerank stage's raw-vector fetch must be a broadcast
     hash equi-join of the BOUNDED shortlist against the corpus scan
