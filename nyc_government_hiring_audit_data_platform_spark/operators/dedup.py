@@ -275,6 +275,14 @@ def minhash_lsh_pairs(
     docs = (
         df.select(_c(id_col).alias("id"), _c(text_col).alias("txt"))
         .select("id", hashed_shingles(F.col("txt"), n).alias("hs"))
+        # The 12-permutation signature fold rides INSIDE the persisted
+        # projection (r13): band-side consumers re-derive the fold per
+        # reference when only hs is cached - one extra pass in the
+        # plain self-join lane, two in the grid-split lane (occupancy
+        # agg + each grid side; the split sides differ so no exchange
+        # reuse applies). Folding at materialization runs it exactly
+        # once for 12 extra longs/row of cache.
+        .withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
         # three consumers (bands + both verify sides); AQE does not
         # unify their exchanges, so without persist the shingle hashing
         # runs 3x (measured 2.5x end-to-end). MEMORY_AND_DISK spills at
@@ -282,7 +290,7 @@ def minhash_lsh_pairs(
         # garbage-collected.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = docs.select("id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
+    sigs = docs.select("id", "sig")
     bands = band_rows(sigs).select("id", "band", "bh")
     if max_bucket is not None:
         # deterministic min-id truncation; the window shuffles on the
