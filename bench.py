@@ -213,17 +213,36 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Artifact-contract hardening (r14): the driver stores only the LAST
+    # 2000 chars of stdout, and with 100+ slots the full JSON line is
+    # ~4 KB - BENCH_r12's stored artifact lost the line's head and
+    # PERF_r13 could not compute a single prev/now pair. Mitigations,
+    # without touching the driver contract (stdout stays EXACTLY one
+    # JSON line, byte-identical format): the full per-query map is also
+    # written to BENCH_LAST.json in the repo (committed each close, so
+    # the next round's PERF always has a parseable prev even if the
+    # stdout artifact truncates again), and a short headline goes to
+    # stderr for humans tailing the run.
+    try:
+        with open(os.path.join(REPO_DIR, "BENCH_LAST.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+            {"metric": "headline_queries_total", "value": total, "unit": "sec", "sf": sf}
+        ),
+        file=sys.stderr,
     )
+    print(json.dumps(payload))
     spark.stop()
 
 

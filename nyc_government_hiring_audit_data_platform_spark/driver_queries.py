@@ -156,6 +156,56 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Observed scan width per (application, parquet dir). Planning metadata,
+# NOT query results: the split count of an immutable parquet directory
+# cannot change within a session, while observing it costs a fresh
+# plan->RDD conversion (~50-170 ms) that must not be re-paid inside
+# every timed query build.
+_SCAN_WIDTH: dict[tuple[str, str], int] = {}
+
+
+def scan_width(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Number of partitions the scan of ``sf_dir/name`` plans as."""
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    w = _SCAN_WIDTH.get(key)
+    if w is None:
+        w = table(spark, sf_dir, name).rdd.getNumPartitions()
+        _SCAN_WIDTH[key] = w
+    return w
+
+
+def fan_out(df: DataFrame, width: int | None = None) -> DataFrame:
+    """Input-edge fan-out, gated on observed scan parallelism.
+
+    The local sf fixtures scan as ONE split (a single parquet row group
+    is not splittable, so ``spark.sql.files.minPartitionNum`` cannot
+    help), leaving every pre-shuffle map pass serial; the only remedy is
+    an explicit round-robin spread of the edge. But that spread must
+    never reach a production scan: ``repartition(n)`` plans as
+    REPARTITION_BY_NUM, which is EXEMPT from AQE partition coalescing,
+    so an unconditional call would force a full payload shuffle of the
+    corpus on every query edge - and a scan already wider than
+    ``defaultParallelism`` would be COALESCED DOWN, reducing
+    parallelism. Hence the gate: spread only when the observed input
+    width is below ``defaultParallelism``.
+
+    ``width`` is the caller's observation of ``df``'s partition count -
+    pass ``scan_width(...)`` when ``df`` is a projection/filter of one
+    base table (narrow ops preserve the scan's partitioning, and the
+    memoized lookup is free); leave ``None`` to observe ``df`` directly
+    (one plan->RDD conversion, fine off the per-query hot path).
+
+    Every caller's result is partitioning-independent (established
+    per-site when the unconditional spreads landed in r8/r13), so the
+    gate changes plans, never rows.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    return df.repartition(par) if width < par else df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -805,11 +855,10 @@ def q_date_impute_duration(spark, sf_dir):
     impute +30 days (reference: src/utils.py:118-138), parse the
     uppercased %d-%b-%Y form back, and compute posting_duration_days
     (reference: sql/cleaned.sql:10)."""
-    par = spark.sparkContext.defaultParallelism
-    ev = (
-        table(spark, sf_dir, "events")
-        .select("event_id", "ts", "event_type")
-        .repartition(par)  # date parse/format chains off a 1-file scan
+    # date parse/format chains off a 1-file scan: gated fan-out (r14)
+    ev = fan_out(
+        table(spark, sf_dir, "events").select("event_id", "ts", "event_type"),
+        scan_width(spark, sf_dir, "events"),
     )
     src = ev.select(
         "event_id",

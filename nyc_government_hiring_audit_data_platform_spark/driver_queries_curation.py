@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+    fan_out,
+    query,
+    scan_width,
+    table,
+)
 from nyc_government_hiring_audit_data_platform_spark.functions.text import (
     normalize_text_sql,
 )
@@ -447,8 +452,9 @@ def q_duplicate_span_detect(spark, sf_dir):
     span text move), one span-grouped count, equi-join back, and the
     island window partitioned BY DOC - every stage is key-grouped;
     volume is span-count ~ token-count, linear in the corpus."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     sp = _span_df(_token_df(docs))
     freq = sp.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
@@ -541,8 +547,9 @@ def q_duplicate_span_removal(spark, sf_dir):
     stage is keyed by span hash or doc_id, volume linear in tokens.
     (duplicate_span_detect is the DETECTION report on the same spans;
     this query ships the cleaned corpus.)"""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     from pyspark import StorageLevel
 
@@ -773,12 +780,14 @@ def q_hard_negative_mining(spark, sf_dir):
         F.col("embedding").alias("av"),
         F.col("label").alias("alabel"),
     )
-    par = spark.sparkContext.defaultParallelism
-    cand = emb.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("embedding").alias("cv"),
-        F.col("label").alias("clabel"),
-    ).repartition(par)
+    cand = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("embedding").alias("cv"),
+            F.col("label").alias("clabel"),
+        ),
+        scan_width(spark, sf_dir, "embeddings"),
+    )
     scored = cand.join(
         F.broadcast(anchors), F.col("alabel") != F.col("clabel")
     ).select(
@@ -1507,12 +1516,12 @@ def q_record_linkage_scores(spark, sf_dir):
     scoring is a pure expression chain (JVM levenshtein, single IEEE
     ops - bit-identical in DuckDB). Extends the reference's
     single-field fuzzy title match to the multi-evidence setting."""
-    # Input-edge fan-out (r13): the probe side of the blocked self-join
-    # evaluates the levenshtein kernel per candidate PAIR, and the
-    # single-row-group fixture runs that in ONE scan task. Heavy
-    # per-row work is exactly where the fan-out pays (the bpe/IVFADC
-    # boundary measured in OPTIMIZATION_r13.md); join output is
-    # partitioning-independent.
+    # Input-edge fan-out (r13, gated r14): the probe side of the
+    # blocked self-join evaluates the levenshtein kernel per candidate
+    # PAIR, and the single-row-group fixture runs that in ONE scan
+    # task. Heavy per-row work is exactly where the fan-out pays (the
+    # bpe/IVFADC boundary measured in OPTIMIZATION_r13.md); join output
+    # is partitioning-independent.
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1520,7 +1529,8 @@ def q_record_linkage_scores(spark, sf_dir):
         "c_acctbal",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 500).cast("long").alias("bal_bucket"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
+    c = fan_out(c, scan_width(spark, sf_dir, "customer"))
     pairs = c.alias("a").join(
         c.alias("b"),
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
@@ -1980,8 +1990,10 @@ def q_corpus_mix_plan(spark, sf_dir):
     under the module's clearCache contract."""
     from pyspark import StorageLevel
 
-    par = spark.sparkContext.defaultParallelism
-    docs = table(spark, sf_dir, "documents").repartition(par)
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
+    )
 
     base, dd = _mix_ingest_dedup(docs)
     # localCheckpoint, not persist (r13): dd is re-referenced by the
@@ -2313,14 +2325,16 @@ def q_corpus_mix_plan_staged(spark, sf_dir):
         _domain_rep,
     )
 
-    par = spark.sparkContext.defaultParallelism
     stage_root = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_staged",
         hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
 
-    docs = table(spark, sf_dir, "documents").repartition(par)
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
+    )
     base, dd0 = _mix_ingest_dedup(docs)
 
     # phase boundary 1: dedup survivors -> real table -> leaf node

@@ -22,7 +22,12 @@ from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
     norm_round,
 )
 
-from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+    fan_out,
+    query,
+    scan_width,
+    table,
+)
 from nyc_government_hiring_audit_data_platform_spark.functions.text import (
     normalize_text,
     normalize_text_sql,
@@ -57,12 +62,11 @@ def q_minhash_lsh(spark, sf_dir):
     buckets collide broadly; the sample keeps the oracle tractable).
     Input fanned out HERE (single-row-group local fixture) - the
     operator itself shuffles no text (dedup.py input-edge contract)."""
-    par = spark.sparkContext.defaultParallelism
-    docs = (
+    docs = fan_out(
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", "text")
-        .repartition(par)
+        .select("doc_id", "text"),
+        scan_width(spark, sf_dir, "documents"),
     )
     return DD.minhash_lsh_pairs(docs, "text", "doc_id", 0.25)
 
@@ -80,12 +84,11 @@ def q_minhash_lsh_split(spark, sf_dir):
     BIT-IDENTICAL output - the oracle is the plain unsplit SQL, so the
     hash row IS the cross-engine losslessness proof (split_threshold 3
     makes the fixture's buckets actually split)."""
-    par = spark.sparkContext.defaultParallelism
-    docs = (
+    docs = fan_out(
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", "text")
-        .repartition(par)
+        .select("doc_id", "text"),
+        scan_width(spark, sf_dir, "documents"),
     )
     return DD.minhash_lsh_pairs(
         docs, "text", "doc_id", 0.25, split_buckets=4, split_threshold=3
@@ -102,12 +105,11 @@ def q_ngram_jaccard(spark, sf_dir):
     """Exact shingle-blocked n-gram Jaccard join on a 1/10th document
     sample (the exact quadratic variant; MinHash LSH is the scale path).
     Input fanned out here, not in the operator (dedup.py contract)."""
-    par = spark.sparkContext.defaultParallelism
-    docs = (
+    docs = fan_out(
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "text")
-        .repartition(par)
+        .select("doc_id", "text"),
+        scan_width(spark, sf_dir, "documents"),
     )
     return DD.ngram_jaccard_pairs(docs, "text", "doc_id", 0.25)
 
@@ -200,8 +202,9 @@ def q_winnowing_fingerprints(spark, sf_dir):
     # repartition BEFORE the per-char md5 pass: a single-file source
     # otherwise hashes every gram in one task (operators/dedup.py's
     # documented pattern)
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     # O(len^2) traps engineered out (see char_shingles): the normalized
     # text is hoisted to a CHAR-ARRAY column (no CSE inside HOF
@@ -265,13 +268,13 @@ def q_incremental_neardup_batch(spark, sf_dir):
     gives the operator a direct driver hash check. Both slices fanned
     out at this edge (single-file fixture; the operators shuffle no
     text)."""
-    par = spark.sparkContext.defaultParallelism
+    dw = scan_width(spark, sf_dir, "documents")
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = DD.build_band_index(
-        docs.filter(F.col("doc_id") % 5 == 1).repartition(par), "text", "doc_id"
+        fan_out(docs.filter(F.col("doc_id") % 5 == 1), dw), "text", "doc_id"
     )
     return DD.incremental_neardup(
-        docs.filter(F.col("doc_id") % 5 == 0).repartition(par),
+        fan_out(docs.filter(F.col("doc_id") % 5 == 0), dw),
         idx, "text", "doc_id", 0.25,
     )
 
@@ -358,9 +361,9 @@ def q_minhash_lsh_recall(spark, sf_dir):
             & (F.length(normalize_text(F.col("text"))) >= TS.SHINGLE_N)
         )
         .select("doc_id", "text")
-        # ONE input-edge fan-out shared by both lanes (dedup.py contract)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # ONE gated input-edge fan-out shared by both lanes (dedup.py contract)
+    docs = fan_out(docs, scan_width(spark, sf_dir, "documents"))
     # both lanes referenced twice (count + hits join): persist, or the
     # quadratic exact join and the LSH chain each run ~2x (the module's
     # multi-consumer precedent)
@@ -667,14 +670,14 @@ def _semdedup_plan(spark, sf_dir, sub_bits: int):
     re-learning centroids. The keep rule stays distance-from-COARSE-
     centroid (the oracle's pinned literals)."""
     emb = table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
+    ew = scan_width(spark, sf_dir, "embeddings")
     v = ANN._vec_sql("v")
     selfdot = (
         f"aggregate(zip_with({v}, {v}, (a, b) -> a * b), "
         f"0.0D, (acc, x) -> acc + x)"
     )
     norms = "array(" + ", ".join(f"{n}D" for n in _SD_NORMS) + ")"
-    b0 = emb.repartition(par).select(
+    b0 = fan_out(emb, ew).select(
         "vec_id",
         F.col("embedding").alias("v"),
         ANN._centroid_dots("embedding").alias("ds"),
@@ -881,12 +884,11 @@ def _emb_filtered_par(spark, sf_dir, pred):
     """Filtered (vec_id, embedding) corpus, fanned out at the input
     edge AFTER the pushed-down filter (filter-then-select keeps the
     predicate at the scan; the fan-out moves only survivors)."""
-    par = spark.sparkContext.defaultParallelism
-    return (
+    return fan_out(
         table(spark, sf_dir, "embeddings")
         .filter(pred)
-        .select("vec_id", "embedding")
-        .repartition(par)
+        .select("vec_id", "embedding"),
+        scan_width(spark, sf_dir, "embeddings"),
     )
 
 
@@ -914,8 +916,8 @@ def q_ann_pq_adc_topk(spark, sf_dir):
     thousands of splits and pq_topk itself adds no exchange (the gate
     in tests/test_plans.py pins both shapes)."""
     emb = table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
-    corpus = emb.select("vec_id", "embedding").repartition(par)
+    ew = scan_width(spark, sf_dir, "embeddings")
+    corpus = fan_out(emb.select("vec_id", "embedding"), ew)
     return ANN.pq_topk(
         emb.filter(F.col("vec_id") < 20), corpus, "vec_id", "embedding",
         "vec_id", "embedding", 5,
@@ -947,8 +949,8 @@ def q_ann_ivfadc_topk(spark, sf_dir):
     fanned out here (single-row-group local fixture), never in the
     operator - see q_ann_pq_adc_topk."""
     emb = table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
-    corpus = emb.select("vec_id", "embedding").repartition(par)
+    ew = scan_width(spark, sf_dir, "embeddings")
+    corpus = fan_out(emb.select("vec_id", "embedding"), ew)
     return ANN.ivfadc_topk(
         emb.filter(F.col("vec_id") < 20), corpus, "vec_id", "embedding",
         "vec_id", "embedding", 5, nprobe=4,
@@ -985,11 +987,14 @@ def q_ann_pq_recall_bound(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    par = spark.sparkContext.defaultParallelism
-    cc = c.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).repartition(par)
+    ew = scan_width(spark, sf_dir, "embeddings")
+    cc = fan_out(
+        c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        ew,
+    )
     d2 = F.expr(
         "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1004,7 +1009,7 @@ def q_ann_pq_recall_bound(spark, sf_dir):
     shortlist = ANN.pq_topk(
         # corpus fan-out at the edge (single-row-group local fixture;
         # pq_topk itself adds no exchange - see q_ann_pq_adc_topk)
-        q, c.select("vec_id", "embedding").repartition(par),
+        q, fan_out(c.select("vec_id", "embedding"), ew),
         "vec_id", "embedding", "vec_id", "embedding", 100,
     )
     e = exact.groupBy("query_id").agg(F.collect_set("neighbor_id").alias("es"))
@@ -1050,10 +1055,10 @@ def q_ann_ivfadc_residual_topk(spark, sf_dir):
     corpus scan is already thousands of splits, so the explicit
     spread is a local-fixture device, budgeted by the plan gate."""
     emb = table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
+    ew = scan_width(spark, sf_dir, "embeddings")
     return ANN.ivfadc_residual_topk(
         emb.filter(F.col("vec_id") < 20),
-        emb.select("vec_id", "embedding").repartition(par),
+        fan_out(emb.select("vec_id", "embedding"), ew),
         "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
     )
 
@@ -1080,15 +1085,18 @@ def q_ann_ivfadc_residual_recall(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     c = emb.filter(F.col("vec_id") % 50 != 0)
-    par = spark.sparkContext.defaultParallelism
+    ew = scan_width(spark, sf_dir, "embeddings")
     qq = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    cc = c.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).repartition(par)
+    cc = fan_out(
+        c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        ew,
+    )
     d2 = F.expr(
         "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1120,14 +1128,14 @@ def q_ann_ivfadc_residual_recall(spark, sf_dir):
             # input-edge fan-out (r13): the per-row train/encode passes
             # run in the scan partitions - one task on the single-row-
             # group fixture without it (see q_ann_ivfadc_residual_topk)
-            q, c.select("vec_id", "embedding").repartition(par),
+            q, fan_out(c.select("vec_id", "embedding"), ew),
             "vec_id", "embedding", "vec_id", "embedding", 100, nprobe=4,
         ),
         "res_milli",
     )
     raw = milli(
         ANN.ivfadc_topk(
-            q, c.select("vec_id", "embedding").repartition(par),
+            q, fan_out(c.select("vec_id", "embedding"), ew),
             "vec_id", "embedding", "vec_id", "embedding", 100, nprobe=4,
         ),
         "raw_milli",
@@ -1158,10 +1166,10 @@ def q_ann_ivfadc_rerank_topk(spark, sf_dir):
     see q_ann_ivfadc_residual_topk); the rerank fetch rides the same
     spread relation - still a broadcast id join, no second move."""
     emb = table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
+    ew = scan_width(spark, sf_dir, "embeddings")
     return ANN.ivfadc_rerank_topk(
         emb.filter(F.col("vec_id") < 20),
-        emb.select("vec_id", "embedding").repartition(par),
+        fan_out(emb.select("vec_id", "embedding"), ew),
         "vec_id", "embedding", "vec_id", "embedding", 5, nprobe=4,
     )
 
@@ -1191,15 +1199,18 @@ def q_ann_ivfadc_rerank_recall(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     c = emb.filter(F.col("vec_id") % 50 != 0)
-    par = spark.sparkContext.defaultParallelism
+    ew = scan_width(spark, sf_dir, "embeddings")
     qq = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    cc = c.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).repartition(par)
+    cc = fan_out(
+        c.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        ew,
+    )
     d2 = F.expr(
         "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1228,7 +1239,7 @@ def q_ann_ivfadc_rerank_recall(spark, sf_dir):
 
     # input-edge fan-out (r13): the per-row train/encode passes run in
     # the scan partitions (see q_ann_ivfadc_residual_topk)
-    corpus = c.select("vec_id", "embedding").repartition(par)
+    corpus = fan_out(c.select("vec_id", "embedding"), ew)
     # ONE 100-deep shortlist feeds all three lanes (persisted: rerank,
     # ADC-order and membership views would otherwise re-run the whole
     # train+encode chain each)
@@ -1326,10 +1337,13 @@ def q_kmeans_iteration(spark, sf_dir):
 
 
 def _docs_par(spark, sf_dir, *cols):
-    """documents slice, repartitioned so per-row expression work spreads
-    across cores instead of running in the single-file scan's one task."""
-    par = spark.sparkContext.defaultParallelism
-    return table(spark, sf_dir, "documents").select(*cols).repartition(par)
+    """documents slice, fanned out (gated on observed scan width, r14)
+    so per-row expression work spreads across cores instead of running
+    in the single-file scan's one task."""
+    return fan_out(
+        table(spark, sf_dir, "documents").select(*cols),
+        scan_width(spark, sf_dir, "documents"),
+    )
 
 
 def _emb_par(spark, sf_dir):
@@ -1338,11 +1352,9 @@ def _emb_par(spark, sf_dir):
     per-vector folds need an explicit spread; a production corpus scan
     is already thousands of splits and the ANN operators themselves add
     no vector exchange (plan-gated in tests/test_plans.py)."""
-    par = spark.sparkContext.defaultParallelism
-    return (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .repartition(par)
+    return fan_out(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        scan_width(spark, sf_dir, "embeddings"),
     )
 
 

@@ -17,7 +17,12 @@ from nyc_government_hiring_audit_data_platform_spark.functions.numeric import (
     norm_round,
 )
 
-from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+    fan_out,
+    query,
+    scan_width,
+    table,
+)
 from nyc_government_hiring_audit_data_platform_spark.functions.textstats import (
     char_shingles,
     char_shingles_sql,
@@ -59,8 +64,9 @@ def q_pii_redaction(spark, sf_dir):
     expression chain - composes with scan pruning at any scale; the
     patterns stay in the RE2-compatible subset so the same rules run on
     Spark, DuckDB, and RE2-based PII scanners unchanged."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     raw = F.concat(
         F.substring("text", 1, 40),
@@ -120,8 +126,9 @@ def q_repetition_ratio(spark, sf_dir):
     stage; the bigram arrays never leave the row. Both engines build
     bigrams with 1-based element_at over the same token list, so the
     ratio is exact (int/int division on identical counts)."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     toks = docs.select(
         "doc_id",
@@ -325,8 +332,9 @@ def q_embedding_l2_normalize(spark, sf_dir):
     normalize-before-cosine preprocessing for the ANN family. Per-row
     array fold (left-to-right in both engines, so bit-identical);
     map-side only, no shuffle at any scale."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings"),
+        scan_width(spark, sf_dir, "embeddings"),
     )
     sq = emb.select(
         "vec_id",
@@ -376,8 +384,9 @@ def q_benchmark_contamination(spark, sf_dir):
     and broadcasts; the corpus side is one explode + equi-join + count
     - linear, never doc x doc. Corpus grams are per-doc DISTINCT
     (char_shingles dedups), so COUNT(*) counts distinct shared grams."""
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     bench = (
         docs.filter(F.col("doc_id") % 50 == 0)
@@ -573,8 +582,9 @@ def q_embedding_int8_quantize(spark, sf_dir):
     quantized codes are exact integers so the output hashes identically
     across engines (codes emitted as a ','-joined string - driver
     hasher can't take raw arrays)."""
-    emb = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings"),
+        scan_width(spark, sf_dir, "embeddings"),
     )
     sc = emb.select(
         "vec_id",

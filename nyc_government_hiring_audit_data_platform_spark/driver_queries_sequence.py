@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_government_hiring_audit_data_platform_spark.driver_queries import query, table
+from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+    fan_out,
+    query,
+    scan_width,
+    table,
+)
 from nyc_government_hiring_audit_data_platform_spark.functions.dates import (
     epoch_seconds_sql,
 )
@@ -520,17 +525,17 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    # Input-edge fan-out (r13): the single-row-group local fixture
-    # makes the scan ONE task, and the training loop's persisted
-    # symbol state inherits that layout - every per-round tokenize/
-    # rewrite/pair-explode pass then runs serial (profiled: every
-    # map stage `(0+1)/1`). Same local-layout device as the IVFADC
-    # and duplicate-span queries; a production corpus scan is already
-    # thousands of splits. Merge counts/winners are partitioning-
-    # independent (total order (cnt DESC, a, b)), so results are
-    # unchanged.
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # Input-edge fan-out (r13, gated r14): the single-row-group local
+    # fixture makes the scan ONE task, and the training loop's
+    # persisted symbol state inherits that layout - every per-round
+    # tokenize/rewrite/pair-explode pass then runs serial (profiled:
+    # every map stage `(0+1)/1`). A production corpus scan is already
+    # thousands of splits, so fan_out's width gate skips the spread
+    # there. Merge counts/winners are partitioning-independent (total
+    # order (cnt DESC, a, b)), so results are unchanged.
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N, materialize_final=False)
     del syms  # lazy, never executed (r13: one corpus pass saved)
@@ -603,11 +608,12 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bpe,
     )
 
-    # Input-edge fan-out + lazy final state (r13): see
+    # Gated input-edge fan-out + lazy final state (r13/r14): see
     # q_bpe_train_merges - same serial-scan-partition profile, same
     # partitioning-independent results.
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = fan_out(
+        table(spark, sf_dir, "documents"),
+        scan_width(spark, sf_dir, "documents"),
     )
     merges, syms = train_bpe(docs, "text", _BPE_TRAIN_N, materialize_final=False)
     del syms  # lazy, never executed (r13: one corpus pass saved)

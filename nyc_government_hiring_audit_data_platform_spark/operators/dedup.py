@@ -824,13 +824,17 @@ def incremental_neardup(
     # exchange: every candidate row is sorted WITH its arrays and the
     # arrays cross the wire (measured sf0.1: the verify save stage at
     # 24.5 s task CPU, the operator's hottest stage). jaccard is a
-    # pure function of the pair, identical in every band copy, so
-    # grouping on all three columns is the same row set - and with no
-    # array in grouping keys or buffer the dedup is a plain
-    # HashAggregate. Extra cost: pairs sharing k bands fold k
-    # intersects map-side (k <= BANDS, overwhelmingly 1).
+    # pure function of the pair, identical in every band copy; the
+    # dedup GROUPS ON THE PAIR ALONE and folds jaccard with min() (r14,
+    # ADVICE): one row per pair is now structural rather than dependent
+    # on jaccard's value determinism, min over bit-identical copies is
+    # that copy, and with no array in grouping keys or buffer the dedup
+    # stays a plain HashAggregate whose exchange carries 24 bytes/pair.
+    # Extra cost: pairs sharing k bands fold k intersects map-side
+    # (k <= BANDS, overwhelmingly 1).
     return (
         jaccard_verify(cand, jaccard_threshold)
         .select("new_id", "corpus_id", "jaccard")
-        .dropDuplicates(["new_id", "corpus_id", "jaccard"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.min("jaccard").alias("jaccard"))
     )

@@ -209,11 +209,18 @@ def run_dedup_ingest(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # input-edge fan-out (dedup.py contract): a micro-batch arrives
-        # in however few partitions the source produced; the dedup
-        # operators themselves never shuffle text
-        par = spark.sparkContext.defaultParallelism
-        batch = batch_df.select("doc_id", "text").repartition(par).persist()
+        # input-edge fan-out (dedup.py contract), gated on the batch's
+        # observed width (r14): a micro-batch may arrive in however few
+        # partitions the source produced - spread it only then; a batch
+        # already >= defaultParallelism partitions keeps its layout
+        # (repartition(n) is AQE-coalescing-exempt and would force a
+        # full text shuffle per batch). The dedup operators themselves
+        # never shuffle text.
+        from nyc_government_hiring_audit_data_platform_spark.driver_queries import (
+            fan_out,
+        )
+
+        batch = fan_out(batch_df.select("doc_id", "text")).persist()
         try:
             try:
                 index = spark.read.parquet(f"{index_dir}/b*").filter(

@@ -981,15 +981,21 @@ def test_incremental_probe_never_shuffles_the_index(spark, sf_dir):
 
 
 def test_incremental_probe_dedup_exchange_ships_no_shingle_arrays(spark, sf_dir):
-    """incremental_neardup's ONE shuffle (the pair dedup) must carry
-    only (new_id, corpus_id, jaccard) - the exact verify runs map-side
-    in the index scan partitions BEFORE the exchange (r13, guide §2.3:
-    shuffle metadata, not payloads). The pre-r13 shape deduped first
-    with dropDuplicates over the array payloads, which planned as
+    """incremental_neardup's only ENSURE_REQUIREMENTS shuffle (the pair
+    dedup; input-edge fan-outs at the QUERY layer are separate
+    REPARTITION_BY_NUM exchanges) must carry only (new_id, corpus_id,
+    jaccard) - the exact verify runs map-side in the index scan
+    partitions BEFORE the exchange (r13, guide §2.3: shuffle metadata,
+    not payloads). The pre-r13 shape deduped first with dropDuplicates
+    over the array payloads, which planned as
     Sort + SortAggregate(first(hs_a), first(hs_b)) around an exchange
     whose rows carried both shingle-hash sets (its first() buffers
     surface as valueSet columns in the Exchange block) - measured as
-    the operator's hottest stage (24.5 s task CPU at sf0.1)."""
+    the operator's hottest stage (24.5 s task CPU at sf0.1). Since r14
+    the dedup groups on the PAIR alone (min-folded jaccard), so
+    one-row-per-pair is structural, and the assertions below anchor on
+    that aggregate: it must be a HashAggregate keyed (new_id,
+    corpus_id) with no SortAggregate over those keys anywhere."""
     import re
 
     from nyc_government_hiring_audit_data_platform_spark.operators import dedup as D
@@ -999,7 +1005,18 @@ def test_incremental_probe_dedup_exchange_ships_no_shingle_arrays(spark, sf_dir)
     idx = D.build_band_index(docs.filter(F.col("doc_id") % 5 == 1), "text", "doc_id")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     df = D.incremental_neardup(batch, idx, "text", "doc_id", 0.25)
-    assert "SortAggregate" not in PI.physical_plan(df)
+    plan = PI.physical_plan(df)
+    # the pair-dedup aggregate exists, hash-based, keyed on the pair
+    pair_agg = re.compile(
+        r"\(\d+\) (Hash|Sort)Aggregate[^\n]*\n"
+        r"(?:[A-Z][^\n]*\n)*?"
+        r"Keys \[2\]: \[new_id#\d+L?, corpus_id#\d+L?\]"
+    )
+    matches = pair_agg.findall(plan)
+    assert matches, "pair-keyed dedup aggregate missing:\n" + plan
+    assert set(matches) == {"Hash"}, "pair dedup planned as SortAggregate"
+    # and no aggregate (of any kind) buffers the shingle arrays
+    assert not re.search(r"Functions \[\d+\]:.*\(hs", plan)
     for b in PI.exchange_blocks(df):
         assert not re.search(r"\bhs(_a|_b)?#|valueSet#", b), (
             "pair-dedup exchange carries shingle arrays:\n" + b
@@ -1072,3 +1089,39 @@ def test_corpus_mix_plan_tree_bounded(spark, sf_dir):
     assert slines <= lines, f"staged ({slines}) deeper than composed ({lines})"
     assert slines < 300, f"staged tree blew up: {slines} node lines"
     spark.catalog.clearCache()
+
+
+def test_fan_out_gate_spreads_narrow_and_skips_wide(spark, sf_dir):
+    """The r14 scale-safety gate on every input-edge fan-out: the local
+    fixture scans as ONE split, so the gate must ADD the round-robin
+    spread there - but repartition(n) plans as REPARTITION_BY_NUM,
+    which is exempt from AQE coalescing, so on an input already >=
+    defaultParallelism partitions (a production corpus scan) the gate
+    must add NOTHING: an unconditional spread would force a full
+    payload shuffle of the corpus and could coalesce a wider scan DOWN
+    to defaultParallelism."""
+    from nyc_government_hiring_audit_data_platform_spark import driver_queries as DQ
+
+    par = spark.sparkContext.defaultParallelism
+    docs = DQ.table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture premise: the single-row-group scan is narrower than par
+    width = DQ.scan_width(spark, sf_dir, "documents")
+    assert width < par, f"fixture scans {width} >= {par} splits; gate untestable"
+
+    # narrow input -> the spread exchange IS present (the r13 local wins survive)
+    spread = DQ.fan_out(docs, width)
+    plan = PI.physical_plan(spread)
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
+
+    # wide input (fixture pre-spread to >= par) -> gate adds NO exchange:
+    # fan_out returns the input df itself, so the only exchange in the
+    # plan is the test's own pre-spread (hinted path checked on a fresh
+    # df - the direct path's .rdd observation materializes AQE stages)
+    gated = DQ.fan_out(docs.repartition(par), width=par)
+    assert PI.shuffle_count(gated) == 1, PI.physical_plan(gated)
+    wide = docs.repartition(par)
+    assert DQ.fan_out(wide) is wide  # direct observation path
+    assert DQ.fan_out(wide, width=par) is wide  # hinted path
+
+    # the memoized width observation is stable across calls
+    assert DQ.scan_width(spark, sf_dir, "documents") == width
