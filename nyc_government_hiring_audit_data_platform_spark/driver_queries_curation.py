@@ -553,9 +553,9 @@ def q_duplicate_span_removal(spark, sf_dir):
     )
     from pyspark import StorageLevel
 
-    # tk feeds three consumers (spans, token positions, the per-doc
-    # base) and sp two (agg, dup): persist both or the tokenize and
-    # span-md5 subtrees re-execute per consumer (module precedent)
+    # tk feeds two consumers (spans, the final per-doc rebuild) and sp
+    # two (agg, dup): persist both or the tokenize and span-md5
+    # subtrees re-execute per consumer (module precedent)
     tk = _token_df(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sp = _span_df(tk).persist(StorageLevel.MEMORY_AND_DISK)
     agg = sp.groupBy("h").agg(
@@ -575,43 +575,49 @@ def q_duplicate_span_removal(spark, sf_dir):
         )
         .select("doc_id", "pos")
     )
-    rm = dup.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN - 1))).alias("ti"),
-    ).distinct()
-    tokpos = tk.select(
-        "doc_id", F.posexplode("_tk").alias("ti0", "tok")
-    ).select("doc_id", (F.col("ti0") + 1).alias("ti"), "tok")
-    kept = (
-        tokpos.join(rm, ["doc_id", "ti"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("ti"), F.col("tok")))
-                    ),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).alias("cleaned")
-        )
-    )
-    rmcnt = rm.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
-    base = tk.select("doc_id", F.size("_tk").cast("bigint").alias("n_tokens"))
-    return (
-        base.join(rmcnt, "doc_id", "left")
-        .join(kept, "doc_id", "left")
-        .select(
+    # r14 (guide §2.3: never shuffle the payload to make a per-key
+    # decision): the strike set is collected into ONE sorted-by-
+    # construction position array per doc and the cleaned text is
+    # rebuilt map-side with array ops. The previous token-level shape
+    # posexploded EVERY token into a row, anti-joined it against the
+    # strike rows, and collect_list'ed the survivors back - the whole
+    # token payload crossed two exchanges (anti-join + re-assembly),
+    # ~60 scheduling-bound micro-stages locally. Now only (doc_id, ti)
+    # ints shuffle (explode -> one collect_set aggregate; collect_set
+    # also replaces rm's separate distinct exchange + rmcnt's count
+    # aggregate), and the text moves once, into the final doc-keyed
+    # join. Per-doc cost is linear, not quadratic: array_except is
+    # hash-set based, element_at on an array is O(1), and the strike
+    # array is bounded by the doc's own token count.
+    rmdoc = (
+        dup.select(
             "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias(
-                "n_removed"
-            ),
-            F.md5(F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")).alias(
-                "cleaned_md5"
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN - 1))).alias(
+                "ti"
             ),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("rm"))
+    )
+    empty_idx = F.array().cast("array<int>")
+    struck = F.coalesce(F.col("rm"), empty_idx)
+    # sequence(1, 0) counts DOWN (the repetition_ratio guard): index an
+    # empty token array explicitly
+    idx = F.when(
+        F.size("_tk") >= 1, F.sequence(F.lit(1), F.size("_tk"))
+    ).otherwise(empty_idx)
+    cleaned = F.array_join(
+        F.transform(
+            F.array_except(idx, struck),
+            lambda i: F.element_at(F.col("_tk"), i),
+        ),
+        " ",
+    )
+    return tk.join(rmdoc, "doc_id", "left").select(
+        "doc_id",
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        F.size(struck).cast("bigint").alias("n_removed"),
+        F.md5(cleaned.cast("binary")).alias("cleaned_md5"),
     )
 
 
@@ -2169,6 +2175,12 @@ def _mix_funnel_tail(spark, base, dd, dgate):
         )
         .select("doc_id", "pos")
     )
+    # NOTE r14: folding this distinct+count into one collect_set
+    # aggregate was tried (one exchange instead of two) and kept OUT:
+    # collect_set plans as ObjectHashAggregate (no codegen) and the
+    # interleaved A/B read the fold slightly worse here, where only the
+    # COUNT is needed; duplicate_span_removal keeps the collect_set
+    # because it needs the strike array itself.
     rm = dup.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN - 1))).alias(
@@ -2204,7 +2216,15 @@ def _mix_funnel_tail(spark, base, dd, dgate):
         .drop("rk")
     )
 
-    # stage 7: per-source funnel + temperature weights
+    # stage 7: per-source funnel + temperature weights.
+    # NOTE r14: batching these six aggregates into ONE union-tagged
+    # groupBy("source") (sum(when(_stage = k, ...))) was tried and
+    # REVERTED: three interleaved A/Bs (incl. an order-swapped pair)
+    # read the fold +4..+11% on both capstone slots. The six exchanges
+    # are already partial-aggregated (only ~n_sources rows cross each),
+    # and AQE materializes the six INDEPENDENT tiny stages concurrently
+    # - the union serializes them behind one stage, so the fold saves
+    # bytes nobody ships and costs overlap that was real.
     s_ing = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_ingested"))
     s_dd = dd.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
     s_dom = dgate.groupBy("source").agg(

@@ -1125,3 +1125,32 @@ def test_fan_out_gate_spreads_narrow_and_skips_wide(spark, sf_dir):
 
     # the memoized width observation is stable across calls
     assert DQ.scan_width(spark, sf_dir, "documents") == width
+
+
+def test_checkpoint_boundary_demo_vs_production(spark, sf_dir):
+    """The localCheckpoint trade (leaf plans + fast local planning, but
+    blocks are NOT recomputable on executor loss and NOT dropped by
+    clearCache) is a composed-DEMO device and must never creep into the
+    production-shape lanes (VERDICT r13 ask #7):
+
+    - the flagship fuzzy chain and the persisted-index incremental lane
+      must plan with ZERO checkpoint leaves (no ExistingRDD scan) -
+      their restartability story is lineage + the bucketed index table;
+    - corpus_mix_plan_staged's phase boundaries must stay REAL parquet
+      tables (a crash resumes from the last good table); its shared
+      funnel tail may checkpoint (that is the documented demo trade,
+      identical in the composed twin)."""
+    for name in (
+        "fuzzy_salary_matches",
+        "fuzzy_lightcast_durations",
+        "gold_salary_matches_unique",
+        "fuzzy_incremental_union",
+    ):
+        plan = PI.physical_plan(QUERIES[name](spark, sf_dir))
+        assert "ExistingRDD" not in plan, f"{name} plans a checkpoint leaf"
+        spark.catalog.clearCache()
+    staged = QUERIES["corpus_mix_plan_staged"](spark, sf_dir)
+    plan = PI.physical_plan(staged)
+    assert "spark_graft_staged" in plan, "staged phase tables missing from plan"
+    assert plan.count("Scan parquet") >= 3, plan
+    spark.catalog.clearCache()
