@@ -1326,9 +1326,13 @@ def q_kmeans_iteration(spark, sf_dir):
     """One distributed k-means (Lloyd) update: nearest-centroid
     assignment map-side, centroid means via a partial-aggregated
     groupBy(cluster, dim) - the iterative-algorithm building block for
-    learning the IVF coarse quantizer at scale. Fixture fan-out at this
-    edge only (the operator moves no vectors)."""
-    return ANN.kmeans_update(_emb_par(spark, sf_dir), "vec_id", "embedding")
+    learning the IVF coarse quantizer at scale. The operator moves no
+    vectors; no input-edge fan-out (r14 A/B: removing it read
+    1.14 -> 0.81 s, -29% - the single-pass assignment fold is below
+    the heavy-per-row boundary where the 32-way spread pays, and the
+    partial agg already minimizes what the one exchange ships)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ANN.kmeans_update(emb, "vec_id", "embedding")
 
 
 # ---------------------------------------------------------------------------
@@ -1483,7 +1487,16 @@ def q_tfidf_top_terms(spark, sf_dir):
     shuffle-on-term/doc with partial aggregation; nothing is quadratic."""
     from pyspark import StorageLevel
 
-    docs = _docs_par(spark, sf_dir, "doc_id", "text")
+    # No input-edge fan-out here (r14): this is the single-pass
+    # tokenize->partial-agg shape the r13 boundary measured fan-out
+    # NEGATIVE on (unigram_surprisal, weighted_median), and the r14
+    # 8-vs-32-core probe pinned the mechanism - the 32-way spread of
+    # the allocation-heavy tokenize+persist stage burned 5x the CPU of
+    # the 8-way run on identical work (75.6 s exec / 19.9 s CPU vs
+    # 15.0 / 4.1) from per-JVM contention, making 32 cores SLOWER than
+    # 8 end-to-end. The partial aggregation already minimizes what the
+    # tf exchange ships; downstream consumers read the persisted tf.
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     # tf has two consumers (join left side, df counts) - without a
     # persist the tokenize+explode+count subtree executes once per

@@ -384,6 +384,10 @@ def q_benchmark_contamination(spark, sf_dir):
     and broadcasts; the corpus side is one explode + equi-join + count
     - linear, never doc x doc. Corpus grams are per-doc DISTINCT
     (char_shingles dedups), so COUNT(*) counts distinct shared grams."""
+    # Fan-out KEPT (r14 A/B: removing it read 1.60 -> 2.33 s, +46%):
+    # the per-gram md5 shingle kernel is the heavy-per-row class where
+    # the spread pays - unlike the tokenize->agg and kmeans-fold shapes
+    # whose fan-outs were removed this round.
     docs = fan_out(
         table(spark, sf_dir, "documents"),
         scan_width(spark, sf_dir, "documents"),
