@@ -135,14 +135,16 @@ def _driver_history(repo_dir: str = _REPO_DIR) -> dict[str, tuple[bool, int]]:
 # refilled at r13 close from
 # `python tools/stale_audit.py compare a6a8b69 --hashed-round 12`.
 REWRITTEN: set[str] = {
-    # r13 closing audit (tools/stale_audit.py compare a6a8b69
-    # --hashed-round 12): 19 STALE-GREEN - every query whose Spark
-    # body or a transitively referenced function was rewritten by the
-    # r13 optimization work after its latest driver hash (ANN
-    # model-relation attaches + kmeans leaf, BPE discarded-pass skip +
-    # fan-out, corpus-mix localCheckpoint truncation, record-linkage
-    # fan-out, incremental_neardup verify-before-dedup, minhash sig
-    # fold).
+    # r14 closing audit (tools/stale_audit.py compare 26d2521
+    # --hashed-round 13): 48 STALE-GREEN. All 21 r13 pins were
+    # re-hashed green in CORRECTNESS_r13 and left the set; the r14
+    # optimization work then touched a wide closure set - the shared
+    # input-edge fan-out gate (driver_queries.fan_out/scan_width,
+    # reached through _docs_par/_emb_par/_emb_filtered_par and ~30
+    # direct query edges), the duplicate_span_removal array rebuild,
+    # the incremental_neardup pair-keyed min dedup, and the
+    # tfidf/kmeans fan-out removals.
+    "ann_cosine_topk",
     "ann_filtered_topk",
     "ann_ivf_recall_bound",
     "ann_ivf_topk",
@@ -151,24 +153,57 @@ REWRITTEN: set[str] = {
     "ann_ivfadc_residual_recall",
     "ann_ivfadc_residual_topk",
     "ann_ivfadc_topk",
+    "ann_lsh_topk",
     "ann_pq_adc_topk",
     "ann_pq_recall_bound",
+    "benchmark_contamination",
     "bpe_encode_corpus",
     "bpe_train_merges",
     "corpus_mix_plan",
     "corpus_mix_plan_staged",
+    "corpus_quality_by_source",
+    "date_impute_duration",
+    "doc_fingerprints",
+    "duplicate_span_detect",
+    "duplicate_span_removal",
+    "embedding_int8_quantize",
+    "embedding_l2_normalize",
+    "embedding_neardup",
+    "embedding_neardup_split",
+    "hard_negative_mining",
     "incremental_neardup_batch",
+    "kmeans_iteration",
+    "lang_id",
     "minhash_lsh_neardup",
     "minhash_lsh_recall",
     "minhash_lsh_split",
+    "mmr_diverse_topk",
+    "mmr_panel_topk",
+    "ngram_jaccard_neardup",
+    "pii_redaction",
+    "quality_scores",
     "record_linkage_scores",
+    "repetition_ratio",
+    "semdedup_prune",
+    "semdedup_prune_scaled",
+    "shard_assignment",
+    "simhash_collisions",
+    "simhash_signatures",
+    "tfidf_top_terms",
+    "token_counts",
+    "winnowing_fingerprints",
     # Manual pins for the audit's documented local-import blind spot:
-    # both consume operators/graph.py:connected_components (its
-    # convergence collect was folded into the checkpoint job via
-    # observe() in r13) through function-local imports the audit's
-    # reference walk cannot resolve.
+    # all three consume driver_queries_datapipe._emb_par (now routed
+    # through the r14 fan-out gate) through function-local imports the
+    # audit's reference walk cannot resolve.
     "neardup_keep_list",
     "neardup_components",
+    "hybrid_rrf_retrieval",
+    # 48 + 3 = 51 pins vs the driver's ~50-slot budget: one pin
+    # overflows the round's re-hash slate. Every pinned query was
+    # value-hash-verified against DuckDB at sf0.1 by this round's close
+    # battery (OPTIMIZATION_r14.md close ritual), so the overflow query
+    # carries an in-repo proof while it waits for a driver slot.
 }
 
 

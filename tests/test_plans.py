@@ -917,7 +917,11 @@ def test_dedup_driver_queries_documented_input_fanout_only(spark, sf_dir):
 def test_ann_driver_queries_documented_input_fanout_only(spark, sf_dir):
     """Driver queries in the brute-force/LSH/IVF/kmeans/neardup ANN
     family: every vector-carrying exchange is a documented input-edge
-    fan-out (same contract the PQ family pinned in r7)."""
+    fan-out (same contract the PQ family pinned in r7).
+    kmeans_iteration's fan-out was removed in r14 (A/B −29%: the
+    assignment fold is below the heavy-per-row boundary), so its
+    allowed count is ZERO — the assignment runs in the scan partitions
+    and only the partial-aggregated means move."""
     import re
 
     vec_re = _VEC_RE + r"|\bv#"
@@ -925,7 +929,7 @@ def test_ann_driver_queries_documented_input_fanout_only(spark, sf_dir):
         ("ann_cosine_topk", 1),
         ("ann_lsh_topk", 1),
         ("ann_ivf_topk", 1),
-        ("kmeans_iteration", 1),
+        ("kmeans_iteration", 0),
         ("embedding_neardup", 1),
         ("ann_ivf_recall_bound", 2),  # shared corpus edge, one per lane
         ("hybrid_rrf_retrieval", 1),  # the vector lane's corpus edge
